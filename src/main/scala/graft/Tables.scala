@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All engine queries take `(spark, sfDir)` and read only these tables, so
+  * the driver's DuckDB oracle sees byte-identical inputs. Parquet carries its
+  * own schema (verified against FIXTURES.md §A); the vectorized reader +
+  * Catalyst column pruning / predicate pushdown make these scans the cheap
+  * part of every plan — at 100 TB the same `spark.read.parquet` call simply
+  * fans out over more files/row-groups, so nothing here is local-mode-only.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a raw
+    * nanosecond long (legacy conf) and rebuild a microsecond timestamp with
+    * integer division — ns-since-epoch (~1.7e18) exceeds double's 2^53
+    * mantissa, so float division would corrupt low-order digits.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}

@@ -1,0 +1,507 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Relational operator inventory (SURVEY.md §2) re-expressed Spark-first
+  * over the TPC-H-ish fixtures.
+  *
+  * Every entry is a lazy DataFrame plan — scans prune columns and push
+  * predicates (verify with `.explain("formatted")`: `PushedFilters`,
+  * `ReadSchema`), dimension joins broadcast, aggregations run partial+final
+  * via `HashAggregateExec`, and AQE handles runtime re-planning. Nothing
+  * collects to the driver.
+  *
+  * Oracle-parity rules (the driver hash-compares against DuckDB on the same
+  * parquet):
+  *   - every floating-point aggregate is `round(_, 2..4)` in BOTH engines —
+  *     double addition is non-associative and Spark's partial aggregation
+  *     order is nondeterministic, so unrounded sums differ in the last ulp;
+  *   - DuckDB `sum(INTEGER)` returns HUGEINT → oracle SQL casts to BIGINT to
+  *     match Spark's LongType;
+  *   - every query ends in a total deterministic ORDER BY on both sides;
+  *   - ties in top-k / dedup-by-key are broken by a unique key column.
+  *
+  * Reference sites each operator reproduces are cited per-query (SURVEY §2
+  * row ids; e.g. J4 = the left-anti "completed wards" join at
+  * SANEF_Uploader.py:385-401).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def disc(c: Column, d: Column): Column = c * (lit(1.0) - d)
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1-A4) — TPC-H Q1-shaped pricing summary.
+  // ---------------------------------------------------------------------
+  val qAggSum: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qAggSumSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Projection + conjunctive filter (P1, P5) — pushed to the parquet scan.
+  // ---------------------------------------------------------------------
+  val qFilterProject: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_returnflag") === "R" && col("l_linestatus") === "F" &&
+          col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity > 30.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Inner equi-join dim⋈fact (J1) — broadcast hash join on the dim side.
+  // ---------------------------------------------------------------------
+  val qJoinBroadcast: Q = (s, d) =>
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+
+  val qJoinBroadcastSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Join chain dim⋈dim⋈fact (J2) — revenue per nation; nation/region are
+  // fixed-cardinality dims (25/5 rows at any SF) → explicit broadcast.
+  // ---------------------------------------------------------------------
+  val qJoinChain: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  val qJoinChainSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J3 — the reference's agg+agg+self-join (SANEF_Uploader.py:228-231)
+  // collapsed into ONE multi-aggregate groupBy (no self-join, one shuffle).
+  // ---------------------------------------------------------------------
+  val qMultiAgg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(min("o_totalprice"), 2).as("min_price"))
+      .orderBy("o_custkey")
+
+  val qMultiAggSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(min(o_totalprice), 2) AS min_price
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Left anti join (J4 — the "completed wards" NOT EXISTS pattern,
+  // SANEF_Uploader.py:385-401): customers with no urgent order. (The
+  // filtered probe side keeps the result non-empty at every SF — a 0-row
+  // match would be a vacuous correctness check.)
+  // ---------------------------------------------------------------------
+  val qLeftAnti: Q = (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qLeftAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Left semi join (J5 — key-membership filter, SANEF_Uploader.py:110,170):
+  // customers with at least one high-priority order.
+  // ---------------------------------------------------------------------
+  val qLeftSemi: Q = (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qLeftSemiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Post-aggregation filter / HAVING (P3 — SANEF_Uploader.py:396).
+  // ---------------------------------------------------------------------
+  val qHaving: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+      .orderBy("l_orderkey")
+
+  val qHavingSql: String =
+    """SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING round(sum(l_quantity), 2) > 250.0
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // DISTINCT (A6 — SANEF_Uploader.py:386).
+  // ---------------------------------------------------------------------
+  val qDistinct: Q = (s, d) =>
+    orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val qDistinctSql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Dedup by key subset (A7 — drop_duplicates(subset=...),
+  // SANEF_Uploader.py:474) made deterministic: keep each customer's
+  // earliest order (row_number over a total order, not bare dropDuplicates
+  // whose survivor depends on partition layout).
+  // ---------------------------------------------------------------------
+  val qDedupFirst: Q = (s, d) => {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey")
+  }
+
+  val qDedupFirstSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Whole-frame total broadcast (A5 — SANEF_Uploader.py:471-472): empty
+  // partitionBy window attaches the grand total to every group.
+  // ---------------------------------------------------------------------
+  val qGrandTotal: Q = (s, d) => {
+    val seg = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum("o_totalprice").as("t"))
+    seg
+      .select(
+        col("c_mktsegment"),
+        round(col("t"), 2).as("seg_total"),
+        round(col("t") / sum("t").over(Window.partitionBy()) * 100.0, 4)
+          .as("pct"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qGrandTotalSql: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment, sum(o_totalprice) AS t
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, round(t, 2) AS seg_total,
+      |  round(t / sum(t) OVER () * 100.0, 4) AS pct
+      |FROM seg
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Grouped string aggregation (A9 — the HTML <ul> build,
+  // SANEF_Uploader.py:283-299): collect_list sorted for determinism.
+  // ---------------------------------------------------------------------
+  val qStringAgg: Q = (s, d) =>
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ";")
+          .as("nations"))
+      .orderBy("r_name")
+
+  val qStringAggSql: String =
+    """SELECT r_name, string_agg(n_name, ';' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Wide→long unpivot (R2/R3 — the two-rows-per-input stack pattern,
+  // SANEF_Uploader.py:233-248,582-597): per nation emit (customers, n) and
+  // (suppliers, n) rows via the stack() generator.
+  // ---------------------------------------------------------------------
+  val qUnpivot: Q = (s, d) => {
+    val c = customer(s, d).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("c_cnt"))
+    val su = supplier(s, d).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("s_cnt"))
+    nation(s, d)
+      .join(c, col("n_nationkey") === col("c_nationkey"), "left")
+      .join(su, col("n_nationkey") === col("s_nationkey"), "left")
+      .select(
+        col("n_name"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+      .selectExpr(
+        "n_name",
+        "stack(2, 'customers', c_cnt, 'suppliers', s_cnt) AS (metric, cnt)")
+      .orderBy("n_name", "metric")
+  }
+
+  val qUnpivotSql: String =
+    """WITH c AS (SELECT c_nationkey AS k, count(*) AS c_cnt
+      |           FROM customer GROUP BY c_nationkey),
+      |     s AS (SELECT s_nationkey AS k, count(*) AS s_cnt
+      |           FROM supplier GROUP BY s_nationkey),
+      |     base AS (
+      |  SELECT n_name, coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+      |  FROM nation LEFT JOIN c ON n_nationkey = c.k
+      |              LEFT JOIN s ON n_nationkey = s.k)
+      |SELECT n_name, 'customers' AS metric, CAST(c_cnt AS BIGINT) AS cnt
+      |  FROM base
+      |UNION ALL
+      |SELECT n_name, 'suppliers' AS metric, CAST(s_cnt AS BIGINT) AS cnt
+      |  FROM base
+      |ORDER BY n_name, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Window rank / per-group top-k (§2.6 extension): top 3 orders per
+  // market segment, ties broken by o_orderkey.
+  // ---------------------------------------------------------------------
+  val qWindowRank: Q = (s, d) => {
+    val w = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("c_mktsegment"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT c_mktsegment, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Running aggregate window: cumulative spend per customer over time.
+  // ---------------------------------------------------------------------
+  val qWindowRunning: Q = (s, d) => {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sort + limit / global top-k (§2.7): deterministic tie-break on the
+  // unique (l_orderkey, l_linenumber) key.
+  // ---------------------------------------------------------------------
+  val qTopK: Q = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val qTopKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Set operation (§2.8 — the Results-accumulator-as-UNION pattern):
+  // nations that have customers or suppliers.
+  // ---------------------------------------------------------------------
+  val qUnion: Q = (s, d) =>
+    customer(s, d)
+      .select(col("c_nationkey").as("nationkey"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  val qUnionSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Scalar function surface (F1-F4: concat_ws, cast, arithmetic, CASE
+  // decode — SANEF_Uploader.py:121,141,225-226,246).
+  // ---------------------------------------------------------------------
+  val qScalar: Q = (s, d) =>
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        concat_ws(" - ", col("c_name"), col("c_mktsegment")).as("label"),
+        col("c_custkey").cast("string").as("key_str"),
+        round(col("c_acctbal") * 2, 2).as("adj_bal"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_band"))
+      .orderBy("c_custkey")
+
+  val qScalarSql: String =
+    """SELECT c_custkey,
+      |  concat_ws(' - ', c_name, c_mktsegment) AS label,
+      |  CAST(c_custkey AS VARCHAR) AS key_str,
+      |  round(c_acctbal * 2, 2) AS adj_bal,
+      |  CASE WHEN c_acctbal < 0 THEN 'negative'
+      |       WHEN c_acctbal < 5000 THEN 'low'
+      |       ELSE 'high' END AS bal_band
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Date functions (F5): order volume per calendar year.
+  // ---------------------------------------------------------------------
+  val qDateAgg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("order_year")
+
+  val qDateAggSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_year""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_sum" -> qAggSum,
+    "q_filter_project" -> qFilterProject,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_chain" -> qJoinChain,
+    "q_multi_agg" -> qMultiAgg,
+    "q_left_anti" -> qLeftAnti,
+    "q_left_semi" -> qLeftSemi,
+    "q_having" -> qHaving,
+    "q_distinct" -> qDistinct,
+    "q_dedup_first" -> qDedupFirst,
+    "q_grand_total" -> qGrandTotal,
+    "q_string_agg" -> qStringAgg,
+    "q_unpivot" -> qUnpivot,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_topk" -> qTopK,
+    "q_union" -> qUnion,
+    "q_scalar" -> qScalar,
+    "q_date_agg" -> qDateAgg)
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_sum" -> qAggSumSql,
+    "q_filter_project" -> qFilterProjectSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_chain" -> qJoinChainSql,
+    "q_multi_agg" -> qMultiAggSql,
+    "q_left_anti" -> qLeftAntiSql,
+    "q_left_semi" -> qLeftSemiSql,
+    "q_having" -> qHavingSql,
+    "q_distinct" -> qDistinctSql,
+    "q_dedup_first" -> qDedupFirstSql,
+    "q_grand_total" -> qGrandTotalSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_topk" -> qTopKSql,
+    "q_union" -> qUnionSql,
+    "q_scalar" -> qScalarSql,
+    "q_date_agg" -> qDateAggSql)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Relational.Q
+
+/** Row fan-out / reshaping operators (SURVEY.md §2.5) plus the
+  * semi-structured column surface (F6 — JSON parse at
+  * SANEF_Uploader.py:47, `events.props` fixture).
+  *
+  * `explode` is a Generator inside whole-stage codegen — the row fan-out
+  * happens executor-side with no shuffle; only the downstream groupBy
+  * exchanges data (partial aggregation halves what moves).
+  */
+object Reshape {
+
+  // ---------------------------------------------------------------------
+  // Array explode (R1 — one row per array element,
+  // SANEF_Uploader.py:78-85): whitespace-tokenize documents and count
+  // token frequencies. Oracle uses DuckDB's unnest(string_split_regex).
+  // ---------------------------------------------------------------------
+  val qExplodeTokens: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 50)
+      .orderBy("token")
+
+  val qExplodeTokensSql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |HAVING count(*) >= 50
+      |ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // JSON field extraction (F6) over events.props ('{"k": 87}'-shaped).
+  // regexp_extract keeps the oracle engine-portable (DuckDB's JSON
+  // extension may not be loaded); the Spark side stays codegen'd.
+  // ---------------------------------------------------------------------
+  val qJsonExtract: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER))
+      |       AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Time-bucketed event aggregation (batch shape of the streaming
+  // tumbling window, §2.10): per-day per-type counts over events.ts.
+  // ---------------------------------------------------------------------
+  val qEventDaily: Q = (s, d) =>
+    events(s, d)
+      .groupBy(
+        to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+
+  val qEventDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  round(sum("value"), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_explode_tokens" -> qExplodeTokens,
+    "q_json_extract" -> qJsonExtract,
+    "q_event_daily" -> qEventDaily)
+
+  val oracles: Map[String, String] = Map(
+    "q_explode_tokens" -> qExplodeTokensSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_event_daily" -> qEventDailySql)
+}

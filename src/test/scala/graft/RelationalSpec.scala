@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Reshape}
+
+/** Invariant checks for the relational operator inventory on sf0.001.
+  *
+  * The DuckDB differential suite (driver-run; locally
+  * `scripts/check_parity.py`) establishes value-level parity; these specs
+  * pin the cross-query algebraic invariants that survive refactors —
+  * partition-into-parts (anti ∪ semi = all), aggregation totals, window
+  * monotonicity — per SURVEY.md §5.2.
+  */
+class RelationalSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every registered query runs and every oracle key exists") {
+    assert(SparkEntry.queries.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle $k without query")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg_sum partitions all lineitem rows") {
+    val total = Relational.qAggSum(spark, dir)
+      .agg(sum("count_order")).head.getLong(0)
+    assert(total === Tables.lineitem(spark, dir).count())
+  }
+
+  test("anti-join and semi-join partition the customer table") {
+    val anti = Relational.qLeftAnti(spark, dir).count()
+    val semi = Relational.qLeftSemi(spark, dir).count()
+    // qLeftSemi uses 1-URGENT as its membership filter, same as qLeftAnti
+    assert(anti + semi === Tables.customer(spark, dir).count())
+    assert(anti > 0, "anti-join must be non-vacuous at this SF")
+  }
+
+  test("q_dedup_first keeps exactly one row per customer key") {
+    val df = Relational.qDedupFirst(spark, dir)
+    assert(df.count() === df.select("o_custkey").distinct.count())
+    assert(df.count() ===
+      Tables.orders(spark, dir).select("o_custkey").distinct.count())
+  }
+
+  test("q_grand_total percentages sum to 100") {
+    val pct = Relational.qGrandTotal(spark, dir)
+      .agg(sum("pct")).head.getDouble(0)
+    assert(math.abs(pct - 100.0) < 0.01)
+  }
+
+  test("q_unpivot emits 2 rows per nation and conserves totals") {
+    val df = Relational.qUnpivot(spark, dir).cache()
+    assert(df.count() === 2 * Tables.nation(spark, dir).count())
+    val cust = df.filter(col("metric") === "customers")
+      .agg(sum("cnt")).head.getLong(0)
+    assert(cust === Tables.customer(spark, dir).count())
+    df.unpersist()
+  }
+
+  test("q_topk is 10 rows in non-increasing price order") {
+    val rows = Relational.qTopK(spark, dir)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(rows.length === 10)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q_window_rank keeps at most 3 per segment, rank contiguous") {
+    val df = Relational.qWindowRank(spark, dir)
+    val bySeg = df.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n"), max("rk").as("maxrk"))
+    bySeg.collect().foreach { r =>
+      assert(r.getAs[Long]("n") <= 3)
+      assert(r.getAs[Int]("maxrk") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("q_window_running final value equals per-customer total") {
+    val last = Relational.qWindowRunning(spark, dir)
+      .groupBy("o_custkey").agg(max("running_total").as("rt"))
+    val direct = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("t"))
+    val joined = last.join(direct, "o_custkey")
+      .filter(abs(col("rt") - col("t")) > 0.01)
+    assert(joined.count() === 0)
+  }
+
+  test("q_string_agg lists all 25 nations across 5 regions") {
+    val rows = Relational.qStringAgg(spark, dir).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getString(1).split(";").length).sum === 25)
+  }
+
+  test("q_json_extract covers all events") {
+    val n = Reshape.qJsonExtract(spark, dir)
+      .agg(sum("n_events")).head.getLong(0)
+    assert(n === Tables.events(spark, dir).count())
+  }
+
+  test("q_event_daily day range matches fixture window") {
+    val days = Reshape.qEventDaily(spark, dir)
+      .select(min("day"), max("day")).head
+    assert(days.getDate(0).toString >= "2024-01-01")
+    assert(days.getDate(1).toString <= "2024-01-30")
+  }
+}
