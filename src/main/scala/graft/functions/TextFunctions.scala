@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators (SURVEY.md
+  * §7.4): tokenization, shingling, normalization, fingerprinting, marker
+  * scoring. All pure `Column` expressions — codegen'd, no UDFs — so they
+  * inline into whole-stage codegen and stay cheap at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed (split on `\s+` leaves a
+    * leading "" for texts starting with whitespace).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Returns an empty
+    * array for documents shorter than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val l = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(l) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(l, i + k)): _*))
+  }
+
+  /** Character n-gram shingles over the raw text. */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n)))
+
+  /** Canonical form for exact-dedup fingerprinting: lowercase, all
+    * non-alphanumerics stripped.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  /** 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** How many of the document's tokens appear in `markers`. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Language-ID marker sets (n-gram/stopword heuristic). CJK presence is
+    * scored separately via a codepoint-range count.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import Relational.Q
+
+/** Deduplication operators for training-data pipelines (builder north
+  * star): exact hash-groupBy, n-gram Jaccard via inverted-index join,
+  * MinHash+LSH, SimHash banding. All set-based — no driver loops, no
+  * pairwise O(n²) over the full corpus:
+  *
+  *  - exact: one hash aggregation on the text (Spark's HashAggregate on
+  *    the string key — at 100 TB you'd pre-hash to a 128-bit fingerprint
+  *    and aggregate on that, which q_doc_fingerprint provides).
+  *  - Jaccard: explode distinct shingles → self-join on shingle →
+  *    co-occurrence counts give |A∩B|, sizes give |A∪B|. Shuffle is on
+  *    the shingle key; skew is bounded by shingle document-frequency
+  *    (word-trigram df maxes in single digits on this corpus — a real
+  *    pipeline adds a df cap filter before the join).
+  *  - MinHash+LSH: 64 xxhash64 signatures min-aggregated in ONE pass
+  *    (64 agg columns, no 64× row blowup), banded b=32 r=2, candidates
+  *    from band-bucket self-join, then exact-Jaccard verification of
+  *    candidates only.
+  *  - SimHash: per-token 64-bit hash, bitwise ±1 sums in one aggregation,
+  *    fingerprint banding into 4×16-bit chunks — pigeonhole-exact for
+  *    hamming ≤ 3.
+  *
+  * The synthetic corpora inject duplicates deterministically (the fixture
+  * has none), with derivations mirrored in the DuckDB oracles.
+  */
+object Dedup {
+
+  /** documents ∪ verbatim copies of every 5th doc (ids offset by 1e6). */
+  def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select("doc_id", "text")
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (first 30 chars dropped) of every 4th doc. */
+  def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select("doc_id", "text")
+    base.unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), 31, 1000000).as("text")))
+  }
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  def shingleIndex(corpus: DataFrame, n: Int): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(array_distinct(wordShingles(col("text"), n))).as("g"))
+
+  /** Exact near-dup pairs with Jaccard >= threshold from a shingle index:
+    * co-occurrence self-join on the shingle key.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val left = sh.toDF("id_a", "g")
+    val right = sh.toDF("id_b", "g")
+    val inter = left.join(right, "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` min-aggregated xxhash64 values per
+    * document, computed in a single groupBy pass.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (r rows per band), bucket by
+    * band hash, self-join buckets.
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val rowCols = (0 until r).map(k => col(s"m${b * r + k}"))
+      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.toDF("id_a", "band", "bh")
+      .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Verify candidate pairs with exact Jaccard over the shingle index —
+    * only candidates are scored, preserving LSH's subquadratic shape.
+    */
+  def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.toDF("id_a", "g"), "id_a")
+      .join(sh.toDF("id_b", "gb"), "id_b")
+      .filter(col("g") === col("gb"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprints: per-token xxhash64, ±1 contribution per
+    * bit position summed in one aggregation, sign → bit. The fingerprint
+    * is assembled as a sum of distinct powers of two (bitwise-exact even
+    * for bit 63's wraparound).
+    */
+  def simhashFingerprints(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val h = xxhash64(col("t"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j"))
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Pairs with hamming distance <= maxHamming via 4×16-bit chunk banding
+    * — pigeonhole-exact for maxHamming <= 3 (4 chunks, ≤3 differing bits
+    * ⇒ at least one chunk identical).
+    */
+  def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is exact only for hamming <= 3")
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.toDF("id_a", "fp_a", "c", "v")
+      .join(chunks.toDF("id_b", "fp_b", "c", "v"), Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-facing queries
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on text, keep the smallest id per group. */
+  val qDedupExact: Q = (s, d) =>
+    corpusExact(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val qDedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM corpus GROUP BY text
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact word-trigram Jaccard near-dup pairs (threshold 0.5). */
+  val qDedupNgramJaccard: Q = (s, d) =>
+    jaccardPairs(shingleIndex(corpusNear(s, d), 3), 0.5)
+      .orderBy("id_a", "id_b")
+
+  val qDedupNgramJaccardSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       t -> t <> '') AS l
+      |         FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes na ON id_a = na.doc_id
+      |JOIN sizes nb ON id_b = nb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup: banded candidates, exact-verified. Output
+    * schema matches q_dedup_ngram_jaccard; recall vs the exact pairs is
+    * asserted in DedupSpec. xxhash64 signatures are Spark-specific →
+    * rows-only driver check (no DuckDB oracle).
+    */
+  val qDedupMinhash: Q = (s, d) => {
+    val sh = shingleIndex(corpusNear(s, d), 3)
+    val cand = lshCandidates(minhashSignatures(sh, 64), bands = 32, r = 2)
+    verifyJaccard(cand, sh, 0.5).orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs at hamming <= 3 (exact via chunk banding). */
+  val qDedupSimhash: Q = (s, d) =>
+    simhashPairs(simhashFingerprints(corpusNear(s, d)), 3)
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql)
+}

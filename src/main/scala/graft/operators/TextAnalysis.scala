@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import Relational.Q
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §7.4
+  * north-star: language-ID, quality scoring, token counting,
+  * fingerprinting). Every expression is a built-in/codegen'd Column —
+  * these run as one pass over the corpus with no shuffle except the final
+  * presentation sort (which exists only for oracle determinism; a real
+  * pipeline would keep them unsorted).
+  *
+  * Parity notes: every ratio is an int/int division (IEEE-exact and
+  * identical in DuckDB) rounded to 4dp; token counts are size() vs len()
+  * over the same `\s+` split with empties filtered.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------------
+  // Quality scoring: per-document token stats + punctuation / stopword /
+  // digit ratios — the length-and-composition heuristics used to filter
+  // LLM training corpora.
+  // ---------------------------------------------------------------------
+  val qTextStats: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val nPunct = nChar -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
+    val nStop = markerCount(col("text"),
+      Seq("the", "a", "and", "of", "to", "in", "is"))
+    val nDigit = nChar - length(regexp_replace(col("text"), "[0-9]", ""))
+    documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nChar.as("n_chars_actual"),
+      round(nChar.cast("double") / nTok, 4).as("chars_per_token"),
+      round(nPunct.cast("double") / nChar, 4).as("punct_ratio"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(nDigit.cast("double") / nChar, 4).as("digit_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> t <> '')) AS n_tokens,
+      |  len(text) AS n_chars_actual,
+      |  round(CAST(len(text) AS DOUBLE) /
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        t -> t <> '')), 4) AS chars_per_token,
+      |  round(CAST(len(text) -
+      |      len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+      |    AS DOUBLE) / len(text), 4) AS punct_ratio,
+      |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE) /
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        t -> t <> '')), 4) AS stopword_ratio,
+      |  round(CAST(len(text) -
+      |      len(regexp_replace(text, '[0-9]', '', 'g'))
+      |    AS DOUBLE) / len(text), 4) AS digit_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Language ID: marker-word counts per language + CJK codepoint count,
+  // argmax with a fixed priority order on ties, 'und' when nothing
+  // matches. (On the synthetic fixture the `lang` column is decorative —
+  // all texts share one vocabulary — so this checks the OPERATOR, not
+  // fixture accuracy.)
+  // ---------------------------------------------------------------------
+  val qLangId: Q = (s, d) => {
+    val scores: Seq[(String, Column)] =
+      langMarkers.map { case (lang, ms) =>
+        lang -> markerCount(col("text"), ms)
+      } :+ ("zh" -> cjkCount(col("text")))
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(best > 0 && sc === best, lang).otherwise(acc)
+    }
+    // foldRight gives earlier entries (en first) precedence on ties
+    documents(s, d)
+      .select(col("doc_id"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = {
+    def cnt(ms: Seq[String]): String = {
+      val orCond = ms.map(m => s"t = '$m'").mkString(" OR ")
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> $orCond))"
+    }
+    val en = cnt(Seq("the", "and", "of", "is", "a"))
+    val de = cnt(Seq("der", "die", "und", "nicht", "das"))
+    val es = cnt(Seq("el", "los", "que", "y", "una"))
+    val fr = cnt(Seq("le", "les", "et", "est", "une"))
+    val zh = "len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    s"""WITH sc AS (SELECT doc_id, $en AS s_en, $de AS s_de, $es AS s_es,
+       |  $fr AS s_fr, $zh AS s_zh FROM documents),
+       |b AS (SELECT doc_id, greatest(s_en, s_de, s_es, s_fr, s_zh) AS m,
+       |  s_en, s_de, s_es, s_fr, s_zh FROM sc)
+       |SELECT doc_id,
+       |  CASE WHEN m > 0 AND s_en = m THEN 'en'
+       |       WHEN m > 0 AND s_de = m THEN 'de'
+       |       WHEN m > 0 AND s_es = m THEN 'es'
+       |       WHEN m > 0 AND s_fr = m THEN 'fr'
+       |       WHEN m > 0 AND s_zh = m THEN 'zh'
+       |       ELSE 'und' END AS pred_lang
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Token counting with a BPE-ish lexer regex: words / numbers / symbol
+  // tokens counted separately, aggregated per source.
+  // ---------------------------------------------------------------------
+  val qTokenClasses: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("source"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).as("w"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("p"))
+      .groupBy("source")
+      .agg(
+        sum("w").as("word_tokens"),
+        sum("n").as("number_tokens"),
+        sum("p").as("symbol_tokens"))
+      .orderBy("source")
+
+  val qTokenClassesSql: String =
+    """SELECT source,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT)
+      |    AS word_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+      |    AS number_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
+      |    AS symbol_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Document fingerprinting: md5 over the normalized text (lowercase,
+  // non-alphanumerics stripped) — the cheap exact-dup key.
+  // ---------------------------------------------------------------------
+  val qFingerprint: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_lang_id" -> qLangId,
+    "q_token_classes" -> qTokenClasses,
+    "q_doc_fingerprint" -> qFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_token_classes" -> qTokenClassesSql,
+    "q_doc_fingerprint" -> qFingerprintSql)
+}
