@@ -1,0 +1,186 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational.Q
+
+/** Multimodal columns for training-data pipelines (builder north star):
+  * image/audio/video as opaque `binary` payloads + a typed metadata
+  * struct, with decode / feature-extract / resize / frame-sample staged
+  * as iterator-to-iterator `mapPartitions` kernels.
+  *
+  * The decode kernels are DETERMINISTIC STUBS — this container has no
+  * image/audio codecs, so `decodeStub` parses only our synthetic 8-byte
+  * header and fabricates pixel stats. The Spark-side plumbing is the real
+  * design under test: schema, partition-level batching (one kernel call
+  * per partition iterator, the JVM analog of PySpark's mapInPandas batch
+  * shape), and column pruning (payload is only deserialized in kernels,
+  * never in relational stages).
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      width: Int, height: Int, sampleRate: Int, durationMs: Int,
+      format: String)
+
+  final case class MediaRow(
+      media_id: Long, modality: String, payload: Array[Byte],
+      meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, modality: String, byte_len: Int, header_ok: Boolean,
+      entropy: Double, histogram_nonzero: Int)
+
+  /** Synthetic media table derived from `documents`: payload = 8-byte
+    * header (magic "GRFT" + width/height shorts) ++ text bytes; modality
+    * cycles by doc_id. Deterministic and SQL-mirrorable (oracle derives
+    * the same metadata from the text column).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, _) =>
+        val modality = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val w = (id % 64 + 1).toInt * 16
+        val h = (id % 48 + 1).toInt * 16
+        val header = Array[Byte]('G', 'R', 'F', 'T',
+          (w >> 8).toByte, (w & 0xff).toByte,
+          (h >> 8).toByte, (h & 0xff).toByte)
+        MediaRow(id, modality, header ++ text.getBytes("UTF-8"),
+          MediaMeta(w, h, 16000 + (id % 4).toInt * 8000,
+            (id % 300).toInt * 1000, modality match {
+              case "image" => "png"
+              case "audio" => "wav"
+              case _ => "mp4"
+            }))
+      }
+  }
+
+  /** STUB decode: validates the magic, reads width/height from the
+    * header. A real implementation would invoke the codec here — same
+    * signature, same batch shape.
+    */
+  private def decodeStub(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 8 && payload(0) == 'G' && payload(1) == 'R' &&
+      payload(2) == 'F' && payload(3) == 'T')
+      Some((
+        ((payload(4) & 0xff) << 8) | (payload(5) & 0xff),
+        ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)))
+    else None
+
+  /** Feature extraction as a partition-batched kernel: byte histogram →
+    * Shannon entropy + support. One pass per partition iterator; payload
+    * bytes never enter the relational row format.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hist = new Array[Long](256)
+        var i = 0
+        while (i < r.payload.length) {
+          hist(r.payload(i) & 0xff) += 1; i += 1
+        }
+        val n = r.payload.length.toDouble
+        var entropy = 0.0
+        var nonzero = 0
+        var b = 0
+        while (b < 256) {
+          if (hist(b) > 0) {
+            nonzero += 1
+            val p = hist(b) / n
+            entropy -= p * math.log(p) / math.log(2)
+          }
+          b += 1
+        }
+        MediaFeatures(r.media_id, r.modality, r.payload.length,
+          decodeStub(r.payload).isDefined, entropy, nonzero)
+      }
+    }
+  }
+
+  /** STUB resize: recompute header dims only (a codec would rescale
+    * pixels); demonstrates a payload-rewriting kernel.
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeStub(r.payload) match {
+          case Some((w, h)) if math.max(w, h) > maxDim =>
+            val scale = maxDim.toDouble / math.max(w, h)
+            val (nw, nh) =
+              (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            val p = r.payload.clone()
+            p(4) = (nw >> 8).toByte; p(5) = (nw & 0xff).toByte
+            p(6) = (nh >> 8).toByte; p(7) = (nh & 0xff).toByte
+            r.copy(payload = p, meta = r.meta.copy(width = nw, height = nh))
+          case _ => r
+        }
+      }
+    }
+  }
+
+  /** Frame-sample plan for video rows: every `everyMs` milliseconds from
+    * the metadata duration — pure Column math (no kernel needed), the
+    * relational side of a multimodal pipeline.
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          greatest(floor((col("meta.durationMs") - 1) / everyMs).cast("int"),
+            lit(0))))
+          .as("frame_idx"))
+      .select(col("media_id"), (col("frame_idx") * everyMs).as("offset_ms"))
+
+  /** Oracle-checked metadata projection: everything here is derivable
+    * from `documents` in DuckDB (payload length = 8-byte header + UTF-8
+    * text bytes; these texts are ASCII so octet length = char length).
+    */
+  val qMultimodalMeta: Q = (s, d) =>
+    mediaTable(s, d).toDF()
+      .select(
+        col("media_id"), col("modality"),
+        length(col("payload")).as("byte_len"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .orderBy("media_id")
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality,
+      |  CAST(8 + octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |  CAST((doc_id % 64 + 1) * 16 AS INTEGER) AS width,
+      |  CAST((doc_id % 48 + 1) * 16 AS INTEGER) AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |    ELSE 'mp4' END AS format
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Feature extraction registered rows-only (kernel output; invariants
+    * asserted in MultimodalSpec).
+    */
+  val qMultimodalFeatures: Q = (s, d) =>
+    extractFeatures(mediaTable(s, d)).toDF()
+      .select("media_id", "modality", "byte_len", "header_ok",
+        "histogram_nonzero")
+      .orderBy("media_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_features" -> qMultimodalFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" -> qMultimodalMetaSql)
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape (SURVEY.md §2.10:
+  * the reference is batch-only; this is the north-star extension the
+  * `events` fixture exists for).
+  *
+  * All transforms take a DataFrame so they run identically over
+  * `readStream` sources and batch frames (the batch view of q_event_daily
+  * is the same aggregation) — tests drive them with MemoryStream.
+  *
+  * Scale notes: windowed aggregations shuffle on (window, key) with
+  * partial aggregation; the watermark bounds state size — without it a
+  * 100 TB stream's window state grows unboundedly. Session state in
+  * `sessionize` is per-user and evicted by timeout, so state is O(active
+  * users), not O(events).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * late-data eviction.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window event rate (1h window sliding 15m). */
+  def slidingRate(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long, n_events: Int, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp,
+      closed: Boolean)
+
+  /** Public: the state encoder's generated code instantiates it. */
+  final case class SessionState(
+      n: Int, total: Double, first: Long, last: Long)
+
+  /** Custom sessionization with flatMapGroupsWithState: a user session
+    * closes after `gapMs` of EVENT-TIME inactivity (watermark-driven),
+    * emitting one summary row. Event-time timeouts keep the operator
+    * deterministic and replay-safe — processing-time timeouts would tie
+    * session boundaries to wall clock and also make micro-batch draining
+    * non-quiescent. (KeyValueGroupedDataset state API — the semantics
+    * Spark's built-in session_window can't express when per-session
+    * custom state/emission rules are needed.)
+    *
+    * @param watermark lateness bound applied to `ts` (also controls how
+    *                  long closed-session state lingers before timeout)
+    */
+  def sessionize(
+      events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              user, s.n, s.total,
+              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last),
+              closed = true))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0, 0.0, Long.MaxValue, Long.MinValue))
+            val next = batch.foldLeft(prev) { (s, e) =>
+              SessionState(
+                s.n + 1, s.total + e.value,
+                math.min(s.first, e.ts.getTime),
+                math.max(s.last, e.ts.getTime))
+            }
+            state.update(next)
+            // close when the watermark passes last-activity + gap; the
+            // timeout timestamp must not trail the current watermark
+            state.setTimeoutTimestamp(
+              math.max(next.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * exactly-once semantics over an at-least-once source.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}

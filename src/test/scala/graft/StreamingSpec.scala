@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming semantics driven with MemoryStream: windowed
+  * aggregation with watermark-based finalization, late-data drop,
+  * stateful sessionization, and streaming dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value)
+
+  test("tumbling window with watermark finalizes and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .tumblingCounts(input.toDF(), window = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 3), ev(3, 9))
+      q.processAllAvailable()
+      // watermark still at 09:00+... nothing finalized yet in append mode
+      input.addData(ev(4, 20)) // advances watermark to 10:15 → [10:00,10:10) closes
+      q.processAllAvailable()
+      val after = spark.table("tumbling").collect()
+      assert(after.length === 1)
+      val r = after.head
+      assert(r.getAs[Timestamp]("window_start") === ts(0))
+      assert(r.getAs[Long]("n") === 3)
+      // late arrival for the closed window must be dropped
+      input.addData(ev(5, 1))
+      input.addData(ev(6, 40)) // push watermark further
+      q.processAllAvailable()
+      val finals = spark.table("tumbling").collect()
+      assert(!finals.exists(r =>
+        r.getAs[Timestamp]("window_start") === ts(0) && r.getAs[Long]("n") != 3))
+      assert(finals.count(r => r.getAs[Timestamp]("window_start") === ts(0)) === 1)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after event-time inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 10 min, watermark 5 min: user 7's session (10:00-10:05) closes
+    // once the watermark passes 10:15
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 10 * 60 * 1000, watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      input.addData(ev(1, 0, user = 7, value = 2.0),
+        ev(2, 5, user = 7, value = 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // session still open
+      // event at 10:30 (user 8) → watermark 10:25 > 10:15 → user 7 closes
+      input.addData(ev(3, 30, user = 8))
+      q.processAllAvailable()
+      input.addData(ev(4, 35, user = 8)) // one more batch to fire timeouts
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter(col("user_id") === 7).collect()
+      assert(rows.length === 1)
+      val s = rows.head
+      assert(s.getAs[Int]("n_events") === 2)
+      assert(s.getAs[Double]("total_value") === 5.0)
+      assert(s.getAs[Timestamp]("first_ts") === ts(0))
+      assert(s.getAs[Timestamp]("last_ts") === ts(5))
+      assert(s.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      input.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, 2), ev(3, 3)) // replay of id 1 must be dropped
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowed transforms also run in batch mode (same code path)") {
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.tumblingCounts(batch, "24 hours", "1 hour")
+    assert(got.agg(sum("n")).head.getLong(0) === batch.count())
+  }
+}
