@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.VectorFunctions._
+import graft.functions.CosineSimilarity
+import graft.functions.VectorFunctions
 import Relational.Q
 
 /** Similarity search over the `embeddings` table (builder north star):
@@ -23,9 +24,17 @@ import Relational.Q
   */
 object Similarity {
 
+  /** Cosine kernel: the codegen'd native expression (bit-identical to
+    * VectorFunctions.cosine, which remains as the HOF reference
+    * implementation — SimilaritySpec asserts equality).
+    */
+  private def cosineCol(s: SparkSession): (Column, Column) => Column =
+    (a, b) => CosineSimilarity.cosineNative(s, a, b)
+
   /** Exact top-k neighbors by cosine for each query vector. */
   def bruteForceKnn(
       emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cos = cosineCol(emb.sparkSession)
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = emb.select(
@@ -33,7 +42,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cos(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "sim")
@@ -92,13 +101,14 @@ object Similarity {
     val c = emb
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(buckets.toDF("neighbor_id", "table", "bucket"), "neighbor_id")
+    val cos = cosineCol(emb.sparkSession)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .distinct() // a pair may collide in several tables
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cos(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "sim")
@@ -149,7 +159,7 @@ object Similarity {
     val a = corpus.toDF("id_a", "va")
     val b = corpus.toDF("id_b", "vb")
     a.join(b, col("id_a") < col("id_b"))
-      .filter(cosine(col("va"), col("vb")) >= 0.9)
+      .filter(cosineCol(s)(col("va"), col("vb")) >= 0.9)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CosineSimilarity, VectorFunctions}
+
+/** Native codegen'd cosine vs the HOF reference formulation: bit-for-bit
+  * equality (same accumulation order, double precision), null/shape
+  * semantics, and an informational microbenchmark.
+  */
+class CosineSimilaritySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cosine-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pairs = {
+    val e = Tables.embeddings(spark, dir)
+    e.toDF("ida", "va", "la").join(
+      e.toDF("idb", "vb", "lb"), col("ida") < col("idb"))
+      .limit(20000)
+  }
+
+  test("native expression equals HOF cosine bit-for-bit") {
+    val native = CosineSimilarity.cosineNative(
+      spark, col("va"), col("vb"))
+    val hof = VectorFunctions.cosine(col("va"), col("vb"))
+    val diff = pairs
+      .select(native.as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")) // exact equality, not tolerance
+    assert(diff.count() === 0)
+  }
+
+  test("null and shape edge cases") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),   // identical → 1
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(0.0f, 2.0f))),   // orthogonal → 0
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))),         // length mismatch → 0
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f))),   // zero norm → 0
+      (None, Some(Seq(1.0f, 2.0f)))                      // null → null
+    ).toDF("a", "b")
+    val got = df.selectExpr("cosine_sim_native(a, b) AS c").collect()
+    assert(got(0).getDouble(0) === 1.0)
+    assert(got(1).getDouble(0) === 0.0)
+    assert(got(2).getDouble(0) === 0.0)
+    assert(got(3).getDouble(0) === 0.0)
+    assert(got(4).isNullAt(0))
+  }
+
+  test("whole-stage codegen survives the native expression") {
+    val e = Tables.embeddings(spark, dir)
+    val df = e.toDF("ida", "va", "la")
+      .join(e.toDF("idb", "vb", "lb"), col("ida") < col("idb"))
+      .select(CosineSimilarity.cosineNative(spark, col("va"), col("vb"))
+        .as("c"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage;
+    // the projection carrying cosinesimilarity must be inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.contains("*(")), plan.take(2000))
+  }
+
+  test("microbenchmark: native vs HOF (informational)") {
+    val p = pairs.cache()
+    p.count()
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      p.select(sum(c)).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hof = VectorFunctions.cosine(col("va"), col("vb"))
+    val native = CosineSimilarity.cosineNative(spark, col("va"), col("vb"))
+    time(hof); time(native) // warm-up
+    val th = (1 to 3).map(_ => time(hof)).min
+    val tn = (1 to 3).map(_ => time(native)).min
+    info(f"HOF: $th%.3fs native: $tn%.3fs speedup ${th / tn}%.1fx")
+    p.unpersist()
+    // no hard assert — local[4] timing noise; the plan shape is the claim
+  }
+}
