@@ -16,15 +16,21 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Returns an empty
-    * array for documents shorter than n tokens.
+  /** Word n-gram shingles from a MATERIALIZED token-array column:
+    * `["a b c", "b c d", ...]`. Empty array for docs shorter than n
+    * tokens.
+    *
+    * The column passed here must be a real attribute (select `tokens()`
+    * into a column first), not the `tokens(text)` expression itself: a
+    * Column expression referenced inside the transform lambda is
+    * re-evaluated on every element access, turning shingling into
+    * O(tokens²) regex splits per document (measured 15s vs 1s on 6k
+    * docs).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val l = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     transform(
-      sequence(lit(1), greatest(size(l) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(l, i + k)): _*))
-  }
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
 
   /** Character n-gram shingles over the raw text. */
   def charShingles(text: Column, n: Int): Column =

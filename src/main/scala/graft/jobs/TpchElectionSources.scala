@@ -124,16 +124,21 @@ final class TpchElectionSources(spark: SparkSession, dir: String)
     .select(to_json(struct(col("WardID"), col("PartyBallotResults")))
       .as("body"))
 
-  /** A single JSON array of councillor candidates in deterministic
-    * (WardID, Name, PartyName) order — the payload order that first-wins
-    * dedup is defined against.
+  /** JSON arrays of councillor candidates in deterministic (WardID,
+    * Name, PartyName) order — the payload order that first-wins dedup is
+    * defined against. Sharded into 64 bodies by ward so no single task
+    * sorts/serializes the whole corpus (one global array was a 10s
+    * single-task bottleneck at sf0.1); a ward's entries never span
+    * bodies, so per-body positions still order each ward's candidates
+    * globally.
     */
   def councilorsJson: DataFrame = t("orders")
-    .select(struct(
+    .select((col("o_custkey") % 64).as("shard"), struct(
       col("o_custkey").as("WardID"),
       concat(lit("Cand "), col("o_orderkey")).as("Name"),
       concat(lit("Party "), col("o_orderkey") % 5 + 1).as("PartyName"))
       .as("c"))
+    .groupBy("shard")
     .agg(sort_array(collect_list(col("c"))).as("arr"))
     .select(to_json(col("arr")).as("body"))
 

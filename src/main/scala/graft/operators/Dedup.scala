@@ -50,13 +50,23 @@ object Dedup {
           substring(col("text"), 31, 1000000).as("text")))
   }
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. Tokens
+    * are materialized into a column before shingling (see
+    * TextFunctions.shinglesFromTokens for why).
+    */
   def shingleIndex(corpus: DataFrame, n: Int): DataFrame =
-    corpus.select(col("doc_id"),
-      explode(array_distinct(wordShingles(col("text"), n))).as("g"))
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
 
   /** Exact near-dup pairs with Jaccard >= threshold from a shingle index:
     * co-occurrence self-join on the shingle key.
+    *
+    * The index feeds three plan branches (sizes + both join sides) — the
+    * caller should persist it (the tokenize/explode/distinct subtree is
+    * the expensive part, and Catalyst does not collapse the triple
+    * recomputation on its own; see the q* wrappers below).
     */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -75,21 +85,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` min-aggregated xxhash64 values per
-    * document, computed in a single groupBy pass.
+  /** MinHash signatures as ONE array<long> column per document.
+    *
+    * Shape matters here: `numHashes` separate min() aggregate columns
+    * would generate a Janino class big enough to dominate cold-start
+    * (~15s compile measured at 64 columns). Instead: explode the hash
+    * index, min-aggregate the narrow (doc, i, h) stream — partial
+    * aggregation shrinks it to docs×numHashes before the exchange — and
+    * assemble the signature array with a sorted collect_list. Generated
+    * code stays small and per-row work is two tight aggregations.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"),
+      explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("g"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("i"), col("g")).as("h"))
+      .groupBy("doc_id", "i")
+      .agg(min("h").as("m"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("sig"))
 
   /** LSH candidate pairs: band the signature (r rows per band), bucket by
     * band hash, self-join buckets.
     */
   def lshCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val rowCols = (0 until r).map(k => col(s"m${b * r + k}"))
+      val rowCols = (0 until r).map(k =>
+        element_at(col("sig"), b * r + k + 1))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
     }
     val buckets = sig
@@ -108,10 +132,12 @@ object Dedup {
   def verifyJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // (id_b, g) is an equi-join pair: attaching id_a's shingles first,
+    // then matching on BOTH keys keeps this a hash join instead of a
+    // per-pair cross of shingle lists
     val inter = candidates
       .join(sh.toDF("id_a", "g"), "id_a")
-      .join(sh.toDF("id_b", "gb"), "id_b")
-      .filter(col("g") === col("gb"))
+      .join(sh.toDF("id_b", "g"), Seq("id_b", "g"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -186,10 +212,15 @@ object Dedup {
       |FROM corpus GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
-  /** Exact word-trigram Jaccard near-dup pairs (threshold 0.5). */
-  val qDedupNgramJaccard: Q = (s, d) =>
-    jaccardPairs(shingleIndex(corpusNear(s, d), 3), 0.5)
-      .orderBy("id_a", "id_b")
+  /** Exact word-trigram Jaccard near-dup pairs (threshold 0.5). The
+    * persisted shingle index is consumed by three branches; at cluster
+    * scale the same persist keeps the exploded index off the scan path
+    * of every branch (storage is O(corpus tokens)).
+    */
+  val qDedupNgramJaccard: Q = (s, d) => {
+    val sh = shingleIndex(corpusNear(s, d), 3).persist()
+    jaccardPairs(sh, 0.5).orderBy("id_a", "id_b")
+  }
 
   val qDedupNgramJaccardSql: String =
     """WITH corpus AS (
@@ -224,7 +255,7 @@ object Dedup {
     * rows-only driver check (no DuckDB oracle).
     */
   val qDedupMinhash: Q = (s, d) => {
-    val sh = shingleIndex(corpusNear(s, d), 3)
+    val sh = shingleIndex(corpusNear(s, d), 3).persist()
     val cand = lshCandidates(minhashSignatures(sh, 64), bands = 32, r = 2)
     verifyJaccard(cand, sh, 0.5).orderBy("id_a", "id_b")
   }

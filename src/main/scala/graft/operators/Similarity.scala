@@ -95,19 +95,27 @@ object Similarity {
       emb: DataFrame, queryFilter: Column, k: Int,
       tables: Int = 16, bits: Int = 6): DataFrame = {
     val buckets = lshBuckets(emb, tables, bits)
-    val q = emb.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .join(buckets.toDF("query_id", "table", "bucket"), "query_id")
-    val c = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      .join(buckets.toDF("neighbor_id", "table", "bucket"), "neighbor_id")
+    val queryIds = emb.filter(queryFilter).select("vec_id")
     val cos = cosineCol(emb.sparkSession)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("table", "bucket"))
+    // candidate id pairs from bucket collisions, deduped BEFORE any
+    // vectors are attached — distinct over float arrays would hash every
+    // embedding twice; ids are cheap to exchange
+    val qBuckets = buckets.join(queryIds, "vec_id")
+      .toDF("query_id", "table", "bucket")
+    val candidateIds = broadcast(qBuckets)
+      .join(buckets.toDF("neighbor_id", "table", "bucket"),
+        Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .distinct() // a pair may collide in several tables
+      .select("query_id", "neighbor_id")
+      .distinct()
+    candidateIds
+      .join(broadcast(emb.filter(queryFilter)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
       .withColumn("sim", cos(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

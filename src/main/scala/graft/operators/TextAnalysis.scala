@@ -26,22 +26,32 @@ object TextAnalysis {
   // LLM training corpora.
   // ---------------------------------------------------------------------
   val qTextStats: Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val nChar = length(col("text"))
-    val nPunct = nChar -
-      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
-    val nStop = markerCount(col("text"),
-      Seq("the", "a", "and", "of", "to", "in", "is"))
-    val nDigit = nChar - length(regexp_replace(col("text"), "[0-9]", ""))
-    documents(s, d).select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      nChar.as("n_chars_actual"),
-      round(nChar.cast("double") / nTok, 4).as("chars_per_token"),
-      round(nPunct.cast("double") / nChar, 4).as("punct_ratio"),
-      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-      round(nDigit.cast("double") / nChar, 4).as("digit_ratio"))
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    // tokenize ONCE into an intermediate column — each tokens(text) call
+    // would otherwise re-split per derived expression (4 regex passes)
+    documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+          .as("n_punct"),
+        size(filter(col("toks"), t => t.isin(stops.map(lit): _*)))
+          .as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_chars_actual"),
+        round(col("n_chars_actual").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"),
+        round(col("n_punct").cast("double") / col("n_chars_actual"), 4)
+          .as("punct_ratio"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+          .as("stopword_ratio"),
+        round(col("n_digit").cast("double") / col("n_chars_actual"), 4)
+          .as("digit_ratio"))
       .orderBy("doc_id")
   }
 
