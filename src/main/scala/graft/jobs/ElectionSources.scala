@@ -146,6 +146,45 @@ object ElectionSchemas {
   * and parquet fact tables; JSON payload tables as one `body` string per
   * document, exactly what the HTTP fetch stage produces.
   */
+/** JDBC-backed sources — the production mapping of the reference's SQL
+  * Server reads (SURVEY.md §2.1 S2-S4: `SELECT * FROM <table>` cursors
+  * become `spark.read.jdbc` table scans; Catalyst pushes job filters like
+  * `fklEEId = 1091` down to the database, replacing the reference's
+  * hand-concatenated WHERE strings — which were also SQL-injection-prone,
+  * SURVEY §4.1). Dimension CSVs still come from `csvDir`.
+  *
+  * Untestable in this environment (no database; zero egress) — kept
+  * thin and config-only so FileElectionSources remains the tested path;
+  * both share every downstream job plan.
+  */
+final class JdbcElectionSources(
+    spark: SparkSession, url: String, props: java.util.Properties,
+    csvDir: String) extends ElectionSources {
+  import ElectionSchemas._
+  private def jdbc(table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+  private def csv(name: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .csv(s"$csvDir/$name.csv")
+  def wards: DataFrame = csv("Wards", ElectionSchemas.wards)
+  def munis: DataFrame = csv("Munis", ElectionSchemas.munis)
+  def councilWinners: DataFrame = jdbc("LED_GIS_CouncilWinners")
+  def parties: DataFrame = jdbc("PCR_Party")
+  def votingDistricts: DataFrame = jdbc("EE_VotingDistricts")
+  def displayVotingDistricts: DataFrame =
+    jdbc("LED_GIS_Display_VotingDistrict")
+  def vdStats: DataFrame = jdbc("Fact_LGE_Master_VDStats")
+  def displayWard: DataFrame = jdbc("LED_GIS_Display_Ward")
+  def wardCandidates: DataFrame = jdbc("LED_GIS_Display_Ward_WardCandidates")
+  // API payloads come from the HTTP fetch stage, not the database:
+  // see graft.sources.HttpJsonSource (driver fan-out or mapPartitions)
+  def ballotResultsJson: DataFrame =
+    throw new UnsupportedOperationException(
+      "fetch via HttpJsonSource and pass a body frame")
+  def councilorsJson: DataFrame = ballotResultsJson
+  def seatResultsJson: DataFrame = ballotResultsJson
+}
+
 final class FileElectionSources(spark: SparkSession, dir: String)
     extends ElectionSources {
   import ElectionSchemas._

@@ -463,7 +463,32 @@ object Relational {
       |GROUP BY 1
       |ORDER BY order_year""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Distinct-count aggregates (SURVEY §2.4 "not present" gap closure):
+  // exact countDistinct — Spark plans it as a two-shuffle expand;
+  // approx_count_distinct (HLL) is the 100 TB variant but its sketch
+  // differs from DuckDB's, so only the exact form is oracle-checked.
+  // ---------------------------------------------------------------------
+  val qCountDistinct: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val qCountDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_count_distinct" -> qCountDistinct,
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -485,6 +510,7 @@ object Relational {
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
+    "q_count_distinct" -> qCountDistinctSql,
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
