@@ -28,9 +28,14 @@ object TextFunctions {
     * docs).
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    // guard, not greatest(): sequence(1, 0) yields the DESCENDING array
+    // [1, 0] (Spark infers step -1) and element_at(toks, 0) then throws —
+    // docs shorter than n tokens must short-circuit to an empty array
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Character n-gram shingles over the raw text. */
   def charShingles(text: Column, n: Int): Column =

@@ -85,13 +85,85 @@ object Reshape {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Batch sessionization via window functions (the set-based twin of
+  // streaming sessionize): session boundary = >30 min inactivity; session
+  // id = running count of boundaries per user. Both engines express this
+  // identically with lag + cumulative sum.
+  // ---------------------------------------------------------------------
+  val qEventSessions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum("boundary").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        min("ts").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qEventSessionsSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, ts, "value",
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, "value",
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  round(sum("value"), 2) AS total_value,
+      |  min(ts) AS session_start
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Grouping sets / ROLLUP (SURVEY §2.4 "not present" gap closure):
+  // per-(year, priority) totals with year and grand-total subtotal rows.
+  // ---------------------------------------------------------------------
+  val qRollup: Q = (s, d) =>
+    orders(s, d)
+      .rollup(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("order_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (1, 2)
+      |ORDER BY order_year ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_explode_tokens" -> qExplodeTokens,
     "q_json_extract" -> qJsonExtract,
-    "q_event_daily" -> qEventDaily)
+    "q_event_daily" -> qEventDaily,
+    "q_event_sessions" -> qEventSessions,
+    "q_rollup" -> qRollup)
 
   val oracles: Map[String, String] = Map(
     "q_explode_tokens" -> qExplodeTokensSql,
     "q_json_extract" -> qJsonExtractSql,
-    "q_event_daily" -> qEventDailySql)
+    "q_event_daily" -> qEventDailySql,
+    "q_event_sessions" -> qEventSessionsSql,
+    "q_rollup" -> qRollupSql)
 }

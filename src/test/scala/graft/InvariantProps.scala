@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.operators.Dedup
+
+/** Property-based invariants (SURVEY §5.2) over randomly generated
+  * frames: partition laws for semi/anti joins, conservation laws for the
+  * unpivot jobs, dedup idempotence, Jaccard bounds, SimHash banding
+  * exactness. Kept to 10 cases per property — each case runs real Spark
+  * jobs.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withMaxSize(25)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val genIds: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(1L, 40L)).map(_.distinct)
+
+  property("semi and anti joins partition the left side") =
+    Prop.forAll(genIds, genIds) { (left, right) =>
+      val l = left.toDF("k")
+      val r = right.toDF("k")
+      val semi = l.join(r, Seq("k"), "left_semi").count()
+      val anti = l.join(r, Seq("k"), "left_anti").count()
+      semi + anti == left.size.toLong &&
+        semi == left.count(right.toSet)
+    }
+
+  property("stack unpivot conserves the measures") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1, 9), Gen.choose(0L, 50L), Gen.choose(0L, 50L)))) { rows =>
+      val df = rows.toDF("k", "a", "b")
+        .groupBy("k").agg(sum("a").as("a"), sum("b").as("b"))
+      val long = df.selectExpr("k", "stack(2, 'a', a, 'b', b) AS (m, v)")
+      val back = long.groupBy("k").agg(sum("v").as("v"))
+        .agg(sum("v")).head.getLong(0)
+      val direct = rows.map(r => r._2 + r._3).sum
+      back == direct && long.count() == df.count() * 2
+    }
+
+  property("exact dedup: idempotent, survivors unique and minimal") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 99L), Gen.oneOf("aa", "bb", "cc", "dd")))) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      def dedup(d: DataFrame): DataFrame =
+        d.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id", "text")
+      val once = dedup(df).collect().map(_.toSeq).toSet
+      val twice = dedup(dedup(df)).collect().map(_.toSeq).toSet
+      val expected = rows.groupBy(_._2).map { case (t, rs) =>
+        Seq[Any](rs.map(_._1).min, t)
+      }.toSet
+      once == twice && once == expected
+    }
+
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 30L),
+      Gen.nonEmptyListOf(Gen.oneOf("k", "x", "row", "scan", "agg", "tbl"))
+        .map(_.mkString(" "))))
+      .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toList)
+
+  property("jaccard pairs: bounds, ordering, reflexive exclusion") =
+    Prop.forAll(genDocs) { docs =>
+      val sh = Dedup.shingleIndex(docs.toDF("doc_id", "text"), 2)
+      val pairs = Dedup.jaccardPairs(sh, 0.0).collect()
+      pairs.forall { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        a < b && j >= 0.0 && j <= 1.0
+      }
+    }
+
+  property("identical docs always have jaccard 1 and are found") =
+    Prop.forAll(genDocs.suchThat(_.nonEmpty)) { docs =>
+      // only docs long enough to carry a 2-shingle participate
+      val twoTok = docs.filter(_._2.split(" ").length >= 2)
+      twoTok.isEmpty || {
+        val (id, text) = twoTok.head
+        val corpus = (twoTok :+ (id + 1000L, text)).toDF("doc_id", "text")
+        val pairs = Dedup
+          .jaccardPairs(Dedup.shingleIndex(corpus, 2), 0.999)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        pairs.contains((id, id + 1000L))
+      }
+    }
+
+  property("simhash: identical docs collide at hamming 0 via banding") =
+    Prop.forAll(genDocs.suchThat(_.nonEmpty)) { docs =>
+      val (id, text) = docs.head
+      val corpus = (docs :+ (id + 1000L, text)).toDF("doc_id", "text")
+      val fps = Dedup.simhashFingerprints(corpus)
+      val pairs = Dedup.simhashPairs(fps, 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      pairs.exists(p => p._1 == id && p._2 == id + 1000L && p._3 == 0)
+    }
+}
