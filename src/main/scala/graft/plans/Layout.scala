@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB design point (SURVEY §7.4):
+  * bucketing for shuffle-free co-located joins, salting for hot-key skew
+  * that AQE's skew-join splitting can't fix (e.g. when the skewed side
+  * must build a hash table or the hot key dominates a single partition).
+  */
+object Layout {
+
+  /** Write `df` bucketed+sorted on `key` as a saved table. Subsequent
+    * equi-joins between tables bucketed the same way on the same key
+    * execute WITHOUT a shuffle exchange on either side — at fact-table
+    * scale this converts every co-located join from a full network
+    * exchange into a local merge per bucket. `buckets` should be sized
+    * so one bucket of the largest table fits an executor's memory.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
+  /** Salted inner equi-join for skewed keys: the large side's rows get a
+    * deterministic salt in [0, salt); the small side replicates each row
+    * `salt` times. The hot key's rows then spread over `salt` reduce
+    * partitions instead of one. Result is exactly the plain inner join
+    * (asserted property in LayoutSpec).
+    *
+    * Only the small side is replicated (cost ×salt on the SMALL side
+    * only); use when the small side is too big to broadcast outright but
+    * the large side's key distribution is pathological.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String, salt: Int)
+      : DataFrame = {
+    val saltCol = pmod(
+      xxhash64(struct(large.columns.map(col): _*)), lit(salt.toLong))
+    val l = large.withColumn("_salt", saltCol)
+    val s = small.withColumn("_salt",
+      explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    l.join(s, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Layout
+
+/** Physical-layout utilities: bucketed joins must not shuffle; salted
+  * joins must equal their plain equivalents on skewed data.
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-layout-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Layout.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    Layout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(b_orders) */ o.o_orderkey, l.l_quantity
+        |FROM b_orders o JOIN b_lineitem l USING (o_orderkey)""".stripMargin)
+    joined.collect() // finalize AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(3000)}")
+    assert(joined.count() === lineitem.count())
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of the large side lands on one hot key
+    val large = (1 to 5000).map(i =>
+      (if (i % 10 == 0) i.toLong % 40 else 7L, s"row$i")).toDF("k", "payload")
+    val small = (0L to 40L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .collect().map(_.toSeq).toSet
+    val salted = Layout.saltedJoin(large, small, "k", 8)
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("salted join spreads the hot key across salt partitions") {
+    import spark.implicits._
+    val large = (1 to 2000).map(i => (7L, s"row$i")).toDF("k", "payload")
+    val salts = large
+      .withColumn("_salt",
+        pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(salts >= 6, s"expected the hot key spread over ~8 salts, got $salts")
+  }
+}
