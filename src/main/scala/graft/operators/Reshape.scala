@@ -153,7 +153,68 @@ object Reshape {
       |ORDER BY order_year ASC NULLS FIRST,
       |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // As-of join, composed from built-ins (SURVEY §2.3 notes Spark's
+  // built-ins cover range/as-of semantics): for every error event, the
+  // most recent preceding click by the same user. A running conditional
+  // max over an ordered window IS the as-of lookup — no custom operator,
+  // one shuffle on user_id.
+  // ---------------------------------------------------------------------
+  val qAsofPrevClick: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "prev_click_ts")
+      .orderBy("event_id")
+  }
+
+  val qAsofPrevClickSql: String =
+    """SELECT event_id, user_id, ts, prev_click_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS prev_click_ts
+      |  FROM events)
+      |WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Pivot (wide aggregation): order counts per year × priority column.
+  // The pivoted column set is fixed and enumerated in both engines.
+  // ---------------------------------------------------------------------
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val qPivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(priorities.zipWithIndex.map {
+        case (p, i) => p -> s"p${i + 1}"
+      }.toMap)
+      .orderBy("order_year")
+
+  val qPivotSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+      |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+      |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+      |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_asof_prev_click" -> qAsofPrevClick,
+    "q_pivot" -> qPivot,
     "q_explode_tokens" -> qExplodeTokens,
     "q_json_extract" -> qJsonExtract,
     "q_event_daily" -> qEventDaily,
@@ -161,6 +222,8 @@ object Reshape {
     "q_rollup" -> qRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_asof_prev_click" -> qAsofPrevClickSql,
+    "q_pivot" -> qPivotSql,
     "q_explode_tokens" -> qExplodeTokensSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_daily" -> qEventDailySql,

@@ -112,6 +112,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to the click
+    * that preceded them within `attributionWindow`, per user. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends — that pair is what lets Spark evict join state instead of
+    * buffering the streams forever (the 100 TB failure mode of
+    * unbounded stream joins).
+    */
+  def clickAttribution(
+      clicks: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select("click_id", "purchase_id", "user_id", "click_ts",
+        "purchase_ts", "value")
+  }
+
   /** Streaming dedup on event_id within the watermark horizon —
     * exactly-once semantics over an at-least-once source.
     */

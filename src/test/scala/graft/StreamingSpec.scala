@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to clicks within window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val df = input.toDF()
+    val q = EventStreams.clickAttribution(
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"),
+      attributionWindow = "30 minutes", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    try {
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 10, user = 1, typ = "purchase", value = 9.0), // within 30m ✓
+        ev(3, 45, user = 1, typ = "purchase", value = 5.0), // outside ✗
+        ev(4, 10, user = 2, typ = "purchase", value = 3.0)) // no click ✗
+      q.processAllAvailable()
+      // advance watermark far enough to finalize
+      input.addData(ev(9, 59, user = 9, typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("click_id") === 1L)
+      assert(rows.head.getAs[Long]("purchase_id") === 2L)
+      assert(rows.head.getAs[Double]("value") === 9.0)
+    } finally q.stop()
+  }
+
   test("windowed transforms also run in batch mode (same code path)") {
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type", "value")
