@@ -76,6 +76,36 @@ class HttpJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 format('http-json'): partitioned scan, pushdown-safe schema") {
+    withServer { (_, port) =>
+      val urls = (1 to 30).map(i => s"http://127.0.0.1:$port/ward/$i")
+      val df = spark.read.format("http-json")
+        .option("urls", urls.mkString("\n"))
+        .option("partitionSize", "10")
+        .load()
+      assert(df.schema.fieldNames.toSeq === Seq("url", "body", "error"))
+      assert(df.rdd.getNumPartitions === 3)
+      assert(df.count() === 30)
+      val parsed = df.select(
+        get_json_object(col("body"), "$.votes").cast("long").as("v"))
+      assert(parsed.agg(sum("v")).head.getLong(0) ===
+        (1 to 30).map(_ * 10L).sum)
+    }
+  }
+
+  test("DSv2 fail-fast vs permissive") {
+    withServer { (_, port) =>
+      val urls = s"http://127.0.0.1:$port/ward/1\nhttp://127.0.0.1:$port/broken"
+      val strict = spark.read.format("http-json")
+        .option("urls", urls).load()
+      assertThrows[org.apache.spark.SparkException](strict.count())
+      val perm = spark.read.format("http-json")
+        .option("urls", urls).option("permissive", "true").load()
+      assert(perm.filter(col("error").isNotNull).count() === 1)
+      assert(perm.filter(col("body").isNotNull).count() === 1)
+    }
+  }
+
   test("distributed fetch runs on executors per partition") {
     withServer { (_, port) =>
       import spark.implicits._

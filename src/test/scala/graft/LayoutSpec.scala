@@ -22,8 +22,25 @@ class LayoutSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Drop the table and its location — a shared-JVM session from another
+    * suite may use the default warehouse where an earlier run left
+    * orphaned directories (in-memory catalog forgets tables across runs,
+    * so overwrite alone hits LOCATION_ALREADY_EXISTS).
+    */
+  private def dropHard(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
+    dropHard("b_orders"); dropHard("b_lineitem")
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
     Layout.writeBucketed(orders, "b_orders", "o_orderkey", 8)
