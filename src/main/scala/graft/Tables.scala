@@ -27,6 +27,12 @@ object Tables {
     * nanosecond long (legacy conf) and rebuild a microsecond timestamp with
     * integer division — ns-since-epoch (~1.7e18) exceeds double's 2^53
     * mantissa, so float division would corrupt low-order digits.
+    *
+    * CAVEAT: the legacy conf is session-global and stays set (restoring
+    * it eagerly would break this lazy plan's own execution). Benign here
+    * because `events` is the only NANOS table in the fixture set, but any
+    * OTHER nanos-timestamp parquet read later in the same session will
+    * also surface its column as a raw long.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

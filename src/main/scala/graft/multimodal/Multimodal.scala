@@ -135,6 +135,9 @@ object Multimodal {
     */
   def frameSamplePlan(media: DataFrame, everyMs: Int): DataFrame =
     media.filter(col("modality") === "video")
+      // zero-length videos would otherwise emit a phantom frame at 0:
+      // floor((0-1)/everyMs) = -1 → greatest(...,0) → sequence(0, 0)
+      .filter(col("meta.durationMs") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0),
           greatest(floor((col("meta.durationMs") - 1) / everyMs).cast("int"),

@@ -219,7 +219,12 @@ object Dedup {
     */
   val qDedupNgramJaccard: Q = (s, d) => {
     val sh = shingleIndex(corpusNear(s, d), 3).persist()
-    jaccardPairs(sh, 0.5).orderBy("id_a", "id_b")
+    // materialize the (small) pair result eagerly so the O(tokens)
+    // shingle cache can be released instead of leaking for the session
+    val out = jaccardPairs(sh, 0.5).orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   val qDedupNgramJaccardSql: String =
@@ -232,10 +237,12 @@ object Dedup {
       |           list_filter(string_split_regex(trim(text), '\s+'),
       |                       t -> t <> '') AS l
       |         FROM corpus),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
       |sh AS (SELECT DISTINCT doc_id,
       |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
       |           l[CAST(i AS INT)+2] AS g
-      |       FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) r
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
       |       WHERE CAST(i AS INT) + 2 <= len(l)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -257,7 +264,10 @@ object Dedup {
   val qDedupMinhash: Q = (s, d) => {
     val sh = shingleIndex(corpusNear(s, d), 3).persist()
     val cand = lshCandidates(minhashSignatures(sh, 64), bands = 32, r = 2)
-    verifyJaccard(cand, sh, 0.5).orderBy("id_a", "id_b")
+    val out = verifyJaccard(cand, sh, 0.5).orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs at hamming <= 3 (exact via chunk banding). */

@@ -98,9 +98,12 @@ object Reshape {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // integer milliseconds on both engines — cast-to-long truncates
+      // seconds while DuckDB's epoch() keeps fractions, a parity trap
+      // for sub-second timestamps near the gap boundary
       .withColumn("boundary",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L,
           1L).otherwise(0L))
       .withColumn("session_id", sum("boundary").over(run))
       .groupBy("user_id", "session_id")
@@ -115,7 +118,7 @@ object Reshape {
     """WITH b AS (
       |  SELECT user_id, event_id, ts, "value",
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
       |         THEN 1 ELSE 0 END AS boundary
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

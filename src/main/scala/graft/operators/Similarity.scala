@@ -94,7 +94,10 @@ object Similarity {
   def annKnn(
       emb: DataFrame, queryFilter: Column, k: Int,
       tables: Int = 16, bits: Int = 6): DataFrame = {
-    val buckets = lshBuckets(emb, tables, bits)
+    // the bucket table (a tables×bits-column aggregation over exploded
+    // components) feeds both join branches — persist it, release after
+    // the (small) result materializes
+    val buckets = lshBuckets(emb, tables, bits).persist()
     val queryIds = emb.filter(queryFilter).select("vec_id")
     val cos = cosineCol(emb.sparkSession)
     val w = Window.partitionBy("query_id")
@@ -110,7 +113,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    candidateIds
+    val out = candidateIds
       .join(broadcast(emb.filter(queryFilter)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
         "query_id")
@@ -120,6 +123,9 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "sim")
+      .localCheckpoint(true)
+    buckets.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------

@@ -110,27 +110,17 @@ private final class HttpPartitionReader(
   private var i = -1
   private var current: InternalRow = _
 
-  private def fetch(url: String): Try[String] = Try {
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofSeconds(30)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
-    resp.body()
-  }
-
   override def next(): Boolean = {
     i += 1
     if (i >= urls.length) return false
     val u = urls(i)
-    current = fetch(u) match {
+    current = HttpJsonSource.get(client, u) match {
       case Success(b) =>
         InternalRow(UTF8String.fromString(u), UTF8String.fromString(b), null)
       case Failure(e) =>
         if (!permissive) throw e
         InternalRow(UTF8String.fromString(u), null,
-          UTF8String.fromString(String.valueOf(e.getMessage)))
+          UTF8String.fromString(e.toString))
     }
     true
   }

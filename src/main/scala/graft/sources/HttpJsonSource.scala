@@ -35,7 +35,11 @@ object HttpJsonSource {
 
   final case class Fetched(url: String, body: String, error: String)
 
-  private def get(client: HttpClient, url: String): Try[String] = Try {
+  /** One GET with the shared status-check/timeout policy — also used by
+    * the DSv2 partition reader (HttpJsonDataSource) so the three fetch
+    * shapes can't drift apart.
+    */
+  private[sources] def get(client: HttpClient, url: String): Try[String] = Try {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofSeconds(30)).GET().build(),
@@ -66,7 +70,9 @@ object HttpJsonSource {
         case (u, Success(b)) => Fetched(u, b, null)
         case (u, Failure(e)) =>
           if (!permissive) throw e
-          Fetched(u, null, e.getMessage)
+          // e.toString, not getMessage: getMessage may be null, which
+          // would make a failure row indistinguishable from a success
+          Fetched(u, null, e.toString)
       }
       rows.toDF()
     } finally pool.shutdown()
@@ -90,7 +96,7 @@ object HttpJsonSource {
           case Success(b) => Fetched(u, b, null)
           case Failure(e) =>
             if (!permissive) throw e
-            Fetched(u, null, e.getMessage)
+            Fetched(u, null, e.toString)
         }
       }
     }
