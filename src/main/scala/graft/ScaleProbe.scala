@@ -1,0 +1,51 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** 10x scale probe: replicate sf0.1 inputs in-memory (ids offset per
+  * replica so keys stay distinct where needed) and run the heaviest
+  * plan shapes. Not a fixture generator — evidence for the scale-up
+  * claims in BASELINE.md.
+  */
+object ScaleProbe {
+  def t[A](name: String)(f: => A): Unit = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+  }
+  def replicate(df: DataFrame, n: Int, idCols: Seq[String], offset: Long): DataFrame =
+    (0 until n).map { i =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val li = replicate(Tables.lineitem(spark, d), 10, Seq("l_orderkey"), 100000000L)
+    val ord = replicate(Tables.orders(spark, d), 10, Seq("o_orderkey", "o_custkey"), 100000000L)
+    t("agg 6M rows")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), count(lit(1))).count())
+    t("join 6M x 1.5M + agg")(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_extendedprice")).count())
+    t("window 1.5M")(ord.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      .filter(col("rn") === 1).count())
+    val docs = replicate(
+      Tables.documents(spark, d).select("doc_id", "text"), 10, Seq("doc_id"), 10000000L)
+    t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
+    val sh = Dedup.shingleIndex(docs, 3).persist()
+    sh.count()
+    t("jaccard pairs 50k docs")(Dedup.jaccardPairs(sh, 0.5).count())
+    t("minhash sigs 50k docs")(Dedup.minhashSignatures(sh, 64).count())
+    sh.unpersist()
+    val emb = replicate(
+      Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
+    t("ann 20k vectors")(operators.Similarity.annKnn(
+      emb, col("vec_id") % 997 === 0, 5).count())
+    spark.stop()
+  }
+}

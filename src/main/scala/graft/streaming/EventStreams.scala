@@ -112,6 +112,24 @@ object EventStreams {
       }
   }
 
+  /** Declarative session windows via the built-in session_window
+    * generator — the right tool when per-session logic is plain
+    * aggregation (use [[sessionize]] only when custom state/emission
+    * rules are needed, per SURVEY §2.11's built-ins-first policy).
+    */
+  def sessionWindowStats(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Stream-stream interval join: purchases attributed to the click
     * that preceded them within `attributionWindow`, per user. Both sides
     * carry watermarks and the join condition bounds event time on both

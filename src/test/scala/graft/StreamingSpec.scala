@@ -111,6 +111,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window matches the custom sessionizer's grouping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .sessionWindowStats(input.toDF(), gap = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swin").start()
+    try {
+      input.addData(
+        ev(1, 0, user = 7, value = 2.0), ev(2, 5, user = 7, value = 3.0),
+        ev(3, 40, user = 7, value = 1.0)) // separate session (gap > 10m)
+      q.processAllAvailable()
+      input.addData(ev(9, 59, user = 9)) // advance watermark to finalize
+      q.processAllAvailable()
+      input.addData(ev(10, 99, user = 9))
+      q.processAllAvailable()
+      val rows = spark.table("swin").filter(col("user_id") === 7)
+        .orderBy("session_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2)
+      assert(rows(0).getAs[Double]("total_value") === 5.0)
+      assert(rows(1).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to clicks within window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
