@@ -116,6 +116,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(n === Tables.events(spark, dir).count())
   }
 
+  test("approx_count_distinct within 5% of exact (HLL, the 100TB variant)") {
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("from_json on events.props agrees with the regexp extraction") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val ev = Tables.events(spark, dir)
+    val viaJson = ev.select(
+      col("event_id"), from_json(col("props"), schema).getField("k").as("k"))
+    val viaRegex = ev.select(
+      col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"))
+    assert(viaJson.exceptAll(viaRegex).count() === 0)
+    assert(viaRegex.exceptAll(viaJson).count() === 0)
+  }
+
   test("q_event_daily day range matches fixture window") {
     val days = Reshape.qEventDaily(spark, dir)
       .select(min("day"), max("day")).head
