@@ -97,6 +97,54 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  property("voter_turnout: Voted + Didn't Vote = distinct-registered sum") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(1L, 15L),          // ward
+        Gen.choose(1, 3),             // registered bucket (×1000)
+        Gen.choose(0L, 500L)))) { stats =>
+      // all wards complete: one VD each with nonzero votes at event 1091
+      val wardIds = stats.map(_._1).distinct
+      object Src extends graft.jobs.ElectionSources {
+        import graft.jobs.ElectionSchemas
+        private def mk(s: org.apache.spark.sql.types.StructType,
+            rows: Seq[org.apache.spark.sql.Row]) =
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), s)
+        def wards: org.apache.spark.sql.DataFrame =
+          mk(ElectionSchemas.wards,
+            wardIds.map(w => org.apache.spark.sql.Row(1, 1, w)))
+        def munis = mk(ElectionSchemas.munis, Seq())
+        def councilWinners = mk(ElectionSchemas.councilWinners, Seq())
+        def parties = mk(ElectionSchemas.parties, Seq())
+        def votingDistricts =
+          mk(ElectionSchemas.votingDistricts,
+            wardIds.map(w => org.apache.spark.sql.Row(w, 78)))
+        def displayVotingDistricts =
+          mk(ElectionSchemas.displayVotingDistricts,
+            wardIds.map(w => org.apache.spark.sql.Row(w, w, 5L, 1091)))
+        def vdStats =
+          mk(ElectionSchemas.vdStats, stats.map { case (w, r, t) =>
+            org.apache.spark.sql.Row(w, r * 1000L, t, 1091)
+          })
+        def displayWard = mk(ElectionSchemas.displayWard, Seq())
+        def wardCandidates = mk(ElectionSchemas.wardCandidates, Seq())
+        def ballotResultsJson = Seq.empty[String].toDF("body")
+        def councilorsJson = ballotResultsJson
+        def seatResultsJson = ballotResultsJson
+      }
+      val out = graft.jobs.SanefJobs
+        .run(spark, Src, "voter_turnout").collect()
+      val byWard = out.groupBy(_.getLong(0))
+      byWard.forall { case (w, rows) =>
+        val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        val expectedTotal = stats.filter(_._1 == w).map(_._2)
+          .distinct.map(_ * 1000L).sum
+        m("Voted") + m("Didn't Vote") == expectedTotal
+      } && byWard.keySet == stats.map(_._1).toSet
+    }
+
   property("simhash: identical docs collide at hamming 0 via banding") =
     Prop.forAll(genDocs.suchThat(_.nonEmpty)) { docs =>
       val (id, text) = docs.head
