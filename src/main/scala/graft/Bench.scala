@@ -28,8 +28,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 sentinels mark failures; keep them out of the headline total
+    // and surface the failure count instead of shrinking the metric
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

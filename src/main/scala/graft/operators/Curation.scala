@@ -37,9 +37,12 @@ object Curation {
 
   val qCorpusCuration: Q = (s, d) => {
     val gated = qualityGate(documents(s, d)).persist()
+    // the shingle index feeds jaccardPairs' three branches — persist it
+    // too (Dedup.jaccardPairs doc), not just the gated corpus
     val sh = gated.select(col("doc_id"), col("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("g"))
+      .persist()
     val dupIds = Dedup.jaccardPairs(sh, 0.8)
       .select(col("id_b").as("doc_id")).distinct()
     val out = gated
@@ -50,6 +53,7 @@ object Curation {
         sum(size(col("toks")).cast("long")).as("n_tokens"))
       .orderBy("lang", "source")
       .localCheckpoint(true)
+    sh.unpersist()
     gated.unpersist()
     out
   }

@@ -39,8 +39,12 @@ object Layout {
   def saltedJoin(
       large: DataFrame, small: DataFrame, key: String, salt: Int)
       : DataFrame = {
-    val saltCol = pmod(
-      xxhash64(struct(large.columns.map(col): _*)), lit(salt.toLong))
+    // row-position salt, NOT a hash of the row's values: a hot key whose
+    // rows are exact duplicates would all hash to one salt and stay
+    // skewed. monotonically_increasing_id is retry-nondeterministic but
+    // the salt only routes rows — any assignment yields the same join
+    // output (LayoutSpec asserts equivalence).
+    val saltCol = pmod(monotonically_increasing_id(), lit(salt.toLong))
     val l = large.withColumn("_salt", saltCol)
     val s = small.withColumn("_salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))

@@ -85,29 +85,40 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Event],
          state: GroupState[SessionState]) =>
+          def summary(s: SessionState): SessionSummary = SessionSummary(
+            user, s.n, s.total,
+            new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last),
+            closed = true)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionSummary(
-              user, s.n, s.total,
-              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last),
-              closed = true))
+            Iterator.single(summary(s))
           } else {
-            val batch = rows.toSeq
-            val prev = state.getOption.getOrElse(
-              SessionState(0, 0.0, Long.MaxValue, Long.MinValue))
-            val next = batch.foldLeft(prev) { (s, e) =>
-              SessionState(
-                s.n + 1, s.total + e.value,
-                math.min(s.first, e.ts.getTime),
-                math.max(s.last, e.ts.getTime))
+            // events arriving BEFORE the timeout fires can still be past
+            // the gap (several sessions inside one batch, or a batch
+            // landing while the watermark trails last+gap) — split on the
+            // gap while folding, don't just accumulate
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) {
+                cur = SessionState(1, e.value, t, t)
+              } else if (t - cur.last > gapMs) {
+                closed += summary(cur)
+                cur = SessionState(1, e.value, t, t)
+              } else {
+                cur = SessionState(cur.n + 1, cur.total + e.value,
+                  math.min(cur.first, t), math.max(cur.last, t))
+              }
             }
-            state.update(next)
+            state.update(cur)
             // close when the watermark passes last-activity + gap; the
             // timeout timestamp must not trail the current watermark
             state.setTimeoutTimestamp(
-              math.max(next.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+              math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
           }
       }
   }
@@ -130,12 +141,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
-  /** Stream-stream interval join: purchases attributed to the click
-    * that preceded them within `attributionWindow`, per user. Both sides
-    * carry watermarks and the join condition bounds event time on both
-    * ends — that pair is what lets Spark evict join state instead of
-    * buffering the streams forever (the 100 TB failure mode of
-    * unbounded stream joins).
+  /** Stream-stream interval join: MULTI-TOUCH attribution — a purchase
+    * is paired with EVERY click by the same user within
+    * `attributionWindow` before it (a user with two qualifying clicks
+    * yields two rows for one purchase; don't sum `value` across rows
+    * without dividing by touch count). For last-touch semantics use the
+    * batch as-of form (Reshape.qAsofPrevClick). Both sides carry
+    * watermarks and the join condition bounds event time on both ends —
+    * that pair is what lets Spark evict join state instead of buffering
+    * the streams forever (the 100 TB failure mode of unbounded stream
+    * joins).
     */
   def clickAttribution(
       clicks: DataFrame, purchases: DataFrame,

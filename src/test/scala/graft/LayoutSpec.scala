@@ -71,13 +71,14 @@ class LayoutSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
-  test("salted join spreads the hot key across salt partitions") {
+  test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
-    val large = (1 to 2000).map(i => (7L, s"row$i")).toDF("k", "payload")
+    // all rows byte-identical — a value-hash salt would collapse to one
+    val large = (1 to 2000).map(_ => (7L, "same")).toDF("k", "payload")
+      .repartition(4)
     val salts = large
-      .withColumn("_salt",
-        pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8L)))
       .select("_salt").distinct().count()
-    assert(salts >= 6, s"expected the hot key spread over ~8 salts, got $salts")
+    assert(salts === 8, s"expected the hot key spread over 8 salts, got $salts")
   }
 }

@@ -111,6 +111,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize splits sessions separated by the gap WITHIN a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 10 * 60 * 1000,
+        watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_sessions").start()
+    try {
+      // 10:00 and 10:30 in ONE batch: > 10-min gap → first session must
+      // close immediately, not merge (the pre-fix behavior folded both
+      // into one session because no timeout had fired yet)
+      input.addData(ev(1, 0, user = 7, value = 2.0),
+        ev(2, 30, user = 7, value = 3.0))
+      q.processAllAvailable()
+      val immediate = spark.table("split_sessions")
+        .filter(col("user_id") === 7).collect()
+      assert(immediate.length === 1)
+      assert(immediate.head.getAs[Int]("n_events") === 1)
+      assert(immediate.head.getAs[Double]("total_value") === 2.0)
+      assert(immediate.head.getAs[Timestamp]("last_ts") === ts(0))
+      // the 10:30 session closes via timeout once the watermark passes
+      input.addData(ev(3, 50, user = 8))
+      q.processAllAvailable()
+      input.addData(ev(4, 55, user = 8))
+      q.processAllAvailable()
+      val all = spark.table("split_sessions")
+        .filter(col("user_id") === 7).collect()
+      assert(all.length === 2)
+      assert(all.map(_.getAs[Int]("n_events")).sorted.toSeq === Seq(1, 1))
+    } finally q.stop()
+  }
+
+  test("stream-stream join is multi-touch: one row per qualifying click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val df = input.toDF()
+    val q = EventStreams.clickAttribution(
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"),
+      attributionWindow = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("multitouch").start()
+    try {
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 30, user = 1, typ = "click"),
+        ev(3, 45, user = 1, typ = "purchase", value = 9.0))
+      q.processAllAvailable()
+      input.addData(ev(9, 59, user = 9, typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("multitouch").collect()
+      assert(rows.length === 2, "both clicks within the window must pair")
+      assert(rows.map(_.getAs[Long]("click_id")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("built-in session_window matches the custom sessionizer's grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
