@@ -226,6 +226,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed query restarts exactly-once into a file sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[Event]
+    def start() = EventStreams
+      .tumblingCounts(input.toDF(), window = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // phase 1: two events land in [10:00,10:10), then the query stops
+    val q1 = start()
+    try {
+      input.addData(ev(1, 0), ev(2, 5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: restart from the checkpoint; a later event advances the
+    // watermark and finalizes the first window — it must appear exactly
+    // once despite the restart
+    val q2 = start()
+    try {
+      input.addData(ev(3, 30))
+      q2.processAllAvailable()
+      input.addData(ev(4, 50))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .filter(col("window_start") === ts(0)).collect()
+      assert(rows.length === 1, "finalized window must appear exactly once")
+      assert(rows.head.getAs[Long]("n") === 2)
+    } finally q2.stop()
+  }
+
   test("windowed transforms also run in batch mode (same code path)") {
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type", "value")
