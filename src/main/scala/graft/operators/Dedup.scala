@@ -155,17 +155,28 @@ object Dedup {
     * for bit 63's wraparound).
     */
   def simhashFingerprints(corpus: DataFrame): DataFrame = {
+    // narrow (doc_id, j, ±1) stream, same shape as minhashSignatures —
+    // 64 separate sum() columns were the measured ~15 s Janino
+    // cold-compile trap. The token hash is materialized once per token
+    // (not re-evaluated per bit), partial aggregation shrinks the
+    // exploded stream to docs×64 before the exchange, and the
+    // fingerprint reassembles as a sum of distinct powers of two
+    // (bitwise-exact even for bit 63's wraparound).
     val toks = corpus.select(col("doc_id"),
       explode(tokens(col("text"))).as("t"))
-    val h = xxhash64(col("t"))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j"))
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    toks
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"),
+        col("h"))
+      .select(col("doc_id"), col("j"),
+        when(call_function("shiftright", col("h"), col("j"))
+          .bitwiseAND(1) === 1, 1).otherwise(-1).as("v"))
+      .groupBy("doc_id", "j")
+      .agg(sum("v").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        call_function("shiftleft", lit(1L), col("j")))
+        .otherwise(lit(0L))).as("simhash"))
   }
 
   /** Pairs with hamming distance <= maxHamming via 4×16-bit chunk banding
@@ -278,19 +289,34 @@ object Dedup {
     simhashPairs(simhashFingerprints(corpusNear(s, d)), 3)
       .orderBy("id_a", "id_b")
 
-  /** Edit-distance near-dup pairs over short strings (part names),
-    * blocked by brand so the pairwise comparison stays within groups —
-    * the classic blocking+Levenshtein pattern for entity resolution.
-    * Integer distances are engine-exact, so this oracles cleanly.
+  /** Edit-distance near-dup pairs over short strings (part names) — the
+    * classic blocking+Levenshtein pattern for entity resolution. Integer
+    * distances are engine-exact, so this oracles cleanly.
+    *
+    * Blocking is (brand, name length): distance <= 2 implies a length gap
+    * <= 2, so the probe side expands each name to its 5 admissible
+    * partner lengths and the join is equi on (brand, len). This is sound
+    * (no qualifying pair is lost) and each ordered pair matches exactly
+    * once (partner length is unique), so the output is identical to the
+    * brand-only block — but the join no longer materializes cross-length
+    * pairs, and `levenshtein(_, _, 2)` runs the banded DP with early
+    * exit instead of the full matrix. The probe side is repartitioned
+    * first: a small dimension scan arrives as ONE parquet split, and
+    * without the spread the ~1000× pair blowup runs in a single task.
     */
   val qDedupEditDistance: Q = (s, d) => {
     val p = part(s, d).select("p_partkey", "p_name", "p_brand")
     val a = p.toDF("id_a", "name_a", "brand")
+      .withColumn("len",
+        explode(sequence(length(col("name_a")) - 2,
+          length(col("name_a")) + 2)))
+      .repartition(32, col("brand"), col("len"))
     val b = p.toDF("id_b", "name_b", "brand")
-    a.join(b, Seq("brand"))
+      .withColumn("len", length(col("name_b")))
+    a.join(b, Seq("brand", "len"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
       .orderBy("id_a", "id_b")
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, LshBuckets}
 import graft.functions.VectorFunctions
 import Relational.Q
 
@@ -50,35 +50,20 @@ object Similarity {
 
   /** Random-hyperplane LSH over `tables` independent hash tables of
     * `bits` sign bits each (OR-construction — a single table with
-    * multiprobe has vanishing recall at moderate similarity). Hyperplane
-    * (t, j)'s component for dimension kk is ±1 from the parity of
-    * xxhash64(t*bits+j, kk) — deterministic, no stored model. Returns one
-    * (vec_id, table, bucket) row per table; all tables' projections are
-    * computed in a single aggregation pass over the exploded components.
+    * multiprobe has vanishing recall at moderate similarity). All
+    * projections are computed by the codegen'd [[LshBuckets]] expression
+    * in one primitive loop per row — the previous `tables × bits`
+    * separate sum-aggregate columns were a Janino cold-compile trap
+    * (~15 s measured at 64 columns; see the minhashSignatures note) and
+    * forced an `O(dims × planes)` exploded exchange. Now bucketing is a
+    * pure scan-side map: no shuffle, output one (vec_id, table, bucket)
+    * row per table.
     */
-  def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val planes = tables * bits
-    val comp = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("kk", "x")))
-    val sgn: Int => Column = p =>
-      when(xxhash64(lit(p), col("kk")).bitwiseAND(1) === 1, 1.0)
-        .otherwise(-1.0)
-    val projections = (0 until planes).map(p =>
-      sum(col("x") * sgn(p)).as(s"p$p"))
-    val agg = comp.groupBy("vec_id")
-      .agg(projections.head, projections.tail: _*)
-    val tableBuckets = (0 until tables).map { t =>
-      val bucket = (0 until bits)
-        .map(j => when(col(s"p${t * bits + j}") > 0, lit(1 << j))
-          .otherwise(lit(0)))
-        .reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    agg.select(col("vec_id"),
-      explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"),
-        col("tb.bucket").as("bucket"))
-  }
+  def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(LshBuckets.buckets(
+        emb.sparkSession, col("embedding"), tables, bits))
+        .as(Seq("table", "bucket")))
 
   /** ANN top-k: candidates share the query's bucket in ANY of the hash
     * tables, ranked by exact cosine. Subset of the brute-force result by
@@ -161,20 +146,54 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
-  /** Embedding-cosine near-dup pairs (>= 0.9) on a corpus with injected
-    * exact copies: natural max pairwise cosine in the fixture is ~0.51,
-    * so the threshold has a wide no-boundary margin in both engines.
+  /** Embedding-cosine near-dup pairs: LSH bucket collisions generate the
+    * candidate set, exact cosine verifies only candidates — the same
+    * candidates+verify shape as MinHash dedup, replacing the previous
+    * all-pairs `id_a < id_b` cartesian (BroadcastNestedLoopJoin) that
+    * would be 10⁴× the work at 100× data. Candidate volume is
+    * ~n²·tables/2^bits before dedup; sizing bits to track log₂(n) keeps
+    * it subquadratic.
+    *
+    * Recall: pairs with cosine exactly 1.0 (verbatim embedding copies)
+    * project identically and collide in EVERY table — found with
+    * probability 1. Pairs in [threshold, 1) are found with the standard
+    * OR-construction probability; PipelineOpsSpec asserts equality with
+    * the brute-force pairs on the fixture corpora.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val cos = cosineCol(corpus.sparkSession)
+    // bucketing is a cheap scan-side map (LshBuckets expression), so the
+    // self-join re-computes it per side rather than persisting
+    val buckets = lshBuckets(corpus.select("vec_id", "embedding"),
+      tables, bits)
+    val candidates = buckets.toDF("id_a", "table", "bucket")
+      .join(buckets.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"),
+        col("embedding").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb")), "id_b")
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Near-dup pairs (>= 0.9) on a corpus with injected exact copies:
+    * natural max pairwise cosine in the fixture is ~0.51, so the only
+    * qualifying pairs are the verbatim copies — which LSH finds with
+    * probability 1 (identical projections ⇒ collision in every table).
+    * The output therefore still equals the exact all-pairs oracle.
     */
   val qDedupEmbedding: Q = (s, d) => {
     val base = embeddings(s, d).select("vec_id", "embedding")
     val corpus = base.unionByName(
       base.filter(col("vec_id") % 7 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val a = corpus.toDF("id_a", "va")
-    val b = corpus.toDF("id_b", "vb")
-    a.join(b, col("id_a") < col("id_b"))
-      .filter(cosineCol(s)(col("va"), col("vb")) >= 0.9)
-      .select("id_a", "id_b")
+    embeddingNearDupPairs(corpus, 0.9)
       .orderBy("id_a", "id_b")
   }
 

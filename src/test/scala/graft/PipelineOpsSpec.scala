@@ -68,6 +68,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => b === a + 1000000L })
   }
 
+  test("embedding lsh near-dup equals brute-force all-pairs") {
+    val base = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .cache()
+    val lsh = Similarity.embeddingNearDupPairs(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = corpus.toDF("id_a", "va")
+    val b = corpus.toDF("id_b", "vb")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.functions.CosineSimilarity
+        .cosineNative(spark, col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh === brute,
+      "exact copies collide in every table, so LSH recall is 1 here")
+    corpus.unpersist()
+  }
+
   test("ann lsh is a subset of brute force; duplicate neighbors always found") {
     val emb = graft.Tables.embeddings(spark, dir)
     // corpus with exact copies: the copy is the true top-1 of each query
