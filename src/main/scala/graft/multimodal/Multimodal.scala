@@ -171,8 +171,12 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  /** Feature extraction registered rows-only (kernel output; invariants
-    * asserted in MultimodalSpec).
+  /** Feature extraction through the kernel, restricted to the
+    * integer/boolean outputs — all derivable in DuckDB from `documents`
+    * (texts are ASCII, so payload bytes = the 8 header bytes ++ char
+    * codes, and histogram support = distinct byte count). Entropy stays
+    * kernel-only (float accumulation order isn't engine-portable);
+    * MultimodalSpec covers it.
     */
   val qMultimodalFeatures: Q = (s, d) =>
     extractFeatures(mediaTable(s, d)).toDF()
@@ -180,10 +184,29 @@ object Multimodal {
         "histogram_nonzero")
       .orderBy("media_id")
 
+  val qMultimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality,
+      |  CAST(8 + octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |  TRUE AS header_ok,
+      |  CAST(len(list_distinct(
+      |    [71, 82, 70, 84,
+      |     CAST((doc_id % 64 + 1) * 16 // 256 AS BIGINT),
+      |     CAST((doc_id % 64 + 1) * 16 % 256 AS BIGINT),
+      |     CAST((doc_id % 48 + 1) * 16 // 256 AS BIGINT),
+      |     CAST((doc_id % 48 + 1) * 16 % 256 AS BIGINT)]
+      |    || list_transform(string_split(text, ''),
+      |         c -> CAST(ord(c) AS BIGINT))
+      |  )) AS INTEGER) AS histogram_nonzero
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures)
 
   val oracles: Map[String, String] = Map(
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_multimodal_features" -> qMultimodalFeaturesSql)
 }

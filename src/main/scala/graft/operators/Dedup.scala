@@ -17,9 +17,10 @@ import Relational.Q
   *    and aggregate on that, which q_doc_fingerprint provides).
   *  - Jaccard: explode distinct shingles → self-join on shingle →
   *    co-occurrence counts give |A∩B|, sizes give |A∪B|. Shuffle is on
-  *    the shingle key; skew is bounded by shingle document-frequency
-  *    (word-trigram df maxes in single digits on this corpus — a real
-  *    pipeline adds a df cap filter before the join).
+  *    the shingle key; skew is bounded by the configurable
+  *    document-frequency cap ([[capDocFrequency]]) applied before the
+  *    join (word-trigram df maxes at 32 on this corpus, so the default
+  *    cap is a no-op here and a hot-key guard at scale).
   *  - MinHash+LSH: 64 xxhash64 signatures min-aggregated in ONE pass
   *    (64 agg columns, no 64× row blowup), banded b=32 r=2, candidates
   *    from band-bucket self-join, then exact-Jaccard verification of
@@ -59,6 +60,30 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
+
+  /** Shingles appearing in more than `maxDf` documents are dropped
+    * before any self-join: boilerplate hot keys (headers, license
+    * blurbs) otherwise contribute O(df²) join rows each — the skew that
+    * kills shingle-keyed self-joins at corpus scale. The hot set is by
+    * definition small (few shingles exceed the cap), so the filter is a
+    * broadcast anti-join, not a shuffle.
+    */
+  def capDocFrequency(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("g")
+    // a using-column join moves the key to column 0 — restore the input
+    // order (downstream positional toDF renames depend on it)
+    sh.join(broadcast(hot), Seq("g"), "left_anti")
+      .select(sh.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Default df cap for the query wrappers: ~16× the fixture's max
+    * word-trigram df (32 at sf0.1), so it is a provable no-op on every
+    * tested SF (PipelineOpsSpec asserts this) while bounding per-shingle
+    * join fan-out at scale.
+    */
+  val ShingleDfCap = 500L
 
   /** Exact near-dup pairs with Jaccard >= threshold from a shingle index:
     * co-occurrence self-join on the shingle key.
@@ -229,7 +254,8 @@ object Dedup {
     * of every branch (storage is O(corpus tokens)).
     */
   val qDedupNgramJaccard: Q = (s, d) => {
-    val sh = shingleIndex(corpusNear(s, d), 3).persist()
+    val sh = capDocFrequency(shingleIndex(corpusNear(s, d), 3), ShingleDfCap)
+      .persist()
     // materialize the (small) pair result eagerly so the O(tokens)
     // shingle cache can be released instead of leaking for the session
     val out = jaccardPairs(sh, 0.5).orderBy("id_a", "id_b")
@@ -268,12 +294,17 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH near-dup: banded candidates, exact-verified. Output
-    * schema matches q_dedup_ngram_jaccard; recall vs the exact pairs is
-    * asserted in DedupSpec. xxhash64 signatures are Spark-specific →
-    * rows-only driver check (no DuckDB oracle).
+    * schema matches q_dedup_ngram_jaccard, and because candidates are
+    * verified with EXACT Jaccard, the output equals the exact pairs
+    * whenever banding recall is 1 — which holds on this fixture (24
+    * bands of r=2 at j>=0.5: miss prob <= (1-0.25)^24 ≈ 1e-3 per pair,
+    * and the injected near-copies sit well above the threshold;
+    * PipelineOpsSpec asserts the subset+recall). It therefore carries
+    * the same DuckDB oracle as the exact query.
     */
   val qDedupMinhash: Q = (s, d) => {
-    val sh = shingleIndex(corpusNear(s, d), 3).persist()
+    val sh = capDocFrequency(shingleIndex(corpusNear(s, d), 3), ShingleDfCap)
+      .persist()
     // 48 hashes / 24 bands of r=2: detection prob at j=0.5 is
     // 1-(1-0.25)^24 ≈ 0.999 — same recall guarantee as 64/32 for 25%
     // less signature work (the dominant stage)
@@ -339,5 +370,8 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditDistanceSql,
     "q_dedup_exact" -> qDedupExactSql,
-    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql)
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    // exact-verified candidates at recall 1 on this fixture ⇒ identical
+    // output to the exact jaccard query (see qDedupMinhash doc)
+    "q_dedup_minhash" -> qDedupNgramJaccardSql)
 }

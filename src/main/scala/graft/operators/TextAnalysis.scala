@@ -168,11 +168,51 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Source-vs-source content overlap via the KMinSketch Aggregator: one
+  // fixed-size bottom-k sketch per source (mergeable across partitions),
+  // then pairwise bottom-k Jaccard estimates over the sketches only —
+  // O(sources² · k) regardless of corpus size, the sketch-then-compare
+  // shape that makes corpus-level overlap tractable at 100 TB. The
+  // estimator is pure built-in array ops (no UDF): union-sketch = k
+  // smallest of A∪B, estimate = |union ∩ A ∩ B| / |union|.
+  // xxhash64-based → rows-only driver check; KMinSketchSpec bounds the
+  // estimate against exact Jaccard.
+  // ---------------------------------------------------------------------
+  val qSourceOverlap: Q = (s, d) => {
+    import s.implicits._
+    val k = 256
+    val shingles = documents(s, d)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .distinct()
+    val sketches = shingles
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KMinSketch(k).toColumn.name("sketch"))
+      .toDF("source", "sketch")
+    val a = sketches.toDF("source_a", "sk_a")
+    val b = sketches.toDF("source_b", "sk_b")
+    val unionSketch =
+      slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))),
+        1, k)
+    val both = size(array_intersect(unionSketch,
+      array_intersect(col("sk_a"), col("sk_b"))))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(both.cast("double") / size(unionSketch), 4)
+          .as("jaccard_est"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_token_classes" -> qTokenClasses,
-    "q_doc_fingerprint" -> qFingerprint)
+    "q_doc_fingerprint" -> qFingerprint,
+    "q_source_overlap" -> qSourceOverlap)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,

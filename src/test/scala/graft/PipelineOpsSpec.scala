@@ -68,6 +68,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => b === a + 1000000L })
   }
 
+  test("shingle df cap: no-op at default cap, drops hot shingles at cap 1") {
+    val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
+    val total = sh.count()
+    // default cap is a no-op on the fixture: left_anti can only remove
+    // rows, so equal counts ⇒ identical index ⇒ identical pair output
+    assert(Dedup.capDocFrequency(sh, Dedup.ShingleDfCap).count() === total)
+    // a cap of 1 must drop the shared trigrams the near-copies create
+    val capped1 = Dedup.capDocFrequency(sh, 1).count()
+    assert(capped1 < total, s"cap 1 kept all $total rows")
+    sh.unpersist()
+  }
+
+  test("source overlap estimates are sane and self-consistent") {
+    val got = TextAnalysis.qSourceOverlap(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val est = r.getDouble(2)
+      assert(est >= 0.0 && est <= 1.0, s"estimate $est out of range")
+    }
+    // deterministic: same sketches, same estimates
+    val again = TextAnalysis.qSourceOverlap(spark, dir).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("embedding lsh near-dup equals brute-force all-pairs") {
     val base = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
