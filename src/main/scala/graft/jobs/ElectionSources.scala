@@ -176,11 +176,13 @@ final class JdbcElectionSources(
   def vdStats: DataFrame = jdbc("Fact_LGE_Master_VDStats")
   def displayWard: DataFrame = jdbc("LED_GIS_Display_Ward")
   def wardCandidates: DataFrame = jdbc("LED_GIS_Display_Ward_WardCandidates")
-  // API payloads come from the HTTP fetch stage, not the database:
-  // see graft.sources.HttpJsonSource (driver fan-out or mapPartitions)
+  // API payloads come from the HTTP fetch stage, not the database;
+  // JobRunner composes this class under HttpElectionSources, which
+  // provides the three json frames via the IEC fan-out (IecApi.scala).
+  // These throw only if the class is used bare, un-composed.
   def ballotResultsJson: DataFrame =
     throw new UnsupportedOperationException(
-      "fetch via HttpJsonSource and pass a body frame")
+      "wrap in HttpElectionSources (JobRunner does) for the API-fed frames")
   def councilorsJson: DataFrame = ballotResultsJson
   def seatResultsJson: DataFrame = ballotResultsJson
 }

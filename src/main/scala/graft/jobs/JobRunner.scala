@@ -49,7 +49,7 @@ object JobRunner {
     require(args.length >= 10,
       "usage: JobRunner WAZI_ENDPOINT WAZI_TOKEN DATASET_ID IEC_TOKEN " +
         "IEC_ENDPOINT DB_SERVER DB DB_USERNAME DB_PASSWORD RESET_DATASET")
-    val Array(waziEndpoint, waziToken, datasetId, _iecToken, iecEndpoint,
+    val Array(waziEndpoint, waziToken, datasetId, iecToken, iecEndpoint,
       dbServer, db, dbUser, dbPassword, reset) = args.take(10)
     spark.sparkContext.setLogLevel("WARN")
     val sources: ElectionSources =
@@ -59,9 +59,18 @@ object JobRunner {
         val props = new java.util.Properties()
         props.setProperty("user", dbUser)
         props.setProperty("password", dbPassword)
-        new JdbcElectionSources(spark,
-          s"jdbc:sqlserver://$dbServer;databaseName=$db", props,
+        // a full jdbc: URL passes through (any warehouse with a driver on
+        // the classpath); a bare host gets the reference's SQL Server form
+        val jdbcUrl =
+          if (dbServer.startsWith("jdbc:")) dbServer
+          else s"jdbc:sqlserver://$dbServer;databaseName=$db"
+        val jdbc = new JdbcElectionSources(spark, jdbcUrl, props,
           env.getOrElse("GRAFT_DELIM_DIR", "delimitations"))
+        // the API-fed inputs (ballot/councillor/seat JSON) ride the IEC
+        // HTTP fan-out on top of the JDBC tables — the reference's
+        // pyodbc + aiohttp split (SANEF_Uploader.py:27-29)
+        new HttpElectionSources(spark, jdbc,
+          env.getOrElse("GRAFT_IEC_API", IecApi.DefaultApiBase), iecToken)
       }
     val df = SanefJobs.run(spark, sources, iecEndpoint,
       reset = reset == "reset")

@@ -35,18 +35,39 @@ object HttpJsonSource {
 
   final case class Fetched(url: String, body: String, error: String)
 
-  /** One GET with the shared status-check/timeout policy — also used by
-    * the DSv2 partition reader (HttpJsonDataSource) so the three fetch
-    * shapes can't drift apart.
+  /** One GET with the shared status-check/timeout/retry policy — also
+    * used by the DSv2 partition reader (HttpJsonDataSource) so the three
+    * fetch shapes can't drift apart.
+    *
+    * Transient failures (connection resets, 5xx from a flaky endpoint —
+    * the reference's IEC API regime, which it handles by silently
+    * dropping the ward, SANEF_Uploader.py:40-46) are retried with
+    * exponential backoff before the error surfaces, so one blip across a
+    * 4,468-request fan-out neither aborts a fail-fast job nor silently
+    * thins a permissive one.
     */
-  private[sources] def get(client: HttpClient, url: String): Try[String] = Try {
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofSeconds(30)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
-    resp.body()
+  private[sources] def get(
+      client: HttpClient, url: String,
+      headers: Map[String, String] = Map.empty,
+      retries: Int = 2, backoffMs: Long = 200): Try[String] = {
+    def once(): Try[String] = Try {
+      val builder = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(30)).GET()
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
+    }
+    @annotation.tailrec
+    def attempt(left: Int, delay: Long): Try[String] = once() match {
+      case Failure(_) if left > 0 =>
+        Thread.sleep(delay)
+        attempt(left - 1, delay * 2)
+      case done => done
+    }
+    attempt(retries, backoffMs)
   }
 
   /** Driver-side concurrent fetch of `urls`, preserving input order in
@@ -55,7 +76,8 @@ object HttpJsonSource {
     */
   def fetch(
       spark: SparkSession, urls: Seq[String], concurrency: Int = 64,
-      permissive: Boolean = false): DataFrame = {
+      permissive: Boolean = false,
+      headers: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext =
@@ -63,7 +85,7 @@ object HttpJsonSource {
     val client = HttpClient.newBuilder()
       .connectTimeout(Duration.ofSeconds(10)).build()
     try {
-      val futures = urls.map(u => Future(u -> get(client, u)))
+      val futures = urls.map(u => Future(u -> get(client, u, headers)))
       val results = Await.result(
         Future.sequence(futures), SDuration.Inf)
       val rows = results.map {
@@ -85,14 +107,15 @@ object HttpJsonSource {
     */
   def fetchDistributed(
       urls: DataFrame, urlCol: String,
-      permissive: Boolean = false): Dataset[Fetched] = {
+      permissive: Boolean = false,
+      headers: Map[String, String] = Map.empty): Dataset[Fetched] = {
     val spark = urls.sparkSession
     import spark.implicits._
     urls.select(urlCol).as[String].mapPartitions { part =>
       val client = HttpClient.newBuilder()
         .connectTimeout(Duration.ofSeconds(10)).build()
       part.map { u =>
-        get(client, u) match {
+        get(client, u, headers) match {
           case Success(b) => Fetched(u, b, null)
           case Failure(e) =>
             if (!permissive) throw e

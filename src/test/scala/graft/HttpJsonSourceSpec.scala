@@ -106,6 +106,41 @@ class HttpJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("transient failures are retried with backoff; headers forwarded") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var seenAuth: String = null
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+        val path = ex.getRequestURI.getPath
+        val n = hits.merge(path, 1, (a, b) => a + b)
+        if (n <= 1) { // first attempt per URL: transient 503
+          ex.sendResponseHeaders(503, 4)
+          ex.getResponseBody.write("busy".getBytes); ex.close()
+        } else {
+          val body = """{"ok": true}"""
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body.getBytes); ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val urls = (1 to 5).map(i =>
+        s"http://127.0.0.1:${server.getAddress.getPort}/flaky/$i")
+      // fail-fast mode: without the retry, the first 503 would abort
+      val df = HttpJsonSource.fetch(spark, urls, concurrency = 2,
+        headers = Map("Authorization" -> "Bearer t0"))
+      assert(df.filter(col("error").isNotNull).count() === 0)
+      assert(df.count() === 5)
+      assert(seenAuth === "Bearer t0")
+      // each URL was attempted at least twice (503 then 200)
+      hits.forEach((_, n) => assert(n >= 2))
+    } finally server.stop(0)
+  }
+
   test("distributed fetch runs on executors per partition") {
     withServer { (_, port) =>
       import spark.implicits._
