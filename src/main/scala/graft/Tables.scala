@@ -28,15 +28,24 @@ object Tables {
     * integer division — ns-since-epoch (~1.7e18) exceeds double's 2^53
     * mantissa, so float division would corrupt low-order digits.
     *
-    * CAVEAT: the legacy conf is session-global and stays set (restoring
-    * it eagerly would break this lazy plan's own execution). Benign here
-    * because `events` is the only NANOS table in the fixture set, but any
-    * OTHER nanos-timestamp parquet read later in the same session will
-    * also surface its column as a raw long.
+    * The legacy conf must still be set when the plan EXECUTES (the scan's
+    * hadoop conf is captured at runtime, so an eager restore would break
+    * the lazy plan), so it is scoped to a dedicated child session:
+    * `newSession()` shares the SparkContext and cached data but owns its
+    * SQLConf, meaning the caller's session is never mutated and other
+    * nanos-parquet reads in it keep their normal semantics. One child per
+    * parent session, memoized.
     */
+  private val nanosSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn(
+    val ns = nanosSessions.computeIfAbsent(s, parent => {
+      val child = parent.newSession()
+      child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      child
+    })
+    table(ns, d, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

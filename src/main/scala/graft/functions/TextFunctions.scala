@@ -37,11 +37,17 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Character n-gram shingles over the raw text. */
+  /** Character n-gram shingles over the raw text. Same short-text guard
+    * as [[shinglesFromTokens]]: greatest(...,0) would hand sequence a
+    * (1, 0) range, which Spark fills DESCENDING as [1, 0] — two spurious
+    * shingles for text shorter than n instead of none.
+    */
   def charShingles(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+    when(length(text) >= n,
+      transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
 
   /** Canonical form for exact-dedup fingerprinting: lowercase, all
     * non-alphanumerics stripped.

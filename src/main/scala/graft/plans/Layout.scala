@@ -44,10 +44,18 @@ object Layout {
     // skewed. monotonically_increasing_id is retry-nondeterministic but
     // the salt only routes rows — any assignment yields the same join
     // output (LayoutSpec asserts equivalence).
+    //
+    // The working column gets a collision-free name: a fixed "_salt"
+    // would silently overwrite (and then drop) a user column of that
+    // name, changing the output schema vs the plain join this claims to
+    // equal.
+    val saltName = Iterator.from(0).map(i => s"_salt$i")
+      .find(n => !large.columns.contains(n) && !small.columns.contains(n))
+      .get
     val saltCol = pmod(monotonically_increasing_id(), lit(salt.toLong))
-    val l = large.withColumn("_salt", saltCol)
-    val s = small.withColumn("_salt",
+    val l = large.withColumn(saltName, saltCol)
+    val s = small.withColumn(saltName,
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
-    l.join(s, Seq(key, "_salt"), "inner").drop("_salt")
+    l.join(s, Seq(key, saltName), "inner").drop(saltName)
   }
 }

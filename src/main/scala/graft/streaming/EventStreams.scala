@@ -174,8 +174,17 @@ object EventStreams {
 
   /** Streaming dedup on event_id within the watermark horizon —
     * exactly-once semantics over an at-least-once source.
+    *
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates("event_id")`:
+    * with the event-time column absent from the key subset, plain
+    * dropDuplicates keeps every seen key in state FOREVER (output stays
+    * correct; state grows unboundedly on a long-running stream). The
+    * WithinWatermark variant evicts a key once the watermark passes its
+    * event time — bounded state, and identical output whenever
+    * duplicates arrive within the horizon (the at-least-once-source
+    * contract).
     */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -71,6 +71,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join preserves a user column named _salt0") {
+    import spark.implicits._
+    // the working column must dodge existing names, not overwrite them
+    val large = (1 to 100).map(i => (i.toLong % 5, s"u$i"))
+      .toDF("k", "_salt0")
+    val small = (0L to 4L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val out = Layout.saltedJoin(large, small, "k", 4)
+    assert(out.columns.toSeq.sorted === Seq("_salt0", "k", "name"))
+    assert(out.count() === 100)
+  }
+
   test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
     // all rows byte-identical — a value-hash salt would collapse to one

@@ -152,6 +152,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall@5 $recall")
   }
 
+  test("charShingles: empty for short text, sliding n-grams otherwise") {
+    import spark.implicits._
+    val got = Seq("ab", "abcd").toDF("t")
+      .select(graft.functions.TextFunctions.charShingles(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq.empty,
+      "text shorter than n must shingle to [], not [1,0]-artifacts")
+    assert(got(1) === Seq("abc", "bcd"))
+  }
+
   test("text stats ratios are in range and tokens positive") {
     val got = TextAnalysis.qTextStats(spark, dir).cache()
     assert(got.filter(col("n_tokens") <= 0).count() === 0)
