@@ -46,6 +46,26 @@ object ScaleProbe {
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(
       emb, col("vec_id") % 997 === 0, 5).count())
+    t("embedding near-dup 20k vectors (lsh)")(
+      operators.Similarity.embeddingNearDupPairs(emb, 0.9).count())
+    // (brand, length)-blocked levenshtein: 10x parts should grow the
+    // pair count ~100x within blocks but wall-clock far less than 100x
+    // of the sf0.1 single-block time thanks to the banded DP + spread
+    val parts = replicate(
+      Tables.part(spark, d).select("p_partkey", "p_name", "p_brand"),
+      10, Seq("p_partkey"), 10000000L)
+    t("editdist 200k parts") {
+      val a = parts.toDF("id_a", "name_a", "brand")
+        .withColumn("len", explode(sequence(length(col("name_a")) - 2,
+          length(col("name_a")) + 2)))
+        .repartition(64, col("brand"), col("len"))
+      val b = parts.toDF("id_b", "name_b", "brand")
+        .withColumn("len", length(col("name_b")))
+      a.join(b, Seq("brand", "len"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0).count()
+    }
     spark.stop()
   }
 }
