@@ -51,15 +51,24 @@ object Dedup {
           substring(col("text"), 31, 1000000).as("text")))
   }
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. Tokens
-    * are materialized into a column before shingling (see
-    * TextFunctions.shinglesFromTokens for why).
+  /** Distinct (doc_id, shingle-fingerprint) pairs — the inverted-index
+    * input. Tokens are materialized into a column before shingling (see
+    * TextFunctions.shinglesFromTokens for why), and the shingle string is
+    * immediately collapsed to its 64-bit xxhash64 fingerprint: every
+    * consumer (self-joins, df cap, MinHash) needs only equality, and an
+    * 8-byte key keeps the persisted index and every downstream exchange
+    * ~3× narrower than ~25-byte strings — the standard shape for
+    * corpus-scale shingling. Distinct-per-doc is taken on the strings
+    * BEFORE hashing, so a fingerprint collision (P ≈ n²/2⁶⁵ ≈ 1e-9 at
+    * these cardinalities) could only merge two different shingles
+    * ACROSS the corpus, not double-count within a document.
     */
   def shingleIndex(corpus: DataFrame, n: Int): DataFrame =
     corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
+        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
 
   /** Shingles appearing in more than `maxDf` documents are dropped
     * before any self-join: boilerplate hot keys (headers, license
@@ -112,25 +121,21 @@ object Dedup {
 
   /** MinHash signatures as ONE array<long> column per document.
     *
-    * Shape matters here: `numHashes` separate min() aggregate columns
-    * would generate a Janino class big enough to dominate cold-start
-    * (~15s compile measured at 64 columns). Instead: explode the hash
-    * index, min-aggregate the narrow (doc, i, h) stream — partial
-    * aggregation shrinks it to docs×numHashes before the exchange — and
-    * assemble the signature array with a sorted collect_list. Generated
-    * code stays small and per-row work is two tight aggregations.
+    * Shape history: `numHashes` separate min() aggregate columns are a
+    * Janino cold-compile trap (~15s measured at 64 columns); the
+    * explode-by-hash-index two-level aggregation fixed that but still
+    * materialized a numHashes× row blowup per corpus pass. Final form:
+    * collect each document's fingerprints (ONE shuffle of the narrow
+    * index — order irrelevant, min commutes) and compute every slot in
+    * the codegen'd [[graft.functions.MinHashSignature]] kernel —
+    * bit-identical signatures, no intermediate rows.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("doc_id"),
-      explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("g"))
-      .select(col("doc_id"), col("i"),
-        xxhash64(col("i"), col("g")).as("h"))
-      .groupBy("doc_id", "i")
-      .agg(min("h").as("m"))
-      .groupBy("doc_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("i"), col("m")))),
-        s => s.getField("m")).as("sig"))
+    sh.groupBy("doc_id")
+      .agg(collect_list(col("g")).as("gs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.sig(
+          sh.sparkSession, col("gs"), numHashes).as("sig"))
 
   /** LSH candidate pairs: band the signature (r rows per band), bucket by
     * band hash, self-join buckets.
