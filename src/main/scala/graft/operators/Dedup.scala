@@ -185,28 +185,20 @@ object Dedup {
     * for bit 63's wraparound).
     */
   def simhashFingerprints(corpus: DataFrame): DataFrame = {
-    // narrow (doc_id, j, ±1) stream, same shape as minhashSignatures —
-    // 64 separate sum() columns were the measured ~15 s Janino
-    // cold-compile trap. The token hash is materialized once per token
-    // (not re-evaluated per bit), partial aggregation shrinks the
-    // exploded stream to docs×64 before the exchange, and the
-    // fingerprint reassembles as a sum of distinct powers of two
-    // (bitwise-exact even for bit 63's wraparound).
-    val toks = corpus.select(col("doc_id"),
+    // Shape history: 64 separate sum() columns are the measured ~15 s
+    // Janino cold-compile trap; the explode-by-bit-index two-level
+    // aggregation fixed that but materialized a 64× row blowup per
+    // token. Final form: collect each document's token hashes (ONE
+    // narrow shuffle — ±1 sums commute, order irrelevant) and fold all
+    // 64 bit counts in the codegen'd SimHashFingerprint kernel.
+    corpus.select(col("doc_id"),
       explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    toks
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"),
-        col("h"))
-      .select(col("doc_id"), col("j"),
-        when(call_function("shiftright", col("h"), col("j"))
-          .bitwiseAND(1) === 1, 1).otherwise(-1).as("v"))
-      .groupBy("doc_id", "j")
-      .agg(sum("v").as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        call_function("shiftleft", lit(1L), col("j")))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint.fp(
+          corpus.sparkSession, col("hs")).as("simhash"))
   }
 
   /** Pairs with hamming distance <= maxHamming via 4×16-bit chunk banding
