@@ -9,16 +9,21 @@ import graft.operators.Dedup
   * claims in BASELINE.md.
   */
 object ScaleProbe {
-  def t[A](name: String)(f: => A): Unit = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
-  }
+  // substring filter via args: `runMain graft.ScaleProbe editdist` runs
+  // only matching probes (empty args = all)
+  private var only: Array[String] = Array.empty
+  def t[A](name: String)(f: => A): Unit =
+    if (only.isEmpty || only.exists(name.contains)) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+    }
   def replicate(df: DataFrame, n: Int, idCols: Seq[String], offset: Long): DataFrame =
     (0 until n).map { i =>
       idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
+    only = args
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -66,6 +71,9 @@ object ScaleProbe {
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
         .filter(col("dist") >= 0).count()
     }
+    t("editdist 200k parts (symspell deletes)")(
+      Dedup.editDistancePairsDeletes(
+        parts, "p_partkey", "p_name", Seq("p_brand"), 2).count())
     spark.stop()
   }
 }

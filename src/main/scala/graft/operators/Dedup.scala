@@ -349,6 +349,50 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The truly subquadratic edit-distance path: SymSpell deletion-
+    * neighborhood blocking. Each name expands to its ≤maxDist-deletion
+    * variants ([[graft.functions.DeletionNeighborhood]], O(len^k) ≈ 79
+    * keys at len 12 / k 2 — a constant factor over the corpus); two
+    * names within distance maxDist always share a variant, so the
+    * variant self-join generates a sound, OUTPUT-DRIVEN candidate set
+    * (no block-quadratic pair enumeration), then banded levenshtein
+    * verifies. Same output as the (brand, length)-blocked join —
+    * DedupSpec-equality asserted in PipelineOpsSpec; ScaleProbe carries
+    * the growth comparison.
+    *
+    * `blockCols` (e.g. brand) pre-partitions the variant key space;
+    * pass Nil for global matching.
+    */
+  def editDistancePairsDeletes(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val s = df.sparkSession
+    // the variant index carries only (id, block, v) — candidate pairs
+    // are deduped on bare ids BEFORE names attach, so the (potentially
+    // multiplicity-heavy) variant join shuffles narrow rows only
+    val nbr = df.select(
+      (col(idCol).as("id") +: col(nameCol).as("name") +:
+        blockCols.map(col)): _*)
+      .withColumn("v", explode(graft.functions.DeletionNeighborhood
+        .neighborhood(s, col("name"), maxDist)))
+      .drop("name")
+      .repartition(32, (blockCols.map(col) :+ col("v")): _*)
+    val joinKeys = blockCols :+ "v"
+    val a = nbr.toDF(("id_a" +: joinKeys): _*)
+    val b = nbr.toDF(("id_b" +: joinKeys): _*)
+    val candidates = a.join(b, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val names = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+    candidates
+      .join(names.toDF("id_a", "name_a"), "id_a")
+      .join(names.toDF("id_b", "name_b"), "id_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+
   val qDedupEditDistanceSql: String =
     """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

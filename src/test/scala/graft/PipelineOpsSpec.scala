@@ -68,6 +68,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => b === a + 1000000L })
   }
 
+  test("symspell deletion blocking equals length-blocked editdist") {
+    val sym = graft.operators.Dedup.editDistancePairsDeletes(
+      graft.Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand"),
+      "p_partkey", "p_name", Seq("p_brand"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = Dedup.qDedupEditDistance(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked.nonEmpty, "fixture must yield pairs (19 at sf0.001)")
+    assert(sym === blocked,
+      "deletion-neighborhood candidates must verify to the exact pair set")
+  }
+
   test("shingle df cap: no-op at default cap, drops hot shingles at cap 1") {
     val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
     val total = sh.count()
