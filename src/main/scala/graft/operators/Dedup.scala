@@ -339,8 +339,12 @@ object Dedup {
         explode(sequence(length(col("name_a")) - 2,
           length(col("name_a")) + 2)))
       .repartition(32, col("brand"), col("len"))
+    // both sides spread: Catalyst may broadcast EITHER side of this
+    // dim-sized join, and whichever side streams must not be the raw
+    // single-split parquet scan or the whole pair blowup runs one task
     val b = p.toDF("id_b", "name_b", "brand")
       .withColumn("len", length(col("name_b")))
+      .repartition(32, col("brand"), col("len"))
     a.join(b, Seq("brand", "len"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
