@@ -126,6 +126,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("lsh bucketing plans as a pure scan-side map — zero exchanges") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val plan = Similarity.lshBuckets(emb, 16, 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketing must not shuffle:\n${plan.take(2000)}")
+  }
+
   test("ann lsh is a subset of brute force; duplicate neighbors always found") {
     val emb = graft.Tables.embeddings(spark, dir)
     // corpus with exact copies: the copy is the true top-1 of each query
