@@ -247,7 +247,11 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // Whole-frame total broadcast (A5 — SANEF_Uploader.py:471-472): empty
-  // partitionBy window attaches the grand total to every group.
+  // partitionBy window attaches the grand total to every group. The
+  // single-partition window (WindowExec warns) runs over the POST-
+  // aggregation frame — cardinality = distinct segments, a handful of
+  // rows at any corpus size — so the warning is cosmetic, not a scale
+  // hazard; the corpus-sized work is the partial+final groupBy above it.
   // ---------------------------------------------------------------------
   val qGrandTotal: Q = (s, d) => {
     val seg = orders(s, d)

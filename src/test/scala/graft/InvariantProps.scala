@@ -154,4 +154,65 @@ object InvariantProps extends Properties("graft.invariants") {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       pairs.exists(p => p._1 == id && p._2 == id + 1000L && p._3 == 0)
     }
+
+  // -------------------------------------------------------------------
+  // Kernel laws for the custom expressions (each kernel is also driven
+  // through real plans elsewhere; these pin the algebra directly).
+  // -------------------------------------------------------------------
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val genHashes: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+
+  property("minhash signature is permutation-invariant and elementwise-monotone") =
+    Prop.forAll(genHashes) { hs =>
+      def sig(xs: List[Long]): Seq[Long] =
+        graft.functions.MinHashSignature
+          .computeSignature(new GenericArrayData(xs.toArray), 16)
+          .toLongArray().toSeq
+      val s = sig(hs)
+      // order never matters (min commutes), and adding an element can
+      // only lower (or keep) every slot
+      sig(hs.reverse) == s &&
+        sig(scala.util.Random.shuffle(hs)) == s && {
+          val more = sig(hs :+ 42L)
+          more.zip(s).forall { case (a, b) => a <= b }
+        }
+    }
+
+  property("simhash fingerprint bit j equals the per-bit majority") =
+    Prop.forAll(genHashes) { hs =>
+      val fp = graft.functions.SimHashFingerprint
+        .computeFingerprint(new GenericArrayData(hs.toArray))
+      (0 until 64).forall { j =>
+        val ones = hs.count(h => ((h >>> j) & 1L) == 1L)
+        val expected = ones > hs.size - ones
+        (((fp >>> j) & 1L) == 1L) == expected
+      }
+    }
+
+  private val genWord: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("deletion neighborhood: sound blocking key for levenshtein <= 2") =
+    Prop.forAll(genWord, genWord) { (a, b) =>
+      def nbr(s: String): Set[String] =
+        graft.functions.DeletionNeighborhood
+          .computeNeighborhood(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), 2)
+          .array.map(_.toString).toSet
+      def lev(x: String, y: String): Int = {
+        val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        d(x.length)(y.length)
+      }
+      // the theorem the SymSpell join relies on: distance <= 2 implies a
+      // shared <=2-deletion variant (converse not required — verified)
+      lev(a, b) > 2 || (nbr(a) & nbr(b)).nonEmpty
+    }
 }
