@@ -18,9 +18,11 @@ import Relational.Q
   *   3. per-(lang, source) survivor stats.
   *
   * Everything is one lazy plan of already-oracled building blocks, so
-  * the whole pipeline is hash-checked against DuckDB end-to-end. At
-  * scale the Jaccard stage is the one to swap for MinHash+LSH
-  * (Dedup.qDedupMinhash) — identical output contract, subquadratic.
+  * the whole pipeline is hash-checked against DuckDB end-to-end. Both
+  * near-dup stages are registered: exact Jaccard
+  * (`q_corpus_curation`) and the subquadratic MinHash+LSH swap-in
+  * (`q_corpus_curation_minhash`) — identical output contract, same
+  * oracle (banding recall ≈ 1 at this threshold).
   */
 object Curation {
 
@@ -35,15 +37,23 @@ object Curation {
       .filter(length(col("text")).between(100, 500) &&
         size(col("toks")) >= 20)
 
-  val qCorpusCuration: Q = (s, d) => {
+  /** The pipeline, parameterized on the near-dup pair finder (a function
+    * of the hashed shingle index → (id_a, id_b, …) pairs).
+    */
+  private def curate(
+      s: SparkSession, d: String,
+      pairFinder: DataFrame => DataFrame): DataFrame = {
     val gated = qualityGate(documents(s, d)).persist()
-    // the shingle index feeds jaccardPairs' three branches — persist it
-    // too (Dedup.jaccardPairs doc), not just the gated corpus
+    // the shingle index feeds the pair finder's branches — persist it
+    // too (Dedup.jaccardPairs doc), not just the gated corpus; shingles
+    // collapse to 64-bit fingerprints like Dedup.shingleIndex (8-byte
+    // join keys, distinct-per-doc taken on strings first)
     val sh = gated.select(col("doc_id"), col("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("g"))
+        explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .persist()
-    val dupIds = Dedup.jaccardPairs(sh, 0.8)
+    val dupIds = pairFinder(sh)
       .select(col("id_b").as("doc_id")).distinct()
     val out = gated
       .join(dupIds, Seq("doc_id"), "left_anti")
@@ -57,6 +67,21 @@ object Curation {
     gated.unpersist()
     out
   }
+
+  val qCorpusCuration: Q = (s, d) =>
+    curate(s, d, sh => Dedup.jaccardPairs(sh, 0.8))
+
+  /** The scale path the class doc promises: MinHash banding generates
+    * candidates, exact Jaccard verifies — subquadratic in corpus size.
+    * At threshold 0.8 with 24 bands of r=2 the per-pair miss probability
+    * is (1 − 0.8²)²⁴ ≈ 2e-11, so the output deterministically equals the
+    * exact pipeline on these fixtures (PipelineOpsSpec asserts it) and
+    * the query carries the same DuckDB oracle.
+    */
+  val qCorpusCurationMinhash: Q = (s, d) =>
+    curate(s, d, sh => Dedup.verifyJaccard(
+      Dedup.lshCandidates(Dedup.minhashSignatures(sh, 48), bands = 24, r = 2),
+      sh, 0.8))
 
   val qCorpusCurationSql: String =
     """WITH gated AS (
@@ -91,8 +116,12 @@ object Curation {
       |ORDER BY lang, source""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q_corpus_curation" -> qCorpusCuration)
+    "q_corpus_curation" -> qCorpusCuration,
+    "q_corpus_curation_minhash" -> qCorpusCurationMinhash)
 
   val oracles: Map[String, String] = Map(
-    "q_corpus_curation" -> qCorpusCurationSql)
+    "q_corpus_curation" -> qCorpusCurationSql,
+    // banding recall ≈ 1 − 2e-11 at j ≥ 0.8 ⇒ identical output (see
+    // qCorpusCurationMinhash doc) — same oracle as the exact pipeline
+    "q_corpus_curation_minhash" -> qCorpusCurationSql)
 }

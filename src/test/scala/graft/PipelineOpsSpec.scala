@@ -172,6 +172,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall@5 $recall")
   }
 
+  test("curation via minhash equals curation via exact jaccard") {
+    // sf0.01: the near-dup stage is known non-vacuous there (500→419→399)
+    val d01 = "/root/testdata/sf0.01"
+    val exact = graft.operators.Curation.qCorpusCuration(spark, d01)
+      .collect().map(_.toSeq).toSeq
+    val mh = graft.operators.Curation.qCorpusCurationMinhash(spark, d01)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    assert(mh === exact,
+      "banding recall ~1 at j>=0.8 must reproduce the exact pipeline")
+  }
+
   test("charShingles: empty for short text, sliding n-grams otherwise") {
     import spark.implicits._
     val got = Seq("ab", "abcd").toDF("t")
