@@ -62,9 +62,13 @@ object Bench {
     val meds = samples.map { case (k, v) =>
       k -> (if (v.exists(_ < 0)) -1.0 else median(v))
     }
-    val qs = meds.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the default-locale `f` interpolator renders a comma
+    // decimal separator on e.g. German JVMs — invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = meds.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val colds = samples.map { case (k, v) => "\"" + k + "\":" + f"${v.head}%.3f" }
+    val colds = samples.map { case (k, v) => "\"" + k + "\":" + num(v.head) }
       .mkString("{", ",", "}")
     // -1 sentinels mark failures; keep them out of the headline total
     // and surface the failure count instead of shrinking the metric

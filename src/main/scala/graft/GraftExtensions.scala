@@ -33,24 +33,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def foldInt(e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case other =>
-      throw new IllegalArgumentException(s"expected literal int, got $other")
-  }
+  import ExprArgs.literalInt
 
   /** Name → builder for every custom expression in the engine. */
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineSimilarity.functionName ->
       (e => CosineSimilarity(e(0), e(1))),
     LshBuckets.functionName ->
-      (e => LshBuckets(e(0), foldInt(e(1)), foldInt(e(2)))),
+      (e => LshBuckets(e(0), literalInt(e(1), "lsh_buckets tables"),
+        literalInt(e(2), "lsh_buckets bits"))),
     MinHashSignature.functionName ->
-      (e => MinHashSignature(e(0), foldInt(e(1)))),
+      (e => MinHashSignature(e(0), literalInt(e(1), "minhash numHashes"))),
     SimHashFingerprint.functionName ->
       (e => SimHashFingerprint(e(0))),
     DeletionNeighborhood.functionName ->
-      (e => DeletionNeighborhood(e(0), foldInt(e(1)))))
+      (e => DeletionNeighborhood(e(0), literalInt(e(1),
+        "deletion_neighborhood k"))))
 
   /** Register every function on an existing session (temp-function
     * registry — what the Column APIs do lazily per call).

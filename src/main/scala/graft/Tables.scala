@@ -34,17 +34,28 @@ object Tables {
     * `newSession()` shares the SparkContext and cached data but owns its
     * SQLConf, meaning the caller's session is never mutated and other
     * nanos-parquet reads in it keep their normal semantics. One child per
-    * parent session, memoized.
+    * parent session, memoized WEAKLY (a child holds no strong reference
+    * to its parent, so a stopped/abandoned parent session and its child
+    * are both collectable — a strong map would leak a SessionState per
+    * session in long-lived JVMs), and re-synced with the parent's current
+    * modifiable conf on every call so later `spark.conf.set` calls on the
+    * parent (shuffle partitions, session timezone) reach events() plans
+    * instead of freezing at first use.
     */
   private val nanosSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+    new java.util.WeakHashMap[SparkSession, SparkSession]
 
   def events(s: SparkSession, d: String): DataFrame = {
-    val ns = nanosSessions.computeIfAbsent(s, parent => {
-      val child = parent.newSession()
-      child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ns = nanosSessions.synchronized {
+      var child = nanosSessions.get(s)
+      if (child == null) { child = s.newSession(); nanosSessions.put(s, child) }
       child
-    })
+    }
+    s.conf.getAll.foreach { case (k, v) =>
+      if (ns.conf.isModifiable(k) && !ns.conf.getOption(k).contains(v))
+        ns.conf.set(k, v)
+    }
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(ns, d, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(

@@ -54,7 +54,11 @@ object DeletionNeighborhood {
   val functionName = "deletion_neighborhood"
 
   /** Kernel shared by interpreted eval and generated code: BFS over
-    * single-character deletions, depth `k`, deduplicated.
+    * single-character deletions, depth `k`, deduplicated. Deletions step
+    * by CODE POINT, not UTF-16 unit — Spark's `levenshtein` counts code
+    * points, so a surrogate pair (emoji, astral CJK) must cost one
+    * deletion, not two, or the soundness guarantee breaks for
+    * supplementary characters.
     */
   def computeNeighborhood(s: UTF8String, k: Int): GenericArrayData = {
     val seen = new java.util.LinkedHashSet[String]()
@@ -66,9 +70,10 @@ object DeletionNeighborhood {
       frontier.foreach { w =>
         var i = 0
         while (i < w.length) {
-          val v = w.substring(0, i) + w.substring(i + 1)
+          val n = Character.charCount(w.codePointAt(i))
+          val v = w.substring(0, i) + w.substring(i + n)
           if (seen.add(v)) next ::= v
-          i += 1
+          i += n
         }
       }
       frontier = next
@@ -84,14 +89,9 @@ object DeletionNeighborhood {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       functionName,
-      exprs => DeletionNeighborhood(exprs(0), foldedInt(exprs(1))),
+      exprs => DeletionNeighborhood(exprs(0),
+        ExprArgs.literalInt(exprs(1), s"$functionName k")),
       "built-in")
-
-  private def foldedInt(e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$functionName expects a literal int k, got $other")
-  }
 
   /** Column API: `array<string>` of ≤k-deletion variants. */
   def neighborhood(spark: SparkSession, s: Column, k: Int): Column = {

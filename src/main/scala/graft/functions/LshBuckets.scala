@@ -100,14 +100,10 @@ object LshBuckets {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       functionName,
-      exprs => LshBuckets(exprs(0), foldedInt(exprs(1)), foldedInt(exprs(2))),
+      exprs => LshBuckets(exprs(0),
+        ExprArgs.literalInt(exprs(1), s"$functionName tables"),
+        ExprArgs.literalInt(exprs(2), s"$functionName bits")),
       "built-in")
-
-  private def foldedInt(e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$functionName expects literal int tables/bits, got $other")
-  }
 
   /** Column API: `array<int>` of per-table bucket ids. */
   def buckets(

@@ -61,7 +61,7 @@ object MinHashSignature {
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]
 
-  private def seeds(numHashes: Int): Array[Long] =
+  private[functions] def seeds(numHashes: Int): Array[Long] =
     seedCache.computeIfAbsent(numHashes,
       k => Array.tabulate(k)(i => XXH64.hashInt(i, 42L)))
 
@@ -90,14 +90,9 @@ object MinHashSignature {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       functionName,
-      exprs => MinHashSignature(exprs(0), foldedInt(exprs(1))),
+      exprs => MinHashSignature(exprs(0),
+        ExprArgs.literalInt(exprs(1), s"$functionName numHashes")),
       "built-in")
-
-  private def foldedInt(e: Expression): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$functionName expects a literal int numHashes, got $other")
-  }
 
   /** Column API: `array<bigint>` signature of a fingerprint array. */
   def sig(spark: SparkSession, gs: Column, numHashes: Int): Column = {

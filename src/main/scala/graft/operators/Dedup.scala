@@ -124,13 +124,26 @@ object Dedup {
     * Shape history: `numHashes` separate min() aggregate columns are a
     * Janino cold-compile trap (~15s measured at 64 columns); the
     * explode-by-hash-index two-level aggregation fixed that but still
-    * materialized a numHashes× row blowup per corpus pass. Final form:
-    * collect each document's fingerprints (ONE shuffle of the narrow
-    * index — order irrelevant, min commutes) and compute every slot in
-    * the codegen'd [[graft.functions.MinHashSignature]] kernel —
-    * bit-identical signatures, no intermediate rows.
+    * materialized a numHashes× row blowup per corpus pass; collect_list
+    * + the codegen'd [[graft.functions.MinHashSignature]] kernel removed
+    * the blowup but buffered a whole document's fingerprints as
+    * aggregation state and shuffled every index row. Final form: the
+    * [[graft.functions.MinHashAgg]] typed Aggregator — O(numHashes)
+    * mergeable state with MAP-SIDE partial aggregation, so the shuffle
+    * carries O(documents × numHashes) longs however large documents get.
+    * Signatures are bit-identical across all forms (same XXH64 slot
+    * family, min commutes — PipelineOpsSpec asserts kernel ≡ aggregator).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sig(numHashes).as("sig"))
+
+  /** The collect-then-kernel form minhashSignatures replaced — kept as
+    * the equivalence witness for the aggregator (and the faster pick on
+    * corpora of uniformly tiny documents, where collect_list's single
+    * wide row per doc beats the per-row aggregator update).
+    */
+  def minhashSignaturesKernel(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy("doc_id")
       .agg(collect_list(col("g")).as("gs"))
       .select(col("doc_id"),
@@ -186,19 +199,20 @@ object Dedup {
     */
   def simhashFingerprints(corpus: DataFrame): DataFrame = {
     // Shape history: 64 separate sum() columns are the measured ~15 s
-    // Janino cold-compile trap; the explode-by-bit-index two-level
-    // aggregation fixed that but materialized a 64× row blowup per
-    // token. Final form: collect each document's token hashes (ONE
-    // narrow shuffle — ±1 sums commute, order irrelevant) and fold all
-    // 64 bit counts in the codegen'd SimHashFingerprint kernel.
-    corpus.select(col("doc_id"),
-      explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"))
+    // Janino cold-compile trap; explode-by-bit-index fixed that but
+    // materialized a 64× row blowup per token; collect_list-then-kernel
+    // removed the blowup but still shuffled every token hash and
+    // buffered whole documents as aggregation state. Final form: the
+    // SimHashFingerprint kernel consumes the per-row token array
+    // directly (hashing internally, bit-compatible with xxhash64) — a
+    // pure per-row map: ZERO shuffle, zero aggregation state. The
+    // size>0 filter preserves the exploded form's semantics, which
+    // emitted no row for token-less documents.
+    corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint.fp(
-          corpus.sparkSession, col("hs")).as("simhash"))
+          corpus.sparkSession, col("toks")).as("simhash"))
   }
 
   /** Pairs with hamming distance <= maxHamming via 4×16-bit chunk banding
@@ -251,14 +265,27 @@ object Dedup {
     * of every branch (storage is O(corpus tokens)).
     */
   val qDedupNgramJaccard: Q = (s, d) => {
-    val sh = capDocFrequency(shingleIndex(corpusNear(s, d), 3), ShingleDfCap)
-      .persist()
+    val (sh, raw) = cachedCappedIndex(corpusNear(s, d), 3, ShingleDfCap)
     // materialize the (small) pair result eagerly so the O(tokens)
-    // shingle cache can be released instead of leaking for the session
+    // shingle caches can be released instead of leaking for the session
     val out = jaccardPairs(sh, 0.5).orderBy("id_a", "id_b")
       .localCheckpoint(true)
-    sh.unpersist()
+    raw.unpersist(); sh.unpersist()
     out
+  }
+
+  /** Both the df-cap (hot-key aggregation + anti-join) and the pair
+    * stages consume the shingle index; the RAW index is persisted before
+    * capping so the expensive tokenize/shingle/explode subtree runs ONCE
+    * — capping after an un-persisted index re-tokenizes the corpus for
+    * the hot-key branch, doubling the dominant scan stage at 100 TB. The
+    * capped index is persisted too (it feeds three pair-stage branches);
+    * callers release both handles after materializing their output.
+    */
+  private def cachedCappedIndex(
+      corpus: DataFrame, n: Int, maxDf: Long): (DataFrame, DataFrame) = {
+    val raw = shingleIndex(corpus, n).persist()
+    (capDocFrequency(raw, maxDf).persist(), raw)
   }
 
   val qDedupNgramJaccardSql: String =
@@ -300,15 +327,14 @@ object Dedup {
     * the same DuckDB oracle as the exact query.
     */
   val qDedupMinhash: Q = (s, d) => {
-    val sh = capDocFrequency(shingleIndex(corpusNear(s, d), 3), ShingleDfCap)
-      .persist()
+    val (sh, raw) = cachedCappedIndex(corpusNear(s, d), 3, ShingleDfCap)
     // 48 hashes / 24 bands of r=2: detection prob at j=0.5 is
     // 1-(1-0.25)^24 ≈ 0.999 — same recall guarantee as 64/32 for 25%
     // less signature work (the dominant stage)
     val cand = lshCandidates(minhashSignatures(sh, 48), bands = 24, r = 2)
     val out = verifyJaccard(cand, sh, 0.5).orderBy("id_a", "id_b")
       .localCheckpoint(true)
-    sh.unpersist()
+    raw.unpersist(); sh.unpersist()
     out
   }
 

@@ -32,20 +32,36 @@ import graft.functions.CosineSimilarity
 object RewriteHofCosine extends Rule[LogicalPlan] {
 
   /** Matches `aggregate(zip_with(a, b, (x,y) => double(x) * double(y)),
-    * 0.0, (acc,v) => acc + v)` — the dot-product subtree.
+    * 0.0, (acc,v) => acc + v)` — the dot-product subtree. Each referenced
+    * variable is bound back to its enclosing lambda's parameters (one of
+    * each, in either order — `*` and `+` are bit-commutative on doubles),
+    * so look-alike trees over the wrong variables (`x*x` sums of squares,
+    * `v+v` merges, references to an outer lambda's variable) do NOT match.
     */
   private object DotProduct {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(
-            Multiply(Cast(_: NamedLambdaVariable, DoubleType, _, _),
-              Cast(_: NamedLambdaVariable, DoubleType, _, _), _), _, _)),
+            Multiply(Cast(x: NamedLambdaVariable, DoubleType, _, _),
+              Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+            Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
           Literal(0.0, DoubleType),
           LambdaFunction(
-            Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-          LambdaFunction(_: NamedLambdaVariable, _, _)) => Some((a, b))
+            Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+            Seq(ma: NamedLambdaVariable, mv: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable,
+            Seq(fa: NamedLambdaVariable), _))
+          if oneEach(x, y, zx, zy) && oneEach(acc, v, ma, mv) &&
+            fin.exprId == fa.exprId =>
+        Some((a, b))
       case _ => None
     }
+
+    /** p and q are exactly the two lambda parameters, one each. */
+    private def oneEach(p: NamedLambdaVariable, q: NamedLambdaVariable,
+        arg1: NamedLambdaVariable, arg2: NamedLambdaVariable): Boolean =
+      (p.exprId == arg1.exprId && q.exprId == arg2.exprId) ||
+        (p.exprId == arg2.exprId && q.exprId == arg1.exprId)
   }
 
   private def floatArray(e: Expression): Boolean = e.dataType match {

@@ -35,6 +35,24 @@ object HttpJsonSource {
 
   final case class Fetched(url: String, body: String, error: String)
 
+  /** Non-2xx status carried as a typed failure so the retry policy can
+    * distinguish a flaky 503 from a deterministic 401/404.
+    */
+  final case class HttpStatusError(code: Int, url: String)
+      extends RuntimeException(s"HTTP $code for $url")
+
+  /** Retry only what a retry can fix: connection-level failures
+    * (IOException: resets, timeouts, DNS blips) and server-side 5xx /
+    * 429. A 4xx is deterministic — retrying a bad token 3× per request
+    * across a 4,468-request fan-out just delays the abort (fail-fast) or
+    * silently thins the output (permissive) by ~600 ms per URL.
+    */
+  private def isTransient(e: Throwable): Boolean = e match {
+    case HttpStatusError(code, _) => code / 100 == 5 || code == 429
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
   /** One GET with the shared status-check/timeout/retry policy — also
     * used by the DSv2 partition reader (HttpJsonDataSource) so the three
     * fetch shapes can't drift apart.
@@ -57,12 +75,12 @@ object HttpJsonSource {
       val resp = client.send(builder.build(),
         HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 != 2)
-        throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+        throw HttpStatusError(resp.statusCode(), url)
       resp.body()
     }
     @annotation.tailrec
     def attempt(left: Int, delay: Long): Try[String] = once() match {
-      case Failure(_) if left > 0 =>
+      case Failure(e) if left > 0 && isTransient(e) =>
         Thread.sleep(delay)
         attempt(left - 1, delay * 2)
       case done => done

@@ -54,6 +54,55 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("look-alike HOF trees over the wrong variables do NOT rewrite") {
+    import org.apache.spark.sql.Column
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").limit(10)
+      .toDF("ida", "va")
+      .withColumn("vb", col("va"))
+    // same quotient shape as cosine, but the numerator multiplies x*x
+    // (sum of a's squares) — silently rewriting this to cosine(a,b)
+    // would return a different number
+    def sumSq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, _) => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // and a merge lambda folding v+v instead of acc+v
+    def badMerge(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (_, v) => v + v)
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteHofCosine)
+    try {
+      // scan EVERY node's expressions: the optimizer pushes this Project
+      // below the GlobalLimit, and root-only `.expressions` misses it
+      def rewritten(c: Column): Boolean =
+        emb.select(c.as("r")).queryExecution.optimizedPlan
+          .collect { case p => p.expressions }.flatten
+          .exists(_.exists(_.isInstanceOf[CosineSimilarity]))
+      val norms = VectorFunctions.norm(col("va")) *
+        VectorFunctions.norm(col("vb"))
+      // positive control first — the genuine tree must rewrite, so the
+      // negative assertions below can't pass vacuously
+      assert(rewritten(VectorFunctions.cosine(col("va"), col("vb"))))
+      assert(!rewritten(sumSq(col("va"), col("vb")) / norms),
+        "x*x numerator must not rewrite")
+      assert(!rewritten(badMerge(col("va"), col("vb")) / norms),
+        "v+v merge must not rewrite")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("deletion neighborhood deletes by code point, not UTF-16 unit") {
+    GraftExtensions.registerAll(spark)
+    val s = "a😀b" // a😀b — the emoji is one surrogate PAIR
+    val nbr = spark.sql(s"SELECT deletion_neighborhood('$s', 1)")
+      .head.getSeq[String](0).toSet
+    // one deletion removes the WHOLE astral char (matching levenshtein's
+    // code-point counting); unit-stepping would emit lone surrogates
+    assert(nbr === Set(s, "😀b", "ab", "a😀"))
+  }
+
   test("registerAll exposes every custom expression to SQL") {
     GraftExtensions.registerAll(spark)
     assert(spark.sql(

@@ -141,6 +141,31 @@ class HttpJsonSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("deterministic 4xx failures are NOT retried") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/denied/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        hits.merge(ex.getRequestURI.getPath, 1, (a, b) => a + b)
+        ex.sendResponseHeaders(401, 4)
+        ex.getResponseBody.write("auth".getBytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val urls = (1 to 4).map(i =>
+        s"http://127.0.0.1:${server.getAddress.getPort}/denied/$i")
+      val df = HttpJsonSource.fetch(spark, urls, concurrency = 2,
+        permissive = true)
+      assert(df.filter(col("error").isNotNull).count() === 4)
+      // a bad token is deterministic: retrying it 3x per URL across a
+      // 4,468-request fan-out only delays the failure — exactly one
+      // attempt per URL
+      hits.forEach((_, n) => assert(n === 1))
+    } finally server.stop(0)
+  }
+
   test("distributed fetch runs on executors per partition") {
     withServer { (_, port) =>
       import spark.implicits._

@@ -45,6 +45,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("minhash aggregator signatures are bit-identical to the kernel form") {
+    val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = toMap(Dedup.minhashSignatures(sh, 48))
+    val kern = toMap(Dedup.minhashSignaturesKernel(sh, 48))
+    assert(agg.nonEmpty)
+    assert(agg === kern,
+      "O(numHashes)-state aggregator must reproduce collect-then-kernel")
+    sh.unpersist()
+  }
+
+  test("simhash token-array kernel is bit-compatible with xxhash64") {
+    // the per-row kernel hashes tokens internally; it must equal the
+    // explicit explode → xxhash64 → collect_list → kernel pipeline,
+    // which pins the internal hash to Spark's xxhash64 bit-for-bit
+    val corpus = Dedup.corpusNear(spark, dir)
+    val perRow = Dedup.simhashFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explicit = corpus
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint.fp(spark, col("hs")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow.nonEmpty)
+    assert(perRow === explicit)
+  }
+
   test("simhash banding equals brute-force hamming <= 3") {
     val fps = Dedup.simhashFingerprints(Dedup.corpusNear(spark, dir)).cache()
     val banded = Dedup.simhashPairs(fps, 3)
