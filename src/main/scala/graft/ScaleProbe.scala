@@ -45,8 +45,13 @@ object ScaleProbe {
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
     t("jaccard pairs 50k docs")(Dedup.jaccardPairs(sh, 0.5).count())
-    t("minhash sigs 50k docs")(Dedup.minhashSignatures(sh, 64).count())
+    t("minhash sigs 50k docs (bounded-state agg)")(
+      Dedup.minhashSignatures(sh, 64).count())
+    t("minhash sigs 50k docs (collect+kernel)")(
+      Dedup.minhashSignaturesKernel(sh, 64).count())
     sh.unpersist()
+    t("simhash fingerprints 50k docs (per-row kernel)")(
+      Dedup.simhashFingerprints(docs).count())
     val emb = replicate(
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(
