@@ -491,7 +491,60 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Per-key top-k with BOUNDED aggregation state (the scale form of
+  // q_window_rank): TopKAgg keeps at most k rows per group with map-side
+  // combine, so the exchange carries O(groups × k × partitions) rows
+  // where the window form shuffles and sorts the whole table. Identical
+  // output — it carries the window query's oracle.
+  // ---------------------------------------------------------------------
+  val qTopKPerKey: Q = (s, d) =>
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(graft.functions.TopKAgg
+        .topK(3, col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"),
+        posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("c_mktsegment"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("row._2").as("o_orderkey"),
+        round(col("row._1"), 2).as("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+
+  // ---------------------------------------------------------------------
+  // Exact grouped quantiles — the correctness baseline for distribution
+  // cuts (quality-score thresholds, length bands). Exact `percentile`
+  // buffers a value-count map per group, which is the oracle-able
+  // reference; the bounded-memory path at corpus scale is
+  // `approx_percentile` (RelationalSpec asserts it lands within the
+  // sketch's rank-error bound of these exact values). Interpolation is
+  // one multiply-add on both engines, so raw doubles hash-match.
+  // ---------------------------------------------------------------------
+  val qQuantiles: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.50)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.50)").as("med_qty"))
+      .orderBy("l_returnflag")
+
+  val qQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.50) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.50) AS med_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_topk_perkey" -> qTopKPerKey,
+    "q_quantiles" -> qQuantiles,
     "q_count_distinct" -> qCountDistinct,
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
@@ -514,6 +567,9 @@ object Relational {
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
+    // bounded-state top-k reproduces the window form exactly — same oracle
+    "q_topk_perkey" -> qWindowRankSql,
+    "q_quantiles" -> qQuantilesSql,
     "q_count_distinct" -> qCountDistinctSql,
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,

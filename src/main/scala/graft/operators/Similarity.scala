@@ -113,6 +113,93 @@ object Similarity {
     out
   }
 
+  /** IVF (inverted-file) coarse quantizer: spherical k-means centroids,
+    * deterministically seeded and refined with a few Lloyd iterations.
+    *
+    * Seeding: the `nlist` vectors with the smallest `xxhash64(vec_id)` —
+    * pseudo-random spread, reproducible across runs (no RNG). Each
+    * iteration assigns every vector to its nearest centroid (the
+    * codegen'd [[graft.functions.IvfCells]] kernel, scan-side map) and
+    * recomputes centroids as the per-cell elementwise mean; means are
+    * rounded to 6 dp so double partial-aggregation order can't jitter
+    * centroid bits between runs, then L2-normalized (so downstream
+    * ranking can use raw dots). Empty cells keep their previous
+    * centroid.
+    *
+    * The driver-side collect is the centroid matrix only — nlist × dim
+    * doubles; IVF practice keeps nlist ≈ √n, so the index build is an
+    * offline step whose hot path (assignment) stays fully distributed.
+    */
+  def ivfIndex(
+      emb: DataFrame, nlist: Int, iters: Int = 2): Array[Array[Double]] = {
+    val s = emb.sparkSession
+    def normalize(m: Array[Array[Double]]): Array[Array[Double]] =
+      m.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    var centroids = normalize(
+      emb.withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h").limit(nlist)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray))
+    for (_ <- 0 until iters) {
+      val assigned = emb.select(col("embedding"),
+        element_at(graft.functions.IvfCells.cells(
+          s, col("embedding"), centroids, 1), 1).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg("v"), 6).as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), col("ps.m").as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
+      }
+      centroids = normalize(next)
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their single home cell,
+    * queries probe their `nprobe` nearest cells, exact cosine ranks the
+    * candidates. The scan-vs-recall dial is explicit — candidates are
+    * ~(nprobe/nlist) of the corpus, vs LSH's OR-construction collision
+    * volume. A query's own cell is always its first probe and an exact
+    * copy assigns to the same cell, so duplicate neighbors have recall 1
+    * (asserted in PipelineOpsSpec, like the LSH variant).
+    */
+  def ivfKnn(
+      emb: DataFrame, queryFilter: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val s = emb.sparkSession
+    val base = emb.select("vec_id", "embedding")
+    val centroids = ivfIndex(base, nlist, iters)
+    val cos = cosineCol(s)
+    val corpusCells = base.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      element_at(graft.functions.IvfCells.cells(
+        s, col("embedding"), centroids, 1), 1).as("cell"))
+    val queryCells = emb.filter(queryFilter).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      explode(graft.functions.IvfCells.cells(
+        s, col("embedding"), centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // a corpus vector lives in exactly ONE cell, so (query, neighbor)
+    // pairs are already unique — no candidate distinct needed (unlike
+    // the LSH OR-construction)
+    broadcast(queryCells).join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
   // ---------------------------------------------------------------------
   // Driver-facing queries
   // ---------------------------------------------------------------------
@@ -208,9 +295,20 @@ object Similarity {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF ANN for the same query set — the cell-partitioned scale path
+    * (candidates ≈ nprobe/nlist of the corpus). xxhash64 seeding is
+    * Spark-specific → rows-only driver check; recall vs brute force is
+    * asserted in PipelineOpsSpec.
+    */
+  val qKnnAnnIvf: Q = (s, d) =>
+    ivfKnn(embeddings(s, d), col("vec_id") % 40 === 0, 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   val queries: Map[String, Q] = Map(
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
+    "q_knn_ann_ivf" -> qKnnAnnIvf,
     "q_dedup_embedding" -> qDedupEmbedding)
 
   val oracles: Map[String, String] = Map(

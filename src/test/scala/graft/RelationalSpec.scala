@@ -84,6 +84,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("bounded-state top-k equals the window row_number form") {
+    val win = Relational.qWindowRank(spark, dir).collect().map(_.toSeq).toSeq
+    val agg = Relational.qTopKPerKey(spark, dir).collect().map(_.toSeq).toSeq
+    assert(win.nonEmpty)
+    assert(agg === win,
+      "TopKAgg (O(k) state, map-side combine) must reproduce the window form")
+  }
+
+  test("approx_percentile lands within the sketch bound of exact quantiles") {
+    // the scale path: exact `percentile` buffers per-group value counts;
+    // approx_percentile (GK sketch, accuracy=100 → rank error <= 1%)
+    // is the bounded-memory form — check medians agree within the
+    // corresponding VALUE band (1% of per-group row count in rank ⇒
+    // compare against the exact quantile at p ± 0.01)
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.49)").as("lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.50, 100)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, med) =>
+      val (lo, hi) = exact(flag)
+      assert(med >= lo && med <= hi,
+        s"$flag: approx median $med outside exact p49..p51 [$lo, $hi]")
+    }
+  }
+
   test("q_window_rank keeps at most 3 per segment, rank contiguous") {
     val df = Relational.qWindowRank(spark, dir)
     val bySeg = df.groupBy("c_mktsegment").agg(
