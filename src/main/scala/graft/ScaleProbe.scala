@@ -58,6 +58,10 @@ object ScaleProbe {
       emb, col("vec_id") % 997 === 0, 5).count())
     t("embedding near-dup 20k vectors (lsh)")(
       operators.Similarity.embeddingNearDupPairs(emb, 0.9).count())
+    // nlist tracks √n (10× data → ~3× cells); candidates/query stay
+    // ~(nprobe/nlist)·n — the explicit dial the class doc describes
+    t("ann 20k vectors (ivf nlist=48)")(operators.Similarity.ivfKnn(
+      emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
     // (brand, length)-blocked levenshtein: 10x parts should grow the
     // pair count ~100x within blocks but wall-clock far less than 100x
     // of the sf0.1 single-block time thanks to the banded DP + spread
