@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.RepetitionStats
+import graft.functions.TextFunctions._
+import Relational.Q
+
+/** Corpus-quality and corpus-hygiene operators for the training-data
+  * pipeline (SURVEY.md §7.4 north star): Gopher/C4-style repetition
+  * signals, held-out-set decontamination, PII redaction, and
+  * deterministic corpus mixing. All four are scale-shaped first:
+  *
+  *   - repetition is a per-row kernel (zero shuffle — see
+  *     [[graft.functions.RepetitionStats]]);
+  *   - decontamination broadcasts the (always small) benchmark n-gram
+  *     index against a streaming corpus scan;
+  *   - PII scrubbing is a chain of codegen'd `regexp_replace`s;
+  *   - mixing samples by content-free hash threshold — no RNG state, no
+  *     `sample()` nondeterminism, reproducible on any engine.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------------
+  // Repetition signals: duplicate-token fraction, duplicate-bigram mass,
+  // top-bigram mass — the "excessive repetition" quality gates from the
+  // Gopher/C4 filtering recipes. One scan, no shuffle: the counters come
+  // from the per-row RepetitionStats kernel; ratios are exact int/int
+  // divisions rounded to 4dp (IEEE-identical in DuckDB).
+  // ---------------------------------------------------------------------
+  val qQualityRepetition: Q = (s, d) => {
+    val st = col("st")
+    def c(i: Int): Column = element_at(st, i)
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), RepetitionStats.stats(s, col("toks")).as("st"))
+      .select(
+        col("doc_id"),
+        c(1).as("n_tokens"),
+        when(c(1) > 0,
+          round((c(1) - c(2)).cast("double") / c(1), 4))
+          .as("dup_token_frac"),
+        when(c(3) > 0, round(c(4).cast("double") / c(3), 4))
+          .as("dup_bigram_frac"),
+        when(c(3) > 0, round(c(5).cast("double") / c(3), 4))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityRepetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |bg AS (SELECT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id,
+      |          CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |            AS dup_pos,
+      |          CAST(max(c) AS BIGINT) AS top_c
+      |        FROM bgc GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(len(l) AS BIGINT) AS n_tokens,
+      |  CASE WHEN len(l) > 0 THEN
+      |    round(CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l), 4)
+      |  END AS dup_token_frac,
+      |  CASE WHEN n_bigrams > 0 THEN
+      |    round(CAST(dup_pos AS DOUBLE) / n_bigrams, 4)
+      |  END AS dup_bigram_frac,
+      |  CASE WHEN n_bigrams > 0 THEN
+      |    round(CAST(top_c AS DOUBLE) / n_bigrams, 4)
+      |  END AS top_bigram_frac
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Decontamination: flag training documents sharing any word 5-gram
+  // with a held-out benchmark slice (here: doc_id % 10 == 0 stands in
+  // for the eval set). Scale shape: the benchmark index is always tiny
+  // relative to a pretraining corpus (MBs vs TBs), so it broadcasts and
+  // the corpus streams through a map-side hash join — the corpus itself
+  // is never shuffled; the only exchange is the final per-doc count
+  // aggregation. Grams are compared via 64-bit xxhash64 fingerprints
+  // (8-byte join keys, same trade as Dedup.shingleIndex); the oracle
+  // joins the gram strings.
+  // ---------------------------------------------------------------------
+  /** Contamination report for `docs` split by `isEval`: one row per
+    * non-eval doc sharing at least one word n-gram with the eval slice,
+    * with the distinct shared-gram and touched-eval-doc counts.
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), isEval.as("is_eval"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
+    val benchmark = grams.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val train = grams.filter(!col("is_eval")).select("doc_id", "h")
+    train.join(broadcast(benchmark), "h")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  val qDecontaminate: Q = (s, d) =>
+    contamination(documents(s, d), col("doc_id") % 10 === 0, 5)
+      .orderBy("doc_id")
+
+  val qDecontaminateSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |         l[CAST(i AS INT)+2] || ' ' || l[CAST(i AS INT)+3] || ' ' ||
+      |         l[CAST(i AS INT)+4] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 4 <= len(l)),
+      |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 <> 0)
+      |SELECT tr.doc_id,
+      |  count(DISTINCT tr.g) AS n_shared_grams,
+      |  count(DISTINCT ev.eval_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PII redaction: sequential regexp_replace chain — emails, then
+  // phone numbers, then IPv4 addresses, then long digit runs (ids).
+  // The fixture corpus carries no PII, so the query first enriches each
+  // document with a deterministic doc_id-derived contact tail (exactly
+  // how a scrubber is tested: plant known PII, assert it is gone); both
+  // engines build the identical input, so the driver hash-checks the
+  // full redaction semantics. Patterns are RE2-and-Java compatible (no
+  // backrefs/lookaround). One scan, no shuffle.
+  // ---------------------------------------------------------------------
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{6,}" -> "<ID>")
+
+  /** The scrubber itself: engine-agnostic sequential redaction. */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  val qPiiScrub: Q = (s, d) => {
+    val enriched = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com tel +27-555-"),
+      lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") * 3 % 256).cast("string"),
+      lit(" acct "),
+      lpad((col("doc_id") * 37 % 1000000000).cast("string"), 9, "0"))
+    val tagged = Seq("<EMAIL>", "<PHONE>", "<IP>", "<ID>")
+      .map(t => regexp_count(col("scrubbed"), lit(t)))
+      .reduce(_ + _)
+    documents(s, d)
+      .select(col("doc_id"), piiScrub(enriched).as("scrubbed"))
+      .select(col("doc_id"), col("scrubbed"),
+        tagged.cast("long").as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiScrubSql: String = {
+    val enriched =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com tel +27-555-' ||
+        |  lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |  CAST(doc_id * 3 % 256 AS VARCHAR) || ' acct ' ||
+        |  lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0')""".stripMargin
+    // DuckDB single-quoted strings don't process backslashes, so the
+    // Java pattern strings pass through verbatim (no quotes inside)
+    val scrub = piiPatterns.foldLeft(s"($enriched)") {
+      case (acc, (pat, tag)) =>
+        s"regexp_replace($acc, '$pat', '$tag', 'g')"
+    }
+    s"""WITH s AS (SELECT doc_id, $scrub AS scrubbed FROM documents)
+       |SELECT doc_id, scrubbed,
+       |  CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) +
+       |       len(regexp_extract_all(scrubbed, '<PHONE>')) +
+       |       len(regexp_extract_all(scrubbed, '<IP>')) +
+       |       len(regexp_extract_all(scrubbed, '<ID>')) AS BIGINT)
+       |    AS n_redactions
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Corpus mixing: per-source sampling rates applied via a content-free
+  // md5 threshold on (doc_id, source) — the deterministic, engine- and
+  // run-stable way to mix sources at fixed ratios (sample() would give
+  // a different corpus per run/partitioning). A doc is kept iff the
+  // first 8 hex chars of its md5 sort below the source's threshold;
+  // rates cycle {1.0, 0.75, 0.5, 0.25} by source index. One scan + one
+  // small per-source aggregation.
+  // ---------------------------------------------------------------------
+  val qCorpusMix: Q = (s, d) => {
+    // hex thresholds for the rate cycle; "g" > every hex char = keep all
+    val thresholds =
+      array(lit("g"), lit("c0000000"), lit("80000000"), lit("40000000"))
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val keep = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))),
+      1, 8) < element_at(thresholds, pmod(srcNum, lit(4)) + 1)
+    documents(s, d)
+      .select(col("source"), keep.as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val qCorpusMixSql: String =
+    """WITH x AS (SELECT source,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8) AS h8,
+      |    ['g','c0000000','80000000','40000000']
+      |      [(CAST(substr(source, 4) AS INT) % 4) + 1] AS thr
+      |  FROM documents)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN h8 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM x GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_quality_repetition" -> qQualityRepetition,
+    "q_decontaminate" -> qDecontaminate,
+    "q_pii_scrub" -> qPiiScrub,
+    "q_corpus_mix" -> qCorpusMix)
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_repetition" -> qQualityRepetitionSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_corpus_mix" -> qCorpusMixSql)
+}

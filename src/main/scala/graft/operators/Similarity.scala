@@ -295,6 +295,51 @@ object Similarity {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDedup-style semantic near-dup pairs: cluster the corpus with the
+    * IVF coarse quantizer (spherical k-means, deterministic — see
+    * [[ivfIndex]]), then compare only WITHIN each cluster. Scale shape:
+    * the all-pairs cartesian becomes a shuffle on `cell` plus per-cell
+    * self-joins — with nlist ≈ √n the pair count drops from n²/2 to
+    * ~n^1.5, and each cell's join is an independent task. The documented
+    * trade (as in the SemDedup recipe) is that near-dup pairs straddling
+    * a cluster boundary are missed; verbatim copies have identical
+    * embeddings, hence identical cell assignment, hence recall 1.
+    */
+  def semanticDedupPairs(
+      corpus: DataFrame, threshold: Double,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val s = corpus.sparkSession
+    val base = corpus.select("vec_id", "embedding")
+    val centroids = ivfIndex(base, nlist, iters)
+    val cos = cosineCol(s)
+    val cells = base.select(col("vec_id"), col("embedding"),
+      element_at(graft.functions.IvfCells.cells(
+        s, col("embedding"), centroids, 1), 1).as("cell"))
+    // vectors live in exactly one cell → within-cell pairs are unique,
+    // no candidate distinct needed
+    cells.toDF("id_a", "va", "cell")
+      .join(cells.toDF("id_b", "vb", "cell"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Semantic-cluster dedup on the same corpus-with-copies as
+    * [[qDedupEmbedding]]. At threshold 0.9 the only qualifying pairs on
+    * this fixture are the verbatim copies (natural max cosine ~0.51),
+    * and copies always share a cell — so the output deterministically
+    * equals the exact all-pairs oracle and the query carries the same
+    * DuckDB SQL. PipelineOpsSpec asserts the equality explicitly.
+    */
+  val qDedupSemantic: Q = (s, d) => {
+    val base = embeddings(s, d).select("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    semanticDedupPairs(corpus, 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF ANN for the same query set — the cell-partitioned scale path
     * (candidates ≈ nprobe/nlist of the corpus). xxhash64 seeding is
     * Spark-specific → rows-only driver check; recall vs brute force is
@@ -309,9 +354,14 @@ object Similarity {
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
-    "q_dedup_embedding" -> qDedupEmbedding)
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_semantic" -> qDedupSemantic)
 
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> qKnnBruteForceSql,
-    "q_dedup_embedding" -> qDedupEmbeddingSql)
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
+    // cluster-local compare finds exactly the all-pairs output here:
+    // only verbatim copies clear 0.9 and copies share a cell (see
+    // qDedupSemantic doc) — same oracle as the exact form
+    "q_dedup_semantic" -> qDedupEmbeddingSql)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RepetitionStats
+import graft.operators.{Quality, Similarity}
+
+/** Corpus-quality operators: kernel-level counter checks, redaction
+  * semantics, contamination on hand-built frames, and the
+  * cluster-dedup-equals-exact property — everything the DuckDB
+  * differential can't pin down at the unit level.
+  */
+class QualitySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-quality-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def stats(tokens: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    Seq(Tuple1(tokens)).toDF("toks")
+      .select(RepetitionStats.stats(spark, col("toks")).as("st"))
+      .collect()(0).getSeq[Long](0)
+  }
+
+  test("repetition kernel counts tokens, bigrams, dups and top mass") {
+    // "a b a b c": bigrams ab, ba, ab, bc → ab twice (dup mass 2, top 2)
+    assert(stats(Seq("a", "b", "a", "b", "c")) === Seq(5L, 3L, 4L, 2L, 2L))
+    // no repetition at all
+    assert(stats(Seq("x", "y", "z")) === Seq(3L, 3L, 2L, 0L, 1L))
+    // total repetition: "a a a a" → bigram aa three times
+    assert(stats(Seq("a", "a", "a", "a")) === Seq(4L, 1L, 3L, 3L, 3L))
+  }
+
+  test("repetition kernel degenerate inputs: empty and single-token") {
+    assert(stats(Seq.empty) === Seq(0L, 0L, 0L, 0L, 0L))
+    assert(stats(Seq("only")) === Seq(1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("pii scrub redacts emails, phones, ips and long ids; keeps text") {
+    import spark.implicits._
+    val got = Seq(
+      "reach bob.smith+x@corp.example.org or +27-555-0199 now",
+      "host 192.168.0.1 acct 123456789 pin 42",
+      "nothing sensitive here 42 times").toDF("text")
+      .select(Quality.piiScrub(col("text")).as("s"))
+      .as[String].collect()
+    assert(got(0) === "reach <EMAIL> or <PHONE> now")
+    assert(got(1) === "host <IP> acct <ID> pin 42")
+    assert(got(2) === "nothing sensitive here 42 times")
+  }
+
+  test("contamination flags only docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // eval
+      (1L, "a quick brown fox jumps over me today"), // shares 1 5-gram
+      (2L, "completely different words in this one here"), // clean
+      (3L, "the quick brown fox jumps over the lazy dog") // verbatim
+    ).toDF("doc_id", "text")
+    val got = Quality.contamination(docs, col("doc_id") === 0, 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares exactly "quick brown fox jumps over"; doc 3 shares
+    // all five 5-grams of the eval doc; doc 2 is absent
+    assert(got === Array((1L, 1L, 1L), (3L, 5L, 1L)))
+  }
+
+  test("corpus mix keeps every doc of rate-1.0 sources, is deterministic") {
+    val mix = Quality.qCorpusMix(spark, dir).cache()
+    // sources with index % 4 == 0 carry threshold "g" → rate 1.0
+    val full = mix.filter(
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) === 0)
+    assert(full.count() > 0)
+    assert(full.filter(col("n_kept") =!= col("n_total")).count() === 0,
+      "rate-1.0 sources must keep every doc")
+    // sampled sources drop something at this corpus size but never all
+    val sampled = mix.filter(
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) =!= 0)
+    assert(sampled.filter(col("n_kept") === col("n_total")).count()
+      < sampled.count())
+    val again = Quality.qCorpusMix(spark, dir).collect()
+    assert(again === mix.orderBy("source").collect(),
+      "hash-threshold sampling must be run-stable")
+    mix.unpersist()
+  }
+
+  test("semantic cluster dedup equals exact all-pairs on the fixture") {
+    val exact = Similarity.qDedupEmbedding(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.qDedupSemantic(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(sem === exact,
+      "copies share a cell, so cluster-local compare must find all pairs")
+  }
+}
