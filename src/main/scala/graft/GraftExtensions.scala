@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofCosine)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAnnTopK)
   }
 }
 

@@ -103,6 +103,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nbr === Set(s, "😀b", "ab", "a😀"))
   }
 
+  test("ann top-k rewrite injects a bucket filter, opt-in, recall bounded") {
+    import graft.functions.LshBuckets
+    import org.apache.spark.sql.catalyst.plans.logical
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").cache()
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    // the withColumn + orderBy(attr).limit shape users actually write
+    def q = emb
+      .withColumn("sim", graft.functions.CosineSimilarity.cosineNative(
+        spark, col("embedding"), lit(queryVec)))
+      .orderBy(col("sim").desc).limit(10)
+    def bucketFiltered(p: org.apache.spark.sql.DataFrame): Boolean =
+      p.queryExecution.optimizedPlan
+        .collect { case f: logical.Filter => f.condition }
+        .exists(_.exists(_.isInstanceOf[LshBuckets]))
+    val exact = q.collect().map(_.getLong(0))
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteAnnTopK)
+    try {
+      // default-off: approximate rewrites must be explicit opt-ins
+      assert(!bucketFiltered(q), "rule must be inert without the conf")
+      spark.conf.set("spark.graft.annRewrite", "true")
+      assert(bucketFiltered(q), "bucket filter must appear under the sort")
+      val approx = q.collect().map(_.getLong(0))
+      // the query vector itself shares every bucket with itself
+      assert(approx.head === 0L, "self-match must survive pruning")
+      val recall = approx.toSet.intersect(exact.toSet).size.toDouble /
+        exact.length
+      assert(recall >= 0.3, s"recall $recall below the 16x6 OR-floor")
+      // inline-expression sort key (no alias) must also rewrite
+      def qInline = emb.orderBy(graft.functions.CosineSimilarity
+        .cosineNative(spark, col("embedding"), lit(queryVec)).desc).limit(5)
+      assert(bucketFiltered(qInline))
+    } finally {
+      spark.conf.unset("spark.graft.annRewrite")
+      spark.experimental.extraOptimizations = Nil
+      emb.unpersist()
+    }
+  }
+
   test("registerAll exposes every custom expression to SQL") {
     GraftExtensions.registerAll(spark)
     assert(spark.sql(
