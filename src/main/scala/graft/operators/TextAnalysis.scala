@@ -207,16 +207,109 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  // ---------------------------------------------------------------------
+  // TF-IDF: per-document top-3 terms by tf·ln(N/df), the classic
+  // salient-term extraction. Shuffle shape at scale: one exchange of the
+  // exploded tokens keyed (doc_id, term) for tf, one vocabulary-sized
+  // aggregation for df, a term-keyed join (vocabulary ≪ corpus — AQE
+  // picks broadcast when it fits), and a WindowGroupLimit-bounded top-3
+  // per doc. N arrives as a broadcast one-row frame, not a driver
+  // constant baked per-plan. Ties broken by term asc; scores rounded to
+  // 4dp (ln differs ≤1 ulp between libms — far below the rounding).
+  // ---------------------------------------------------------------------
+  val qTfidfTopTerms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val qTfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rnk, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unigram log-probability quality score: mean ln p(token) under the
+  // corpus unigram distribution — the cheap LM-perplexity proxy used to
+  // rank documents by "typicality". Corpus stats are one vocab-sized
+  // aggregation; the per-doc score is a term-keyed join + per-doc
+  // weighted average. tf·ln(c/T) sums ~40 doubles per doc; 4dp rounding
+  // sits ~9 orders above the accumulation-order jitter.
+  // ---------------------------------------------------------------------
+  val qUnigramLogprob: Q = (s, d) => {
+    val tf = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy("term").agg(sum("tf").as("c"))
+    val total = corpus.agg(sum("c").as("t"))
+    tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(
+        sum(col("tf") * log(col("c").cast("double") / col("t"))) /
+          sum(col("tf")), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val qUnigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus)
+      |SELECT doc_id,
+      |  round(sum(tf * ln(CAST(c AS DOUBLE) / t)) / sum(tf), 4)
+      |    AS mean_logprob
+      |FROM tf JOIN corpus USING (term) CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_token_classes" -> qTokenClasses,
     "q_doc_fingerprint" -> qFingerprint,
-    "q_source_overlap" -> qSourceOverlap)
+    "q_source_overlap" -> qSourceOverlap,
+    "q_tfidf_top_terms" -> qTfidfTopTerms,
+    "q_unigram_logprob" -> qUnigramLogprob)
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_token_classes" -> qTokenClassesSql,
-    "q_doc_fingerprint" -> qFingerprintSql)
+    "q_doc_fingerprint" -> qFingerprintSql,
+    "q_tfidf_top_terms" -> qTfidfTopTermsSql,
+    "q_unigram_logprob" -> qUnigramLogprobSql)
 }

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.RepetitionStats
+import graft.functions.TextFunctions._
+import graft.operators.Quality
+
+/** The training-corpus ingest pipeline as a STREAM: the quality-gate /
+  * scrub / dedup stages of [[graft.operators.Quality]] and
+  * [[graft.operators.Curation]] applied to a continuous document feed
+  * (the shape of a crawler → corpus pipeline, where documents arrive
+  * with an ingest timestamp rather than sitting in a parquet snapshot).
+  *
+  * Every stage is built from the same codegen'd per-row kernels the
+  * batch operators use — `RepetitionStats`, `piiScrub`, `fingerprint`
+  * are stateless row maps, so they run identically under `readStream`
+  * micro-batches and batch frames (asserted in DocStreamsSpec). The only
+  * stateful stage is content dedup, which uses
+  * `dropDuplicatesWithinWatermark` so state stays bounded by the
+  * lateness horizon instead of growing with corpus size — the same
+  * at-least-once-source contract as [[EventStreams.dedupStream]].
+  *
+  * Expected input schema: (doc_id long, text string, source string,
+  * ingest_ts timestamp).
+  */
+object DocStreams {
+
+  /** The expected input row shape (also the MemoryStream driver type —
+    * must live outside any test class for the encoder to see it).
+    */
+  final case class Doc(
+      doc_id: Long, text: String, source: String,
+      ingest_ts: java.sql.Timestamp)
+
+  /** Stateless preparation: quality gate (length band, token floor,
+    * repetition ceiling) → PII scrub → content fingerprint. Gate
+    * thresholds are the Gopher-style knobs; the repetition ceiling uses
+    * the per-row kernel, so the gate is still a pure scan-side map with
+    * zero shuffle and zero state.
+    */
+  def prepare(
+      docs: DataFrame,
+      minChars: Int = 100, maxChars: Int = 500,
+      minTokens: Int = 20, maxTopBigramFrac: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("st", RepetitionStats.stats(spark, col("toks")))
+      .filter(length(col("text")).between(minChars, maxChars) &&
+        size(col("toks")) >= minTokens &&
+        element_at(col("st"), 3) > 0 &&
+        element_at(col("st"), 5).cast("double") / element_at(col("st"), 3)
+          <= maxTopBigramFrac)
+      // scrub BEFORE fingerprinting: two crawls of the same page that
+      // differ only in embedded PII must dedup to one document
+      .withColumn("clean", Quality.piiScrub(col("text")))
+      .select(
+        col("doc_id"), col("source"), col("ingest_ts"),
+        col("clean").as("text"),
+        element_at(col("st"), 1).as("n_tokens"),
+        fingerprint(col("clean")).as("fp"))
+  }
+
+  /** Content-level exact dedup within the watermark horizon: the first
+    * arrival of a fingerprint wins; replays/mirrors landing inside the
+    * horizon are dropped, and fingerprint state is evicted once the
+    * watermark passes — bounded by arrival rate × horizon, not corpus
+    * size.
+    */
+  def dedupByContent(
+      prepared: DataFrame, watermark: String = "1 hour"): DataFrame =
+    prepared
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Per-source ingest accounting over tumbling windows: surviving docs
+    * and token mass after gate + dedup — the monitoring feed a corpus
+    * ingest job publishes. Watermark finalizes windows and bounds state;
+    * pass `watermark = None` when the input is already watermarked (a
+    * chained stateful operator must not redefine it — Spark rejects the
+    * plan).
+    */
+  def ingestStats(
+      deduped: DataFrame,
+      window: String = "10 minutes",
+      watermark: Option[String] = Some("1 hour")): DataFrame =
+    watermark.fold(deduped)(w => deduped.withWatermark("ingest_ts", w))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ingest_ts"), window),
+        col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("source"), col("n_docs"), col("n_tokens"))
+
+  /** The full ingest pipeline: gate → scrub → dedup → windowed stats. */
+  def pipeline(
+      docs: DataFrame,
+      window: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    ingestStats(dedupByContent(prepare(docs), watermark), window,
+      watermark = None)
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DocStreams
+import graft.streaming.DocStreams.Doc
+
+/** The streaming corpus-ingest pipeline: gate/scrub/fingerprint as
+  * stateless maps (batch ≡ streaming), watermark-bounded content dedup,
+  * and windowed ingest accounting — driven with MemoryStream.
+  */
+class DocStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-docstream-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog said bob@corp.example.com"
+  // same content, different planted PII → same scrubbed fingerprint
+  private val goodOtherPii =
+    "the quick brown fox jumps over the lazy dog said eve@other.example.net"
+
+  private def prepare(df: org.apache.spark.sql.DataFrame) =
+    DocStreams.prepare(df,
+      minChars = 10, maxChars = 500, minTokens = 5, maxTopBigramFrac = 0.5)
+
+  test("prepare gates short/repetitive docs, scrubs pii, batch mode") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc(1, good, "crawl", ts(0)),
+      Doc(2, "tiny", "crawl", ts(1)), // < minChars
+      Doc(3, "spam spam spam spam spam spam", "crawl", ts(2)), // repetitive
+      Doc(4, "one two three four", "crawl", ts(3)) // < minTokens
+    ).toDF()
+    val got = prepare(docs).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+    val r = got.head
+    assert(r.getAs[String]("text").contains("<EMAIL>"))
+    assert(!r.getAs[String]("text").contains("bob@"))
+    assert(r.getAs[Long]("n_tokens") === 11L)
+    assert(r.getAs[String]("fp").length === 32)
+  }
+
+  test("streaming dedup collapses same-content docs differing only in pii") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.dedupByContent(prepare(input.toDF()), "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_dedup").start()
+    try {
+      input.addData(Doc(1, good, "crawl_a", ts(0)))
+      q.processAllAvailable()
+      input.addData(Doc(2, goodOtherPii, "crawl_b", ts(5))) // dup after scrub
+      input.addData(Doc(3, "a completely different document body here", "crawl_a", ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("doc_dedup").select("doc_id").as[Long]
+        .collect().sorted
+      assert(got === Array(1L, 3L),
+        "scrub-then-fingerprint must collapse the PII-only variant")
+    } finally q.stop()
+  }
+
+  test("pipeline finalizes per-source windowed token accounting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val stats = DocStreams.ingestStats(
+      DocStreams.dedupByContent(prepare(input.toDF()), "5 minutes"),
+      window = "10 minutes", watermark = None)
+    val q = stats.writeStream.outputMode("append")
+      .format("memory").queryName("doc_stats").start()
+    try {
+      input.addData(
+        Doc(1, good, "crawl_a", ts(0)),
+        Doc(2, goodOtherPii, "crawl_a", ts(2)), // deduped away
+        Doc(3, "a completely different document body here now", "crawl_b", ts(4)))
+      q.processAllAvailable()
+      input.addData(Doc(9, "late watermark pusher far in the future ok", "crawl_b", ts(30)))
+      q.processAllAvailable()
+      val got = spark.table("doc_stats")
+        .select("window_start", "source", "n_docs", "n_tokens")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.contains((ts(0), "crawl_a", 1L, 11L)),
+        s"crawl_a window must hold only the dedup survivor; got $got")
+      assert(got.contains((ts(0), "crawl_b", 1L, 7L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("prepare is batch/stream agnostic: identical rows both ways") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1, good, "crawl", ts(0)),
+      Doc(3, "spam spam spam spam spam spam", "crawl", ts(2)),
+      Doc(4, "another normal document with several distinct words", "crawl", ts(3)))
+    val batch = prepare(docs.toDF()).collect().map(_.toString).sorted
+    val input = MemoryStream[Doc]
+    val q = prepare(input.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("doc_prep").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("doc_prep").collect().map(_.toString).sorted
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
