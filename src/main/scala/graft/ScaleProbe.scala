@@ -97,22 +97,10 @@ object ScaleProbe {
     // within-cell pairs at nlist tracking √n (10× vectors → 3× cells)
     t("semantic dedup 20k vectors (ivf cells nlist=48)")(
       operators.Similarity.semanticDedupPairs(emb, 0.9, nlist = 48).count())
-    // two corpus-keyed aggs + vocab join + WindowGroupLimit top-3
-    t("tfidf top terms 50k docs") {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
-        .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3).count()
-    }
+    // two corpus-keyed aggs + vocab join + WindowGroupLimit top-3 —
+    // the same operator body the registered query runs
+    t("tfidf top terms 50k docs")(
+      operators.TextAnalysis.tfidfTopTerms(docs, 3).count())
     spark.stop()
   }
 }

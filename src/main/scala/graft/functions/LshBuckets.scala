@@ -53,6 +53,50 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
       newChild: Expression): LshBuckets = copy(child = newChild)
 }
 
+/** Boolean probe: does this embedding share its LSH bucket with the
+  * (driver-computed) query buckets in ANY hash table? One kernel pass
+  * with per-table early exit — built for
+  * [[graft.plans.RewriteAnnTopK]]'s injected filter, where an
+  * Or-chain of `GetArrayItem(LshBuckets(emb), t) = qb(t)` comparisons
+  * would re-evaluate the full `tables × bits × dims` projection kernel
+  * once per branch (Filter predicates get no subexpression
+  * elimination), making the pruning filter costlier than the exact
+  * scan it replaces. Here a non-colliding row pays at most the same
+  * single kernel pass as bucketing itself, and a colliding row exits at
+  * its first matching table.
+  *
+  * `queryBuckets.length` defines the table count. The Array param loses
+  * case-class `semanticEquals` (reference equality) — harmless, it only
+  * forfeits subexpression reuse the filter doesn't need.
+  */
+case class LshBucketMatch(child: Expression, queryBuckets: Array[Int],
+    bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    LshBuckets.matchesAny(
+      input.asInstanceOf[ArrayData], queryBuckets, bits)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qb = ctx.addReferenceObj("queryBuckets", queryBuckets, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshBuckets$$.MODULE$$" +
+        s".matchesAny($a, $qb, $bits);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBucketMatch = copy(child = newChild)
+}
+
 object LshBuckets {
 
   val functionName = "lsh_buckets"
@@ -95,6 +139,35 @@ object LshBuckets {
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Early-exit probe kernel shared by [[LshBucketMatch]]'s interpreted
+    * eval and generated code: computes table t's bucket and compares
+    * before moving to table t+1.
+    */
+  def matchesAny(arr: ArrayData, qb: Array[Int], bits: Int): Boolean = {
+    val dims = arr.numElements()
+    val tables = qb.length
+    val signs = signMatrix(tables * bits, dims)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val s = signs(t * bits + j)
+        var proj = 0.0d
+        var kk = 0
+        while (kk < dims) {
+          proj += arr.getFloat(kk).toDouble * s(kk)
+          kk += 1
+        }
+        if (proj > 0.0d) bucket |= 1 << j
+        j += 1
+      }
+      if (bucket == qb(t)) return true
+      t += 1
+    }
+    false
   }
 
   def register(spark: SparkSession): Unit =

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * oracle counts the gram STRINGS — agreement is asserted by the driver
   * hash check.
   *
-  * Output `array<long>` of length 5:
+  * Output `array<long>` of length 6:
   * {{{
   *   [0] n_tokens
   *   [1] n_distinct_tokens
@@ -36,9 +36,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *   [3] dup_bigram_positions (bigram occurrences whose bigram count > 1)
   *   [4] top_bigram_count     (occurrences of the most frequent bigram;
   *                             0 when the document has no bigram)
+  *   [5] top_bigram_ppm       (⌊10⁶·top/n_bigrams⌋; 0 when the document
+  *                             has no bigram — no repetition evidence)
   * }}}
   * Ratio assembly (and 4-dp rounding for oracle parity) stays in plain
-  * Column arithmetic on these exact integers.
+  * Column arithmetic on the exact integers [0]..[4]; [5] exists so a
+  * repetition GATE can be one single kernel reference (predicate
+  * pushdown inlines a projected alias into the pushed filter, so every
+  * extra reference in a gate becomes a whole extra kernel evaluation
+  * per row — see [[graft.streaming.DocStreams.prepare]]).
   */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
 
@@ -73,7 +79,7 @@ object RepetitionStats {
     */
   def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val out = new Array[Long](5)
+    val out = new Array[Long](6)
     out(0) = n.toLong
     if (n == 0) return new GenericArrayData(out)
 
@@ -99,6 +105,7 @@ object RepetitionStats {
       val (_, dup, top) = countTable(bg, n - 1)
       out(3) = dup
       out(4) = top
+      out(5) = top * 1000000L / (n - 1)
     }
     new GenericArrayData(out)
   }

@@ -329,7 +329,7 @@ object Similarity {
     * this fixture are the verbatim copies (natural max cosine ~0.51),
     * and copies always share a cell — so the output deterministically
     * equals the exact all-pairs oracle and the query carries the same
-    * DuckDB SQL. PipelineOpsSpec asserts the equality explicitly.
+    * DuckDB SQL. QualitySpec asserts the equality explicitly.
     */
   val qDedupSemantic: Q = (s, d) => {
     val base = embeddings(s, d).select("vec_id", "embedding")

@@ -217,14 +217,17 @@ object TextAnalysis {
   // constant baked per-plan. Ties broken by term asc; scores rounded to
   // 4dp (ln differs ≤1 ulp between libms — far below the rounding).
   // ---------------------------------------------------------------------
-  val qTfidfTopTerms: Q = (s, d) => {
+  /** Reusable operator (the registered query and ScaleProbe both call
+    * this — the probe must measure the same plan shape the query runs).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents(s, d)
+    val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
@@ -232,10 +235,12 @@ object TextAnalysis {
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
-      .orderBy("doc_id", "rnk")
   }
+
+  val qTfidfTopTerms: Q = (s, d) =>
+    tfidfTopTerms(documents(s, d), 3).orderBy("doc_id", "rnk")
 
   val qTfidfTopTermsSql: String =
     """WITH toks AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{CosineSimilarity, LshBuckets}
+import graft.functions.{CosineSimilarity, LshBucketMatch, LshBuckets}
 
 /** ANN index substitution (SURVEY §4.3: "rewrite similarity-search-then-
   * limit into a pruned top-k exchange"): a `Rule[LogicalPlan]` that
@@ -86,13 +86,16 @@ object RewriteAnnTopK extends Rule[LogicalPlan] {
     LshBuckets.computeBuckets(q.value.asInstanceOf[ArrayData], tables, bits)
       .toIntArray()
 
+  /** One [[LshBucketMatch]] probe — a single early-exit kernel pass per
+    * row. An Or-chain of per-table `GetArrayItem(LshBuckets(emb), t) =
+    * qb(t)` comparisons would embed the full projection kernel once per
+    * branch (no subexpression elimination inside a Filter predicate),
+    * costing `tables×` the work and dwarfing the exact cosine the
+    * rewrite avoids.
+    */
   private def bucketPredicate(
-      emb: Expression, q: Literal, tables: Int, bits: Int): Expression = {
-    val rowBuckets = LshBuckets(emb, tables, bits)
-    queryBuckets(q, tables, bits).zipWithIndex.map { case (b, t) =>
-      EqualTo(GetArrayItem(rowBuckets, Literal(t)), Literal(b)): Expression
-    }.reduce(Or)
-  }
+      emb: Expression, q: Literal, tables: Int, bits: Int): Expression =
+    LshBucketMatch(emb, queryBuckets(q, tables, bits), bits)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.annRewrite", "false") != "true") {
@@ -112,7 +115,7 @@ object RewriteAnnTopK extends Rule[LogicalPlan] {
                 // already rewritten? (fixed-point safety)
                 !child.exists {
                   case Filter(cond, _) =>
-                    cond.exists(_.isInstanceOf[LshBuckets])
+                    cond.exists(_.isInstanceOf[LshBucketMatch])
                   case _ => false
                 } =>
             val pred = bucketPredicate(emb, q, tables, bits)

@@ -39,27 +39,34 @@ object DocStreams {
     * thresholds are the Gopher-style knobs; the repetition ceiling uses
     * the per-row kernel, so the gate is still a pure scan-side map with
     * zero shuffle and zero state.
+    *
+    * Reference discipline: predicate pushdown INLINES projected aliases
+    * into the pushed filter, so each kernel reference in the gate
+    * becomes a whole kernel evaluation per row. The ceiling therefore
+    * compares the kernel's pre-computed `top_bigram_ppm` slot — ONE
+    * kernel reference in the whole gate — and a bigram-less document
+    * (ppm 0: no repetition evidence) passes rather than being silently
+    * rejected on the `n_bigrams > 0` technicality.
     */
   def prepare(
       docs: DataFrame,
       minChars: Int = 100, maxChars: Int = 500,
       minTokens: Int = 20, maxTopBigramFrac: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
+    val ppmCeil = math.round(maxTopBigramFrac * 1000000L)
     docs
+      .filter(length(col("text")).between(minChars, maxChars))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("st", RepetitionStats.stats(spark, col("toks")))
-      .filter(length(col("text")).between(minChars, maxChars) &&
-        size(col("toks")) >= minTokens &&
-        element_at(col("st"), 3) > 0 &&
-        element_at(col("st"), 5).cast("double") / element_at(col("st"), 3)
-          <= maxTopBigramFrac)
+      .filter(size(col("toks")) >= minTokens &&
+        element_at(
+          RepetitionStats.stats(spark, col("toks")), 6) <= ppmCeil)
       // scrub BEFORE fingerprinting: two crawls of the same page that
       // differ only in embedded PII must dedup to one document
       .withColumn("clean", Quality.piiScrub(col("text")))
       .select(
         col("doc_id"), col("source"), col("ingest_ts"),
         col("clean").as("text"),
-        element_at(col("st"), 1).as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         fingerprint(col("clean")).as("fp"))
   }
 

@@ -104,7 +104,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("ann top-k rewrite injects a bucket filter, opt-in, recall bounded") {
-    import graft.functions.LshBuckets
+    import graft.functions.LshBucketMatch
     import org.apache.spark.sql.catalyst.plans.logical
     val emb = Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").cache()
@@ -118,7 +118,7 @@ class ExtensionsSpec extends AnyFunSuite {
     def bucketFiltered(p: org.apache.spark.sql.DataFrame): Boolean =
       p.queryExecution.optimizedPlan
         .collect { case f: logical.Filter => f.condition }
-        .exists(_.exists(_.isInstanceOf[LshBuckets]))
+        .exists(_.exists(_.isInstanceOf[LshBucketMatch]))
     val exact = q.collect().map(_.getLong(0))
     spark.experimental.extraOptimizations = Seq(graft.plans.RewriteAnnTopK)
     try {
@@ -158,5 +158,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val nbr = spark.sql("SELECT deletion_neighborhood('ab', 1)")
       .head.getSeq[String](0).toSet
     assert(nbr === Set("ab", "a", "b"))
+    // 6-slot counter array: "a a" → 2 tokens, 1 distinct, 1 bigram
+    // occurring once (ppm 1e6)
+    assert(spark.sql("SELECT repetition_stats(array('a', 'a'))")
+      .head.getSeq[Long](0) === Seq(2L, 1L, 1L, 0L, 1L, 1000000L))
   }
 }

@@ -32,17 +32,20 @@ class QualitySpec extends AnyFunSuite {
   }
 
   test("repetition kernel counts tokens, bigrams, dups and top mass") {
-    // "a b a b c": bigrams ab, ba, ab, bc → ab twice (dup mass 2, top 2)
-    assert(stats(Seq("a", "b", "a", "b", "c")) === Seq(5L, 3L, 4L, 2L, 2L))
-    // no repetition at all
-    assert(stats(Seq("x", "y", "z")) === Seq(3L, 3L, 2L, 0L, 1L))
-    // total repetition: "a a a a" → bigram aa three times
-    assert(stats(Seq("a", "a", "a", "a")) === Seq(4L, 1L, 3L, 3L, 3L))
+    // "a b a b c": bigrams ab, ba, ab, bc → ab twice (dup mass 2, top 2,
+    // ppm 2e6/4)
+    assert(stats(Seq("a", "b", "a", "b", "c")) ===
+      Seq(5L, 3L, 4L, 2L, 2L, 500000L))
+    // no repetition at all — top bigram still counts once (ppm 1e6/2)
+    assert(stats(Seq("x", "y", "z")) === Seq(3L, 3L, 2L, 0L, 1L, 500000L))
+    // total repetition: "a a a a" → bigram aa three times (ppm 1e6)
+    assert(stats(Seq("a", "a", "a", "a")) ===
+      Seq(4L, 1L, 3L, 3L, 3L, 1000000L))
   }
 
   test("repetition kernel degenerate inputs: empty and single-token") {
-    assert(stats(Seq.empty) === Seq(0L, 0L, 0L, 0L, 0L))
-    assert(stats(Seq("only")) === Seq(1L, 1L, 0L, 0L, 0L))
+    assert(stats(Seq.empty) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(stats(Seq("only")) === Seq(1L, 1L, 0L, 0L, 0L, 0L))
   }
 
   test("pii scrub redacts emails, phones, ips and long ids; keeps text") {
