@@ -241,15 +241,124 @@ object Quality {
       |FROM x GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Token-budget selection: fill a per-language token budget greedily in
+  // quality order (least-repetitive first via the kernel's top-bigram
+  // ppm, doc_id tie-break) — the curriculum/mixture primitive that turns
+  // "rank by quality" into "an actual corpus of B tokens per language".
+  // One kernel scan + one per-language running-sum window; ordering by a
+  // unique key keeps RANGE/ROWS framing identical across engines. The
+  // running sum is integer (token counts), so the cut is exact — no
+  // float boundary risk.
+  // ---------------------------------------------------------------------
+  val qTokenBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val w = Window.partitionBy("lang").orderBy("ppm", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        RepetitionStats.stats(s, tokens(col("text"))).as("st"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 6).as("ppm"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("lang", "doc_id")
+  }
+
+  val qTokenBudgetSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |bg AS (SELECT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+      |          CAST(max(c) AS BIGINT) AS top FROM bgc GROUP BY 1),
+      |sel AS (SELECT t.doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens,
+      |          CASE WHEN nb > 0 THEN top * 1000000 // nb ELSE 0 END AS ppm
+      |        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id),
+      |cum AS (SELECT lang, doc_id, n_tokens,
+      |          CAST(sum(n_tokens) OVER (PARTITION BY lang
+      |            ORDER BY ppm, doc_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |        FROM sel)
+      |SELECT lang, doc_id, n_tokens, cum_tokens FROM cum
+      |WHERE cum_tokens <= 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (the MOSS scheme): hash every word 4-gram,
+  // keep the minimum hash of each sliding window of 4 consecutive
+  // grams, distinct per doc — guaranteed to share a fingerprint with
+  // any document overlapping by ≥ 7 tokens, robust to edits in between.
+  // This IS SURVEY §7.4's "document fingerprinting (rolling hash)" in
+  // its canonical robust form, and it is pure window algebra: no UDF,
+  // no kernel — partition by doc, ROWS sliding min, distinct. Selection
+  // by value makes tie policy irrelevant (tied minima dedup away).
+  // md5-hex ordering is engine-identical (lowercase hex, binary
+  // collation both sides); a production pipeline swaps md5 for xxhash64
+  // (same plan, 64-bit keys) and gives up only the DuckDB oracle.
+  // ---------------------------------------------------------------------
+  val qDocWinnow: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = 4 // gram width
+    val w = 4 // winnow window
+    val grams = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("wmin", min("h").over(win))
+      .filter(col("pos") >= w - 1) // only full windows select
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp")
+  }
+
+  val qDocWinnowSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |gr AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+      |         md5(l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |             l[CAST(i AS INT)+2] || ' ' || l[CAST(i AS INT)+3]) AS h
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 3 <= len(l)),
+      |wm AS (SELECT doc_id, pos,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |       FROM gr)
+      |SELECT DISTINCT doc_id, fp FROM wm
+      |WHERE pos >= 3
+      |ORDER BY doc_id, fp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
-    "q_corpus_mix" -> qCorpusMix)
+    "q_corpus_mix" -> qCorpusMix,
+    "q_token_budget" -> qTokenBudget,
+    "q_doc_winnow" -> qDocWinnow)
 
   val oracles: Map[String, String] = Map(
     "q_quality_repetition" -> qQualityRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_pii_scrub" -> qPiiScrubSql,
-    "q_corpus_mix" -> qCorpusMixSql)
+    "q_corpus_mix" -> qCorpusMixSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_doc_winnow" -> qDocWinnowSql)
 }
