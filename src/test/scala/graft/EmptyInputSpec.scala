@@ -55,4 +55,35 @@ class EmptyInputSpec extends AnyFunSuite {
   test("completedWards is empty on empty inputs") {
     assert(SanefJobs.completedWards(EmptySources, JobConfig()).count() === 0)
   }
+
+  test("corpus operators yield empty, correctly-shaped frames on empty corpora") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+    val contamination =
+      operators.Quality.contamination(docs, col("doc_id") % 10 === 0, 5)
+    assert(contamination.count() === 0)
+    assert(contamination.columns.toSeq ===
+      Seq("doc_id", "n_shared_grams", "n_eval_docs"))
+
+    val tfidf = operators.TextAnalysis.tfidfTopTerms(docs, 3)
+    assert(tfidf.count() === 0)
+    assert(tfidf.columns.toSeq === Seq("doc_id", "rnk", "term", "score"))
+
+    // zero vectors → zero k-means seeds → empty centroid matrix; the
+    // kernels never evaluate on zero rows, so the plan must still build
+    val sem = operators.Similarity.semanticDedupPairs(emb, 0.9)
+    assert(sem.count() === 0)
+    assert(sem.columns.toSeq === Seq("id_a", "id_b"))
+
+    val prep = streaming.DocStreams.prepare(
+      docs.withColumn("ingest_ts", org.apache.spark.sql.functions
+        .current_timestamp()).drop("lang"))
+    assert(prep.count() === 0)
+    assert(prep.columns.toSeq ===
+      Seq("doc_id", "source", "ingest_ts", "text", "n_tokens", "fp"))
+  }
 }

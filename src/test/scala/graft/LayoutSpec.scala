@@ -82,6 +82,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.count() === 100)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The 100 TB lever this pins: a selective dimension filter induces a
+    // bloom filter on the fact side BEFORE the join shuffle, so the
+    // exchange carries only probable matches. Spark injects it when the
+    // application side is big enough — thresholds are lowered here so
+    // the fixture-sized join demonstrates the same plan the full-size
+    // job would get.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.001"
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("might_contain"),
+        "fact-side scan must carry the runtime bloom probe")
+      // and the filter must not change results vs the plain join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count().collect().toSet
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.collect().toSet === plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
     // all rows byte-identical — a value-hash salt would collapse to one
