@@ -250,6 +250,13 @@ object Quality {
   // unique key keeps RANGE/ROWS framing identical across engines. The
   // running sum is integer (token counts), so the cut is exact — no
   // float boundary risk.
+  //
+  // SCALE CAVEAT: partitionBy(lang) has ~languages-many partitions, so
+  // the per-doc running sum is one sequential task per language — exact
+  // greedy selection is inherently sequential. At corpus scale use
+  // [[tokenBudgetByPpmClass]]: the window runs over the (lang, ppm)
+  // AGGREGATE (≤ 10⁶+1 ppm classes per language, bounded by the ppm
+  // codomain, not the corpus), and per-doc work stays fully parallel.
   // ---------------------------------------------------------------------
   val qTokenBudget: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -266,6 +273,40 @@ object Quality {
       .filter(col("cum_tokens") <= budget)
       .select("lang", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("lang", "doc_id")
+  }
+
+  /** The 100 TB form of the token-budget fill: select whole ppm QUALITY
+    * CLASSES while they fit the budget. The running sum runs over the
+    * per-(lang, ppm) aggregate — at most 10⁶+1 rows per language
+    * whatever the corpus size — and every per-doc step (kernel scan,
+    * class agg, broadcast-join filter) is embarrassingly parallel. The
+    * trade vs the exact greedy fill is the boundary class: the first
+    * class that doesn't fully fit is excluded entirely (its docs are
+    * interchangeable at this quality granularity; a caller that wants
+    * the budget filled to the token slices just that one class — a
+    * per-language frame no bigger than one class — with the greedy
+    * form). QualitySpec pins the containment relation between the two.
+    */
+  def tokenBudgetByPpmClass(
+      docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"),
+        RepetitionStats.stats(s, tokens(col("text"))).as("st"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 6).as("ppm"))
+    val w = Window.partitionBy("lang").orderBy("ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fittingClasses = perDoc
+      .groupBy("lang", "ppm")
+      .agg(sum("n_tokens").as("class_tokens"))
+      .withColumn("cum_tokens", sum("class_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("lang", "ppm")
+    perDoc.join(broadcast(fittingClasses), Seq("lang", "ppm"))
+      .select("lang", "doc_id", "n_tokens", "ppm")
   }
 
   val qTokenBudgetSql: String =

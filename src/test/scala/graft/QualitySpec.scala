@@ -96,6 +96,26 @@ class QualitySpec extends AnyFunSuite {
     mix.unpersist()
   }
 
+  test("ppm-class budget fill is the greedy fill minus the boundary class") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val budget = 2000L
+    val greedy = Quality.qTokenBudget(spark, dir)
+      .select("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val byClass = Quality.tokenBudgetByPpmClass(docs, budget).cache()
+    val classSet = byClass.select("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(classSet.nonEmpty)
+    assert(classSet.subsetOf(greedy),
+      "whole fitting classes are exactly the greedy prefix up to the boundary")
+    // budget is respected per language
+    val overs = byClass.groupBy("lang")
+      .agg(sum("n_tokens").as("t")).filter(col("t") > budget).count()
+    assert(overs === 0)
+    byClass.unpersist()
+  }
+
   test("semantic cluster dedup equals exact all-pairs on the fixture") {
     val exact = Similarity.qDedupEmbedding(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
