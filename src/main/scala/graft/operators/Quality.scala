@@ -387,13 +387,57 @@ object Quality {
       |WHERE pos >= 3
       |ORDER BY doc_id, fp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Winnow-based near-dup pairs: documents sharing ≥ m selected
+  // fingerprints. This is what the winnow index is FOR — overlap
+  // detection that survives edits between the overlapping spans (the
+  // guarantee: any ≥ 7-token contiguous overlap shares a fingerprint).
+  // Same inverted-index shape as the Jaccard family: self-join on the
+  // fingerprint key, pair-count aggregate, threshold. Winnowing keeps
+  // ~1/w of grams, so the index (and the join) is ~4× smaller than the
+  // all-shingles index — the point of the scheme at corpus scale; a df
+  // cap composes exactly as in Dedup.capDocFrequency for boilerplate
+  // fingerprints.
+  // ---------------------------------------------------------------------
+  val qDedupWinnow: Q = (s, d) => {
+    // the index feeds both join sides — persist it, or the md5 + per-doc
+    // window subtree runs twice (measured 7.2 s median vs 2.6 s at
+    // sf0.1); boilerplate-heavy corpora additionally compose
+    // Dedup.capDocFrequency here (max fingerprint df is 6 on this
+    // fixture, so no cap is needed for the oracle)
+    val fps = qDocWinnow(s, d).persist()
+    val out = fps.toDF("id_a", "fp")
+      .join(fps.toDF("id_b", "fp"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
+  val qDedupWinnowSql: String = {
+    // the winnow CTE body, reused verbatim from qDocWinnowSql
+    val winnow = qDocWinnowSql
+      .replace("ORDER BY doc_id, fp", "")
+    s"""WITH sel AS ($winnow)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_corpus_mix" -> qCorpusMix,
     "q_token_budget" -> qTokenBudget,
-    "q_doc_winnow" -> qDocWinnow)
+    "q_doc_winnow" -> qDocWinnow,
+    "q_dedup_winnow" -> qDedupWinnow)
 
   val oracles: Map[String, String] = Map(
     "q_quality_repetition" -> qQualityRepetitionSql,
@@ -401,5 +445,6 @@ object Quality {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_token_budget" -> qTokenBudgetSql,
-    "q_doc_winnow" -> qDocWinnowSql)
+    "q_doc_winnow" -> qDocWinnowSql,
+    "q_dedup_winnow" -> qDedupWinnowSql)
 }
