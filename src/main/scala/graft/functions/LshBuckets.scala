@@ -115,27 +115,36 @@ object LshBuckets {
       }
     })
 
+  /** Table t's bucket id — the ONE copy of the projection/bit-assembly
+    * loop; both kernels below call it so the probe can never drift from
+    * the assignment.
+    */
+  private def bucketFor(
+      arr: ArrayData, signs: Array[Array[Float]], t: Int, bits: Int): Int = {
+    val dims = arr.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      val s = signs(t * bits + j)
+      var proj = 0.0d
+      var kk = 0
+      while (kk < dims) {
+        proj += arr.getFloat(kk).toDouble * s(kk)
+        kk += 1
+      }
+      if (proj > 0.0d) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+
   /** Kernel shared by interpreted eval and generated code. */
   def computeBuckets(arr: ArrayData, tables: Int, bits: Int): ArrayData = {
-    val dims = arr.numElements()
-    val signs = signMatrix(tables * bits, dims)
+    val signs = signMatrix(tables * bits, arr.numElements())
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
-      var bucket = 0
-      var j = 0
-      while (j < bits) {
-        val s = signs(t * bits + j)
-        var proj = 0.0d
-        var kk = 0
-        while (kk < dims) {
-          proj += arr.getFloat(kk).toDouble * s(kk)
-          kk += 1
-        }
-        if (proj > 0.0d) bucket |= 1 << j
-        j += 1
-      }
-      out(t) = bucket
+      out(t) = bucketFor(arr, signs, t, bits)
       t += 1
     }
     new GenericArrayData(out)
@@ -146,25 +155,11 @@ object LshBuckets {
     * before moving to table t+1.
     */
   def matchesAny(arr: ArrayData, qb: Array[Int], bits: Int): Boolean = {
-    val dims = arr.numElements()
     val tables = qb.length
-    val signs = signMatrix(tables * bits, dims)
+    val signs = signMatrix(tables * bits, arr.numElements())
     var t = 0
     while (t < tables) {
-      var bucket = 0
-      var j = 0
-      while (j < bits) {
-        val s = signs(t * bits + j)
-        var proj = 0.0d
-        var kk = 0
-        while (kk < dims) {
-          proj += arr.getFloat(kk).toDouble * s(kk)
-          kk += 1
-        }
-        if (proj > 0.0d) bucket |= 1 << j
-        j += 1
-      }
-      if (bucket == qb(t)) return true
+      if (bucketFor(arr, signs, t, bits) == qb(t)) return true
       t += 1
     }
     false

@@ -148,7 +148,7 @@ object RepetitionStats {
       exprs => RepetitionStats(exprs(0)),
       "built-in")
 
-  /** Column API: the 5-element counter array (see class doc). */
+  /** Column API: the 6-element counter array (see class doc). */
   def stats(spark: SparkSession, toks: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(functionName, toks)

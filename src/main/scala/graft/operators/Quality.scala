@@ -291,12 +291,15 @@ object Quality {
       docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
+    // the kernel scan feeds both the class aggregate and the join probe
+    // side — persist it or the corpus tokenizes twice per action
     val perDoc = docs
       .select(col("doc_id"), col("lang"),
         RepetitionStats.stats(s, tokens(col("text"))).as("st"))
       .select(col("doc_id"), col("lang"),
         element_at(col("st"), 1).as("n_tokens"),
         element_at(col("st"), 6).as("ppm"))
+      .persist()
     val w = Window.partitionBy("lang").orderBy("ppm")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fittingClasses = perDoc
@@ -305,8 +308,11 @@ object Quality {
       .withColumn("cum_tokens", sum("class_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
       .select("lang", "ppm")
-    perDoc.join(broadcast(fittingClasses), Seq("lang", "ppm"))
+    val out = perDoc.join(broadcast(fittingClasses), Seq("lang", "ppm"))
       .select("lang", "doc_id", "n_tokens", "ppm")
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
   }
 
   val qTokenBudgetSql: String =
@@ -348,11 +354,15 @@ object Quality {
   // collation both sides); a production pipeline swaps md5 for xxhash64
   // (same plan, 64-bit keys) and gives up only the DuckDB oracle.
   // ---------------------------------------------------------------------
-  val qDocWinnow: Q = (s, d) => {
+  /** The unsorted winnow index — (doc_id, fp) distinct. Factored so the
+    * pair query can persist THIS form: persisting the query's sorted
+    * output would materialize a useless range-exchange + total sort that
+    * the self-join immediately destroys (and the persist boundary stops
+    * EliminateSorts from dropping it).
+    */
+  def winnowIndex(docs: DataFrame, n: Int = 4, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = 4 // gram width
-    val w = 4 // winnow window
-    val grams = documents(s, d)
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("pos", "g")))
@@ -364,8 +374,10 @@ object Quality {
       .filter(col("pos") >= w - 1) // only full windows select
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
-      .orderBy("doc_id", "fp")
   }
+
+  val qDocWinnow: Q = (s, d) =>
+    winnowIndex(documents(s, d)).orderBy("doc_id", "fp")
 
   val qDocWinnowSql: String =
     """WITH t AS (SELECT doc_id,
@@ -405,7 +417,7 @@ object Quality {
     // sf0.1); boilerplate-heavy corpora additionally compose
     // Dedup.capDocFrequency here (max fingerprint df is 6 on this
     // fixture, so no cap is needed for the oracle)
-    val fps = qDocWinnow(s, d).persist()
+    val fps = winnowIndex(documents(s, d)).persist()
     val out = fps.toDF("id_a", "fp")
       .join(fps.toDF("id_b", "fp"), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
