@@ -101,6 +101,22 @@ object ScaleProbe {
     // the same operator body the registered query runs
     t("tfidf top terms 50k docs")(
       operators.TextAnalysis.tfidfTopTerms(docs, 3).count())
+    // per-doc window (many partitions) + inverted-index self-join;
+    // output-driven on this all-replicas probe corpus like the other
+    // dedup rows
+    t("winnow pair dedup 50k docs") {
+      val fps = operators.Quality.winnowIndex(docs).persist()
+      val n = fps.toDF("id_a", "fp")
+        .join(fps.toDF("id_b", "fp"), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= 3).count()
+      fps.unpersist(); n
+    }
+    // the parallel budget fill: window over (lang, ppm) classes only
+    t("token budget by ppm class 50k docs")(
+      operators.Quality.tokenBudgetByPpmClass(
+        docs.withColumn("lang", lit("xx")), 100000L).count())
     spark.stop()
   }
 }

@@ -315,6 +315,44 @@ object Quality {
     out
   }
 
+  /** The registered face of the scale form, with the same deterministic
+    * output contract as the greedy query (sorted, budget 2000).
+    */
+  val qTokenBudgetClasses: Q = (s, d) =>
+    tokenBudgetByPpmClass(documents(s, d), 2000L)
+      .orderBy("lang", "doc_id")
+
+  val qTokenBudgetClassesSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |bg AS (SELECT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+      |          CAST(max(c) AS BIGINT) AS top FROM bgc GROUP BY 1),
+      |sel AS (SELECT t.doc_id, lang, CAST(len(l) AS BIGINT) AS n_tokens,
+      |          CASE WHEN nb > 0 THEN top * 1000000 // nb ELSE 0 END AS ppm
+      |        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id),
+      |classes AS (SELECT lang, ppm,
+      |          CAST(sum(n_tokens) AS BIGINT) AS class_tokens
+      |        FROM sel GROUP BY 1, 2),
+      |fitting AS (SELECT lang, ppm FROM (
+      |          SELECT lang, ppm,
+      |            sum(class_tokens) OVER (PARTITION BY lang ORDER BY ppm
+      |              ROWS UNBOUNDED PRECEDING) AS cum
+      |          FROM classes)
+      |        WHERE cum <= 2000)
+      |SELECT sel.lang AS lang, doc_id, n_tokens, sel.ppm AS ppm
+      |FROM sel JOIN fitting ON sel.lang = fitting.lang
+      |  AND sel.ppm = fitting.ppm
+      |ORDER BY 1, 2""".stripMargin
+
   val qTokenBudgetSql: String =
     """WITH t AS (SELECT doc_id, lang,
       |    list_filter(string_split_regex(trim(text), '\s+'),
@@ -448,6 +486,7 @@ object Quality {
     "q_pii_scrub" -> qPiiScrub,
     "q_corpus_mix" -> qCorpusMix,
     "q_token_budget" -> qTokenBudget,
+    "q_token_budget_classes" -> qTokenBudgetClasses,
     "q_doc_winnow" -> qDocWinnow,
     "q_dedup_winnow" -> qDedupWinnow)
 
@@ -457,6 +496,7 @@ object Quality {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_token_budget" -> qTokenBudgetSql,
+    "q_token_budget_classes" -> qTokenBudgetClassesSql,
     "q_doc_winnow" -> qDocWinnowSql,
     "q_dedup_winnow" -> qDedupWinnowSql)
 }
