@@ -136,6 +136,12 @@ class ExtensionsSpec extends AnyFunSuite {
       def qInline = emb.orderBy(graft.functions.CosineSimilarity
         .cosineNative(spark, col("embedding"), lit(queryVec)).desc).limit(5)
       assert(bucketFiltered(qInline))
+      // fixed-point safety, directly: re-applying the rule to an
+      // already-rewritten plan must be the identity (the optimizer runs
+      // custom rules inside a fixed-point batch)
+      val once = q.queryExecution.optimizedPlan
+      assert(graft.plans.RewriteAnnTopK(once) === once,
+        "second application must not inject a second filter")
     } finally {
       spark.conf.unset("spark.graft.annRewrite")
       spark.experimental.extraOptimizations = Nil
