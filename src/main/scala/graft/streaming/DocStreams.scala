@@ -70,6 +70,29 @@ object DocStreams {
         fingerprint(col("clean")).as("fp"))
   }
 
+  /** Streaming decontamination: drop any arriving document that shares
+    * a word n-gram with the STATIC benchmark set — the streaming form
+    * of [[graft.operators.Quality.contamination]]. Eval sets are small
+    * and fixed for a training run, so the benchmark grams are read ONCE
+    * from the batch side and baked into the plan as an array literal;
+    * the per-doc check is then `arrays_overlap` on the doc's own
+    * shingles — a pure stateless row map (the explode-and-rejoin
+    * formulation would be a stream-stream self-join, which is stateful
+    * and needs watermarks for the anti side). A benchmark too large for
+    * a literal would use the batch operator on micro-batch sinks
+    * (`foreachBatch`) instead.
+    */
+  def decontaminate(
+      docs: DataFrame, benchmarkDocs: DataFrame, n: Int = 5): DataFrame = {
+    val bench: Array[String] = benchmarkDocs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(array_distinct(
+        shinglesFromTokens(col("toks"), n))).as("g"))
+      .distinct().collect().map(_.getString(0))
+    docs.filter(!arrays_overlap(
+      shinglesFromTokens(tokens(col("text")), n), lit(bench)))
+  }
+
   /** Content-level exact dedup within the watermark horizon: the first
     * arrival of a fingerprint wins; replays/mirrors landing inside the
     * horizon are dropped, and fingerprint state is evicted once the

@@ -102,6 +102,30 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(
+      (100L, "the forbidden eval question appears exactly like this", "eval", ts(0))
+    ).toDF("doc_id", "text", "source", "ingest_ts")
+    val input = MemoryStream[Doc]
+    val q = DocStreams.decontaminate(input.toDF(), benchmark, n = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_decon").start()
+    try {
+      input.addData(
+        // shares the 5-gram "the forbidden eval question appears"
+        Doc(1, "we know the forbidden eval question appears in training", "crawl", ts(1)),
+        Doc(2, "a perfectly clean document with no overlap at all", "crawl", ts(2)),
+        Doc(3, "too short to have any five gram shared but words overlap", "crawl", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("doc_decon").select("doc_id").as[Long]
+        .collect().sorted
+      assert(got === Array(2L, 3L),
+        "only the doc sharing a full 5-gram is contaminated")
+    } finally q.stop()
+  }
+
   test("prepare is batch/stream agnostic: identical rows both ways") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
