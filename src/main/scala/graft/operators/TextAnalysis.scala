@@ -301,8 +301,63 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Bigram conditional log-probability: mean ln p(w2|w1) over the doc's
+  // bigram positions under the corpus bigram model — the next step past
+  // the unigram proxy (captures local fluency, not just vocabulary
+  // typicality). Corpus model = two vocab²-bounded aggregations (bigram
+  // counts; prefix counts derived FROM the bigram table, so p sums to 1
+  // per prefix by construction and no smoothing is needed — every doc
+  // bigram exists in the corpus it came from). Per-doc score is a
+  // bigram-keyed join + weighted average, same parity regime as
+  // q_unigram_logprob (sum-order jitter ~1e-13 vs 4dp rounding).
+  // ---------------------------------------------------------------------
+  val qBigramLogprob: Q = (s, d) => {
+    val tf = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val corpusBg = tf.groupBy("g").agg(sum("tf").as("c_bg"))
+    val corpusPrefix = corpusBg
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum("c_bg").as("c_w1"))
+    tf.join(corpusBg, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(corpusPrefix, "w1")
+      .groupBy("doc_id")
+      .agg(round(
+        sum(col("tf") * log(col("c_bg").cast("double") / col("c_w1"))) /
+          sum(col("tf")), 4).as("mean_bigram_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val qBigramLogprobSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |bg AS (SELECT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2),
+      |cbg AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c_bg FROM tf GROUP BY 1),
+      |cw1 AS (SELECT split_part(g, ' ', 1) AS w1,
+      |          CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum(tf * ln(CAST(c_bg AS DOUBLE) / c_w1)) / sum(tf), 4)
+      |    AS mean_bigram_logprob
+      |FROM tf JOIN cbg USING (g)
+      |  JOIN cw1 ON split_part(g, ' ', 1) = cw1.w1
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
+    "q_bigram_logprob" -> qBigramLogprob,
     "q_lang_id" -> qLangId,
     "q_token_classes" -> qTokenClasses,
     "q_doc_fingerprint" -> qFingerprint,
@@ -312,6 +367,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
+    "q_bigram_logprob" -> qBigramLogprobSql,
     "q_lang_id" -> qLangIdSql,
     "q_token_classes" -> qTokenClassesSql,
     "q_doc_fingerprint" -> qFingerprintSql,
