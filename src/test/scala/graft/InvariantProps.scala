@@ -215,4 +215,50 @@ object InvariantProps extends Properties("graft.invariants") {
       // shared <=2-deletion variant (converse not required — verified)
       lev(a, b) > 2 || (nbr(a) & nbr(b)).nonEmpty
     }
+
+  property("repetition kernel counters equal the brute-force reference") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "ab", "xyz"))) {
+      toks =>
+        val got = {
+          import org.apache.spark.sql.catalyst.util.GenericArrayData
+          import org.apache.spark.unsafe.types.UTF8String
+          graft.functions.RepetitionStats
+            .compute(new GenericArrayData(
+              toks.map(UTF8String.fromString).toArray))
+            .toLongArray().toSeq
+        }
+        // brute force over the actual strings (the kernel counts 64-bit
+        // gram fingerprints; equality here shows no collision artifacts
+        // and pins the open-addressed table against a naive count)
+        val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toList
+        val bgCounts = bigrams.groupBy(identity).view.mapValues(_.size)
+        val expect = Seq(
+          toks.size.toLong,
+          toks.distinct.size.toLong,
+          bigrams.size.toLong,
+          bgCounts.values.filter(_ > 1).sum.toLong,
+          if (bigrams.isEmpty) 0L else bgCounts.values.max.toLong,
+          if (bigrams.isEmpty) 0L
+          else bgCounts.values.max.toLong * 1000000L / bigrams.size)
+        got == expect
+    }
+
+  property("lsh probe matchesAny agrees with computeBuckets per table") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)),
+      Gen.listOfN(8, Gen.choose(-1.0f, 1.0f))) { (v, q) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val tables = 4; val bits = 3
+      def buckets(x: List[Float]): Array[Int] =
+        graft.functions.LshBuckets
+          .computeBuckets(new GenericArrayData(x.toArray), tables, bits)
+          .toIntArray()
+      val vb = buckets(v); val qb = buckets(q)
+      val expect = vb.indices.exists(t => vb(t) == qb(t))
+      val got = graft.functions.LshBuckets
+        .matchesAny(new GenericArrayData(v.toArray), qb, bits)
+      // self-match is always true; cross-match iff any table collides
+      got == expect && graft.functions.LshBuckets
+        .matchesAny(new GenericArrayData(v.toArray), vb, bits)
+    }
 }
