@@ -76,13 +76,21 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val coldTotal = samples.values.map(_.head).filter(_ >= 0).sum
     val failed = meds.values.count(_ < 0)
+    // stdout gets ONLY the contract fields: the driver captures a bounded
+    // tail of the output, and r02 showed that a line carrying both the
+    // cold map and the median map (~3.5 KB) gets its head truncated past
+    // recovery ("parsed": null). The rich form (cold samples) goes to the
+    // file, which has no size constraint.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
-        s""""iters":$iters,"cold_total":$coldTotal,"cold":$colds,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+    val fileJson =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
+        s""""cold":$colds,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
