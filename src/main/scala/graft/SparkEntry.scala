@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.jobs.SanefQueries
 import graft.multimodal.Multimodal
-import graft.operators.{Curation, Dedup, Quality, Relational, Reshape, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Quality, Relational, Reshape, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Reshape.queries ++ SanefQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Curation.queries ++ Quality.queries
+      Multimodal.queries ++ Curation.queries ++ Quality.queries ++
+      Clustering.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Reshape.oracles ++ SanefQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Curation.oracles ++ Quality.oracles
+      Multimodal.oracles ++ Curation.oracles ++ Quality.oracles ++
+      Clustering.oracles ++ Sampling.oracles
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Relational.Q
+
+/** Connected-components clustering over near-duplicate pairs — the last
+  * stage of a real corpus-dedup pipeline (reference scope extension, like
+  * the rest of the LLM-pipeline suite): pair finders (Jaccard, MinHash,
+  * SimHash) emit EDGES, but dropping duplicates needs the transitive
+  * closure — if A~B and B~C, then {A,B,C} is one duplicate group even
+  * when A~C was never scored. Pairwise "drop id_b" curation under-merges
+  * exactly on such chains.
+  *
+  * The algorithm is the alternating large-star/small-star map-reduce
+  * formulation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — a public paper): each round is two
+  * groupBy-min + join passes over the edge list, and the edge set
+  * converges to disjoint stars rooted at each component's minimum id in
+  * O(log²) rounds. Per-round cost is bounded by the CURRENT edge count,
+  * which only shrinks; state per round is one narrow (u, v) frame.
+  * Contrast with naive label propagation, whose round count is the graph
+  * DIAMETER — a duplicate chain of length k (common in bot-generated
+  * near-dup runs) costs k rounds there vs ~log k here.
+  *
+  * Scale notes: every round ends in `localCheckpoint` — the lineage
+  * otherwise doubles per iteration and Catalyst re-analysis dominates by
+  * round ~10; on a real cluster the same call (or `checkpoint` to the
+  * cluster FS) also bounds recovery cost. The driver never sees edge
+  * data, only the O(1) convergence signature (count + hash-sum).
+  */
+object Clustering {
+
+  /** (node, cluster_id) for every node appearing in `pairs`, with
+    * cluster_id = the minimum node id of the node's connected component.
+    * Nodes in no pair (singletons) are not emitted — callers treat
+    * absence as "unique document".
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical edge form: u < v, deduplicated
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // O(1)-per-round convergence probe: (row count, order-independent
+    // hash XOR — summing random 64-bit hashes overflows under ANSI mode,
+    // XOR can't). Edge sets are distinct, so set semantics suffice; a
+    // collision between DIFFERENT consecutive edge sets is P ≈ 2⁻⁶⁴ per
+    // round, Monte-Carlo fine for a convergence test.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // Large-star: for each node c over the SYMMETRIC neighbor list, link
+    // every larger neighbor v > c to m = min(N(c) ∪ {c}). Strictly
+    // decreases the sum of edge endpoints unless already star-shaped.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v").as("v")) // m <= u < v: canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Small-star: direct edges large→small (center = v in canonical
+    // form), link every smaller neighbor and the center itself to
+    // m = min of the smaller neighborhood.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      val fromNbrs = e.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v")) // m < u: canonical
+      val fromCenter = mins.select(col("m").as("u"), col("v"))
+      fromNbrs.union(fromCenter)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged) {
+      rounds += 1
+      // guard far above the O(log² n) bound — a miscoded star step would
+      // otherwise loop forever on a cluster's dime
+      if (rounds > 60) throw new IllegalStateException(
+        s"connectedComponents: no convergence after $rounds rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      converged = nsig == sig
+      edges = next
+      sig = nsig
+    }
+
+    // fixpoint edges are disjoint stars (u = component min, v = member);
+    // group-by-min tolerates the root's self-representation dropping out
+    edges.select(col("v").as("node"), col("u").as("cid"))
+      .union(edges.select(col("u").as("node"), col("u").as("cid")))
+      .groupBy("node")
+      .agg(min(col("cid")).as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the corpusNear fixture: word-trigram Jaccard
+    * >= 0.5 pairs → connected components → per-cluster canonical pick
+    * (longest text, ties to smallest id — the standard "keep the richest
+    * representative" curation rule). Output: every clustered doc with its
+    * cluster id, cluster size, and whether it is the keeper.
+    */
+  val qDedupClusters: Q = (s, d) => {
+    val corpus = Dedup.corpusNear(s, d)
+    val (sh, raw) = Dedup.cachedCappedIndex(corpus, 3, Dedup.ShingleDfCap)
+    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    raw.unpersist(); sh.unpersist()
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val lens = corpus.select(col("doc_id"), length(col("text")).as("len"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val pick = Window.partitionBy("cluster_id")
+      .orderBy(col("len").desc, col("doc_id").asc)
+    cc.join(lens, "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("keep", row_number().over(pick) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: same pair CTE as q_dedup_ngram_jaccard, transitive
+    * closure via a recursive CTE (min reachable id = cluster id), same
+    * canonical pick. Recursion is fine at oracle scale; the Spark side is
+    * the one that has to be (and is) subquadratic.
+    */
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       t -> t <> '') AS l
+      |         FROM corpus),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN sizes na ON id_a = na.doc_id
+      |          JOIN sizes nb ON id_b = nb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |labels AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+      |           FROM reach GROUP BY node),
+      |lens AS (SELECT doc_id, length(text) AS len FROM corpus)
+      |SELECT l.doc_id, l.cluster_id,
+      |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+      |  (row_number() OVER (PARTITION BY l.cluster_id
+      |                      ORDER BY len DESC, l.doc_id ASC) = 1) AS keep
+      |FROM labels l JOIN lens USING (doc_id)
+      |ORDER BY l.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> qDedupClusters)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> qDedupClustersSql)
+}

@@ -282,7 +282,7 @@ object Dedup {
     * capped index is persisted too (it feeds three pair-stage branches);
     * callers release both handles after materializing their output.
     */
-  private def cachedCappedIndex(
+  private[operators] def cachedCappedIndex(
       corpus: DataFrame, n: Int, maxDf: Long): (DataFrame, DataFrame) = {
     val raw = shingleIndex(corpus, n).persist()
     (capDocFrequency(raw, maxDf).persist(), raw)

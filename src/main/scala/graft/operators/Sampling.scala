@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import Relational.Q
+
+/** Corpus assembly operators: sequence packing (concatenate-and-chunk
+  * documents into fixed token-budget training windows) and deterministic
+  * stratified downsampling (rebalance a skewed corpus toward a per-class
+  * target). Both are arithmetic-exact, so they oracle cleanly.
+  */
+object Sampling {
+
+  /** Global running sum of `valueCol` over `orderCol` order, EXCLUSIVE of
+    * the current row — without the single-partition global window.
+    *
+    * `Window.orderBy(...)` with no partition key collapses the whole
+    * frame into ONE task (Spark warns exactly this); at corpus scale
+    * that's the classic accidental serialization. The scalable shape is
+    * the textbook two-level scan:
+    *
+    *   1. range-repartition by the order key (so partition i's keys all
+    *      precede partition i+1's);
+    *   2. per-partition local window (parallel — each partition sorts and
+    *      scans independently);
+    *   3. per-partition totals (a `#partitions`-row aggregate) are
+    *      prefix-summed on the driver and broadcast back as offsets.
+    *
+    * Driver state is O(#partitions), not O(rows). Output is independent
+    * of where the range boundaries land.
+    */
+  def exclusivePrefixSum(
+      df: DataFrame, orderCol: String, valueCol: String,
+      partitions: Int, outCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val partTotals = ranged.groupBy("_pid")
+      .agg(sum(col(valueCol)).as("_ptot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      case (acc, pid) => acc + partTotals.getOrElse(pid, 0L)
+    }
+    val s = df.sparkSession
+    val offsetDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        (0 until partitions).map(pid => org.apache.spark.sql.Row(pid, offsets(pid))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_poff",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val local = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("_lb", coalesce(sum(col(valueCol)).over(local), lit(0L)))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn(outCol, col("_lb") + col("_poff"))
+      .drop("_pid", "_lb", "_poff")
+  }
+
+  /** Tokens per training window. 4096 is a typical context length; the
+    * value is shared verbatim by the DuckDB oracle.
+    */
+  val SeqBudget = 4096L
+
+  /** Pack documents into fixed-budget token windows in doc_id order:
+    * concatenate-and-chunk semantics (a document whose tokens straddle a
+    * boundary spans both windows — the standard pretraining packing that
+    * wastes zero budget, as opposed to first-fit binning which can't be
+    * expressed as a scan). Each doc gets the window its FIRST token lands
+    * in plus its intra-window offset; the consumer slices from there.
+    */
+  val qSeqPacking: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val out = exclusivePrefixSum(toks, "doc_id", "n_tokens", 32, "cum_before")
+      .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
+      .withColumn("offset_in_seq", pmod(col("cum_before"), lit(SeqBudget)))
+      .select("doc_id", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    // the persisted range-partitioned frame inside exclusivePrefixSum is
+    // released with the plan; blocks are dropped when the RDD is GC'd —
+    // eager materialization above keeps the window's lifetime short
+    out
+  }
+
+  val qSeqPackingSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |             x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  cum_before // $SeqBudget AS seq_id,
+      |  cum_before % $SeqBudget AS offset_in_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-stratum document target for rebalancing; shared with the oracle. */
+  val StratumTarget = 120L
+
+  /** Deterministic stratified downsampling: rebalance the corpus toward
+    * ~StratumTarget docs per language. Selection is a pure function of
+    * doc_id (an LCG step mod 10k against the stratum's admission
+    * threshold), so the sample is reproducible across runs, engines, and
+    * cluster layouts — no RNG state, no sampling order dependence. The
+    * stratum thresholds are one broadcast-joined aggregate; the filter
+    * itself is embarrassingly parallel.
+    */
+  val qStratifiedSample: Q = (s, d) => {
+    val docs = documents(s, d).select("doc_id", "lang")
+    val thresholds = docs.groupBy("lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("t",
+        least(lit(10000L), expr(s"(${StratumTarget} * 10000) div c")))
+      .select("lang", "t")
+    docs.join(broadcast(thresholds), "lang")
+      .filter(pmod(col("doc_id") * 1103515245L + 12345L,
+        lit(2147483648L)) % 10000L < col("t"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val qStratifiedSampleSql: String =
+    s"""WITH thr AS (
+      |  SELECT lang,
+      |    least(10000, (${StratumTarget} * 10000) // count(*)) AS t
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN thr USING (lang)
+      |WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 10000 < t
+      |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_seq_packing" -> qSeqPacking,
+    "q_stratified_sample" -> qStratifiedSample)
+
+  val oracles: Map[String, String] = Map(
+    "q_seq_packing" -> qSeqPackingSql,
+    "q_stratified_sample" -> qStratifiedSampleSql)
+}

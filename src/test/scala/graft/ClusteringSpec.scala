@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clustering
+
+/** Connected-components clustering: equality with a driver-side
+  * union-find on small graphs (including shapes that stress the
+  * alternating algorithm — chains whose diameter exceeds the round
+  * count of naive propagation), plus the end-to-end cluster query's
+  * curation invariants.
+  */
+class ClusteringSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-clustering-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference union-find with path compression. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clustering.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components match union-find on mixed graph shapes") {
+    // two cliques, a bridge, an isolated pair, a triangle sharing a node
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L),            // triangle
+      (3L, 10L),                                // bridge into...
+      (10L, 11L), (11L, 12L), (10L, 12L),       // ...second clique
+      (20L, 21L),                               // isolated pair
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L))
+    assert(ccOf(edges) === bruteComponents(edges))
+  }
+
+  test("long chain collapses to one component (diameter stress)") {
+    // path graph 0-1-2-...-99: naive min-propagation needs 99 rounds;
+    // alternating star rounds must converge much faster and still be
+    // exact
+    val edges = (0L until 99L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size === 100)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("duplicate and reversed edges don't change the answer") {
+    val edges = Seq[(Long, Long)]((5L, 9L), (9L, 5L), (5L, 9L), (9L, 14L))
+    assert(ccOf(edges) === bruteComponents(edges))
+  }
+
+  test("empty pair set yields empty clustering") {
+    import spark.implicits._
+    val out = Clustering.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(out.count() === 0)
+  }
+
+  test("q_dedup_clusters: one keeper per cluster, sizes consistent") {
+    val out = Clustering.qDedupClusters(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture injects near-dups, clusters expected")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(3)) === 1,
+        s"cluster $cid must have exactly one keeper")
+      assert(members.forall(_.getLong(2) === members.length),
+        s"cluster $cid sizes must equal member count")
+      assert(cid === members.map(_.getLong(0)).min,
+        s"cluster id must be the min member id")
+      assert(members.length >= 2, "singletons are not emitted")
+    }
+    out.unpersist()
+  }
+}

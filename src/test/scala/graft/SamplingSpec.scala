@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Sequence packing + stratified sampling: the scalable two-level prefix
+  * sum must equal the single-window reference, packing arithmetic must be
+  * self-consistent, and the sample must be a deterministic function of
+  * doc_id with per-stratum counts near the target.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sampling-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("two-level prefix sum equals the single-window reference") {
+    import spark.implicits._
+    // ragged values incl. zeros; ids deliberately non-contiguous
+    val df = (1 to 997).map(i => (i.toLong * 3 + (i % 7), (i % 13).toLong))
+      .toDF("id", "v")
+    val scalable = Sampling
+      .exclusivePrefixSum(df, "id", "v", partitions = 7, outCol = "ps")
+      .select("id", "ps")
+    val reference = df.withColumn("ps",
+      coalesce(sum(col("v")).over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("id", "ps")
+    assert(scalable.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(scalable).count() === 0)
+  }
+
+  test("packing: offsets advance by token counts, windows cover budget") {
+    val rows = Sampling.qSeqPacking(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val b = Sampling.SeqBudget
+    var cum = 0L
+    rows.foreach { case (_, n, seqId, off) =>
+      assert(seqId === cum / b, "window = floor(cum_before / budget)")
+      assert(off === cum % b, "offset = cum_before mod budget")
+      cum += n
+    }
+    // every window except the last is fully used (concatenate-and-chunk
+    // wastes nothing)
+    assert(rows.last._3 === (cum - rows.last._2) / b)
+  }
+
+  test("stratified sample: deterministic, near-target per stratum") {
+    val a = Sampling.qStratifiedSample(spark, dir).collect()
+    val b = Sampling.qStratifiedSample(spark, dir).collect()
+    assert(a.toSeq === b.toSeq, "sample must be run-deterministic")
+    val perLang = a.groupBy(_.getString(1)).view.mapValues(_.length)
+    val totals = graft.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, kept) =>
+      val total = totals(lang)
+      assert(kept <= total)
+      if (total <= Sampling.StratumTarget)
+        assert(kept === total.toInt, s"under-target stratum $lang kept whole")
+      else
+        // LCG-mod selection is uniform enough for a generous 2x band
+        assert(kept <= Sampling.StratumTarget * 2,
+          s"over-target stratum $lang should be downsampled, kept=$kept")
+    }
+  }
+}
