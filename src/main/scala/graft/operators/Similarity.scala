@@ -350,12 +350,79 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** Per-label centroid outlier scoring — the embedding-space curation
+    * gate (drop vectors far from their class centroid, the SemDedup /
+    * CLIP-filtering companion op): bottom-5 vectors by cosine-to-own-
+    * centroid per label.
+    *
+    * Scale shape: centroids are one (label, pos)-keyed aggregation over
+    * exploded components (partial aggregation map-side — state is
+    * labels × dim, corpus-size-independent) broadcast back; scoring is a
+    * pure per-row map; the top-k is WindowGroupLimit-bounded per label.
+    * Parity regime: centroid components round to 6 dp (absorbs double
+    * partial-agg order jitter ~1e-13), scores to 4 dp; ranking uses the
+    * ROUNDED score with vec_id tie-break, so rank order never hinges on
+    * sub-rounding float noise. The cosine here runs over double arrays
+    * via HOF fold — centroids are double-precision, so the float kernel
+    * doesn't apply; per-row cost is dim-bounded and off the hot path
+    * (the aggregation dominates).
+    */
+  val qEmbeddingOutliers: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), col("ps.m").as("centroid"))
+    val a = col("embedding").cast("array<double>")
+    val b = col("centroid")
+    def fsum(x: Column): Column =
+      aggregate(x, lit(0.0d), (acc, v) => acc + v)
+    val dot = fsum(zip_with(a, b, (x, y) => x * y))
+    val na = sqrt(fsum(zip_with(a, a, (x, y) => x * y)))
+    val nb = sqrt(fsum(zip_with(b, b, (x, y) => x * y)))
+    val w = Window.partitionBy("label")
+      .orderBy(col("centroid_sim").asc, col("vec_id").asc)
+    emb.join(broadcast(centroids), "label")
+      .withColumn("centroid_sim", round(dot / (na * nb), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("label", "rnk", "vec_id", "centroid_sim")
+      .orderBy("label", "rnk")
+  }
+
+  val qEmbeddingOutliersSql: String =
+    """WITH mx AS (SELECT max(len(embedding)) AS m FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) AS pos,
+      |           round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+      |             AS mval
+      |         FROM embeddings CROSS JOIN
+      |           (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) r
+      |         GROUP BY 1, 2),
+      |cent AS (SELECT label, list(mval ORDER BY pos) AS centroid
+      |         FROM comp GROUP BY 1),
+      |scored AS (SELECT e.vec_id, e.label,
+      |             round(list_cosine_similarity(
+      |               CAST(e.embedding AS DOUBLE[]), c.centroid), 4)
+      |               AS centroid_sim
+      |           FROM embeddings e JOIN cent c USING (label)),
+      |ranked AS (SELECT label, vec_id, centroid_sim,
+      |             row_number() OVER (PARTITION BY label
+      |               ORDER BY centroid_sim ASC, vec_id ASC) AS rnk
+      |           FROM scored)
+      |SELECT label, rnk, vec_id, centroid_sim
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY label, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
     "q_dedup_embedding" -> qDedupEmbedding,
-    "q_dedup_semantic" -> qDedupSemantic)
+    "q_dedup_semantic" -> qDedupSemantic,
+    "q_embedding_outliers" -> qEmbeddingOutliers)
 
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> qKnnBruteForceSql,
@@ -363,5 +430,6 @@ object Similarity {
     // cluster-local compare finds exactly the all-pairs output here:
     // only verbatim copies clear 0.9 and copies share a cell (see
     // qDedupSemantic doc) — same oracle as the exact form
-    "q_dedup_semantic" -> qDedupEmbeddingSql)
+    "q_dedup_semantic" -> qDedupEmbeddingSql,
+    "q_embedding_outliers" -> qEmbeddingOutliersSql)
 }

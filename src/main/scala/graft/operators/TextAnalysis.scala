@@ -208,6 +208,69 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // Exact source-vs-source overlap — the ground truth q_source_overlap
+  // estimates. Same distinct-bigram sets, but the full inverted-index
+  // self-join instead of bottom-k sketches: cost grows with corpus
+  // content (the reason the sketch exists), which is exactly what makes
+  // this the right ORACLED cross-check at test scale. PipelineOpsSpec
+  // pins |estimate − exact| per source pair; the driver hash-checks this
+  // one against DuckDB.
+  // ---------------------------------------------------------------------
+  val qSourceOverlapExact: Q = (s, d) => {
+    // the distinct (source, shingle) index feeds sizes + both join sides
+    val sh = documents(s, d)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), 2))).as("g"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("source_a", "g")
+      .join(sh.toDF("source_b", "g"), "g")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("i"))
+    // all source pairs, zero-intersection ones included (the sketch
+    // query emits every pair too)
+    val out = sizes.toDF("source_a", "na")
+      .join(sizes.toDF("source_b", "nb"), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("i0", coalesce(col("i"), lit(0L)))
+      .select(col("source_a"), col("source_b"),
+        round(col("i0").cast("double") / (col("na") + col("nb") - col("i0")),
+          4).as("jaccard"))
+      .orderBy("source_a", "source_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  val qSourceOverlapExactSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |sh AS (SELECT DISTINCT source,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+      |            count(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.g = b.g AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT sa.source AS source_a, sb.source AS source_b,
+      |  round(CAST(COALESCE(i, 0) AS DOUBLE) /
+      |        (sa.n + sb.n - COALESCE(i, 0)), 4) AS jaccard
+      |FROM sizes sa
+      |JOIN sizes sb ON sa.source < sb.source
+      |LEFT JOIN inter ON source_a = sa.source AND source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TF-IDF: per-document top-3 terms by tf·ln(N/df), the classic
   // salient-term extraction. Shuffle shape at scale: one exchange of the
   // exploded tokens keyed (doc_id, term) for tf, one vocabulary-sized
@@ -313,16 +376,20 @@ object TextAnalysis {
   // q_unigram_logprob (sum-order jitter ~1e-13 vs 4dp rounding).
   // ---------------------------------------------------------------------
   val qBigramLogprob: Q = (s, d) => {
+    // tf feeds three branches (per-doc scores, bigram counts, and prefix
+    // counts via the bigram table) — persist it or the tokenize + explode
+    // + aggregate subtree runs three times (the dominant corpus pass)
     val tf = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(shinglesFromTokens(col("toks"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      .persist()
     val corpusBg = tf.groupBy("g").agg(sum("tf").as("c_bg"))
     val corpusPrefix = corpusBg
       .groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum("c_bg").as("c_w1"))
-    tf.join(corpusBg, "g")
+    val out = tf.join(corpusBg, "g")
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .join(corpusPrefix, "w1")
       .groupBy("doc_id")
@@ -330,6 +397,9 @@ object TextAnalysis {
         sum(col("tf") * log(col("c_bg").cast("double") / col("c_w1"))) /
           sum(col("tf")), 4).as("mean_bigram_logprob"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   val qBigramLogprobSql: String =
@@ -362,6 +432,7 @@ object TextAnalysis {
     "q_token_classes" -> qTokenClasses,
     "q_doc_fingerprint" -> qFingerprint,
     "q_source_overlap" -> qSourceOverlap,
+    "q_source_overlap_exact" -> qSourceOverlapExact,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_unigram_logprob" -> qUnigramLogprob)
 
@@ -371,6 +442,7 @@ object TextAnalysis {
     "q_lang_id" -> qLangIdSql,
     "q_token_classes" -> qTokenClassesSql,
     "q_doc_fingerprint" -> qFingerprintSql,
+    "q_source_overlap_exact" -> qSourceOverlapExactSql,
     "q_tfidf_top_terms" -> qTfidfTopTermsSql,
     "q_unigram_logprob" -> qUnigramLogprobSql)
 }

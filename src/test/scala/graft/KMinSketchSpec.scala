@@ -64,4 +64,20 @@ class KMinSketchSpec extends AnyFunSuite {
     }
     assert(checked > 0)
   }
+
+  test("registered sketch query tracks registered exact query per pair") {
+    val dir = "/root/testdata/sf0.001"
+    def keyed(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val est = keyed(
+      graft.operators.TextAnalysis.qSourceOverlap(spark, dir), "jaccard_est")
+    val exact = keyed(
+      graft.operators.TextAnalysis.qSourceOverlapExact(spark, dir), "jaccard")
+    assert(est.keySet === exact.keySet,
+      "both queries must emit the same source pairs")
+    est.foreach { case (pair, e) =>
+      assert(math.abs(e - exact(pair)) < 0.12, s"$pair: est $e vs ${exact(pair)}")
+    }
+  }
 }
