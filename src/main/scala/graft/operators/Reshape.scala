@@ -187,6 +187,53 @@ object Reshape {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Range join via time binning (SURVEY §2.3 family): for every error
+  // event, how many clicks landed anywhere on the platform in the
+  // preceding 10 minutes — the load-correlation probe. A pure interval
+  // predicate has no equi key, so naive Spark plans it as a
+  // BroadcastNestedLoopJoin (O(errors × clicks) comparisons). The
+  // bucketed form is the standard fix: quantize time into bins exactly
+  // one window wide, so a click's window-mates can only live in its own
+  // or the next bin — each error probes 2 bins, the join becomes an
+  // equi-shuffle on bin, and the exact interval check runs only on
+  // bin-collision candidates. Per-bin fan-out is bounded by event rate ×
+  // window, independent of corpus size.
+  // ---------------------------------------------------------------------
+  val qRangeJoinClicks: Q = (s, d) => {
+    val W = 600000L // 10 min in ms — bin width == window length
+    val ev = events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ms").as("cms"))
+      .withColumn("bin", expr(s"cms div $W"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ms"))
+      .withColumn("bin",
+        explode(array(expr(s"(ms div $W) - 1"), expr(s"ms div $W"))))
+    // a click sits in exactly one bin and the probe bins are distinct,
+    // so each qualifying click is counted exactly once; the left join
+    // keeps zero-click errors (their probe rows count no hits)
+    errors.join(clicks, Seq("bin"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("cms").isNotNull &&
+          col("cms") >= col("ms") - W && col("cms") < col("ms"),
+        1L).otherwise(0L)).as("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
+  val qRangeJoinClicksSql: String =
+    """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms
+      |           FROM events WHERE event_type = 'error'),
+      |c AS (SELECT epoch_ms(ts) AS cms
+      |      FROM events WHERE event_type = 'click')
+      |SELECT e.event_id,
+      |  CAST(count(c.cms) AS BIGINT) AS n_recent_clicks
+      |FROM e LEFT JOIN c
+      |  ON c.cms >= e.ms - 600000 AND c.cms < e.ms
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Pivot (wide aggregation): order counts per year × priority column.
   // The pivoted column set is fixed and enumerated in both engines.
   // ---------------------------------------------------------------------
@@ -222,6 +269,7 @@ object Reshape {
     "q_json_extract" -> qJsonExtract,
     "q_event_daily" -> qEventDaily,
     "q_event_sessions" -> qEventSessions,
+    "q_range_join_clicks" -> qRangeJoinClicks,
     "q_rollup" -> qRollup)
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +279,6 @@ object Reshape {
     "q_json_extract" -> qJsonExtractSql,
     "q_event_daily" -> qEventDailySql,
     "q_event_sessions" -> qEventSessionsSql,
+    "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_rollup" -> qRollupSql)
 }

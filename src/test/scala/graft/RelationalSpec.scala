@@ -177,4 +177,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(days.getDate(0).toString >= "2024-01-01")
     assert(days.getDate(1).toString <= "2024-01-30")
   }
+
+  test("bucketed range join equals the naive interval join, no nested loop") {
+    val got = Reshape.qRangeJoinClicks(spark, dir)
+    // naive reference: direct interval-predicate join (the plan shape
+    // the bucketing avoids)
+    val ev = Tables.events(spark, dir).withColumn("ms", unix_millis(col("ts")))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("ms").as("cms"))
+    val naive = e.join(c,
+        col("cms") >= col("ms") - 600000L && col("cms") < col("ms"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("cms").isNotNull, 1L).otherwise(0L))
+        .as("n_recent_clicks"))
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+    val physical = got.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"),
+      "bin-bucketed range join must plan as an equi join")
+  }
 }
