@@ -117,6 +117,54 @@ object ScaleProbe {
     t("token budget by ppm class 50k docs")(
       operators.Quality.tokenBudgetByPpmClass(
         docs.withColumn("lang", lit("xx")), 100000L).count())
+    // alternating star rounds: 10k chains of diameter 100 is the
+    // adversarial shape (naive propagation would need 100 rounds); round
+    // count must stay ~log(diameter) and per-round cost is edge-bound
+    t("connected components 1M edges (10k chains of 100)") {
+      val e = spark.range(1000000L).toDF("u")
+        .withColumn("v", col("u") + 1)
+        .filter(col("v") % 100 =!= 0)
+      operators.Clustering.connectedComponents(e, "u", "v").count()
+    }
+    // two-level prefix sum: per-partition windows + a #partitions-row
+    // driver scan — must scale linearly, no single-task global sort
+    t("sequence packing 50k docs (two-level prefix sum)") {
+      val toks = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      operators.Sampling
+        .exclusivePrefixSum(toks, "doc_id", "n_tokens", 64, "cum")
+        .agg(max("cum")).collect()(0).getLong(0)
+    }
+    // 10x events in the same wall-clock window = 10x per-bin density,
+    // so qualifying pairs grow ~100x — output-driven like the dedup rows
+    t("range join 1M events (binned)") {
+      val evs = replicate(
+        Tables.events(spark, d).select("event_id", "event_type", "ts"),
+        10, Seq("event_id"), 100000000L)
+      val W = 600000L
+      val ev = evs.withColumn("ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ms").as("cms"))
+        .withColumn("bin", expr(s"cms div $W"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ms"))
+        .withColumn("bin",
+          explode(array(expr(s"(ms div $W) - 1"), expr(s"ms div $W"))))
+      errors.join(clicks, Seq("bin"), "left")
+        .groupBy("event_id")
+        .agg(sum(when(col("cms").isNotNull &&
+            col("cms") >= col("ms") - W && col("cms") < col("ms"),
+          1L).otherwise(0L)).as("n")).count()
+    }
+    // centroid state is labels x dim regardless of corpus size; scoring
+    // is a per-row map over the broadcast centroids
+    t("embedding outliers 20k vectors (label-dim agg)") {
+      val embL = replicate(
+        Tables.embeddings(spark, d).select("vec_id", "embedding", "label"),
+        10, Seq("vec_id"), 10000000L)
+      operators.Similarity.embeddingOutliers(embL, 5).count()
+    }
     spark.stop()
   }
 }

@@ -367,8 +367,7 @@ object Similarity {
     * doesn't apply; per-row cost is dim-bounded and off the hot path
     * (the aggregation dominates).
     */
-  val qEmbeddingOutliers: Q = (s, d) => {
-    val emb = embeddings(s, d)
+  def embeddingOutliers(emb: DataFrame, k: Int): DataFrame = {
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
@@ -388,10 +387,12 @@ object Similarity {
     emb.join(broadcast(centroids), "label")
       .withColumn("centroid_sim", round(dot / (na * nb), 4))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select("label", "rnk", "vec_id", "centroid_sim")
       .orderBy("label", "rnk")
   }
+
+  val qEmbeddingOutliers: Q = (s, d) => embeddingOutliers(embeddings(s, d), 5)
 
   val qEmbeddingOutliersSql: String =
     """WITH mx AS (SELECT max(len(embedding)) AS m FROM embeddings),
