@@ -431,8 +431,93 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Asymmetric near-dup matches: NEW-batch docs vs an EXISTING corpus —
+    * the continual-ingest shape (daily batch ≪ corpus). Unlike the
+    * self-join pair finders, the two sides are different frames and only
+    * cross pairs matter; the batch-side index and its sizes BROADCAST, so
+    * the corpus index streams through a map-side join and is never
+    * shuffled — the property that makes daily dedup-against-100TB
+    * tractable. Returns (id_new, id_old) matches at `threshold`.
+    */
+  def crossJaccardMatches(
+      shNew: DataFrame, shOld: DataFrame, threshold: Double): DataFrame = {
+    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val sizesOld = shOld.groupBy("doc_id").agg(count(lit(1)).as("no"))
+    val inter = shOld.toDF("id_old", "g")
+      .join(broadcast(shNew.toDF("id_new", "g")), Seq("g"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("i"))
+    // the old-side size join keys on corpus docs that shared >= 1
+    // shingle with the batch — bounded by matches, not corpus size
+    inter
+      .join(broadcast(sizesNew.toDF("id_new", "nn")), "id_new")
+      .join(sizesOld.toDF("id_old", "no"), "id_old")
+      .filter(col("i").cast("double") /
+        (col("nn") + col("no") - col("i")) >= threshold)
+      .select("id_new", "id_old")
+  }
+
+  /** Incremental dedup: admit only the batch docs with no near-dup in
+    * the existing corpus (word-trigram Jaccard >= 0.5 vs ANY corpus
+    * doc). The synthetic batch is every 3rd doc, mutated bimodally:
+    * even ids lose their first 20 chars (overlap stays high → rejected),
+    * odd ids keep only an 80-char prefix (overlap of a ~300-char doc
+    * falls below 0.5 → admitted) — both outcomes exercised at every SF.
+    */
+  val qIncrementalDedup: Q = (s, d) => {
+    val base = documents(s, d).select("doc_id", "text")
+    val batch = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+    val shOld = shingleIndex(base, 3).persist()
+    val shNew = shingleIndex(batch, 3).persist()
+    val matched = crossJaccardMatches(shNew, shOld, 0.5)
+      .select(col("id_new").as("doc_id")).distinct()
+    val out = batch.join(matched, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    shOld.unpersist(); shNew.unpersist()
+    out
+  }
+
+  val qIncrementalDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, 0 AS is_new FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 21)
+      |         ELSE substr(text, 1, 80) END, 1
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |toks AS (SELECT doc_id, is_new,
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       t -> t <> '') AS l
+      |         FROM corpus),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, is_new,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.g = b.g AND a.is_new = 1 AND b.is_new = 0
+      |          GROUP BY 1, 2),
+      |matched AS (SELECT DISTINCT id_new FROM inter
+      |            JOIN sizes na ON id_new = na.doc_id
+      |            JOIN sizes nb ON id_old = nb.doc_id
+      |            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5)
+      |SELECT doc_id FROM corpus
+      |WHERE is_new = 1 AND doc_id NOT IN (SELECT id_new FROM matched)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_editdist" -> qDedupEditDistance,
+    "q_dedup_incremental" -> qIncrementalDedup,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -440,6 +525,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditDistanceSql,
+    "q_dedup_incremental" -> qIncrementalDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical

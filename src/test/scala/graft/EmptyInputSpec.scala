@@ -85,5 +85,19 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(prep.count() === 0)
     assert(prep.columns.toSeq ===
       Seq("doc_id", "source", "ingest_ts", "text", "n_tokens", "fp"))
+
+    // round-3 operators
+    val toks = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    val ps = operators.Sampling.exclusivePrefixSum(
+      toks, "doc_id", "n_tokens", 4, "cum")
+    assert(ps.count() === 0)
+    assert(ps.columns.toSeq === Seq("doc_id", "n_tokens", "cum"))
+
+    val out = operators.Similarity.embeddingOutliers(
+      Seq.empty[(Long, Array[Float], Int)]
+        .toDF("vec_id", "embedding", "label"), 5)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq ===
+      Seq("label", "rnk", "vec_id", "centroid_sim"))
   }
 }

@@ -283,4 +283,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = TextAnalysis.qLangId(spark, dir).collect()
     assert(got.collect().toSeq === again.toSeq)
   }
+
+  test("cross-corpus matches equal cross-restricted self-join pairs") {
+    // the asymmetric batch-vs-corpus matcher must find exactly the
+    // cross pairs the symmetric pair finder would on the unioned corpus
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val batch = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+    val shOld = Dedup.shingleIndex(base, 3).persist()
+    val shNew = Dedup.shingleIndex(batch, 3).persist()
+    val cross = Dedup.crossJaccardMatches(shNew, shOld, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSelf = Dedup
+      .jaccardPairs(shOld.unionByName(shNew), 0.5)
+      .filter(col("id_a") < 2000000L && col("id_b") >= 2000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    shOld.unpersist(); shNew.unpersist()
+    assert(cross === viaSelf)
+    assert(cross.nonEmpty, "rejected batch docs must exist")
+    // admitted docs must exist too (bimodal fixture, see qIncrementalDedup)
+    val admitted = Dedup.qIncrementalDedup(spark, dir).count()
+    assert(admitted > 0)
+  }
 }
