@@ -120,11 +120,13 @@ object ScaleProbe {
     // alternating star rounds: 10k chains of diameter 100 is the
     // adversarial shape (naive propagation would need 100 rounds); round
     // count must stay ~log(diameter) and per-round cost is edge-bound
-    t("connected components 1M edges (10k chains of 100)") {
+    t("connected components 1M edges (10k chains of 100, distributed path)") {
       val e = spark.range(1000000L).toDF("u")
         .withColumn("v", col("u") + 1)
         .filter(col("v") % 100 =!= 0)
-      operators.Clustering.connectedComponents(e, "u", "v").count()
+      // driverFinishEdges = 0 forces the alternating-star rounds — the
+      // probe measures the distributed path, not the driver finish
+      operators.Clustering.connectedComponents(e, "u", "v", 0L).count()
     }
     // two-level prefix sum: per-partition windows + a #partitions-row
     // driver scan — must scale linearly, no single-task global sort

@@ -37,9 +37,20 @@ object Clustering {
     * cluster_id = the minimum node id of the node's connected component.
     * Nodes in no pair (singletons) are not emitted — callers treat
     * absence as "unique document".
+    *
+    * `driverFinishEdges`: when the deduplicated edge set fits under this
+    * bound, skip the distributed rounds and union-find on the driver —
+    * near-dup graphs are tiny relative to their corpus (154 edges for
+    * 55k docs at sf0.1), and each distributed round costs 4 fixed-
+    * overhead shuffles that dwarf microscopic data. The same hybrid cut
+    * is what graph libraries do for sub-driver-sized components work;
+    * the distributed path is exercised by ClusteringSpec (threshold 0)
+    * and the 1M-edge ScaleProbe. 1M edges ≈ 16 MB of driver longs —
+    * far under any realistic driver heap.
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String,
+      driverFinishEdges: Long = 1000000L): DataFrame = {
     // canonical edge form: u < v, deduplicated
     var edges = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
@@ -89,6 +100,28 @@ object Clustering {
     }
 
     var sig = signature(edges)
+
+    if (sig._1 <= driverFinishEdges) {
+      val s = pairs.sparkSession
+      import s.implicits._
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find + path compression: adversarial edge orders can
+      // chain parents O(n) deep, which would overflow a recursive stack
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("node", "cluster_id")
+    }
+
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged) {

@@ -144,11 +144,68 @@ object Sampling {
       |WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 10000 < t
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Chunk size / stride (overlap = size − stride); shared with the
+    * oracle.
+    */
+  val ChunkSize = 200
+  val ChunkStride = 160
+
+  /** Overlapping token-window chunking — the RAG / long-context prep op:
+    * split every document into ChunkSize-token windows every ChunkStride
+    * tokens (trailing window keeps the remainder; a doc under one window
+    * is its own chunk). Pure per-row fan-out: tokenize once, explode the
+    * chunk index, slice the token array — zero shuffle until the output
+    * sort, embarrassingly parallel at any corpus size.
+    */
+  val qDocChunks: Q = (s, d) => {
+    val n = col("n")
+    val nChunks = when(n <= ChunkSize, lit(1L))
+      .otherwise(expr(s"(n - ${ChunkSize - ChunkStride + 1}) div $ChunkStride + 1"))
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(n > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("start_tok", col("chunk_id") * ChunkStride)
+      .withColumn("chunk_len", least(lit(ChunkSize.toLong), n - col("start_tok")))
+      .withColumn("chunk_text",
+        array_join(slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), lit(ChunkSize)), " "))
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len", "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qDocChunksSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |sized AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n
+      |          FROM t WHERE len(l) > 0),
+      |chunked AS (
+      |  SELECT doc_id, l, n, CAST(i AS BIGINT) AS chunk_id
+      |  FROM sized CROSS JOIN
+      |    (SELECT unnest(range(0, (SELECT CAST(max(len(l)) AS BIGINT)
+      |       FROM t) // $ChunkStride + 2)) AS i) r
+      |  WHERE i < CASE WHEN n <= $ChunkSize THEN 1
+      |                 ELSE (n - ${ChunkSize - ChunkStride + 1}) // $ChunkStride + 1 END)
+      |SELECT doc_id, chunk_id,
+      |  chunk_id * $ChunkStride AS start_tok,
+      |  least($ChunkSize, n - chunk_id * $ChunkStride) AS chunk_len,
+      |  array_to_string(l[CAST(chunk_id * $ChunkStride + 1 AS INT) :
+      |    CAST(chunk_id * $ChunkStride + $ChunkSize AS INT)], ' ')
+      |    AS chunk_text
+      |FROM chunked
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_seq_packing" -> qSeqPacking,
+    "q_doc_chunks" -> qDocChunks,
     "q_stratified_sample" -> qStratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "q_seq_packing" -> qSeqPackingSql,
+    "q_doc_chunks" -> qDocChunksSql,
     "q_stratified_sample" -> qStratifiedSampleSql)
 }

@@ -39,10 +39,22 @@ class ClusteringSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold 0 = always the distributed alternating-star path;
+    * default = the driver union-find finish. Both must agree.
+    */
+  private def ccOf(
+      edges: Seq[(Long, Long)], driverFinish: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
-    Clustering.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    Clustering.connectedComponents(edges.toDF("a", "b"), "a", "b", driverFinish)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("driver-finish path equals distributed path and union-find") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 10L), (10L, 11L), (20L, 21L))
+    val brute = bruteComponents(edges)
+    assert(ccOf(edges, driverFinish = 1000000L) === brute)
+    assert(ccOf(edges, driverFinish = 0L) === brute)
   }
 
   test("components match union-find on mixed graph shapes") {

@@ -57,6 +57,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.last._3 === (cum - rows.last._2) / b)
   }
 
+  test("chunks tile every document with the declared overlap") {
+    val rows = Sampling.qDocChunks(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val stride = Sampling.ChunkStride
+    val size = Sampling.ChunkSize
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids contiguous from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case ((_, cid, start, len, text), i) =>
+        assert(cid === i.toLong, s"doc $doc chunk ids")
+        assert(start === i.toLong * stride, s"doc $doc starts")
+        assert(len >= 1 && len <= size, s"doc $doc len bounds")
+        assert(text.split("\\s+").count(_.nonEmpty) === len,
+          s"doc $doc chunk text token count")
+      }
+      // the last chunk reaches the end of the doc; a doc longer than one
+      // window never leaves a tail of more than (size - stride) uncovered
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      val n = lastStart + lastLen
+      if (sorted.length > 1)
+        assert(n - (lastStart + stride) < stride,
+          s"doc $doc trailing coverage")
+    }
+  }
+
   test("stratified sample: deterministic, near-target per stratum") {
     val a = Sampling.qStratifiedSample(spark, dir).collect()
     val b = Sampling.qStratifiedSample(spark, dir).collect()
