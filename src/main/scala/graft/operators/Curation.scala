@@ -115,12 +115,100 @@ object Curation {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Cluster-canonical curation — the composite upgraded with the
+    * round-3 clustering stage. The pairwise pipeline drops every doc
+    * that ever appears as a pair's LARGER id; on a duplicate chain
+    * A~B~C (B bridges two pairs, A~C never scored) that keeps only A —
+    * correct here — but on a chain where the middle doc is the best
+    * representative, pair-greedy can't choose it. The cluster form
+    * computes components and keeps ONE canonical doc per cluster by an
+    * explicit rule (longest text, ties to smallest id), which is what a
+    * production pipeline actually wants from its dedup stage.
+    */
+  val qCorpusCurationClusters: Q = (s, d) => {
+    val gated = qualityGate(documents(s, d)).persist()
+    val sh = gated.select(col("doc_id"), col("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .persist()
+    val pairs = Dedup.jaccardPairs(sh, 0.8).localCheckpoint(true)
+    sh.unpersist()
+    val clusters = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+    val drop = gated.select("doc_id", "text").join(clusters, "doc_id")
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") > 1)
+      .select("doc_id")
+    val out = gated
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+      .orderBy("lang", "source")
+      .localCheckpoint(true)
+    gated.unpersist()
+    out
+  }
+
+  val qCorpusCurationClustersSql: String =
+    """WITH RECURSIVE gated AS (
+      |  SELECT doc_id, lang, source, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> t <> '') AS l
+      |  FROM documents
+      |  WHERE len(text) BETWEEN 100 AND 500
+      |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+      |            t -> t <> '')) >= 20),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM gated),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM gated CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN sizes na ON id_a = na.doc_id
+      |          JOIN sizes nb ON id_b = nb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |labels AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+      |           FROM reach GROUP BY node),
+      |dropped AS (
+      |  SELECT doc_id FROM (
+      |    SELECT g.doc_id,
+      |      row_number() OVER (PARTITION BY lb.cluster_id
+      |        ORDER BY length(g.text) DESC, g.doc_id ASC) AS rn
+      |    FROM gated g JOIN labels lb USING (doc_id))
+      |  WHERE rn > 1)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(len(l)) AS BIGINT) AS n_tokens
+      |FROM gated
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_corpus_curation" -> qCorpusCuration,
+    "q_corpus_curation_clusters" -> qCorpusCurationClusters,
     "q_corpus_curation_minhash" -> qCorpusCurationMinhash)
 
   val oracles: Map[String, String] = Map(
     "q_corpus_curation" -> qCorpusCurationSql,
+    "q_corpus_curation_clusters" -> qCorpusCurationClustersSql,
     // banding recall ≈ 1 − 2e-11 at j ≥ 0.8 ⇒ identical output (see
     // qCorpusCurationMinhash doc) — same oracle as the exact pipeline
     "q_corpus_curation_minhash" -> qCorpusCurationSql)
