@@ -199,13 +199,56 @@ object Sampling {
       |FROM chunked
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Total-doc target for the temperature mix; shared with the oracle. */
+  val MixTarget = 200.0
+
+  /** Temperature-weighted source mixing (α = 0.5): admission rate per
+    * source ∝ c^α / c — the standard LLM-mixture move that upweights
+    * small sources without flattening to uniform (α=0) or keeping the
+    * natural skew (α=1). Same pure-LCG admission as the stratified
+    * sampler; the α-weights are one tiny aggregate broadcast back.
+    * Thresholds are integers derived from doubles computed in the SAME
+    * expression order in both engines, so the floor is engine-stable.
+    */
+  val qMixtureTemperature: Q = (s, d) => {
+    val docs = documents(s, d).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("w", sqrt(col("c").cast("double")))
+    val total = counts.agg(sum("w").as("tw"))
+    val thresholds = counts.crossJoin(broadcast(total))
+      .withColumn("t", floor(
+        least(lit(1.0), lit(MixTarget) * col("w") / col("tw") / col("c"))
+          * 10000).cast("long"))
+      .select("lang", "t")
+    docs.join(broadcast(thresholds), "lang")
+      .filter(pmod(col("doc_id") * 1103515245L + 12345L,
+        lit(2147483648L)) % 10000L < col("t"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val qMixtureTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      |w AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
+      |t AS (SELECT lang,
+      |        CAST(floor(least(1.0,
+      |          ${MixTarget} * w / (SELECT sum(w) FROM w) / c) * 10000)
+      |          AS BIGINT) AS t
+      |      FROM w)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN t USING (lang)
+      |WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 10000 < t
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_seq_packing" -> qSeqPacking,
     "q_doc_chunks" -> qDocChunks,
+    "q_mixture_temperature" -> qMixtureTemperature,
     "q_stratified_sample" -> qStratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "q_seq_packing" -> qSeqPackingSql,
     "q_doc_chunks" -> qDocChunksSql,
+    "q_mixture_temperature" -> qMixtureTemperatureSql,
     "q_stratified_sample" -> qStratifiedSampleSql)
 }

@@ -118,6 +118,43 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // The other 100 TB skew lever: salting rewrites the QUERY; AQE skew
+    // join rewrites the RUNTIME plan from actual shuffle sizes. Pinned
+    // here with thresholds scaled to fixture data — the full-size job
+    // gets the same split from the same mechanics.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 200
+      val large = (1 to 20000).map(i =>
+        (if (i % 20 == 0) i.toLong % 40 else 7L, s"$pad$i"))
+        .toDF("k", "payload")
+      val small = (0L to 40L).map(k => (k, s"dim$k")).toDF("k", "name")
+      // keep the payload alive through the join so column pruning can't
+      // shrink the skewed shuffle below the detection threshold
+      val joined = large.join(small, Seq("k"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("w"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join:\n${plan.take(3000)}")
+      assert(rows.map(_.getLong(1)).sum === 20000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
     // all rows byte-identical — a value-hash salt would collapse to one

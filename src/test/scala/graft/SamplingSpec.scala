@@ -85,6 +85,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix upweights rare strata (admission-rate ordering)") {
+    val kept = Sampling.qMixtureTemperature(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.values.sum < totals.values.sum,
+      "mix must actually downsample")
+    // alpha = 0.5 ⇒ admission rate ∝ c^-0.5: strictly higher for rarer
+    // strata (compare the extreme pair, robust to LCG noise)
+    val biggest = totals.maxBy(_._2)._1
+    val smallest = totals.minBy(_._2)._1
+    val rBig = kept.getOrElse(biggest, 0L).toDouble / totals(biggest)
+    val rSmall = kept.getOrElse(smallest, 0L).toDouble / totals(smallest)
+    assert(rSmall > rBig,
+      s"rare stratum $smallest rate $rSmall must exceed $biggest rate $rBig")
+  }
+
   test("stratified sample: deterministic, near-target per stratum") {
     val a = Sampling.qStratifiedSample(spark, dir).collect()
     val b = Sampling.qStratifiedSample(spark, dir).collect()
