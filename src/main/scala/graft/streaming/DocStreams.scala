@@ -124,6 +124,34 @@ object DocStreams {
       .select(col("window.start").as("window_start"),
         col("source"), col("n_docs"), col("n_tokens"))
 
+  /** Streaming incremental admission: every arriving micro-batch is
+    * near-dup-checked against the STATIC existing corpus — the
+    * continual-pretraining ingest gate, streamed. The jaccard match
+    * needs a per-pair aggregation over the batch×corpus shingle join,
+    * which as a direct stream-static join would be an unbounded
+    * streaming aggregation; the canonical production form is
+    * `foreachBatch`: each micro-batch runs the BATCH asymmetric matcher
+    * ([[graft.operators.Dedup.crossJaccardMatches]] — batch side
+    * broadcast, persisted corpus index never reshuffled), and only
+    * admitted docs reach the sink. Exactly-once composes the usual way
+    * (idempotent sink keyed on (batchId, doc_id)).
+    *
+    * The corpus shingle index should be persisted by the caller — it is
+    * reused verbatim for every micro-batch of the run.
+    */
+  def admitAgainstCorpus(
+      docs: DataFrame, corpusShingles: DataFrame,
+      threshold: Double = 0.5, n: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val shNew = graft.operators.Dedup
+        .shingleIndex(batch.select("doc_id", "text"), n)
+      val matched = graft.operators.Dedup
+        .crossJaccardMatches(shNew, corpusShingles, threshold)
+        .select(col("id_new").as("doc_id")).distinct()
+      sink(batch.join(matched, Seq("doc_id"), "left_anti"), batchId)
+    }
+
   /** The full ingest pipeline: gate → scrub → dedup → windowed stats. */
   def pipeline(
       docs: DataFrame,

@@ -126,6 +126,46 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed incremental admission equals the batch matcher") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: the real fixture docs; batch: bimodal mutations of
+    // every 3rd doc (the q_dedup_incremental shape), fed in two
+    // micro-batches
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val newDocs = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+      .collect().map(r =>
+        Doc(r.getLong(0), r.getString(1), "crawl", ts(0)))
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+
+    val corpusSh = graft.operators.Dedup.shingleIndex(base, 3).persist()
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admitAgainstCorpus(input.toDF(), corpusSh) {
+      (out, _) =>
+        admitted.synchronized {
+          admitted ++= out.select("doc_id").collect().map(_.getLong(0))
+        }
+    }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expect = graft.operators.Dedup.qIncrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    corpusSh.unpersist()
+    assert(admitted.toSet === expect,
+      "micro-batched admission must equal the one-shot batch result")
+    assert(admitted.nonEmpty)
+  }
+
   test("prepare is batch/stream agnostic: identical rows both ways") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -261,4 +261,32 @@ object InvariantProps extends Properties("graft.invariants") {
       got == expect && graft.functions.LshBuckets
         .matchesAny(new GenericArrayData(v.toArray), vb, bits)
     }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+
+  property("connected components equal union-find on random graphs, both paths") =
+    Prop.forAll(genEdges) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val loops = edges.filter { case (a, b) => a != b }
+      loops.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val brute = parent.keys.map(k => k -> find(k)).toMap
+      val df = edges.toDF("a", "b")
+      def run(threshold: Long): Map[Long, Long] =
+        graft.operators.Clustering
+          .connectedComponents(df, "a", "b", threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // self-loop-only inputs yield empty graphs on both sides
+      run(0L) == brute && run(1000000L) == brute
+    }
 }
