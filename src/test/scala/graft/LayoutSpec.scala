@@ -155,6 +155,27 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned write prunes partitions at the scan") {
+    // The layout decision that matters first at 100 TB: partition the
+    // corpus on the column queries filter by, and the scan never lists
+    // the other partitions' files. Pinned end to end: write
+    // partitionBy(lang), read with a lang filter, assert the filter
+    // lands in PartitionFilters (metadata pruning) rather than as a
+    // row-level PushedFilter.
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ")
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]* = en[^\\]]*\\].*"),
+      s"lang filter must prune partitions:\n${plan.take(2000)}")
+    val expected = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en").count()
+    assert(scan.count() === expected)
+  }
+
   test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
     // all rows byte-identical — a value-hash salt would collapse to one
