@@ -76,14 +76,36 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val coldTotal = samples.values.map(_.head).filter(_ >= 0).sum
     val failed = meds.values.count(_ < 0)
-    // stdout gets ONLY the contract fields: the driver captures a bounded
-    // tail of the output, and r02 showed that a line carrying both the
-    // cold map and the median map (~3.5 KB) gets its head truncated past
-    // recovery ("parsed": null). The rich form (cold samples) goes to the
-    // file, which has no size constraint.
-    val json =
+    // stdout gets ONLY the contract fields, and within a hard byte budget:
+    // the driver keeps a 2000-char tail of the output (BENCH_r01/r02 both
+    // show tail len == 2000) and sbt appends its own ~80-char [success]
+    // line after ours, so any stdout line over ~1.9 KB loses its HEAD —
+    // exactly the "parsed": null failure of rounds 1 and 2 (an 80-query
+    // map alone is ~2.3 KB). Emit the biggest-cost queries first and fold
+    // the remainder into an "elided" summary once the budget is reached;
+    // the full per-query map (and cold samples) goes to the file, which
+    // has no size constraint.
+    val budget = 1600
+    val header =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+        s""""failed":$failed,"iters":$iters,"sf":"$sfDir","queries":{"""
+    val trailerMax = // worst-case elided clause + closing braces
+      s""""},"elided":{"count":${meds.size},"sec":${num(total)}}}""".length
+    val entries = meds.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => ("\"" + k + "\":" + num(v), v) }
+    var used = header.length + trailerMax
+    val kept = entries.takeWhile { case (e, _) =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val elided = entries.drop(kept.size)
+    val elidedClause =
+      if (elided.isEmpty) ""
+      else s""","elided":{"count":${elided.size},""" +
+        s""""sec":${num(elided.map(_._2).filter(_ >= 0).sum)}}"""
+    val json = header + kept.map(_._1).mkString(",") + "}" +
+      elidedClause + "}"
     val fileJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
