@@ -480,7 +480,66 @@ object Quality {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Cross-document boilerplate fraction — the corpus-level complement to
+  // the per-row repetition kernel: how much of a document's distinct
+  // n-gram set is corpus-hot (appears in >= BoilerDf documents). High
+  // fractions flag templated/mirrored pages (nav bars, license footers,
+  // scraped listings) that per-document quality gates can't see.
+  //
+  // Scale shape: one hash aggregation on the gram key for document
+  // frequency, then a join BACK to the per-doc gram set on the same key —
+  // the df aggregate's output is already hash-partitioned on `g`, so the
+  // join adds one exchange on the grams side only — and a final per-doc
+  // count. At 100 TB the gram strings collapse to 64-bit fingerprints at
+  // the source exactly as Dedup's shingle index does (the string form
+  // here is what makes the DuckDB oracle expressible).
+  // ---------------------------------------------------------------------
+  val BoilerN = 3
+  val BoilerDf = 3
+
+  val qBoilerplate: Q = (s, d) => {
+    val grams = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), BoilerN)))
+          .as("g"))
+      .persist() // feeds both the df aggregate and the join probe
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val out = grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_hot"))
+      .withColumn("boiler_frac",
+        round(col("n_hot").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
+  val qBoilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |gr AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + ${BoilerN - 1} <= len(l)),
+      |d AS (SELECT g, count(*) AS df FROM gr GROUP BY 1),
+      |j AS (SELECT doc_id, df FROM gr JOIN d USING (g))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(count(*) FILTER (df >= $BoilerDf) AS BIGINT) AS n_hot,
+      |  round(CAST(count(*) FILTER (df >= $BoilerDf) AS DOUBLE)
+      |    / count(*), 4) AS boiler_frac
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate" -> qBoilerplate,
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
@@ -491,6 +550,7 @@ object Quality {
     "q_dedup_winnow" -> qDedupWinnow)
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate" -> qBoilerplateSql,
     "q_quality_repetition" -> qQualityRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_pii_scrub" -> qPiiScrubSql,

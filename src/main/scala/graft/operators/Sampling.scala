@@ -240,15 +240,50 @@ object Sampling {
       |WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 10000 < t
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Epoch seed for the deterministic shuffle; shared with the oracle. */
+  val ShuffleSeed = 42
+
+  /** Deterministic corpus shuffle — the training-order op: every epoch's
+    * global order is a pure function of (seed, doc_id), so the order is
+    * reproducible across runs, engines, and cluster layouts, and a new
+    * epoch is just a new seed. The sort key is md5 of the seed-salted
+    * doc_id (engine-portable, unlike xxhash64).
+    *
+    * Scale shape: the global position comes from [[exclusivePrefixSum]]
+    * over the hash key — a range exchange on the key plus PARALLEL
+    * per-partition scans — never a single-partition global window. This
+    * is exactly how a 100 TB corpus gets its training order: range-sort
+    * by hash, write partitions in key order, positions are partition
+    * offsets plus local ranks.
+    */
+  val qShuffleOrder: Q = (s, d) => {
+    val keyed = documents(s, d).select(col("doc_id"),
+      md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+        .as("shuffle_key"),
+      lit(1L).as("one"))
+    exclusivePrefixSum(keyed, "shuffle_key", "one", 32, "pos")
+      .select("doc_id", "pos")
+      .orderBy("pos")
+  }
+
+  val qShuffleOrderSql: String =
+    s"""SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5($ShuffleSeed || ':' || doc_id)) - 1 AS BIGINT)
+      |    AS pos
+      |FROM documents ORDER BY pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_seq_packing" -> qSeqPacking,
     "q_doc_chunks" -> qDocChunks,
     "q_mixture_temperature" -> qMixtureTemperature,
-    "q_stratified_sample" -> qStratifiedSample)
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_shuffle_order" -> qShuffleOrder)
 
   val oracles: Map[String, String] = Map(
     "q_seq_packing" -> qSeqPackingSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,
-    "q_stratified_sample" -> qStratifiedSampleSql)
+    "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_shuffle_order" -> qShuffleOrderSql)
 }

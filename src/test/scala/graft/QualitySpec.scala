@@ -116,6 +116,37 @@ class QualitySpec extends AnyFunSuite {
     byClass.unpersist()
   }
 
+  test("boilerplate fraction equals a driver-side brute-force recount") {
+    val got = Quality.qBoilerplate(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // independent recount in plain Scala from the raw text
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramSets = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").filter(_.nonEmpty)
+        .sliding(Quality.BoilerN).filter(_.length == Quality.BoilerN)
+        .map(_.mkString(" ")).toSet
+    }
+    val dfCount = gramSets.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    assert(got.keySet === gramSets.filter(_._2.nonEmpty).map(_._1).toSet)
+    gramSets.filter(_._2.nonEmpty).foreach { case (id, gs) =>
+      val hot = gs.count(g => dfCount(g) >= Quality.BoilerDf).toLong
+      val (nGrams, nHot, frac) = got(id)
+      assert(nGrams === gs.size.toLong, s"doc $id gram count")
+      assert(nHot === hot, s"doc $id hot count")
+      assert(frac ===
+        BigDecimal(hot.toDouble / gs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id fraction")
+    }
+    // the threshold must bite on this fixture: some docs hot, none all-hot
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+  }
+
   test("semantic cluster dedup equals exact all-pairs on the fixture") {
     val exact = Similarity.qDedupEmbedding(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

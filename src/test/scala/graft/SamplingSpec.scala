@@ -104,6 +104,29 @@ class SamplingSpec extends AnyFunSuite {
       s"rare stratum $smallest rate $rSmall must exceed $biggest rate $rBig")
   }
 
+  test("shuffle order: a deterministic permutation, equal to the " +
+    "single-window reference") {
+    val out = Sampling.qShuffleOrder(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.Tables.documents(spark, dir).count()
+    assert(out.length.toLong === n)
+    // positions are exactly 0..n-1 (a permutation, no gaps or ties)
+    assert(out.map(_._2).sorted.toSeq === (0L until n))
+    // scalable two-level form ≡ the naive global window over the same key
+    def naive(seed: Int): Seq[(Long, Long)] =
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(":", lit(seed), col("doc_id"))).as("k"))
+        .withColumn("pos",
+          (row_number().over(Window.orderBy("k")) - 1).cast("long"))
+        .select("doc_id", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.sortBy(_._1).toSeq === naive(Sampling.ShuffleSeed).sortBy(_._1))
+    // different seed ⇒ different order (the epoch property)
+    assert(naive(Sampling.ShuffleSeed + 1).sortBy(_._1).map(_._2) !==
+      out.sortBy(_._1).map(_._2).toSeq)
+  }
+
   test("stratified sample: deterministic, near-target per stratum") {
     val a = Sampling.qStratifiedSample(spark, dir).collect()
     val b = Sampling.qStratifiedSample(spark, dir).collect()
