@@ -159,6 +159,17 @@ object ScaleProbe {
             col("cms") >= col("ms") - W && col("cms") < col("ms"),
           1L).otherwise(0L)).as("n")).count()
     }
+    // gram-keyed df aggregation + join back on the same key; the probe
+    // corpus is 10 exact replicas so every gram is hot — worst-case
+    // join-probe volume for the operator
+    t("boilerplate fraction 50k docs (gram df agg + join)")(
+      operators.Quality.boilerplateFractions(docs).count())
+    // deterministic shuffle: range exchange on the md5 key + parallel
+    // per-partition scans — the no-single-task global sort claim
+    t("shuffle order 50k docs (range-partitioned prefix sum)")(
+      operators.Sampling.shuffledPositions(
+        docs.select("doc_id"), "doc_id", 42, 64)
+        .agg(max("pos")).collect()(0).getLong(0))
     // centroid state is labels x dim regardless of corpus size; scoring
     // is a per-row map over the broadcast centroids
     t("embedding outliers 20k vectors (label-dim agg)") {

@@ -498,8 +498,8 @@ object Quality {
   val BoilerN = 3
   val BoilerDf = 3
 
-  val qBoilerplate: Q = (s, d) => {
-    val grams = documents(s, d)
+  def boilerplateFractions(docs: DataFrame): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("toks"), BoilerN)))
@@ -512,11 +512,13 @@ object Quality {
         sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_hot"))
       .withColumn("boiler_frac",
         round(col("n_hot").cast("double") / col("n_grams"), 4))
-      .orderBy("doc_id")
       .localCheckpoint(true)
     grams.unpersist()
     out
   }
+
+  val qBoilerplate: Q = (s, d) =>
+    boilerplateFractions(documents(s, d)).orderBy("doc_id")
 
   val qBoilerplateSql: String =
     s"""WITH t AS (SELECT doc_id,

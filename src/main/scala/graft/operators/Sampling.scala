@@ -256,15 +256,18 @@ object Sampling {
     * by hash, write partitions in key order, positions are partition
     * offsets plus local ranks.
     */
-  val qShuffleOrder: Q = (s, d) => {
-    val keyed = documents(s, d).select(col("doc_id"),
-      md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
-        .as("shuffle_key"),
+  def shuffledPositions(
+      df: DataFrame, idCol: String, seed: Int, partitions: Int): DataFrame = {
+    val keyed = df.select(col(idCol),
+      md5(concat_ws(":", lit(seed), col(idCol))).as("shuffle_key"),
       lit(1L).as("one"))
-    exclusivePrefixSum(keyed, "shuffle_key", "one", 32, "pos")
-      .select("doc_id", "pos")
-      .orderBy("pos")
+    exclusivePrefixSum(keyed, "shuffle_key", "one", partitions, "pos")
+      .select(idCol, "pos")
   }
+
+  val qShuffleOrder: Q = (s, d) =>
+    shuffledPositions(documents(s, d), "doc_id", ShuffleSeed, 32)
+      .orderBy("pos")
 
   val qShuffleOrderSql: String =
     s"""SELECT doc_id,
