@@ -164,6 +164,10 @@ object ScaleProbe {
     // join-probe volume for the operator
     t("boilerplate fraction 50k docs (gram df agg + join)")(
       operators.Quality.boilerplateFractions(docs).count())
+    // replicated corpus ⇒ every gram hot ⇒ every position covered —
+    // worst-case coverage explode for the span scrub
+    t("duplicated-span scrub 50k docs (gram df + coverage agg)")(
+      Dedup.duplicatedSpanScrub(docs, 5).count())
     // deterministic shuffle: range exchange on the md5 key + parallel
     // per-partition scans — the no-single-task global sort claim
     t("shuffle order 50k docs (range-partitioned prefix sum)")(

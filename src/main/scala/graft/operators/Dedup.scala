@@ -238,6 +238,101 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Duplicated-span scrub — substring-level exact dedup in the style of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): remove every token span whose n-gram occurs in
+    * two or more distinct documents, keeping the rest of each document
+    * intact. Document-level dedup can't touch these (the documents
+    * differ); span-level removal is what kills shared boilerplate,
+    * quoted chains, and templated fragments inside otherwise-unique
+    * pages.
+    *
+    * The suffix-array construction of the paper is replaced by the
+    * Spark-shaped equivalent: one gram-keyed document-frequency
+    * aggregation (the same index family as the Jaccard/MinHash ops —
+    * the df cap and fingerprint collapse compose here too), a join back
+    * to gram occurrences, and a per-document covered-position set.
+    * Every stage is a hash exchange on the gram or doc key; nothing is
+    * quadratic and no driver state exists. Output reconstruction
+    * (`filter` with the index lambda over the token array) is a pure
+    * per-row map.
+    */
+  def duplicatedSpanScrub(docs: DataFrame, n: Int): DataFrame = {
+    // the token arrays feed the gram index AND final reconstruction;
+    // persist so the corpus is tokenized once
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val grams = toks.select(col("doc_id"),
+      posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("pos0", "g")))
+    val hot = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val covered = grams.join(hot, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos0") + 1, col("pos0") + n)).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    val emptyCov = array().cast("array<int>")
+    val out = toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), emptyCov))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (t, i) => !array_contains(col("cov"), i + 1)), " ")
+          .as("clean_text"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  /** Span n for the scrub query; shared with the oracle. */
+  val SpanN = 5
+
+  val qDedupSpans: Q = (s, d) =>
+    duplicatedSpanScrub(documents(s, d), SpanN).orderBy("doc_id")
+
+  val qDedupSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM toks),
+      |gr AS (SELECT doc_id, CAST(i AS INT) AS i,
+      |         array_to_string(l[CAST(i AS INT):CAST(i + ${SpanN - 1} AS INT)],
+      |                         ' ') AS g
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + ${SpanN - 1} <= len(l)),
+      |hot AS (SELECT g FROM (
+      |          SELECT g, count(DISTINCT doc_id) AS c FROM gr GROUP BY 1)
+      |        WHERE c >= 2),
+      |cov AS (SELECT DISTINCT doc_id, CAST(i + k AS INT) AS p
+      |        FROM gr JOIN hot USING (g) CROSS JOIN
+      |          (SELECT unnest(range(0, $SpanN)) AS k) kk),
+      |tok AS (SELECT doc_id, CAST(i AS INT) AS p, l[CAST(i AS INT)] AS t
+      |        FROM toks CROSS JOIN
+      |          (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) r
+      |        WHERE CAST(i AS INT) <= len(l)),
+      |kept AS (SELECT tok.doc_id,
+      |           COALESCE(string_agg(tok.t, ' ' ORDER BY tok.p), '')
+      |             AS clean_text
+      |         FROM tok LEFT JOIN cov
+      |           ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |         WHERE cov.p IS NULL
+      |         GROUP BY 1),
+      |rmc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rm
+      |        FROM cov GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+      |  COALESCE(rm, 0) AS n_removed,
+      |  COALESCE(k.clean_text, '') AS clean_text
+      |FROM toks t
+      |LEFT JOIN rmc USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Driver-facing queries
   // ---------------------------------------------------------------------
@@ -519,6 +614,7 @@ object Dedup {
     "q_dedup_editdist" -> qDedupEditDistance,
     "q_dedup_incremental" -> qIncrementalDedup,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash)
@@ -527,6 +623,7 @@ object Dedup {
     "q_dedup_editdist" -> qDedupEditDistanceSql,
     "q_dedup_incremental" -> qIncrementalDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)

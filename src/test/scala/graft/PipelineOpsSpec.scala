@@ -244,6 +244,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall fell with more probes: $r4 -> $r8")
   }
 
+  test("duplicated-span scrub equals a driver-side brute-force recount") {
+    val n = Dedup.SpanN
+    val got = Dedup.qDedupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    // brute force: grams per doc with start positions, df over distinct
+    // docs, union of covered positions, filter tokens by position
+    val gramDocs = docs.flatMap { case (id, ts) =>
+      ts.sliding(n).filter(_.length == n).map(_.mkString(" "))
+        .toSet[String].map(g => (g, id))
+    }
+    val hot = gramDocs.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2)
+      .keySet
+    assert(got.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, ts) =>
+      val covered = ts.sliding(n).zipWithIndex
+        .filter { case (w, _) => w.length == n && hot(w.mkString(" ")) }
+        .flatMap { case (_, i) => i until i + n }
+        .toSet
+      val clean = ts.zipWithIndex.filterNot(t => covered(t._2)).map(_._1)
+      val (nTok, nRm, text) = got(id)
+      assert(nTok === ts.length.toLong, s"doc $id token count")
+      assert(nRm === covered.size.toLong, s"doc $id removed count")
+      assert(text === clean.mkString(" "), s"doc $id clean text")
+    }
+    // the op must bite without nuking the corpus: some docs scrubbed,
+    // some untouched, and the injected full duplicates scrub to empty
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
+  }
+
   test("curation via minhash equals curation via exact jaccard") {
     // sf0.01: the near-dup stage is known non-vacuous there (500→419→399)
     val d01 = "/root/testdata/sf0.01"
