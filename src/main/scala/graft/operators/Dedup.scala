@@ -257,25 +257,32 @@ object Dedup {
     * (`filter` with the index lambda over the token array) is a pure
     * per-row map.
     */
-  def duplicatedSpanScrub(docs: DataFrame, n: Int): DataFrame = {
-    // the token arrays feed the gram index AND final reconstruction;
-    // persist so the corpus is tokenized once
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+  /** The coverage+rebuild stage against an EXTERNAL hot-gram set (one
+    * string column `g`): join gram occurrences to the hot set, union the
+    * covered token positions per document, rebuild the text without
+    * them. Shared by the whole-corpus scrub below (hot = corpus df ≥ 2)
+    * and the streaming ingest form
+    * ([[graft.streaming.DocStreams.scrubSpansAgainstCorpus]], hot = any
+    * gram of the static corpus).
+    */
+  def spanCoverageScrub(
+      docs: DataFrame, hotGrams: DataFrame, n: Int): DataFrame =
+    scrubTokenized(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")),
+      hotGrams, n)
+
+  private def scrubTokenized(
+      toks: DataFrame, hotGrams: DataFrame, n: Int): DataFrame = {
     val grams = toks.select(col("doc_id"),
       posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("pos0", "g")))
-    val hot = grams.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select("g")
-    val covered = grams.join(hot, "g")
+    val covered = grams.join(hotGrams.select("g"), "g")
       .select(col("doc_id"),
         explode(sequence(col("pos0") + 1, col("pos0") + n)).as("p"))
       .distinct()
       .groupBy("doc_id")
       .agg(collect_set(col("p")).as("cov"))
     val emptyCov = array().cast("array<int>")
-    val out = toks.join(covered, Seq("doc_id"), "left")
+    toks.join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), emptyCov))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -283,7 +290,19 @@ object Dedup {
         array_join(filter(col("toks"),
           (t, i) => !array_contains(col("cov"), i + 1)), " ")
           .as("clean_text"))
-      .localCheckpoint(true)
+  }
+
+  def duplicatedSpanScrub(docs: DataFrame, n: Int): DataFrame = {
+    // the token arrays feed the gram index (hot + coverage branches) AND
+    // final reconstruction; persist so the corpus is tokenized once
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val hot = toks.select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val out = scrubTokenized(toks, hot, n).localCheckpoint(true)
     toks.unpersist()
     out
   }

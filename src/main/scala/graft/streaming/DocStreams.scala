@@ -152,6 +152,38 @@ object DocStreams {
       sink(batch.join(matched, Seq("doc_id"), "left_anti"), batchId)
     }
 
+  /** Streaming span scrub: strip from every arriving document the token
+    * spans whose n-gram already occurs in the STATIC corpus — the
+    * continual-ingest form of substring-level dedup
+    * ([[graft.operators.Dedup.duplicatedSpanScrub]]). Against a fixed
+    * corpus ANY corpus occurrence duplicates the span (no df ≥ 2 —
+    * that's the within-corpus rule), so the hot set is the corpus's
+    * distinct gram set, built once per run and reused for every
+    * micro-batch; the caller should persist it. `foreachBatch` for the
+    * same reason as [[admitAgainstCorpus]]: the coverage stage is a
+    * per-doc aggregation over the gram join, which as a direct
+    * stream-static join + regroup would be an unbounded streaming
+    * aggregation.
+    */
+  def scrubSpansAgainstCorpus(
+      docs: DataFrame, corpusGrams: DataFrame, n: Int = 5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.spanCoverageScrub(
+        batch.select("doc_id", "text"), corpusGrams, n), batchId)
+    }
+
+  /** The distinct word n-gram set of a static corpus — the hot-gram
+    * input to [[scrubSpansAgainstCorpus]] (string grams; at production
+    * scale collapse to 64-bit fingerprints on BOTH sides as
+    * [[graft.operators.Dedup.shingleIndex]] does).
+    */
+  def corpusGramSet(corpus: DataFrame, n: Int = 5): DataFrame =
+    corpus.select(tokens(col("text")).as("toks"))
+      .select(explode(array_distinct(
+        shinglesFromTokens(col("toks"), n))).as("g"))
+      .distinct()
+
   /** The full ingest pipeline: gate → scrub → dedup → windowed stats. */
   def pipeline(
       docs: DataFrame,

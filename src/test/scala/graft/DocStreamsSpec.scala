@@ -166,6 +166,47 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.nonEmpty)
   }
 
+  test("streaming span scrub strips corpus-duplicated spans per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val grams = DocStreams.corpusGramSet(corpus, n = 5).persist()
+    // doc 1: prefix duplicates corpus doc 100's first 5-gram; tail fresh.
+    // doc 2: entirely fresh. doc 3 (second batch): full copy of doc 101.
+    val d1 = Doc(1, "alpha beta gamma delta epsilon fresh words here", "c", ts(0))
+    val d2 = Doc(2, "completely novel content with no overlap at all", "c", ts(1))
+    val d3 = Doc(3, "one two three four five six seven", "c", ts(2))
+    val got = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.scrubSpansAgainstCorpus(input.toDF(), grams) {
+      (out, _) =>
+        got.synchronized {
+          out.collect().foreach(r => got(r.getLong(0)) =
+            (r.getLong(1), r.getLong(2), r.getString(3)))
+        }
+    }.start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3)
+      q.processAllAvailable()
+    } finally q.stop()
+    grams.unpersist()
+    assert(got(1L) === ((8L, 5L, "fresh words here")))
+    assert(got(2L) ===
+      ((8L, 0L, "completely novel content with no overlap at all")))
+    assert(got(3L) === ((7L, 7L, "")), "verbatim corpus copy scrubs to empty")
+    // batch form over the same rows gives identical results
+    val batchGot = graft.operators.Dedup.spanCoverageScrub(
+      Seq((1L, d1.text), (2L, d2.text), (3L, d3.text)).toDF("doc_id", "text"),
+      grams, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(batchGot === got.toMap)
+  }
+
   test("prepare is batch/stream agnostic: identical rows both ways") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
