@@ -276,7 +276,66 @@ object Sampling {
       |    AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  /** Split percentages (test / val, rest train); shared with the oracle. */
+  val SplitTestPct = 10L
+  val SplitValPct = 10L
+
+  /** Leakage-safe train/val/test split: assignment is a pure LCG
+    * function of the document's near-dup CLUSTER anchor, not its own id
+    * — near-duplicate documents land in the SAME split, so the eval
+    * sets can't be contaminated by paraphrases of training docs (the
+    * standard "split by group" rule; splitting i.i.d. by doc_id leaks
+    * every near-dup pair that straddles the cut). Unclustered docs
+    * anchor to themselves, so for a dup-free corpus this degrades to
+    * the plain deterministic split. Assignment is also frozen under
+    * corpus growth: new docs can't move an existing doc's anchor
+    * bucket unless they genuinely join its near-dup cluster.
+    *
+    * Scale shape: pair finding + components are the existing subquadratic
+    * ops; the split itself is a per-row map over the anchored frame.
+    */
+  val qSplitLeakageSafe: Q = (s, d) => {
+    val corpus = Dedup.corpusNear(s, d)
+    val (sh, raw) = Dedup.cachedCappedIndex(corpus, 3, Dedup.ShingleDfCap)
+    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    raw.unpersist(); sh.unpersist()
+    val cc = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val anchored = corpus.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("anchor", coalesce(col("cluster_id"), col("doc_id")))
+    val b = pmod(col("anchor") * 1103515245L + 12345L,
+      lit(2147483648L)) % 100L
+    anchored.select(col("doc_id"),
+      when(b < SplitTestPct, "test")
+        .when(b < SplitTestPct + SplitValPct, "val")
+        .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Same pair CTE + recursive closure as q_dedup_clusters, then the LCG
+    * bucket on the cluster anchor.
+    */
+  val qSplitLeakageSafeSql: String = {
+    val labels = Clustering.qDedupClustersSql
+      .substring(0, Clustering.qDedupClustersSql.indexOf(",\nlens AS"))
+    s"""$labels
+      |SELECT c.doc_id,
+      |  CASE
+      |    WHEN b < $SplitTestPct THEN 'test'
+      |    WHEN b < ${SplitTestPct + SplitValPct} THEN 'val'
+      |    ELSE 'train'
+      |  END AS split
+      |FROM (
+      |  SELECT c.doc_id,
+      |    (COALESCE(l.cluster_id, c.doc_id) * 1103515245 + 12345)
+      |      % 2147483648 % 100 AS b
+      |  FROM corpus c LEFT JOIN labels l USING (doc_id)) c
+      |ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_seq_packing" -> qSeqPacking,
     "q_doc_chunks" -> qDocChunks,
     "q_mixture_temperature" -> qMixtureTemperature,
@@ -284,6 +343,7 @@ object Sampling {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage_safe" -> qSplitLeakageSafeSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,

@@ -127,6 +127,43 @@ class SamplingSpec extends AnyFunSuite {
       out.sortBy(_._1).map(_._2).toSeq)
   }
 
+  test("leakage-safe split: clusters never straddle a split boundary") {
+    import graft.operators.{Clustering, Dedup}
+    val splits = Sampling.qSplitLeakageSafe(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = Dedup.corpusNear(spark, dir)
+    assert(splits.size.toLong === corpus.count())
+    assert(Set("train", "val", "test").subsetOf(splits.values.toSet),
+      "all three splits populated")
+    assert(splits.values.count(_ == "train") > splits.size / 2,
+      "train is the bulk split")
+    // every near-dup cluster lands wholly in ONE split
+    val sh = Dedup.capDocFrequency(
+      Dedup.shingleIndex(corpus, 3), Dedup.ShingleDfCap).persist()
+    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    sh.unpersist()
+    val clusters = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val ss = members.map(m => splits(m._1)).distinct
+      assert(ss.length === 1, s"cluster $cid split across $ss")
+    }
+    // the rule is not vacuous here: an i.i.d. split by OWN doc_id would
+    // put at least one near-dup pair on both sides of a boundary
+    def ownBucket(id: Long): Long =
+      math.floorMod(id * 1103515245L + 12345L, 2147483648L) % 100L
+    def ownSplit(id: Long): String = {
+      val b = ownBucket(id)
+      if (b < Sampling.SplitTestPct) "test"
+      else if (b < Sampling.SplitTestPct + Sampling.SplitValPct) "val"
+      else "train"
+    }
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.exists { case (a, b) => ownSplit(a) != ownSplit(b) },
+      "fixture must contain a pair an i.i.d. split would leak")
+  }
+
   test("stratified sample: deterministic, near-target per stratum") {
     val a = Sampling.qStratifiedSample(spark, dir).collect()
     val b = Sampling.qStratifiedSample(spark, dir).collect()
