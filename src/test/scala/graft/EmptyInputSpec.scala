@@ -99,5 +99,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(out.count() === 0)
     assert(out.columns.toSeq ===
       Seq("label", "rnk", "vec_id", "centroid_sim"))
+
+    val boiler = operators.Quality.boilerplateFractions(docs)
+    assert(boiler.count() === 0)
+    assert(boiler.columns.toSeq ===
+      Seq("doc_id", "n_grams", "n_hot", "boiler_frac"))
+
+    val shuffled = operators.Sampling.shuffledPositions(docs, "doc_id", 7, 4)
+    assert(shuffled.count() === 0)
+    assert(shuffled.columns.toSeq === Seq("doc_id", "pos"))
+
+    val scrub = operators.Dedup.duplicatedSpanScrub(docs, 5)
+    assert(scrub.count() === 0)
+    assert(scrub.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_removed", "clean_text"))
+
+    // empty pair set → empty clustering (driver union-find path)
+    val cc = operators.Clustering.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(cc.count() === 0)
+    assert(cc.columns.toSeq === Seq("node", "cluster_id"))
   }
 }
