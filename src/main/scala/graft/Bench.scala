@@ -23,8 +23,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_latest.json")
     val spark = SparkSession.builder()
@@ -37,7 +35,7 @@ object Bench {
     // timed query isn't charged ~5s of one-time session cost
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val queries = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => SparkEntry.onlySelected(name) }
     // iteration 1 is cold (fresh codegen per plan); medians over
     // `iters` runs are the reported numbers
     val samples: Map[String, Seq[Double]] = queries.map { case (name, fn) =>

@@ -29,6 +29,16 @@ object SparkEntry {
       Multimodal.queries ++ Curation.queries ++ Quality.queries ++
       Clustering.queries ++ Sampling.queries
 
+  /** The SPARK_GRAFT_ONLY name filter shared by Bench and Verify (one
+    * definition so the two mains can't interpret the env var
+    * differently): unset = everything selected; set = comma-separated
+    * exact query names.
+    */
+  def onlySelected(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .forall(_.contains(name))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -145,6 +145,23 @@ object Clustering {
       .agg(min(col("cid")).as("cluster_id"))
   }
 
+  /** The canonical near-dup clustering of the corpusNear fixture —
+    * word-trigram Jaccard >= 0.5 pairs → connected components — shared
+    * by [[qDedupClusters]] and the leakage-safe split
+    * ([[graft.operators.Sampling.qSplitLeakageSafe]]), whose oracles are
+    * both composed from [[clusterLabelsCtes]]: one definition of the
+    * (n, cap, threshold) setting on each side, so Spark and SQL can't
+    * drift apart per consumer. Returns (doc_id, cluster_id).
+    */
+  def nearDupClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val (sh, raw) = Dedup.cachedCappedIndex(
+      Dedup.corpusNear(s, d), 3, Dedup.ShingleDfCap)
+    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    raw.unpersist(); sh.unpersist()
+    connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+  }
+
   /** Near-dup clusters over the corpusNear fixture: word-trigram Jaccard
     * >= 0.5 pairs → connected components → per-cluster canonical pick
     * (longest text, ties to smallest id — the standard "keep the richest
@@ -153,11 +170,7 @@ object Clustering {
     */
   val qDedupClusters: Q = (s, d) => {
     val corpus = Dedup.corpusNear(s, d)
-    val (sh, raw) = Dedup.cachedCappedIndex(corpus, 3, Dedup.ShingleDfCap)
-    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
-    raw.unpersist(); sh.unpersist()
-    val cc = connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
+    val cc = nearDupClusterLabels(s, d)
     val lens = corpus.select(col("doc_id"), length(col("text")).as("len"))
     val byCluster = Window.partitionBy("cluster_id")
     val pick = Window.partitionBy("cluster_id")
@@ -169,12 +182,12 @@ object Clustering {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle: same pair CTE as q_dedup_ngram_jaccard, transitive
-    * closure via a recursive CTE (min reachable id = cluster id), same
-    * canonical pick. Recursion is fine at oracle scale; the Spark side is
-    * the one that has to be (and is) subquadratic.
+  /** The shared WITH-chain through the `labels` CTE (corpus → pairs →
+    * recursive closure): the SQL twin of [[nearDupClusterLabels]],
+    * composed into both consumers' oracles below. Ends after `labels`,
+    * open for further CTEs or a final SELECT.
     */
-  val qDedupClustersSql: String =
+  val clusterLabelsCtes: String =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -206,7 +219,15 @@ object Clustering {
       |  UNION
       |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
       |labels AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-      |           FROM reach GROUP BY node),
+      |           FROM reach GROUP BY node)""".stripMargin
+
+  /** DuckDB oracle: same pair CTE as q_dedup_ngram_jaccard, transitive
+    * closure via a recursive CTE (min reachable id = cluster id), same
+    * canonical pick. Recursion is fine at oracle scale; the Spark side is
+    * the one that has to be (and is) subquadratic.
+    */
+  val qDedupClustersSql: String =
+    s"""$clusterLabelsCtes,
       |lens AS (SELECT doc_id, length(text) AS len FROM corpus)
       |SELECT l.doc_id, l.cluster_id,
       |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,

@@ -275,20 +275,29 @@ object Dedup {
       toks: DataFrame, hotGrams: DataFrame, n: Int): DataFrame = {
     val grams = toks.select(col("doc_id"),
       posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("pos0", "g")))
+    // collect_set dedups positions itself (with map-side partial
+    // aggregation) — a distinct() before it would add a second full
+    // exchange over the operator's largest intermediate
     val covered = grams.join(hotGrams.select("g"), "g")
       .select(col("doc_id"),
         explode(sequence(col("pos0") + 1, col("pos0") + n)).as("p"))
-      .distinct()
       .groupBy("doc_id")
       .agg(collect_set(col("p")).as("cov"))
     val emptyCov = array().cast("array<int>")
+    // rebuild via kept POSITIONS (array_except is hash-based, O(n), and
+    // keeps the left argument's ascending order) — the per-token
+    // array_contains(cov, i) form is O(n_tokens × n_covered), quadratic
+    // on long fully-covered documents
+    val kept = array_except(
+      sequence(lit(1), size(col("toks"))), col("cov"))
     toks.join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), emptyCov))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"),
-        array_join(filter(col("toks"),
-          (t, i) => !array_contains(col("cov"), i + 1)), " ")
+        when(size(col("toks")) === 0, lit(""))
+          .otherwise(array_join(
+            transform(kept, p => element_at(col("toks"), p)), " "))
           .as("clean_text"))
   }
 

@@ -527,8 +527,8 @@ object Quality {
       |  FROM documents),
       |mx AS (SELECT max(len(l)) AS m FROM t),
       |gr AS (SELECT DISTINCT doc_id,
-      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
-      |           l[CAST(i AS INT)+2] AS g
+      |         array_to_string(
+      |           l[CAST(i AS INT):CAST(i + ${BoilerN - 1} AS INT)], ' ') AS g
       |       FROM t CROSS JOIN
       |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
       |       WHERE CAST(i AS INT) + ${BoilerN - 1} <= len(l)),

@@ -266,8 +266,12 @@ object Sampling {
   }
 
   val qShuffleOrder: Q = (s, d) =>
+    // eager materialization (same discipline as qSeqPacking) so the
+    // frame persisted inside exclusivePrefixSum is released promptly
+    // instead of squatting in executor storage for the session
     shuffledPositions(documents(s, d), "doc_id", ShuffleSeed, 32)
       .orderBy("pos")
+      .localCheckpoint(true)
 
   val qShuffleOrderSql: String =
     s"""SELECT doc_id,
@@ -295,14 +299,8 @@ object Sampling {
     * ops; the split itself is a per-row map over the anchored frame.
     */
   val qSplitLeakageSafe: Q = (s, d) => {
-    val corpus = Dedup.corpusNear(s, d)
-    val (sh, raw) = Dedup.cachedCappedIndex(corpus, 3, Dedup.ShingleDfCap)
-    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
-    raw.unpersist(); sh.unpersist()
-    val cc = Clustering.connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
-    val anchored = corpus.select("doc_id")
-      .join(cc, Seq("doc_id"), "left")
+    val anchored = Dedup.corpusNear(s, d).select("doc_id")
+      .join(Clustering.nearDupClusterLabels(s, d), Seq("doc_id"), "left")
       .withColumn("anchor", coalesce(col("cluster_id"), col("doc_id")))
     val b = pmod(col("anchor") * 1103515245L + 12345L,
       lit(2147483648L)) % 100L
@@ -313,13 +311,12 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** Same pair CTE + recursive closure as q_dedup_clusters, then the LCG
-    * bucket on the cluster anchor.
+  /** Same pair CTE + recursive closure as q_dedup_clusters (the shared
+    * [[Clustering.clusterLabelsCtes]] chain), then the LCG bucket on the
+    * cluster anchor.
     */
-  val qSplitLeakageSafeSql: String = {
-    val labels = Clustering.qDedupClustersSql
-      .substring(0, Clustering.qDedupClustersSql.indexOf(",\nlens AS"))
-    s"""$labels
+  val qSplitLeakageSafeSql: String =
+    s"""${Clustering.clusterLabelsCtes}
       |SELECT c.doc_id,
       |  CASE
       |    WHEN b < $SplitTestPct THEN 'test'
@@ -332,7 +329,6 @@ object Sampling {
       |      % 2147483648 % 100 AS b
       |  FROM corpus c LEFT JOIN labels l USING (doc_id)) c
       |ORDER BY c.doc_id""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "q_split_leakage_safe" -> qSplitLeakageSafe,

@@ -166,7 +166,8 @@ object DocStreams {
     * aggregation.
     */
   def scrubSpansAgainstCorpus(
-      docs: DataFrame, corpusGrams: DataFrame, n: Int = 5)(
+      docs: DataFrame, corpusGrams: DataFrame,
+      n: Int = graft.operators.Dedup.SpanN)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.operators.Dedup.spanCoverageScrub(
@@ -178,7 +179,8 @@ object DocStreams {
     * scale collapse to 64-bit fingerprints on BOTH sides as
     * [[graft.operators.Dedup.shingleIndex]] does).
     */
-  def corpusGramSet(corpus: DataFrame, n: Int = 5): DataFrame =
+  def corpusGramSet(
+      corpus: DataFrame, n: Int = graft.operators.Dedup.SpanN): DataFrame =
     corpus.select(tokens(col("text")).as("toks"))
       .select(explode(array_distinct(
         shinglesFromTokens(col("toks"), n))).as("g"))
