@@ -289,4 +289,30 @@ object InvariantProps extends Properties("graft.invariants") {
       // self-loop-only inputs yield empty graphs on both sides
       run(0L) == brute && run(1000000L) == brute
     }
+
+  property("span scrub conserves tokens and equals brute force") =
+    Prop.forAll(genDocs) { docs =>
+      val n = 2 // short grams so random 6-word-vocab docs collide often
+      val got = Dedup.duplicatedSpanScrub(docs.toDF("doc_id", "text"), n)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+      val hot = toks
+        .flatMap { case (id, ts) =>
+          ts.sliding(n).filter(_.length == n).map(_.mkString(" "))
+            .toSet[String].map((_, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+      toks.forall { case (id, ts) =>
+        val covered = ts.sliding(n).zipWithIndex
+          .filter { case (w, _) => w.length == n && hot(w.mkString(" ")) }
+          .flatMap { case (_, i) => i until i + n }.toSet
+        val clean = ts.zipWithIndex.filterNot(t => covered(t._2)).map(_._1)
+        val (nTok, nRm, text) = got(id)
+        // conservation: removed + kept = total, text matches brute force
+        nTok == ts.length.toLong && nRm == covered.size.toLong &&
+          nTok - nRm == clean.length.toLong && text == clean.mkString(" ")
+      }
+    }
 }
