@@ -425,7 +425,45 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Corpus profiling: per-language token-length histogram — the report
+  // card every curation run publishes (length distributions drive the
+  // gate thresholds the quality ops apply). Fixed-width integer buckets
+  // (div, not quantile cuts) so bucket membership is engine-exact; the
+  // per-language share is a window over the (lang, bucket) AGGREGATE —
+  // state is languages × buckets, corpus-size-independent, and the
+  // corpus itself is one scan + one partial+final count aggregation.
+  // ---------------------------------------------------------------------
+  val HistBucketTokens = 10L
+
+  val qLengthHistogram: Q = (s, d) => {
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("bucket", expr(s"n div $HistBucketTokens"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("pct",
+        round(col("n_docs").cast("double") / sum("n_docs").over(tot), 4))
+      .orderBy("lang", "bucket")
+  }
+
+  val qLengthHistogramSql: String =
+    s"""WITH t AS (SELECT lang,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |             x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (SELECT lang, n // $HistBucketTokens AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM t GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs,
+      |  round(CAST(n_docs AS DOUBLE)
+      |    / sum(n_docs) OVER (PARTITION BY lang), 4) AS pct
+      |FROM b ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_length_histogram" -> qLengthHistogram,
     "q_text_stats" -> qTextStats,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_lang_id" -> qLangId,
@@ -437,6 +475,7 @@ object TextAnalysis {
     "q_unigram_logprob" -> qUnigramLogprob)
 
   val oracles: Map[String, String] = Map(
+    "q_length_histogram" -> qLengthHistogramSql,
     "q_text_stats" -> qTextStatsSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_lang_id" -> qLangIdSql,

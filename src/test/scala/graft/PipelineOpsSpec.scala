@@ -300,6 +300,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) === Seq("abc", "bcd"))
   }
 
+  test("length histogram: shares sum to 1 per language, counts conserve") {
+    val rows = TextAnalysis.qLengthHistogram(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val perLang = rows.groupBy(_._1)
+    perLang.foreach { case (lang, bs) =>
+      assert(math.abs(bs.map(_._4).sum - 1.0) < 0.002,
+        s"$lang shares must sum to ~1 (4dp rounding tolerance)")
+      assert(bs.forall(_._2 >= 0L), s"$lang bucket indexes non-negative")
+    }
+    assert(rows.map(_._3).sum ===
+      graft.Tables.documents(spark, dir).count(), "every doc binned once")
+  }
+
   test("text stats ratios are in range and tokens positive") {
     val got = TextAnalysis.qTextStats(spark, dir).cache()
     assert(got.filter(col("n_tokens") <= 0).count() === 0)
