@@ -52,15 +52,41 @@ object CsvSink {
 
 object HttpUploadSink {
 
+  /** Wire-status failure carrying the code so the retry policy can
+    * distinguish 5xx (transient) from 4xx (deterministic).
+    */
+  final case class UploadStatusError(code: Int, body: String)
+      extends RuntimeException(s"upload failed: HTTP $code $body")
+
+  /** Retry only what a retry can fix — same policy as
+    * HttpJsonSource.get: connection-level IOException and server-side
+    * 5xx / 429. A 4xx (bad token, wrong dataset id) is deterministic;
+    * retrying it just delays the abort.
+    */
+  private def isTransient(e: Throwable): Boolean = e match {
+    case UploadStatusError(code, _) => code / 100 == 5 || code == 429
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
   /** Multipart POST of a written CSV to
     * `{endpoint}/api/v1/datasets/{datasetId}/upload/` with token auth and
     * `update=True, overwrite=True` form fields, matching the reference's
     * wire shape (SANEF_Uploader.py:57-64). Throws on non-2xx
-    * (`raise_for_status` equivalent).
+    * (`raise_for_status` equivalent) after bounded exponential retry on
+    * transient failures (5xx/429/IOException) — the upload is the LAST
+    * step of a job, so one blip from the reference's flaky-endpoint
+    * regime (its only remediation is swallow-and-drop,
+    * SANEF_Uploader.py:57-64 + :377-379) must not lose the whole run's
+    * output. The POST body is rebuilt per attempt boundary-identically,
+    * so a retry is wire-safe; the server-side `overwrite=True` field
+    * makes a duplicate delivery of a success-that-looked-like-a-timeout
+    * idempotent.
     */
   def upload(
       endpoint: String, token: String, datasetId: Int, csv: Path,
-      client: HttpClient = HttpClient.newHttpClient()): Int = {
+      client: HttpClient = HttpClient.newHttpClient(),
+      retries: Int = 2, backoffMs: Long = 200): Int = {
     val boundary = "graft-" + java.util.UUID.randomUUID().toString
     val out = new ByteArrayOutputStream()
     def field(name: String, value: String): Unit =
@@ -79,10 +105,20 @@ object HttpUploadSink {
       .header("Content-Type", s"multipart/form-data; boundary=$boundary")
       .POST(HttpRequest.BodyPublishers.ofByteArray(out.toByteArray))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(
-        s"upload failed: HTTP ${resp.statusCode()} ${resp.body()}")
-    resp.statusCode()
+    def once(): Int = {
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw UploadStatusError(resp.statusCode(), resp.body())
+      resp.statusCode()
+    }
+    @annotation.tailrec
+    def attempt(left: Int, delay: Long): Int =
+      scala.util.Try(once()) match {
+        case scala.util.Failure(e) if left > 0 && isTransient(e) =>
+          Thread.sleep(delay)
+          attempt(left - 1, delay * 2)
+        case done => done.get
+      }
+    attempt(retries, backoffMs)
   }
 }

@@ -261,8 +261,62 @@ class SanefJobsSpec extends AnyFunSuite {
       assert(seenBody.contains("Geography,Count"))
       status = 500
       assertThrows[RuntimeException] {
-        HttpUploadSink.upload(s"http://127.0.0.1:$port", "tok123", 1384, csv)
+        // retries=0 so the deliberate 500 fails immediately
+        HttpUploadSink.upload(
+          s"http://127.0.0.1:$port", "tok123", 1384, csv, retries = 0)
       }
+    } finally server.stop(0)
+  }
+
+  test("HttpUploadSink retries transient 5xx with backoff; 4xx fails fast") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // first two attempts 503, third succeeds — the reference's flaky
+    // endpoint regime (SANEF_Uploader.py:57-64 swallows these)
+    @volatile var plan: Seq[Int] = Seq(503, 503, 200)
+    @volatile var lastBody: String = null
+    server.createContext("/api/v1/datasets/77/upload/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        lastBody = new String(ex.getRequestBody.readAllBytes())
+        val n = hits.getAndIncrement()
+        val code = plan(math.min(n, plan.size - 1))
+        ex.sendResponseHeaders(code, 2)
+        ex.getResponseBody.write("ok".getBytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val csv = java.nio.file.Files.createTempFile("graft", ".csv")
+      java.nio.file.Files.writeString(csv, "Geography,Count\nEC,1\n")
+      val code = HttpUploadSink.upload(
+        s"http://127.0.0.1:$port", "tok", 77, csv, retries = 2, backoffMs = 1)
+      assert(code === 200)
+      assert(hits.get() === 3) // two 503s consumed, third attempt landed
+      // the body must be rebuilt intact on the winning attempt
+      assert(lastBody.contains("Geography,Count"))
+      // deterministic 4xx: no retry — exactly one additional request
+      hits.set(0)
+      plan = Seq(403, 200)
+      val e = intercept[RuntimeException] {
+        HttpUploadSink.upload(
+          s"http://127.0.0.1:$port", "tok", 77, csv, retries = 2,
+          backoffMs = 1)
+      }
+      assert(e.getMessage.contains("403"))
+      assert(hits.get() === 1)
+      // retries exhausted: persistent 503 still surfaces the error
+      hits.set(0)
+      plan = Seq(503, 503, 503, 503)
+      assertThrows[RuntimeException] {
+        HttpUploadSink.upload(
+          s"http://127.0.0.1:$port", "tok", 77, csv, retries = 2,
+          backoffMs = 1)
+      }
+      assert(hits.get() === 3) // initial attempt + 2 retries
     } finally server.stop(0)
   }
 }
