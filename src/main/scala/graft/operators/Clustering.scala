@@ -226,8 +226,12 @@ object Clustering {
     * canonical pick. Recursion is fine at oracle scale; the Spark side is
     * the one that has to be (and is) subquadratic.
     */
+  // stripMargin the NEW lines only, then concatenate: re-stripping the
+  // already-stripped CTE chain would silently corrupt it if any of its
+  // lines ever started with '|' (e.g. a wrapped '||' string concat)
   val qDedupClustersSql: String =
-    s"""$clusterLabelsCtes,
+    clusterLabelsCtes +
+      """,
       |lens AS (SELECT doc_id, length(text) AS len FROM corpus)
       |SELECT l.doc_id, l.cluster_id,
       |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,

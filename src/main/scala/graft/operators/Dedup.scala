@@ -256,6 +256,17 @@ object Dedup {
     * quadratic and no driver state exists. Output reconstruction
     * (`filter` with the index lambda over the token array) is a pure
     * per-row map.
+    *
+    * DEVIATION from the paper: the hot set is df ≥ 2 over DISTINCT
+    * documents, so a span repeated many times WITHIN a single document
+    * (and appearing nowhere else) is deliberately not scrubbed — Lee et
+    * al.'s suffix-array rule counts any ≥ 2 corpus occurrences,
+    * including same-document repeats. Within-document repetition is
+    * handled by the repetition-quality gate ([[graft.operators.Quality]]
+    * repetition stats), which scores and filters such documents whole;
+    * scrubbing them span-wise would shred the surviving text. Callers
+    * wanting paper-faithful semantics can pre-explode per-document
+    * occurrence counts and union `count ≥ 2` grams into the hot set.
     */
   /** The coverage+rebuild stage against an EXTERNAL hot-gram set (one
     * string column `g`): join gram occurrences to the hot set, union the

@@ -56,11 +56,21 @@ object Sampling {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val local = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    // materialize before returning (standard release pattern — see
+    // Dedup/Quality): the persisted range frame MUST feed both the
+    // offsets collect above and this plan from the same materialization
+    // (a recompute could land rows in different _pid ranges), so it
+    // can't be unpersisted lazily. localCheckpoint pins the result,
+    // then the explicit unpersist frees the window immediately instead
+    // of squatting in executor storage until GC.
+    val out = ranged
       .withColumn("_lb", coalesce(sum(col(valueCol)).over(local), lit(0L)))
       .join(broadcast(offsetDf), "_pid")
       .withColumn(outCol, col("_lb") + col("_poff"))
       .drop("_pid", "_lb", "_poff")
+      .localCheckpoint(true)
+    ranged.unpersist()
+    out
   }
 
   /** Tokens per training window. 4096 is a typical context length; the
@@ -79,16 +89,14 @@ object Sampling {
     val toks = documents(s, d)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val out = exclusivePrefixSum(toks, "doc_id", "n_tokens", 32, "cum_before")
+    // exclusivePrefixSum materializes its result and unpersists its
+    // internal range frame before returning; what remains is a cheap
+    // per-row map over the checkpointed frame
+    exclusivePrefixSum(toks, "doc_id", "n_tokens", 32, "cum_before")
       .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
       .withColumn("offset_in_seq", pmod(col("cum_before"), lit(SeqBudget)))
       .select("doc_id", "n_tokens", "seq_id", "offset_in_seq")
       .orderBy("doc_id")
-      .localCheckpoint(true)
-    // the persisted range-partitioned frame inside exclusivePrefixSum is
-    // released with the plan; blocks are dropped when the RDD is GC'd —
-    // eager materialization above keeps the window's lifetime short
-    out
   }
 
   val qSeqPackingSql: String =
@@ -266,12 +274,10 @@ object Sampling {
   }
 
   val qShuffleOrder: Q = (s, d) =>
-    // eager materialization (same discipline as qSeqPacking) so the
-    // frame persisted inside exclusivePrefixSum is released promptly
-    // instead of squatting in executor storage for the session
+    // exclusivePrefixSum (inside shuffledPositions) materializes and
+    // releases its own range frame; nothing here needs pinning
     shuffledPositions(documents(s, d), "doc_id", ShuffleSeed, 32)
       .orderBy("pos")
-      .localCheckpoint(true)
 
   val qShuffleOrderSql: String =
     s"""SELECT doc_id,
@@ -315,9 +321,12 @@ object Sampling {
     * [[Clustering.clusterLabelsCtes]] chain), then the LCG bucket on the
     * cluster anchor.
     */
+  // stripMargin the new lines only (Clustering.clusterLabelsCtes is
+  // already stripped; re-stripping would corrupt any CTE line that ever
+  // starts with '|')
   val qSplitLeakageSafeSql: String =
-    s"""${Clustering.clusterLabelsCtes}
-      |SELECT c.doc_id,
+    Clustering.clusterLabelsCtes + "\n" +
+      s"""SELECT c.doc_id,
       |  CASE
       |    WHEN b < $SplitTestPct THEN 'test'
       |    WHEN b < ${SplitTestPct + SplitValPct} THEN 'val'

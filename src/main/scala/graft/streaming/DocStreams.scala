@@ -164,6 +164,18 @@ object DocStreams {
     * per-doc aggregation over the gram join, which as a direct
     * stream-static join + regroup would be an unbounded streaming
     * aggregation.
+    *
+    * CONTRACT — stream-side duplicates are out of scope: spans
+    * duplicated BETWEEN streamed documents (within or across
+    * micro-batches) pass through unscrubbed, and admitted documents are
+    * never folded into the hot set, so the set goes stale as ingest
+    * proceeds. This is the static-corpus asymmetry, not a bug: folding
+    * per-batch grams into broadcast state would grow driver memory
+    * unboundedly. Callers who need stream-vs-stream span dedup should
+    * periodically rebuild `corpusGrams` via [[corpusGramSet]] over the
+    * grown corpus (checkpoint-restart keeps exactly-once on the sink),
+    * or run the batch [[graft.operators.Dedup.duplicatedSpanScrub]]
+    * over the accumulated output as a compaction pass.
     */
   def scrubSpansAgainstCorpus(
       docs: DataFrame, corpusGrams: DataFrame,
