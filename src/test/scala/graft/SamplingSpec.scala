@@ -164,6 +164,25 @@ class SamplingSpec extends AnyFunSuite {
       "fixture must contain a pair an i.i.d. split would leak")
   }
 
+  test("cache hygiene: no plain-persisted RDD survives a Sampling query") {
+    // exclusivePrefixSum persists its range frame internally; the release
+    // pattern (localCheckpoint result, unpersist frame) must leave no
+    // explicitly-persisted RDD behind. localCheckpoint RDDs legitimately
+    // stay registered until GC (ContextCleaner drops their blocks), so
+    // the assertion is: every surviving persistent RDD is a
+    // materialized checkpoint (isCheckpointed covers local checkpoints),
+    // never a leaked .persist().
+    def leakedPersists(): Seq[String] =
+      spark.sparkContext.getPersistentRDDs.values.toSeq
+        .filterNot(_.isCheckpointed)
+        .map(r => s"RDD ${r.id} ${r.name} ${r.getStorageLevel}")
+    for (q <- Seq(Sampling.qSeqPacking, Sampling.qShuffleOrder)) {
+      q(spark, dir).collect()
+      val leaked = leakedPersists()
+      assert(leaked.isEmpty, s"leaked persists: $leaked")
+    }
+  }
+
   test("stratified sample: deterministic, near-target per stratum") {
     val a = Sampling.qStratifiedSample(spark, dir).collect()
     val b = Sampling.qStratifiedSample(spark, dir).collect()
