@@ -11,13 +11,19 @@ import graft.operators.Relational.Q
   * struct, with decode / feature-extract / resize / frame-sample staged
   * as iterator-to-iterator `mapPartitions` kernels.
   *
-  * The decode kernels are DETERMINISTIC STUBS — this container has no
-  * image/audio codecs, so `decodeStub` parses only our synthetic 8-byte
-  * header and fabricates pixel stats. The Spark-side plumbing is the real
-  * design under test: schema, partition-level batching (one kernel call
-  * per partition iterator, the JVM analog of PySpark's mapInPandas batch
-  * shape), and column pruning (payload is only deserialized in kernels,
-  * never in relational stages).
+  * Two codec paths feed the kernels:
+  *   - [[PpmCodec]] — a REAL pure-JVM binary-PPM (P6) decoder/encoder:
+  *     width/height/pixel stats come from actual raster bytes and
+  *     `resize` is a true nearest-neighbor rescale.
+  *   - `decodeStub` — the fixture framing (this container has no
+  *     image/audio libraries beyond what the JVM itself can parse):
+  *     parses only our synthetic 8-byte GRFT header. Audio/video decode
+  *     stays honestly stubbed behind the same kernel signature.
+  * The Spark-side plumbing is the design under test either way: schema,
+  * partition-level batching (one kernel call per partition iterator, the
+  * JVM analog of PySpark's mapInPandas batch shape), and column pruning
+  * (payload is only deserialized in kernels, never in relational
+  * stages).
   */
 object Multimodal {
 
@@ -65,8 +71,8 @@ object Multimodal {
   }
 
   /** STUB decode: validates the magic, reads width/height from the
-    * header. A real implementation would invoke the codec here — same
-    * signature, same batch shape.
+    * header. The fixture-framing fallback behind the same signature the
+    * real codec uses.
     */
   private def decodeStub(payload: Array[Byte]): Option[(Int, Int)] =
     if (payload.length >= 8 && payload(0) == 'G' && payload(1) == 'R' &&
@@ -76,20 +82,37 @@ object Multimodal {
         ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)))
     else None
 
-  /** Feature extraction as a partition-batched kernel: byte histogram →
-    * Shannon entropy + support. One pass per partition iterator; payload
-    * bytes never enter the relational row format.
+  /** Dimension probe across codecs: real PPM first, GRFT framing as the
+    * fallback. This is the single dispatch point every kernel goes
+    * through, so adding a codec extends decode/features/resize at once.
+    */
+  private[multimodal] def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+    PpmCodec.decode(payload).map(img => (img.width, img.height))
+      .orElse(decodeStub(payload))
+
+  /** Feature extraction as a partition-batched kernel. For a payload the
+    * real codec decodes (PPM), the histogram is over PIXEL LUMINANCE —
+    * actual image statistics; otherwise it falls back to the raw byte
+    * histogram (the only honest stat for an undecodable payload). Either
+    * way: histogram → Shannon entropy + support, one pass per partition
+    * iterator, payload bytes never enter the relational row format.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val hist = new Array[Long](256)
-        var i = 0
-        while (i < r.payload.length) {
-          hist(r.payload(i) & 0xff) += 1; i += 1
+        val decoded = PpmCodec.decode(r.payload)
+        val hist = decoded match {
+          case Some(img) => PpmCodec.luminanceHistogram(img)
+          case None =>
+            val h = new Array[Long](256)
+            var i = 0
+            while (i < r.payload.length) {
+              h(r.payload(i) & 0xff) += 1; i += 1
+            }
+            h
         }
-        val n = r.payload.length.toDouble
+        val n = hist.sum.toDouble
         var entropy = 0.0
         var nonzero = 0
         var b = 0
@@ -102,28 +125,41 @@ object Multimodal {
           b += 1
         }
         MediaFeatures(r.media_id, r.modality, r.payload.length,
-          decodeStub(r.payload).isDefined, entropy, nonzero)
+          decoded.isDefined || decodeStub(r.payload).isDefined,
+          entropy, nonzero)
       }
     }
   }
 
-  /** STUB resize: recompute header dims only (a codec would rescale
-    * pixels); demonstrates a payload-rewriting kernel.
+  /** Payload-rewriting resize kernel. PPM payloads get a REAL
+    * nearest-neighbor pixel rescale and are re-encoded as valid PPM;
+    * GRFT-framed payloads get the header-dims rewrite (the stub path,
+    * since there are no pixels to rescale). Rows neither codec claims
+    * pass through untouched.
     */
   def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        decodeStub(r.payload) match {
-          case Some((w, h)) if math.max(w, h) > maxDim =>
-            val scale = maxDim.toDouble / math.max(w, h)
-            val (nw, nh) =
-              (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-            val p = r.payload.clone()
-            p(4) = (nw >> 8).toByte; p(5) = (nw & 0xff).toByte
-            p(6) = (nh >> 8).toByte; p(7) = (nh & 0xff).toByte
-            r.copy(payload = p, meta = r.meta.copy(width = nw, height = nh))
-          case _ => r
+        def fit(w: Int, h: Int): (Int, Int) = {
+          val scale = maxDim.toDouble / math.max(w, h)
+          (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        }
+        PpmCodec.decode(r.payload) match {
+          case Some(img) if math.max(img.width, img.height) > maxDim =>
+            val (nw, nh) = fit(img.width, img.height)
+            val out = PpmCodec.encode(PpmCodec.resize(img, nw, nh))
+            r.copy(payload = out, meta = r.meta.copy(width = nw, height = nh))
+          case Some(_) => r
+          case None => decodeStub(r.payload) match {
+            case Some((w, h)) if math.max(w, h) > maxDim =>
+              val (nw, nh) = fit(w, h)
+              val p = r.payload.clone()
+              p(4) = (nw >> 8).toByte; p(5) = (nw & 0xff).toByte
+              p(6) = (nh >> 8).toByte; p(7) = (nh & 0xff).toByte
+              r.copy(payload = p, meta = r.meta.copy(width = nw, height = nh))
+            case _ => r
+          }
         }
       }
     }
