@@ -136,6 +136,44 @@ object Reshape {
       |ORDER BY user_id, session_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Batch twin of the DECLARATIVE session_window aggregation
+  // (EventStreams.sessionWindowStats) — calls the streaming code itself
+  // (withWatermark is a no-op in batch), so the driver's hash check
+  // covers the exact plan the stream runs. Distinct from q_event_sessions
+  // above, which twins the CUSTOM flatMapGroupsWithState sessionizer;
+  // note session_window's boundary is STRICT (new session at diff >=
+  // gap, since a window is [ts, ts+gap)), while the lag-based form used
+  // a > boundary — the oracles encode each operator's own semantics.
+  // ---------------------------------------------------------------------
+  val qEventSessionWindow: Q = (s, d) =>
+    graft.streaming.EventStreams
+      .sessionWindowStats(events(s, d), gap = "30 minutes")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("user_id", "session_start")
+
+  val qEventSessionWindowSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, ts, "value",
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, "value",
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(sum("value"), 2) AS total_value
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Grouping sets / ROLLUP (SURVEY §2.4 "not present" gap closure):
   // per-(year, priority) totals with year and grand-total subtotal rows.
   // ---------------------------------------------------------------------
@@ -269,6 +307,7 @@ object Reshape {
     "q_json_extract" -> qJsonExtract,
     "q_event_daily" -> qEventDaily,
     "q_event_sessions" -> qEventSessions,
+    "q_event_session_window" -> qEventSessionWindow,
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_rollup" -> qRollup)
 
@@ -279,6 +318,7 @@ object Reshape {
     "q_json_extract" -> qJsonExtractSql,
     "q_event_daily" -> qEventDailySql,
     "q_event_sessions" -> qEventSessionsSql,
+    "q_event_session_window" -> qEventSessionWindowSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_rollup" -> qRollupSql)
 }
