@@ -118,33 +118,64 @@ object Similarity {
     *
     * Seeding: the `nlist` vectors with the smallest `xxhash64(vec_id)` —
     * pseudo-random spread, reproducible across runs (no RNG). Each
-    * iteration assigns every vector to its nearest centroid (the
-    * codegen'd [[graft.functions.IvfCells]] kernel, scan-side map) and
-    * recomputes centroids as the per-cell elementwise mean; means are
-    * rounded to 6 dp so double partial-aggregation order can't jitter
-    * centroid bits between runs, then L2-normalized (so downstream
-    * ranking can use raw dots). Empty cells keep their previous
-    * centroid.
+    * iteration assigns every training vector to its nearest centroid
+    * (the codegen'd [[graft.functions.IvfCells]] kernel, scan-side map)
+    * and recomputes centroids as the per-cell elementwise mean; means
+    * are rounded to 6 dp so double partial-aggregation order can't
+    * jitter centroid bits between runs, then L2-normalized (so
+    * downstream ranking can use raw dots). Empty cells keep their
+    * previous centroid.
+    *
+    * `sampleCap > 0` trains on a deterministic corpus sample — the
+    * `sampleCap` vectors with the smallest `xxhash64(vec_id)`,
+    * materialized once. k-means centroids estimate cell MEANS, and a
+    * hash-uniform sample a few hundred× nlist estimates the same means;
+    * training on all of a 10⁹-vector corpus buys nothing but scans.
+    * Seeds are unchanged (the nlist smallest hashes are a prefix of the
+    * sample), so sampleCap only affects how many vectors vote in the
+    * refinement. Full-corpus scans drop from 1 + iters (seed scan +
+    * one per Lloyd pass) to exactly 1 (the sample extraction — a
+    * TakeOrdered, no global sort); iterations then touch only the
+    * sample. ScaleProbe's `ivf sampled-build` row pins recall parity
+    * with the full build on the fixture.
     *
     * The driver-side collect is the centroid matrix only — nlist × dim
     * doubles; IVF practice keeps nlist ≈ √n, so the index build is an
     * offline step whose hot path (assignment) stays fully distributed.
+    * Beyond ~10⁹ vectors (nlist ≫ 10⁴) the FLAT assignment — O(nlist ×
+    * dim) per row with the whole centroid matrix riding the plan — is
+    * the next wall; the standard fix is hierarchical assignment (a
+    * coarse √nlist-way quantizer routes each row to a sub-quantizer, so
+    * per-row cost is O(2·√nlist·dim) and each task reads only its
+    * sub-matrix). That knob is deliberately not built: at this repo's
+    * target (nlist ≈ √n ≤ ~3·10⁴, centroid matrix ≤ ~16 MB broadcast)
+    * flat assignment is both simpler and faster.
     */
   def ivfIndex(
-      emb: DataFrame, nlist: Int, iters: Int = 2): Array[Array[Double]] = {
+      emb: DataFrame, nlist: Int, iters: Int = 2,
+      sampleCap: Int = 0): Array[Array[Double]] = {
     val s = emb.sparkSession
     def normalize(m: Array[Array[Double]]): Array[Array[Double]] =
       m.map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
       }
+    require(sampleCap == 0 || sampleCap >= nlist,
+      s"sampleCap $sampleCap must cover the $nlist seeds")
+    val hashed = emb.withColumn("h", xxhash64(col("vec_id")))
+    // the training frame: whole corpus, or one materialized TakeOrdered
+    // sample (localCheckpoint: Lloyd re-reads it `iters` times and the
+    // blocks are dropped on GC, the codebase's standard release)
+    val train =
+      if (sampleCap > 0)
+        hashed.orderBy("h").limit(sampleCap).localCheckpoint(true)
+      else hashed
     var centroids = normalize(
-      emb.withColumn("h", xxhash64(col("vec_id")))
-        .orderBy("h").limit(nlist)
+      train.orderBy("h").limit(nlist)
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray))
     for (_ <- 0 until iters) {
-      val assigned = emb.select(col("embedding"),
+      val assigned = train.select(col("embedding"),
         element_at(graft.functions.IvfCells.cells(
           s, col("embedding"), centroids, 1), 1).as("cell"))
       val means = assigned
@@ -174,10 +205,11 @@ object Similarity {
     */
   def ivfKnn(
       emb: DataFrame, queryFilter: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      sampleCap: Int = 0): DataFrame = {
     val s = emb.sparkSession
     val base = emb.select("vec_id", "embedding")
-    val centroids = ivfIndex(base, nlist, iters)
+    val centroids = ivfIndex(base, nlist, iters, sampleCap)
     val cos = cosineCol(s)
     val corpusCells = base.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),

@@ -244,6 +244,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall fell with more probes: $r4 -> $r8")
   }
 
+  test("ivf sampled build holds recall at a fraction of the train set") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qf = col("vec_id") % 40 === 0
+    val brute = Similarity.bruteForceKnn(emb, emb.filter(qf), 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cap: Int): Double = {
+      val got = Similarity
+        .ivfKnn(emb, qf, 5, nlist = 16, nprobe = 4, sampleCap = cap)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val full = recall(0)
+    // train Lloyd on ~1/4 of the fixture corpus: seeds are identical (a
+    // hash-prefix sample contains the nlist smallest hashes), so only
+    // the refinement votes change — recall must stay in the full
+    // build's neighborhood, not collapse
+    val sampled = recall(128)
+    assert(sampled >= full - 0.1,
+      s"sampled-build recall $sampled collapsed vs full $full")
+    // determinism: same cap, same result set
+    assert(recall(128) === sampled)
+  }
+
   test("duplicated-span scrub equals a driver-side brute-force recount") {
     val n = Dedup.SpanN
     val got = Dedup.qDedupSpans(spark, dir).collect()
