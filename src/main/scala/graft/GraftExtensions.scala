@@ -47,6 +47,8 @@ object GraftExtensions {
       (e => MinHashSignature(e(0), literalInt(e(1), "minhash numHashes"))),
     SimHashFingerprint.functionName ->
       (e => SimHashFingerprint(e(0))),
+    SimHashMd5Fingerprint.functionName ->
+      (e => SimHashMd5Fingerprint(e(0))),
     RepetitionStats.functionName ->
       (e => RepetitionStats(e(0))),
     DeletionNeighborhood.functionName ->

@@ -126,3 +126,85 @@ object SimHashFingerprint {
     org.apache.spark.sql.functions.call_function(functionName, hs)
   }
 }
+
+/** 32-bit md5 SimHash — the ENGINE-NEUTRAL fingerprint kernel (DuckDB
+  * computes identical md5 hex, so this variant is oracle-expressible;
+  * see Dedup.qDedupSimhashMd5Sql). Bit p of the fingerprint weights the
+  * p-th bit of the first 4 digest bytes packed big-endian — exactly the
+  * nibble-order convention the SQL twin derives from the first 8 hex
+  * chars. Same per-row zero-shuffle shape as [[SimHashFingerprint]];
+  * kept separate because md5 costs ~4× an XXH64 and 32 bits
+  * discriminate less — production stays on the 64-bit kernel.
+  */
+case class SimHashMd5Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5Fingerprint.computeFromTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashMd5Fingerprint$$.MODULE$$" +
+        s".computeFromTokens($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashMd5Fingerprint = copy(child = newChild)
+}
+
+object SimHashMd5Fingerprint {
+
+  val functionName = "simhash_md5_fingerprint"
+
+  // one digest per executor thread — getInstance per token would
+  // dominate the kernel
+  private val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def computeFromTokens(toks: ArrayData): Long = {
+    val md = digest.get()
+    val n = toks.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      // first 4 digest bytes, big-endian = first 8 hex chars MSB-first
+      val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      functionName,
+      exprs => SimHashMd5Fingerprint(exprs(0)),
+      "built-in")
+
+  /** Column API: bigint md5-simhash of a token-string array. */
+  def fp(spark: SparkSession, toks: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(functionName, toks)
+  }
+}

@@ -215,15 +215,20 @@ object Dedup {
           corpus.sparkSession, col("toks")).as("simhash"))
   }
 
-  /** Pairs with hamming distance <= maxHamming via 4×16-bit chunk banding
-    * — pigeonhole-exact for maxHamming <= 3 (4 chunks, ≤3 differing bits
-    * ⇒ at least one chunk identical).
+  /** Pairs with hamming distance <= maxHamming via 4-chunk banding —
+    * pigeonhole-exact for maxHamming <= 3 (4 chunks, ≤3 differing bits
+    * ⇒ at least one chunk identical). `chunkBits` = 16 for the 64-bit
+    * production fingerprints, 8 for the 32-bit md5 twin (chunks must
+    * tile the fingerprint exactly, or the all-zero high chunks would
+    * band every document with every other — a silent cartesian).
     */
-  def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(
+      fps: DataFrame, maxHamming: Int, chunkBits: Int = 16): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is exact only for hamming <= 3")
     val chunks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1).as("v"))): _*))
         .as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.c").as("c"), col("ch.v").as("v"))
@@ -237,6 +242,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Engine-neutral SimHash twin: 32-bit fingerprints built from
+    * per-token md5 (both Spark and DuckDB emit identical lowercase md5
+    * hex, so the whole computation is oracle-expressible — unlike
+    * xxhash64, whose seed/implementation is engine-specific). Bit
+    * counts are accumulated nibble-by-nibble from the first 8 hex
+    * chars with higher-order array functions: a pure per-row
+    * expression, zero shuffle, same plan family as the production
+    * kernel. Position p (0 = MSB-first) takes weight 2^(31-p); a bit
+    * is set when its ±1 token-contribution sum is strictly positive.
+    *
+    * This exists to put the fingerprint family under the driver's
+    * hash check; [[simhashFingerprints]] (64-bit xxhash64 kernel)
+    * remains the registered production form — md5 per token costs
+    * ~4× a xxhash64 and 32 bits discriminate less.
+    *
+    * Shape history: the first form computed the bit counts with
+    * higher-order array functions (aggregate/zip_with/flatten over the
+    * md5 hex prefix) — oracle-exact but interpreter-bound (lambda
+    * functions don't codegen): 13.3 s at sf0.1 vs 0.9 s for the
+    * production kernel. The [[graft.functions.SimHashMd5Fingerprint]]
+    * expression computes the identical fingerprint (first 4 digest
+    * bytes big-endian = the SQL twin's first-8-hex-chars nibble order)
+    * in one codegen'd per-row pass.
+    */
+  def simhashMd5Fingerprints(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashMd5Fingerprint.fp(
+          corpus.sparkSession, col("toks")).as("simhash"))
 
   /** Duplicated-span scrub — substring-level exact dedup in the style of
     * Lee et al., "Deduplicating Training Data Makes Language Models
@@ -477,6 +513,44 @@ object Dedup {
     simhashPairs(simhashFingerprints(corpusNear(s, d)), 3)
       .orderBy("id_a", "id_b")
 
+  /** The oracled fingerprint-family row: same pair semantics as
+    * [[qDedupSimhash]] but over the engine-neutral 32-bit md5
+    * fingerprints (8-bit chunks keep the 4-chunk banding exact), so
+    * DuckDB reproduces the result bit-for-bit.
+    */
+  val qDedupSimhashMd5: Q = (s, d) =>
+    simhashPairs(simhashMd5Fingerprints(corpusNear(s, d)), 3, chunkBits = 8)
+      .orderBy("id_a", "id_b")
+
+  val qDedupSimhashMd5Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                              t -> t <> '')) AS t
+      |         FROM corpus),
+      |nibs AS (SELECT doc_id, k,
+      |           strpos('0123456789abcdef', substr(md5(t), k, 1)) - 1 AS nib
+      |         FROM toks CROSS JOIN
+      |           (SELECT unnest(range(1, 9)) AS k) ks),
+      |bits AS (SELECT doc_id, (k - 1) * 4 + (3 - j) AS p,
+      |           sum(CASE WHEN (nib >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      |         FROM nibs CROSS JOIN
+      |           (SELECT unnest(range(0, 4)) AS j) js
+      |         GROUP BY 1, 2),
+      |fps AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN c > 0 THEN 1::BIGINT << (31 - p)
+      |                        ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Edit-distance near-dup pairs over short strings (part names) — the
     * classic blocking+Levenshtein pattern for entity resolution. Integer
     * distances are engine-exact, so this oracles cleanly.
@@ -656,7 +730,8 @@ object Dedup {
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
-    "q_dedup_simhash" -> qDedupSimhash)
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_md5" -> qDedupSimhashMd5)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditDistanceSql,
@@ -666,5 +741,6 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)
-    "q_dedup_minhash" -> qDedupNgramJaccardSql)
+    "q_dedup_minhash" -> qDedupNgramJaccardSql,
+    "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql)
 }

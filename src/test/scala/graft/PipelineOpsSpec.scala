@@ -76,6 +76,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perRow === explicit)
   }
 
+  test("md5 simhash kernel matches the hex-nibble definition the " +
+    "DuckDB oracle uses") {
+    // independent recomputation straight from the md5 HEX STRING (the
+    // form the oracle SQL derives bits from), vs the kernel's
+    // first-4-digest-bytes big-endian packing — pins the two
+    // conventions to each other
+    val corpus = Dedup.corpusNear(spark, dir)
+    val kernel = Dedup.simhashMd5Fingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty)
+    val hexDigits = "0123456789abcdef"
+    val expected = docs.map { case (id, toks) =>
+      val counts = new Array[Int](32)
+      toks.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 8)
+        for (k <- 0 until 8; j <- 3 to 0 by -1) {
+          val nib = hexDigits.indexOf(hex(k))
+          val p = k * 4 + (3 - j)
+          if (((nib >> j) & 1) == 1) counts(31 - p) += 1
+          else counts(31 - p) -= 1
+        }
+      }
+      id -> (0 until 32).map(b =>
+        if (counts(b) > 0) 1L << b else 0L).sum
+    }.toMap
+    assert(kernel.nonEmpty)
+    assert(kernel === expected)
+  }
+
   test("simhash banding equals brute-force hamming <= 3") {
     val fps = Dedup.simhashFingerprints(Dedup.corpusNear(spark, dir)).cache()
     val banded = Dedup.simhashPairs(fps, 3)
