@@ -426,6 +426,98 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // DSIR-style importance weighting (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling", NeurIPS'23): score every
+  // document by how much more likely its tokens are under a TARGET
+  // domain's unigram model than under the rest-of-corpus model —
+  // mean_t ln(p_tgt(t) / p_src(t)) — then select the positive-ratio
+  // docs. The target here is the `en` slice (any label column works);
+  // add-1 smoothing over the shared vocab keeps both models defined on
+  // every token. All model inputs are integer counts, so the log of the
+  // integer ratio is bit-identical across engines; the per-doc tf-
+  // weighted mean is the same 4dp-rounding regime as q_unigram_logprob.
+  //
+  // Scale shape: two vocab-sized aggregations (target/source counts),
+  // one 1-row totals frame broadcast, term-keyed left join back to the
+  // per-doc tf frame, one per-doc aggregation. No stage holds more than
+  // vocab or doc keys — the same family as the LM-score queries. (The
+  // paper hashes n-grams into 10⁴ buckets to bound vocab; with this
+  // fixture's bounded vocab the exact-term model IS the bucketed model.)
+  // ---------------------------------------------------------------------
+  val DsirTargetLang = "en"
+
+  /** The operator body behind [[qDsirWeights]]: importance log-ratios
+    * for an arbitrary corpus frame (`doc_id`, `text`, `lang`) and
+    * target predicate over its rows.
+    */
+  def dsirWeights(docs: DataFrame, isTgt: Column): DataFrame = {
+    // tf feeds the target model, the source model, and the scoring join
+    val tf = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val ct = tf.filter(isTgt).groupBy("term").agg(sum("tf").as("ct"))
+    val cs = tf.filter(!isTgt).groupBy("term").agg(sum("tf").as("cs"))
+    val totals = tf.agg(
+      countDistinct("term").as("v"),
+      sum(when(isTgt, col("tf")).otherwise(0L)).as("nt"),
+      sum(when(!isTgt, col("tf")).otherwise(0L)).as("ns"))
+    val out = tf
+      .join(ct, Seq("term"), "left").na.fill(0L, Seq("ct"))
+      .join(cs, Seq("term"), "left").na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(totals))
+      // ln(p_tgt/p_src) with add-1: an integer-ratio log, engine-exact
+      .withColumn("lr", log(
+        ((col("ct") + 1L) * (col("ns") + col("v"))).cast("double") /
+          ((col("cs") + 1L) * (col("nt") + col("v")))))
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("tf") * col("lr")) / sum(col("tf")), 4)
+        .as("dsir_logratio"))
+      .withColumn("selected", col("dsir_logratio") > 0)
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  val qDsirWeights: Q = (s, d) =>
+    dsirWeights(documents(s, d), col("lang") === DsirTargetLang)
+
+  val qDsirWeightsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_filter(
+      |    string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, lang, term, count(*) AS tf
+      |       FROM toks GROUP BY 1, 2, 3),
+      |ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf
+      |       WHERE lang = '$DsirTargetLang' GROUP BY 1),
+      |cs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cs FROM tf
+      |       WHERE lang <> '$DsirTargetLang' GROUP BY 1),
+      |tot AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v,
+      |          CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN tf
+      |                        ELSE 0 END) AS BIGINT) AS nt,
+      |          CAST(sum(CASE WHEN lang <> '$DsirTargetLang' THEN tf
+      |                        ELSE 0 END) AS BIGINT) AS ns
+      |        FROM tf)
+      |SELECT doc_id, lang,
+      |  round(sum(tf * ln(
+      |    CAST((COALESCE(ct, 0) + 1) * (ns + v) AS DOUBLE)
+      |      / ((COALESCE(cs, 0) + 1) * (nt + v)))) / sum(tf), 4)
+      |    AS dsir_logratio,
+      |  round(sum(tf * ln(
+      |    CAST((COALESCE(ct, 0) + 1) * (ns + v) AS DOUBLE)
+      |      / ((COALESCE(cs, 0) + 1) * (nt + v)))) / sum(tf), 4) > 0
+      |    AS selected
+      |FROM tf
+      |  LEFT JOIN ct USING (term)
+      |  LEFT JOIN cs USING (term)
+      |  CROSS JOIN tot
+      |GROUP BY doc_id, lang
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Corpus profiling: per-language token-length histogram — the report
   // card every curation run publishes (length distributions drive the
   // gate thresholds the quality ops apply). Fixed-width integer buckets
@@ -463,6 +555,7 @@ object TextAnalysis {
       |FROM b ORDER BY lang, bucket""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_dsir_weights" -> qDsirWeights,
     "q_length_histogram" -> qLengthHistogram,
     "q_text_stats" -> qTextStats,
     "q_bigram_logprob" -> qBigramLogprob,
@@ -475,6 +568,7 @@ object TextAnalysis {
     "q_unigram_logprob" -> qUnigramLogprob)
 
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights" -> qDsirWeightsSql,
     "q_length_histogram" -> qLengthHistogramSql,
     "q_text_stats" -> qTextStatsSql,
     "q_bigram_logprob" -> qBigramLogprobSql,

@@ -119,5 +119,13 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
     assert(cc.count() === 0)
     assert(cc.columns.toSeq === Seq("node", "cluster_id"))
+
+    // round-4: empty corpus → both models empty, totals row still
+    // builds (countDistinct 0 / null sums), zero score rows, no throw
+    val dsir = operators.TextAnalysis.dsirWeights(
+      docs, col("lang") === operators.TextAnalysis.DsirTargetLang)
+    assert(dsir.count() === 0)
+    assert(dsir.columns.toSeq ===
+      Seq("doc_id", "lang", "dsir_logratio", "selected"))
   }
 }

@@ -76,6 +76,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perRow === explicit)
   }
 
+  test("dsir importance weights rank the target slice above the rest") {
+    val rows = TextAnalysis.qDsirWeights(spark, dir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    val (tgt, rest) = rows.partition(_._1 == TextAnalysis.DsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(String, Double, Boolean)]) =
+      xs.map(_._2).sum / xs.length
+    // the target model is trained ON the target slice: its docs must
+    // out-score the rest-of-corpus on average, or the weighting is inert
+    assert(mean(tgt) > mean(rest),
+      s"target mean ${mean(tgt)} must exceed rest mean ${mean(rest)}")
+    // selection is exactly the positive-logratio rule
+    rows.foreach { case (_, s, sel) => assert(sel === (s > 0)) }
+    // no persisted-RDD leak from the shared tf frame
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed).isEmpty)
+  }
+
   test("md5 simhash kernel matches the hex-nibble definition the " +
     "DuckDB oracle uses") {
     // independent recomputation straight from the md5 HEX STRING (the
