@@ -25,10 +25,14 @@ object PlanProbe {
     val df = fn(spark, sfDir)
     println(s"=== $name @ $sfDir ===")
     df.explain("formatted")
+    val rows = df.count()
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // full materialization, same as Bench — count() would let Catalyst
+      // prune projection-only columns and under-time kernel queries
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(
+        f"[probe] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
     }
     spark.stop()
   }
