@@ -422,6 +422,45 @@ object Relational {
       |ORDER BY nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // INTERSECT / EXCEPT (§2.8 family completion): customers who placed a
+  // big-ticket order AND an urgent one, and big-ticket customers who
+  // never went urgent. Spark's native intersect/except plan as a
+  // distinct-aggregate + left-semi / left-anti join — the same shuffle
+  // shape as the §2.3 joins, nothing bespoke. The custkey grain keeps
+  // both results non-empty at every fixture SF (nation-level keys
+  // saturate: by sf0.1 all 25 nations appear on both sides).
+  // ---------------------------------------------------------------------
+  private def bigTicketCustomers(s: SparkSession, d: String) =
+    orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey"))
+
+  private def urgentCustomers(s: SparkSession, d: String) =
+    orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+
+  val qIntersect: Q = (s, d) =>
+    bigTicketCustomers(s, d).intersect(urgentCustomers(s, d))
+      .orderBy("custkey")
+
+  val qIntersectSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  val qExcept: Q = (s, d) =>
+    bigTicketCustomers(s, d).except(urgentCustomers(s, d))
+      .orderBy("custkey")
+
+  val qExceptSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Scalar function surface (F1-F4: concat_ws, cast, arithmetic, CASE
   // decode — SANEF_Uploader.py:121,141,225-226,246).
   // ---------------------------------------------------------------------
@@ -571,6 +610,8 @@ object Relational {
     "q_window_running" -> qWindowRunning,
     "q_topk" -> qTopK,
     "q_union" -> qUnion,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
     "q_scalar" -> qScalar,
     "q_date_agg" -> qDateAgg)
 
@@ -596,6 +637,8 @@ object Relational {
     "q_window_running" -> qWindowRunningSql,
     "q_topk" -> qTopKSql,
     "q_union" -> qUnionSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql,
     "q_scalar" -> qScalarSql,
     "q_date_agg" -> qDateAggSql)
 }

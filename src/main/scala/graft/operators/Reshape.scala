@@ -194,6 +194,26 @@ object Reshape {
       |ORDER BY order_year ASC NULLS FIRST,
       |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // CUBE — the full grouping-sets lattice (rollup's superset: adds the
+  // per-priority-across-years slice). Same single-shuffle expanded
+  // aggregation; state is the subtotal lattice, not the fact table.
+  val qCube: Q = (s, d) =>
+    orders(s, d)
+      .cube(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("order_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (1, 2)
+      |ORDER BY order_year ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------------
   // As-of join, composed from built-ins (SURVEY §2.3 notes Spark's
   // built-ins cover range/as-of semantics): for every error event, the
@@ -309,7 +329,8 @@ object Reshape {
     "q_event_sessions" -> qEventSessions,
     "q_event_session_window" -> qEventSessionWindow,
     "q_range_join_clicks" -> qRangeJoinClicks,
-    "q_rollup" -> qRollup)
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube)
 
   val oracles: Map[String, String] = Map(
     "q_asof_prev_click" -> qAsofPrevClickSql,
@@ -320,5 +341,6 @@ object Reshape {
     "q_event_sessions" -> qEventSessionsSql,
     "q_event_session_window" -> qEventSessionWindowSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
-    "q_rollup" -> qRollupSql)
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql)
 }
