@@ -216,6 +216,55 @@ object InvariantProps extends Properties("graft.invariants") {
       lev(a, b) > 2 || (nbr(a) & nbr(b)).nonEmpty
     }
 
+  property("md5-simhash kernel: set bit means strictly positive majority") =
+    Prop.forAll(Gen.nonEmptyListOf(genWord.suchThat(_.nonEmpty))) { toks =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val fp = graft.functions.SimHashMd5Fingerprint
+        .computeFromTokens(new GenericArrayData(
+          toks.map(UTF8String.fromString).toArray))
+      val h32s = toks.map { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+          ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      }
+      // high 32 bits always clear, each low bit is the strict majority
+      (fp >>> 32) == 0L && (0 until 32).forall { j =>
+        val ones = h32s.count(h => ((h >>> j) & 1) == 1)
+        (((fp >>> j) & 1L) == 1L) == (ones > h32s.size - ones)
+      }
+    }
+
+  private val genFp32: Gen[Long] = Gen.choose(0L, 0xFFFFFFFFL)
+
+  property("8-bit-chunk banding is pigeonhole-exact for hamming <= 3 " +
+    "on 32-bit fingerprints") =
+    Prop.forAll(Gen.listOfN(6, genFp32)) { fps =>
+      val frame = fps.zipWithIndex
+        .map { case (f, i) => (i.toLong, f) }.toDF("doc_id", "simhash")
+      val banded = Dedup.simhashPairs(frame, 3, chunkBits = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        (fa, ia) <- fps.zipWithIndex; (fb, ib) <- fps.zipWithIndex
+        if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield (ia.toLong, ib.toLong, h)).toSet
+      banded == brute
+    }
+
+  property("ppm codec: encode/decode round-trips any raster") =
+    Prop.forAll(Gen.choose(1, 6), Gen.choose(1, 6)) { (w, h) =>
+      Prop.forAll(Gen.listOfN(w * h * 3,
+        Gen.choose(0, 255).map(_.toByte))) { px =>
+        val img = graft.multimodal.PpmCodec.Image(w, h, px.toArray)
+        val back = graft.multimodal.PpmCodec
+          .decode(graft.multimodal.PpmCodec.encode(img))
+        back.exists(b => b.width == w && b.height == h &&
+          b.rgb.toSeq == px)
+      }
+    }
+
   property("repetition kernel counters equal the brute-force reference") =
     Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "ab", "xyz"))) {
       toks =>
