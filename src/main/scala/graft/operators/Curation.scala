@@ -201,15 +201,110 @@ object Curation {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** The composite extended with a DATA-SELECTION stage: quality gate →
+    * DSIR importance selection (keep docs whose tokens are more likely
+    * under the target-slice model than the rest-of-corpus model —
+    * [[TextAnalysis.dsirWeights]]) → near-dup removal among the
+    * survivors → per-(lang, source) stats. The order matters and is the
+    * production order: selection runs BEFORE pair-finding so the
+    * quadratic-prone stage sees only the selected subset, and the DSIR
+    * models are fit on the gated corpus (garbage the gate drops must
+    * not vote in either model).
+    */
+  val qCurationDsir: Q = (s, d) => {
+    val gated = qualityGate(documents(s, d)).persist()
+    val selected = TextAnalysis.dsirWeights(
+      gated.select("doc_id", "text", "lang"),
+      col("lang") === TextAnalysis.DsirTargetLang)
+      .filter(col("selected")).select("doc_id")
+    // dsirWeights returns an eager checkpoint, so `selected` is a plain
+    // small frame; the join keeps gated's columns for the stats below
+    val kept = gated.join(selected, "doc_id").persist()
+    val sh = kept.select(col("doc_id"),
+      explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .persist()
+    val dupIds = Dedup.jaccardPairs(sh, 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
+    val out = kept
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+      .orderBy("lang", "source")
+      .localCheckpoint(true)
+    sh.unpersist(); kept.unpersist(); gated.unpersist()
+    out
+  }
+
+  val qCurationDsirSql: String =
+    s"""WITH gated AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                t -> t <> '') AS l
+      |  FROM documents
+      |  WHERE len(text) BETWEEN 100 AND 500
+      |    AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |            t -> t <> '')) >= 20),
+      |tf AS (SELECT doc_id, lang, unnest(l) AS term FROM gated),
+      |tfc AS (SELECT doc_id, lang, term, count(*) AS tf
+      |        FROM tf GROUP BY 1, 2, 3),
+      |ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tfc
+      |       WHERE lang = '${TextAnalysis.DsirTargetLang}' GROUP BY 1),
+      |cs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cs FROM tfc
+      |       WHERE lang <> '${TextAnalysis.DsirTargetLang}' GROUP BY 1),
+      |tot AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v,
+      |          CAST(sum(CASE WHEN lang = '${TextAnalysis.DsirTargetLang}'
+      |                        THEN tf ELSE 0 END) AS BIGINT) AS nt,
+      |          CAST(sum(CASE WHEN lang <> '${TextAnalysis.DsirTargetLang}'
+      |                        THEN tf ELSE 0 END) AS BIGINT) AS ns
+      |        FROM tfc),
+      |sel AS (
+      |  SELECT doc_id
+      |  FROM tfc
+      |    LEFT JOIN ct USING (term)
+      |    LEFT JOIN cs USING (term)
+      |    CROSS JOIN tot
+      |  GROUP BY doc_id
+      |  HAVING round(sum(tf * ln(
+      |    CAST((COALESCE(ct, 0) + 1) * (ns + v) AS DOUBLE)
+      |      / ((COALESCE(cs, 0) + 1) * (nt + v)))) / sum(tf), 4) > 0),
+      |kept AS (SELECT g.* FROM gated g JOIN sel USING (doc_id)),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM kept),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM kept CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |dup AS (SELECT DISTINCT id_b AS doc_id
+      |        FROM inter
+      |        JOIN sizes na ON id_a = na.doc_id
+      |        JOIN sizes nb ON id_b = nb.doc_id
+      |        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(len(l)) AS BIGINT) AS n_tokens
+      |FROM kept
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_corpus_curation" -> qCorpusCuration,
     "q_corpus_curation_clusters" -> qCorpusCurationClusters,
-    "q_corpus_curation_minhash" -> qCorpusCurationMinhash)
+    "q_corpus_curation_minhash" -> qCorpusCurationMinhash,
+    "q_curation_dsir" -> qCurationDsir)
 
   val oracles: Map[String, String] = Map(
     "q_corpus_curation" -> qCorpusCurationSql,
     "q_corpus_curation_clusters" -> qCorpusCurationClustersSql,
     // banding recall ≈ 1 − 2e-11 at j ≥ 0.8 ⇒ identical output (see
     // qCorpusCurationMinhash doc) — same oracle as the exact pipeline
-    "q_corpus_curation_minhash" -> qCorpusCurationSql)
+    "q_corpus_curation_minhash" -> qCorpusCurationSql,
+    "q_curation_dsir" -> qCurationDsirSql)
 }
