@@ -213,8 +213,8 @@ object Curation {
     */
   val qCurationDsir: Q = (s, d) => {
     val gated = qualityGate(documents(s, d)).persist()
-    val selected = TextAnalysis.dsirWeights(
-      gated.select("doc_id", "text", "lang"),
+    val selected = TextAnalysis.dsirWeightsTokenized(
+      gated.select("doc_id", "lang", "toks"),
       col("lang") === TextAnalysis.DsirTargetLang)
       .filter(col("selected")).select("doc_id")
     // dsirWeights returns an eager checkpoint, so `selected` is a plain

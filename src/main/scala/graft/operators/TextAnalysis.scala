@@ -450,10 +450,18 @@ object TextAnalysis {
     * for an arbitrary corpus frame (`doc_id`, `text`, `lang`) and
     * target predicate over its rows.
     */
-  def dsirWeights(docs: DataFrame, isTgt: Column): DataFrame = {
+  def dsirWeights(docs: DataFrame, isTgt: Column): DataFrame =
+    dsirWeightsTokenized(
+      docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks")),
+      isTgt)
+
+  /** Pre-tokenized form (`doc_id`, `lang`, `toks`) so composed pipelines
+    * whose upstream stage already tokenized (e.g. the curation gate)
+    * don't pay a second corpus-wide tokenize pass.
+    */
+  def dsirWeightsTokenized(docs: DataFrame, isTgt: Column): DataFrame = {
     // tf feeds the target model, the source model, and the scoring join
     val tf = docs
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
       .persist()
