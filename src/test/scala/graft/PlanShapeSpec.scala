@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins: the scale properties the scaladocs
+  * claim (broadcasts on dim joins, pushdown + pruning at the scan,
+  * per-row kernels that never hash-shuffle) asserted against the actual
+  * executed plan, so a refactor that silently degrades a plan — a
+  * broadcast falling back to sort-merge, a filter no longer reaching
+  * parquet, a kernel gaining an aggregation — fails CI instead of only
+  * showing up in a bench regression.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dim joins broadcast, never sort-merge") {
+    for (q <- Seq("q_join_broadcast", "q_join_chain", "job_seats_won")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q fell back to sort-merge:\n$p")
+    }
+  }
+
+  test("per-row kernel queries never hash-shuffle rows") {
+    // these are pure per-document maps; the ONLY exchange in the plan
+    // is the range partitioning of the deterministic output order
+    for (q <- Seq("q_pii_scrub", "q_text_stats", "q_doc_fingerprint",
+      "q_lang_id", "q_quality_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q gained a hash shuffle:\n$p")
+    }
+  }
+
+  test("parquet scans push filters and prune columns") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [") &&
+      !p.contains("PushedFilters: []"),
+      s"q_filter_project lost its pushed filters:\n$p")
+    // the projection is 4 columns of lineitem's 16 — the scan schema
+    // must not read the rest
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"q_filter_project reads unprojected columns: $read")
+  }
+
+  test("events scan reads only the session columns") {
+    val p = plan("q_event_session_window")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"session aggregation reads unneeded columns: $read")
+  }
+}
