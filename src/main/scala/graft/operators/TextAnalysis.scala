@@ -492,6 +492,38 @@ object TextAnalysis {
   val qDsirWeights: Q = (s, d) =>
     dsirWeights(documents(s, d), col("lang") === DsirTargetLang)
 
+  /** Static DSIR scoring model from a reference corpus: a vocab-sized
+    * `(term, lr)` table (materialized once) plus the unseen-term default
+    * log-ratio. This is the reusable artifact the STREAMING ingest gate
+    * broadcasts ([[graft.streaming.DocStreams.admitByImportance]]) —
+    * arriving documents are scored against the frozen model without
+    * re-reading the reference corpus; the totals collect is three longs.
+    */
+  def dsirModel(docs: DataFrame, isTgt: Column): (DataFrame, Double) = {
+    val terms = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .select(col("term"), isTgt.as("is_tgt"))
+      .persist()
+    val counts = terms.groupBy("term").agg(
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("cs"))
+      .persist()
+    val t = counts.agg(
+      count(lit(1)).as("v"), sum("ct").as("nt"), sum("cs").as("ns"))
+      .collect()(0)
+    val (v, nt, ns) = (t.getLong(0),
+      if (t.isNullAt(1)) 0L else t.getLong(1),
+      if (t.isNullAt(2)) 0L else t.getLong(2))
+    val weights = counts.select(col("term"),
+      log(((col("ct") + 1L) * (ns + v)).cast("double") /
+        ((col("cs") + 1L) * (nt + v))).as("lr"))
+      .localCheckpoint(true)
+    terms.unpersist(); counts.unpersist()
+    // empty corpus → no vocab: a neutral default (score 0, not NaN)
+    val default = if (v == 0) 0.0 else math.log((ns + v).toDouble / (nt + v))
+    (weights, default)
+  }
+
   val qDsirWeightsSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, lang, unnest(list_filter(

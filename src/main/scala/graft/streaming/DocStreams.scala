@@ -152,6 +152,38 @@ object DocStreams {
       sink(batch.join(matched, Seq("doc_id"), "left_anti"), batchId)
     }
 
+  /** Streaming DSIR admission: score every arriving document against a
+    * FROZEN importance model ([[graft.operators.TextAnalysis.dsirModel]]
+    * — vocab-sized `(term, lr)` table + unseen-term default) and admit
+    * docs whose tf-weighted mean log-ratio clears `minScore`. The
+    * continual-pretraining analog of the batch selection
+    * (`q_dsir_weights`): the model is fit once on the reference corpus;
+    * ingest never re-reads it. `foreachBatch` for the same reason as
+    * [[admitAgainstCorpus]] — the per-doc mean is an aggregation over
+    * the term join, unbounded as a direct streaming aggregation. The
+    * weight table broadcasts (vocab-sized); the caller should persist
+    * it across micro-batches.
+    *
+    * Same staleness contract as [[scrubSpansAgainstCorpus]]: admitted
+    * documents don't update the model; rebuild it periodically as the
+    * corpus (or the target domain) drifts.
+    */
+  def admitByImportance(
+      docs: DataFrame, weights: DataFrame, defaultLr: Double,
+      minScore: Double = 0.0)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val admitted = batch
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .join(broadcast(weights), Seq("term"), "left")
+        // avg over exploded occurrences IS the tf-weighted mean
+        .groupBy("doc_id")
+        .agg(avg(coalesce(col("lr"), lit(defaultLr))).as("score"))
+        .filter(col("score") > minScore)
+        .select("doc_id")
+      sink(batch.join(admitted, Seq("doc_id"), "left_semi"), batchId)
+    }
+
   /** Streaming span scrub: strip from every arriving document the token
     * spans whose n-gram already occurs in the STATIC corpus — the
     * continual-ingest form of substring-level dedup

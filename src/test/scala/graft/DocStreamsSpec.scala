@@ -166,6 +166,49 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.nonEmpty)
   }
 
+  test("streaming DSIR admission scores against the frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang")
+    val (weights, default) = graft.operators.TextAnalysis
+      .dsirModel(corpus, col("lang") === "en")
+    weights.persist()
+    // stream a slice of the corpus itself plus one all-unseen doc
+    val streamed = corpus.filter(col("doc_id") % 7 === 0)
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), "c", ts(0))) :+
+      Doc(999999L, "zzzz qqqq wwww jjjj", "c", ts(1))
+    val admitted = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admitByImportance(input.toDF(), weights, default) {
+      (out, _) =>
+        admitted.synchronized {
+          admitted ++= out.select("doc_id").collect().map(_.getLong(0))
+        }
+    }.start()
+    try {
+      input.addData(streamed.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // driver-side recomputation from the collected model — the gate must
+    // equal per-doc mean log-ratio > 0, unseen terms at the default
+    val w = weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    weights.unpersist()
+    val expect = streamed.filter { doc =>
+      val toks = doc.text.trim.split("\\s+").filter(_.nonEmpty)
+      toks.nonEmpty &&
+        toks.map(t => w.getOrElse(t, default)).sum / toks.length > 0
+    }.map(_.doc_id).toSet
+    assert(admitted.toSet === expect)
+    assert(admitted.nonEmpty && admitted.size < streamed.length,
+      "gate must admit some and reject some")
+    // the all-unseen doc scores exactly the default, whose SIGN is a
+    // corpus-balance fact (ln((ns+v)/(nt+v)) — positive when non-target
+    // tokens outnumber target ones, as here): admission must follow it
+    assert(admitted.contains(999999L) === (default > 0))
+  }
+
   test("streaming span scrub strips corpus-duplicated spans per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
