@@ -426,6 +426,103 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stupid Backoff scoring (Brants et al., "Large Language Models in
+  // Machine Translation", EMNLP'07): per-doc mean log score of each
+  // bigram under a FROZEN model — S(w2|w1) = c(w1 w2)/c(w1) when the
+  // bigram is known, else α·(c(w2)+1)/(N+V) (α = 0.4; add-1 on the
+  // unigram backstop so unseen words stay finite). Unlike the
+  // self-corpus q_unigram/bigram_logprob scores, the model here is fit
+  // on a TENTH of the corpus (doc_id % 10 == 0) and applied to every
+  // document — the production shape (frozen model, new text), sized so
+  // backoff genuinely fires (377 of 500 fixture docs carry at least one
+  // bigram the model slice never saw; a half-corpus model left only 6). All model quantities are integer counts, so every ratio is
+  // engine-exact; same 4dp parity regime as the other LM scores.
+  //
+  // Scale shape: model = two vocab²-bounded aggregations over the model
+  // half (+1 unigram agg); scoring = bigram- and word-keyed LEFT joins
+  // back to the per-doc frame. Nothing holds more than vocab state.
+  // ---------------------------------------------------------------------
+  val BackoffAlpha = 0.4
+
+  val qBackoffLogprob: Q = (s, d) => {
+    val toksAll = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val model = toksAll.filter(col("doc_id") % 10 === 0)
+    val cbg = model
+      .select(explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_bg"))
+      .persist()
+    val cw1 = cbg
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum("c_bg").as("c_w1"))
+    val cu = model.select(explode(col("toks")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c_u"))
+      .persist()
+    val totals = cu.agg(
+      coalesce(sum("c_u"), lit(0L)).as("n"),
+      count(lit(1)).as("v"))
+    val docBg = toksAll
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val out = docBg
+      .join(cbg, Seq("g"), "left")
+      .join(cw1, Seq("w1"), "left")
+      .join(cu, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        when(col("c_bg").isNotNull,
+          log(col("c_bg").cast("double") / col("c_w1")))
+          .otherwise(log(lit(BackoffAlpha) *
+            (coalesce(col("c_u"), lit(0L)) + 1L).cast("double") /
+            (col("n") + col("v")))))
+      .groupBy("doc_id")
+      .agg(
+        round(avg("lp"), 4).as("mean_backoff_logprob"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    cbg.unpersist(); cu.unpersist()
+    out
+  }
+
+  val qBackoffLogprobSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |bg AS (SELECT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS g,
+      |         l[CAST(i AS INT)] AS w1, l[CAST(i AS INT)+1] AS w2
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 1 <= len(l)),
+      |cbg AS (SELECT g, CAST(count(*) AS BIGINT) AS c_bg FROM bg
+      |        WHERE doc_id % 10 = 0 GROUP BY 1),
+      |cw1 AS (SELECT split_part(g, ' ', 1) AS w1,
+      |          CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY 1),
+      |cu AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_u FROM (
+      |         SELECT doc_id, unnest(l) AS w2 FROM t)
+      |       WHERE doc_id % 10 = 0 GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE(sum(c_u), 0) AS BIGINT) AS n,
+      |          CAST(count(*) AS BIGINT) AS v FROM cu)
+      |SELECT doc_id,
+      |  round(avg(CASE WHEN c_bg IS NOT NULL
+      |    THEN ln(CAST(c_bg AS DOUBLE) / c_w1)
+      |    ELSE ln($BackoffAlpha * (COALESCE(c_u, 0) + 1) / (n + v))
+      |  END), 4) AS mean_backoff_logprob,
+      |  CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_backoff
+      |FROM bg
+      |  LEFT JOIN cbg USING (g)
+      |  LEFT JOIN cw1 USING (w1)
+      |  LEFT JOIN cu USING (w2)
+      |  CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // DSIR-style importance weighting (Xie et al., "Data Selection for
   // Language Models via Importance Resampling", NeurIPS'23): score every
   // document by how much more likely its tokens are under a TARGET
@@ -596,6 +693,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q_dsir_weights" -> qDsirWeights,
+    "q_backoff_logprob" -> qBackoffLogprob,
     "q_length_histogram" -> qLengthHistogram,
     "q_text_stats" -> qTextStats,
     "q_bigram_logprob" -> qBigramLogprob,
@@ -609,6 +707,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> qDsirWeightsSql,
+    "q_backoff_logprob" -> qBackoffLogprobSql,
     "q_length_histogram" -> qLengthHistogramSql,
     "q_text_stats" -> qTextStatsSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
