@@ -293,16 +293,19 @@ object Dedup {
     * (`filter` with the index lambda over the token array) is a pure
     * per-row map.
     *
-    * DEVIATION from the paper: the hot set is df ≥ 2 over DISTINCT
-    * documents, so a span repeated many times WITHIN a single document
-    * (and appearing nowhere else) is deliberately not scrubbed — Lee et
-    * al.'s suffix-array rule counts any ≥ 2 corpus occurrences,
-    * including same-document repeats. Within-document repetition is
-    * handled by the repetition-quality gate ([[graft.operators.Quality]]
-    * repetition stats), which scores and filters such documents whole;
-    * scrubbing them span-wise would shred the surviving text. Callers
-    * wanting paper-faithful semantics can pre-explode per-document
-    * occurrence counts and union `count ≥ 2` grams into the hot set.
+    * DEVIATION from the paper (default): the hot set is df ≥ 2 over
+    * DISTINCT documents, so a span repeated many times WITHIN a single
+    * document (and appearing nowhere else) is deliberately not
+    * scrubbed — Lee et al.'s suffix-array rule counts any ≥ 2 corpus
+    * occurrences, including same-document repeats. Within-document
+    * repetition is handled by the repetition-quality gate
+    * ([[graft.operators.Quality]] repetition stats), which scores and
+    * filters such documents whole; scrubbing them span-wise would shred
+    * the surviving text. `withinDoc = true` selects the paper-faithful
+    * rule instead (hot also includes any gram occurring ≥ 2 times in
+    * ONE document — one extra (doc, gram)-keyed aggregation,
+    * spec-pinned on hand-built docs; the fixture corpus has zero
+    * within-doc 5-gram repeats, so no separate driver row exists).
     */
   /** The coverage+rebuild stage against an EXTERNAL hot-gram set (one
     * string column `g`): join gram occurrences to the hot set, union the
@@ -348,16 +351,27 @@ object Dedup {
           .as("clean_text"))
   }
 
-  def duplicatedSpanScrub(docs: DataFrame, n: Int): DataFrame = {
+  def duplicatedSpanScrub(
+      docs: DataFrame, n: Int, withinDoc: Boolean = false): DataFrame = {
     // the token arrays feed the gram index (hot + coverage branches) AND
     // final reconstruction; persist so the corpus is tokenized once
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks")).persist()
-    val hot = toks.select(col("doc_id"),
+    val crossDoc = toks.select(col("doc_id"),
         explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("g")
+    val hot =
+      if (!withinDoc) crossDoc
+      else crossDoc.union(
+        // paper-faithful extension: grams repeating inside one document
+        toks.select(col("doc_id"),
+            explode(shinglesFromTokens(col("toks"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("g"))
+        .distinct()
     val out = scrubTokenized(toks, hot, n).localCheckpoint(true)
     toks.unpersist()
     out

@@ -321,6 +321,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall(128) === sampled)
   }
 
+  test("paper-faithful span scrub also strips within-document repeats") {
+    import spark.implicits._
+    // "a b c" repeats WITHIN doc 1 only; no gram is shared across docs
+    val docs = Seq(
+      (1L, "a b c x y a b c z w"),
+      (2L, "p q r s t u v")).toDF("doc_id", "text")
+    def run(withinDoc: Boolean): Map[Long, (Long, String)] =
+      Dedup.duplicatedSpanScrub(docs, 3, withinDoc).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // default (distinct-doc df) rule: nothing qualifies, both intact
+    val dfRule = run(withinDoc = false)
+    assert(dfRule(1L) === ((0L, "a b c x y a b c z w")))
+    assert(dfRule(2L) === ((0L, "p q r s t u v")))
+    // Lee-et-al rule: both occurrences of the self-repeated gram go
+    // (positions 1-3 and 6-8), the unique doc is untouched
+    val paper = run(withinDoc = true)
+    assert(paper(1L) === ((6L, "x y z w")))
+    assert(paper(2L) === ((0L, "p q r s t u v")))
+  }
+
   test("duplicated-span scrub equals a driver-side brute-force recount") {
     val n = Dedup.SpanN
     val got = Dedup.qDedupSpans(spark, dir).collect()
