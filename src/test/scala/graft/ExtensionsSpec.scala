@@ -164,6 +164,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val nbr = spark.sql("SELECT deletion_neighborhood('ab', 1)")
       .head.getSeq[String](0).toSet
     assert(nbr === Set("ab", "a", "b"))
+    // 32-bit md5 variant: high 32 bits clear, single-token fp equals
+    // the big-endian packing of the token's first 4 digest bytes
+    val md5fp = spark.sql("SELECT simhash_md5_fingerprint(array('x'))")
+      .head.getLong(0)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8"))
+    val expected = (((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)).toLong & 0xFFFFFFFFL
+    assert(md5fp === expected)
     // 6-slot counter array: "a a" → 2 tokens, 1 distinct, 1 bigram
     // occurring once (ppm 1e6)
     assert(spark.sql("SELECT repetition_stats(array('a', 'a'))")
