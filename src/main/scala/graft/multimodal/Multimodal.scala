@@ -11,14 +11,17 @@ import graft.operators.Relational.Q
   * struct, with decode / feature-extract / resize / frame-sample staged
   * as iterator-to-iterator `mapPartitions` kernels.
   *
-  * Two codec paths feed the kernels:
+  * Three codec paths feed the kernels:
   *   - [[PpmCodec]] — a REAL pure-JVM binary-PPM (P6) decoder/encoder:
   *     width/height/pixel stats come from actual raster bytes and
   *     `resize` is a true nearest-neighbor rescale.
-  *   - `decodeStub` — the fixture framing (this container has no
-  *     image/audio libraries beyond what the JVM itself can parse):
-  *     parses only our synthetic 8-byte GRFT header. Audio/video decode
-  *     stays honestly stubbed behind the same kernel signature.
+  *   - [[WavCodec]] — a REAL pure-JVM RIFF/16-bit-PCM decoder/encoder:
+  *     duration/amplitude stats come from actual samples.
+  *   - `decodeStub` — the fixture framing (this container has no media
+  *     libraries beyond what the JVM itself can parse): parses only our
+  *     synthetic 8-byte GRFT header. Video decode stays honestly
+  *     stubbed behind the same kernel signature — there is no
+  *     trivially-pure-JVM video format.
   * The Spark-side plumbing is the design under test either way: schema,
   * partition-level batching (one kernel call per partition iterator, the
   * JVM analog of PySpark's mapInPandas batch shape), and column pruning
@@ -90,27 +93,28 @@ object Multimodal {
     PpmCodec.decode(payload).map(img => (img.width, img.height))
       .orElse(decodeStub(payload))
 
-  /** Feature extraction as a partition-batched kernel. For a payload the
-    * real codec decodes (PPM), the histogram is over PIXEL LUMINANCE —
-    * actual image statistics; otherwise it falls back to the raw byte
-    * histogram (the only honest stat for an undecodable payload). Either
-    * way: histogram → Shannon entropy + support, one pass per partition
+  /** Feature extraction as a partition-batched kernel. For a payload a
+    * real codec decodes, the histogram comes from DECODED content —
+    * pixel luminance for PPM images, sample amplitude (high byte) for
+    * PCM WAV audio; otherwise it falls back to the raw byte histogram
+    * (the only honest stat for an undecodable payload). Either way:
+    * histogram → Shannon entropy + support, one pass per partition
     * iterator, payload bytes never enter the relational row format.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = PpmCodec.decode(r.payload)
-        val hist = decoded match {
-          case Some(img) => PpmCodec.luminanceHistogram(img)
-          case None =>
-            val h = new Array[Long](256)
-            var i = 0
-            while (i < r.payload.length) {
-              h(r.payload(i) & 0xff) += 1; i += 1
-            }
-            h
+        val decodedHist = PpmCodec.decode(r.payload)
+          .map(PpmCodec.luminanceHistogram)
+          .orElse(WavCodec.decode(r.payload).map(WavCodec.amplitudeHistogram))
+        val hist = decodedHist.getOrElse {
+          val h = new Array[Long](256)
+          var i = 0
+          while (i < r.payload.length) {
+            h(r.payload(i) & 0xff) += 1; i += 1
+          }
+          h
         }
         val n = hist.sum.toDouble
         var entropy = 0.0
@@ -125,10 +129,37 @@ object Multimodal {
           b += 1
         }
         MediaFeatures(r.media_id, r.modality, r.payload.length,
-          decoded.isDefined || decodeStub(r.payload).isDefined,
+          decodedHist.isDefined || decodeStub(r.payload).isDefined,
           entropy, nonzero)
       }
     }
+  }
+
+  /** Audio feature kernel over WAV payloads: real sample-level signals
+    * (duration from frame count, RMS amplitude, zero-crossing rate).
+    * Undecodable rows come back zeroed — `sample_rate > 0` is the
+    * "decoded" predicate; no numbers are fabricated for them.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(clip) =>
+            var sumSq = 0.0
+            clip.samples.foreach(s => sumSq += s.toDouble * s)
+            val rms =
+              if (clip.samples.isEmpty) 0.0
+              else math.sqrt(sumSq / clip.samples.length)
+            (r.media_id, clip.sampleRate, clip.channels,
+              clip.durationMs, math.round(rms * 100) / 100.0,
+              WavCodec.zeroCrossings(clip))
+          case None =>
+            (r.media_id, 0, 0, 0L, 0.0, 0L)
+        }
+      }
+    }.toDF("media_id", "sample_rate", "channels", "duration_ms",
+      "rms", "zero_crossings")
   }
 
   /** Payload-rewriting resize kernel. PPM payloads get a REAL

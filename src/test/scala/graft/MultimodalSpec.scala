@@ -146,6 +146,55 @@ class MultimodalSpec extends AnyFunSuite {
       PpmCodec.resize(PpmCodec.decode(ppm4x2).get, 2, 1).rgb.toSeq)
   }
 
+  test("WAV codec: decodes a hand-built PCM clip and round-trips it") {
+    import graft.multimodal.WavCodec
+    // 8 kHz mono, 8 frames: a square wave crossing zero every 2 frames
+    val samples = Array[Short](
+      1000, 1000, -1000, -1000, 1000, 1000, -1000, -1000)
+    val wav = WavCodec.encode(WavCodec.Clip(8000, 1, samples))
+    val clip = WavCodec.decode(wav).getOrElse(fail("decode failed"))
+    assert(clip.sampleRate === 8000 && clip.channels === 1)
+    assert(clip.samples.toSeq === samples.toSeq)
+    assert(clip.durationMs === 1L) // 8 frames / 8000 Hz = 1 ms
+    assert(WavCodec.zeroCrossings(clip) === 3)
+    // amplitude histogram buckets by high byte: 1000 -> 3, -1000 -> 252
+    val hist = WavCodec.amplitudeHistogram(clip)
+    assert(hist(3) === 4 && hist(252) === 4 && hist.sum === 8)
+    // malformed containers refuse, never throw
+    assert(WavCodec.decode(wav.dropRight(1)).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("kernels run the real audio codec end-to-end on WAV payloads") {
+    import spark.implicits._
+    import graft.multimodal.WavCodec
+    val samples = Array[Short](100, -100, 200, -200, 300, -300)
+    val wav = WavCodec.encode(WavCodec.Clip(16000, 1, samples))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav,
+        Multimodal.MediaMeta(0, 0, 16000, 0, "wav")),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta(0, 0, 0, 0, "bin")))
+    val ds = spark.createDataset(rows)
+    val feats = Multimodal.extractFeatures(ds)
+      .collect().map(f => f.media_id -> f).toMap
+    // header_ok through the WAV path; histogram over sample high bytes
+    assert(feats(1L).header_ok)
+    val expectedSupport = samples.map(s => (s >> 8) & 0xff).distinct.length
+    assert(feats(1L).histogram_nonzero === expectedSupport)
+    assert(!feats(2L).header_ok)
+    val audio = Multimodal.audioFeatures(ds)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = audio(1L)
+    assert(a.getInt(1) === 16000 && a.getInt(2) === 1)
+    val expRms = math.round(math.sqrt(
+      samples.map(s => s.toDouble * s).sum / samples.length) * 100) / 100.0
+    assert(a.getDouble(4) === expRms)
+    assert(a.getLong(5) === 5) // sign alternates at every step
+    assert(audio(2L).getInt(1) === 0, "undecodable row stays zeroed")
+  }
+
   test("frame sample plan emits offsets within duration") {
     val media = Multimodal.mediaTable(spark, dir).toDF()
     val frames = Multimodal.frameSamplePlan(media, everyMs = 10000).cache()
