@@ -85,14 +85,6 @@ object Multimodal {
         ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)))
     else None
 
-  /** Dimension probe across codecs: real PPM first, GRFT framing as the
-    * fallback. This is the single dispatch point every kernel goes
-    * through, so adding a codec extends decode/features/resize at once.
-    */
-  private[multimodal] def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
-    PpmCodec.decode(payload).map(img => (img.width, img.height))
-      .orElse(decodeStub(payload))
-
   /** Feature extraction as a partition-batched kernel. For a payload a
     * real codec decodes, the histogram comes from DECODED content —
     * pixel luminance for PPM images, sample amplitude (high byte) for

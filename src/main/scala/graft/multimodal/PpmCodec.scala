@@ -35,7 +35,8 @@ object PpmCodec {
       }
       val start = pos
       while (pos < payload.length && payload(pos).toChar.isDigit) pos += 1
-      if (pos == start) None
+      // >9 digits can't be a sane dimension and would overflow .toInt
+      if (pos == start || pos - start > 9) None
       else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
     }
     for {

@@ -47,7 +47,9 @@ object WavCodec {
     while (pos + 8 <= payload.length) {
       val size = le32(payload, pos + 4)
       val body = pos + 8
-      if (size < 0 || body + size > payload.length) return None
+      // long arithmetic: body + size wraps negative for size near
+      // Int.MaxValue and would pass an int-typed bounds check
+      if (size < 0 || body.toLong + size > payload.length) return None
       if (tag(payload, pos, "fmt ") && size >= 16) {
         pcm = le16(payload, body) == 1
         channels = le16(payload, body + 2)

@@ -156,7 +156,15 @@ object Clustering {
   def nearDupClusterLabels(s: SparkSession, d: String): DataFrame = {
     val (sh, raw) = Dedup.cachedCappedIndex(
       Dedup.corpusNear(s, d), 3, Dedup.ShingleDfCap)
-    val pairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    // Subquadratic pair finder: MinHash banding generates candidates,
+    // exact Jaccard verifies — the same (48 hashes, 24 bands, r=2)
+    // setting as q_dedup_minhash, whose output is spec-asserted equal to
+    // the exact self-join pairs on this fixture (recall 1 at j>=0.5), so
+    // the recursive-CTE oracle carries over unchanged while the pair
+    // stage drops from O(sum df²) to candidates-only.
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(sh, 48), bands = 24, r = 2)
+    val pairs = Dedup.verifyJaccard(cand, sh, 0.5).localCheckpoint(true)
     raw.unpersist(); sh.unpersist()
     connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")

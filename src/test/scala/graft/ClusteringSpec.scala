@@ -90,6 +90,24 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
+  test("minhash-pair cluster labels equal exact-jaccard-pair labels") {
+    // nearDupClusterLabels swapped its pair finder from the exact shingle
+    // self-join to MinHash banding + exact verify (subquadratic); the
+    // recursive-CTE oracle only carries over if banding recall stays 1 on
+    // this fixture — pin the equivalence at the cluster-label level
+    import graft.operators.Dedup
+    val viaMinhash = Clustering.nearDupClusterLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = Dedup.capDocFrequency(
+      Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3),
+      Dedup.ShingleDfCap).persist()
+    val exactPairs = Dedup.jaccardPairs(sh, 0.5).localCheckpoint(true)
+    sh.unpersist()
+    val viaExact = Clustering.connectedComponents(exactPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMinhash === viaExact)
+  }
+
   test("q_dedup_clusters: one keeper per cluster, sizes consistent") {
     val out = Clustering.qDedupClusters(spark, dir).cache()
     val rows = out.collect()

@@ -95,6 +95,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PpmCodec.decode("P5\n4 2\n255\n".getBytes ++
       new Array[Byte](24)).isEmpty)
     assert(PpmCodec.decode(ppm4x2.dropRight(1)).isEmpty)
+    // an unbounded digit run in the header must refuse, not throw
+    // NumberFormatException from .toInt
+    assert(PpmCodec.decode(
+      "P6 99999999999999999999 2 255 ".getBytes("US-ASCII") ++
+        new Array[Byte](24)).isEmpty)
   }
 
   test("PPM resize: real nearest-neighbor pixel mapping") {
@@ -164,6 +169,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WavCodec.decode(wav.dropRight(1)).isEmpty)
     assert(WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // a chunk size near Int.MaxValue must not wrap the bounds check
+    // negative (body + size overflow) — refuse, don't throw/allocate
+    val overflow = "RIFFxxxxWAVE".getBytes ++ "data".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f) // 0x7ffffff8
+    assert(WavCodec.decode(overflow).isEmpty)
   }
 
   test("kernels run the real audio codec end-to-end on WAV payloads") {
