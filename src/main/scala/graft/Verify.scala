@@ -39,9 +39,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {GRAFT_OUT_DIR} → this dump directory: lets an oracle join against
+    // results materialized by THIS run (q_knn_recall reads the ANN lists
+    // it scores — the lists are Spark-specific, the recall arithmetic is
+    // what DuckDB verifies). Absolute path so the checker's cwd is moot.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => SparkEntry.onlySelected(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{GRAFT_OUT_DIR}", outAbs))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -382,6 +382,61 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** Recall@k of each ANN method against the exact brute-force top-k —
+    * the engine-neutral number behind the rows-only ANN family. The ANN
+    * lists themselves are Spark-specific (xxhash64 hyperplanes / seeded
+    * Lloyd centroids), but recall is a JOIN of those materialized lists
+    * against a ground truth DuckDB derives independently: the oracle
+    * recomputes brute-force top-k from the base `embeddings` table and
+    * reads the ANN outputs Verify just materialized (the
+    * `{GRAFT_OUT_DIR}` placeholder is substituted with the dump
+    * directory when Verify writes oracle_sql.json), so the recall
+    * arithmetic — intersection size over ground-truth size — is
+    * hash-checked end to end.
+    */
+  val qKnnRecall: Q = (s, d) => {
+    // ground truth feeds both the join and the denominator — tiny (65
+    // rows): checkpoint once instead of recomputing the n² ranking twice
+    val bf = qKnnBruteForce(s, d).select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val tot = bf.agg(count(lit(1)).as("tot"))
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      ann.select("query_id", "neighbor_id")
+        .join(bf.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(lit(method).as("method"), lit(5).as("k"),
+          round(col("hits").cast("double") / col("tot"), 4).as("recall"))
+    recallOf("ivf", qKnnAnnIvf(s, d))
+      .unionByName(recallOf("lsh", qKnnAnnLsh(s, d)))
+      .orderBy("method")
+  }
+
+  val qKnnRecallSql: String =
+    """WITH bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+      |          DESC, b.vec_id) AS rnk
+      |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |    WHERE a.vec_id % 40 = 0)
+      |  WHERE rnk <= 5),
+      |ann AS (
+      |  SELECT 'ivf' AS method, query_id, neighbor_id
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_ivf/*.parquet')
+      |  UNION ALL
+      |  SELECT 'lsh' AS method, query_id, neighbor_id
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_lsh/*.parquet'))
+      |SELECT method, 5 AS k,
+      |  round(CAST(count(*) FILTER (WHERE bf.query_id IS NOT NULL)
+      |          AS DOUBLE) / (SELECT count(*) FROM bf), 4) AS recall
+      |FROM ann LEFT JOIN bf
+      |  ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+      |GROUP BY method
+      |ORDER BY method""".stripMargin
+
   /** Per-label centroid outlier scoring — the embedding-space curation
     * gate (drop vectors far from their class centroid, the SemDedup /
     * CLIP-filtering companion op): bottom-5 vectors by cosine-to-own-
@@ -453,12 +508,14 @@ object Similarity {
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
+    "q_knn_recall" -> qKnnRecall,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_embedding_outliers" -> qEmbeddingOutliers)
 
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> qKnnBruteForceSql,
+    "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     // cluster-local compare finds exactly the all-pairs output here:
     // only verbatim copies clear 0.9 and copies share a cell (see
