@@ -135,7 +135,34 @@ object ScaleProbe {
     t("token budget by ppm class 50k docs")(
       operators.Quality.tokenBudgetByPpmClass(
         docs.withColumn("lang", lit("xx")), 100000L).count())
-    // alternating star rounds: 10k chains of diameter 100 is the
+    // persisted-index cycle: the batch step must cost like the BATCH,
+    // not like the corpus — match+extend against the saved artifact vs
+    // rebuilding the corpus index from scratch
+    t("incremental index 50k docs (build once)") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      spark.sql("DROP TABLE IF EXISTS probe_idx")
+      spark.sql("DROP TABLE IF EXISTS probe_idx_sizes")
+      graft.plans.ShingleIndexStore.build(
+        docs, 3, "probe_idx", s"$wh/idx", buckets = 32)
+      spark.table("probe_idx").count()
+    }
+    val idxBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        substring(col("text"), 21, 1000000).as("text"))
+    t("incremental index: batch-2 match (5k docs vs saved 50k)")(
+      graft.plans.ShingleIndexStore
+        .matchBatch(idxBatch, 3, "probe_idx", 0.5).count())
+    t("incremental index: extend (append 5k docs)") {
+      graft.plans.ShingleIndexStore.extend(
+        idxBatch, 3, "probe_idx", buckets = 32)
+      spark.table("probe_idx_sizes").count()
+    }
+    // the twin WITHOUT the artifact: re-shingle the whole corpus to
+    // serve the same batch — the per-batch cost the store amortizes away
+    t("incremental index: batch-2 match (from-scratch corpus re-shingle)")(
+      Dedup.crossJaccardMatches(
+        Dedup.shingleIndex(idxBatch, 3).localCheckpoint(true),
+        Dedup.shingleIndex(docs, 3), 0.5).count())
     // adversarial shape (naive propagation would need 100 rounds); round
     // count must stay ~log(diameter) and per-round cost is edge-bound
     t("connected components 1M edges (10k chains of 100, distributed path)") {

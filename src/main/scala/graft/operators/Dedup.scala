@@ -662,9 +662,22 @@ object Dedup {
     * tractable. Returns (id_new, id_old) matches at `threshold`.
     */
   def crossJaccardMatches(
-      shNew: DataFrame, shOld: DataFrame, threshold: Double): DataFrame = {
+      shNew: DataFrame, shOld: DataFrame, threshold: Double): DataFrame =
+    crossJaccardMatchesIndexed(shNew, shOld,
+      shOld.groupBy("doc_id").agg(count(lit(1)).as("n")), threshold)
+
+  /** [[crossJaccardMatches]] with the corpus per-doc shingle counts
+    * supplied as `sizesOld(doc_id, n)` instead of recomputed. The
+    * recompute is a full corpus-index scan + doc_id shuffle per batch —
+    * exactly the cost a persisted index exists to avoid, so
+    * [[graft.plans.ShingleIndexStore]] stores the counts as part of the
+    * artifact and passes them here; the generic entry point derives them
+    * on the fly.
+    */
+  def crossJaccardMatchesIndexed(
+      shNew: DataFrame, shOld: DataFrame, sizesOld: DataFrame,
+      threshold: Double): DataFrame = {
     val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-    val sizesOld = shOld.groupBy("doc_id").agg(count(lit(1)).as("no"))
     val inter = shOld.toDF("id_old", "g")
       .join(broadcast(shNew.toDF("id_new", "g")), Seq("g"))
       .groupBy("id_new", "id_old")

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted, incrementally-extensible shingle-index artifact — the
+  * save/load/extend cycle a recurring dedup pipeline runs (the
+  * reference's own operating model is recurring re-invocation:
+  * `SANEF_Uploader.sh` driven by cron, `README.md:11-13`).
+  *
+  * At 100 TB the index IS the asset: tokenize + shingle + explode is the
+  * dominant scan cost, and rebuilding it inside every query re-pays that
+  * cost per run. This store builds it ONCE, writes it as a parquet table
+  * bucketed+sorted on the shingle key `g`, and extends it per batch by
+  * tokenizing ONLY the batch:
+  *
+  *   - `build`   — corpus → (doc_id, g) → bucketed external table
+  *   - `matchBatch` — batch near-dups vs the SAVED index
+  *     ([[Dedup.crossJaccardMatches]] shape: the batch side broadcasts,
+  *     the index side streams map-side and is never shuffled)
+  *   - `extend`  — append the batch's shingles; existing bucket files
+  *     are untouched (append adds per-bucket files, no rewrite)
+  *   - `admitAndExtend` — the composed production step: admit batch docs
+  *     with no near-dup in the index, extend the index with exactly the
+  *     admitted docs' shingles
+  *
+  * Why bucketed by `g`: every consumer keys on the shingle —
+  * `capDocFrequency`'s hot-key aggregation and the co-occurrence join
+  * both hash on `g` — so a bucketed scan already carries the right
+  * partitioning and those stages run WITHOUT a shuffle exchange on the
+  * index side (IndexStoreSpec pins the agg plan shape). `buckets` should
+  * track index size: one bucket of postings per executor-memory unit.
+  */
+object ShingleIndexStore {
+
+  /** The artifact is TWO tables: `<table>` = the (doc_id, g) postings
+    * bucketed by shingle, and `<table>_sizes` = the per-doc shingle
+    * counts (doc_id, n) bucketed by doc_id. Sizes are part of the
+    * artifact because the Jaccard denominator needs them per batch —
+    * recomputing them is a full postings scan + doc_id shuffle per
+    * batch, which would make the batch step cost like the corpus.
+    */
+  def sizesTable(table: String): String = s"${table}_sizes"
+
+  /** Build the index from `corpus` and save it (postings + sizes) under
+    * `path`, registered as external tables `table` / `<table>_sizes`.
+    */
+  def build(
+      corpus: DataFrame, n: Int, table: String, path: String,
+      buckets: Int): Unit = {
+    val spark = corpus.sparkSession
+    // a stale registration at a different path/spec must not shadow the
+    // new artifact; data files at `path` are replaced by Overwrite
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${sizesTable(table)}")
+    val sh = Dedup.shingleIndex(corpus, n).persist()
+    sh.write
+      .bucketBy(buckets, "g")
+      .sortBy("g")
+      .option("path", path)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n")).write
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"${path}_sizes")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(sizesTable(table))
+    sh.unpersist()
+  }
+
+  /** The saved index as a DataFrame. Read via the catalog (not
+    * `read.parquet(path)`) so the bucket spec survives and g-keyed
+    * aggregations/joins skip their exchange.
+    */
+  def load(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("doc_id", "g")
+
+  /** (id_new, id_old) near-dup matches of `batch` against the saved
+    * index at word-`n`-gram Jaccard >= `threshold`. Tokenizes ONLY the
+    * batch — the corpus is read back as fingerprints from the artifact.
+    * The caller should expect batch doc_ids to be disjoint from the
+    * index's (as in any append-only ingest).
+    */
+  def matchBatch(
+      batch: DataFrame, n: Int, table: String,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    // the batch index feeds two branches of the cross plan (sizes +
+    // co-occurrence); materialize it once so the batch tokenizes exactly
+    // once — batch-sized, so the checkpoint is small by definition
+    val shNew = Dedup.shingleIndex(batch, n).localCheckpoint(true)
+    Dedup.crossJaccardMatchesIndexed(shNew, load(spark, table),
+      spark.table(sizesTable(table)).select("doc_id", "n"), threshold)
+  }
+
+  /** Append `batch`'s shingles to the saved index (batch-only
+    * tokenization; bucket spec is validated against the existing table
+    * by the writer).
+    */
+  def extend(batch: DataFrame, n: Int, table: String, buckets: Int): Unit = {
+    val sh = Dedup.shingleIndex(batch, n).localCheckpoint(true)
+    sh.write
+      .bucketBy(buckets, "g")
+      .sortBy("g")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n")).write
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(sizesTable(table))
+  }
+
+  /** One production ingest step: batch docs with no near-dup in the
+    * saved index are admitted AND indexed; rejected docs leave no trace.
+    * Returns the admitted (doc_id) frame, materialized (the extend
+    * write must not race the admission read of the same table).
+    */
+  def admitAndExtend(
+      batch: DataFrame, n: Int, table: String, buckets: Int,
+      threshold: Double): DataFrame = {
+    val matched = matchBatch(batch, n, table, threshold)
+      .select(col("id_new").as("doc_id")).distinct()
+    val admitted = batch.join(matched, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    extend(admitted, n, table, buckets)
+    admitted.select("doc_id")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.plans.ShingleIndexStore
+
+/** The persisted shingle-index artifact: batch-2 dedup against a SAVED
+  * index must re-tokenize only the batch and produce byte-identical
+  * matches vs the from-scratch cross build; extend must append without
+  * touching the corpus; the bucketed layout must keep g-keyed
+  * aggregation exchange-free.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-indexstore-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def base: DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "text")
+
+  /** Same bimodal mutation as q_dedup_incremental: even ids stay
+    * near-dups (rejected), odd ids shrink to an 80-char prefix
+    * (admitted).
+    */
+  private def batch: DataFrame =
+    base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+
+  private def freshTable(tag: String): (String, String) = {
+    val table = s"idx_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sizes")
+    (table, Files.createTempDirectory(s"graft-$tag").toString + "/idx")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("matchBatch against the saved index equals the from-scratch " +
+    "cross build and re-tokenizes only the batch") {
+    val (table, path) = freshTable("match")
+    ShingleIndexStore.build(base, 3, table, path, buckets = 8)
+    val viaStore = ShingleIndexStore.matchBatch(batch, 3, table, 0.5)
+    val fromScratch = Dedup.crossJaccardMatches(
+      Dedup.shingleIndex(batch, 3), Dedup.shingleIndex(base, 3), 0.5)
+    assert(pairSet(viaStore) === pairSet(fromScratch))
+    assert(pairSet(viaStore).nonEmpty, "fixture must produce matches")
+    // the corpus is never re-tokenized: the batch index is checkpointed
+    // (tokenized once, eagerly), so the match plan's only file scans are
+    // the saved artifact — zero scans of the documents fixture
+    val leaves = viaStore.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      }
+    assert(leaves.count(_.contains("documents.parquet")) === 0,
+      s"the match plan must not re-tokenize the fixture:\n${leaves.mkString("\n")}")
+    assert(leaves.exists(_.contains(path)),
+      s"corpus shingles must come from the saved table at $path:\n" +
+        leaves.mkString("\n"))
+  }
+
+  test("extend appends the batch; loaded index equals a from-scratch " +
+    "index over corpus+batch") {
+    val (table, path) = freshTable("extend")
+    ShingleIndexStore.build(base, 3, table, path, buckets = 8)
+    ShingleIndexStore.extend(batch, 3, table, buckets = 8)
+    val loaded = ShingleIndexStore.load(spark, table)
+    val scratch = Dedup.shingleIndex(base.unionByName(batch), 3)
+    assert(pairSet(loaded) === pairSet(scratch))
+    // the sizes half of the artifact stays coherent under extension
+    val loadedSizes = spark.table(ShingleIndexStore.sizesTable(table))
+      .select("doc_id", "n")
+    val scratchSizes = scratch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    assert(pairSet(loadedSizes) === pairSet(scratchSizes))
+  }
+
+  test("g-keyed aggregation over the loaded index has no exchange") {
+    val (table, path) = freshTable("agg")
+    ShingleIndexStore.build(base, 3, table, path, buckets = 8)
+    val agg = ShingleIndexStore.load(spark, table)
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed-by-g scan must feed the df agg without a shuffle:\n" +
+        plan.take(3000))
+  }
+
+  test("admitAndExtend admits exactly the unmatched docs and indexes " +
+    "only them") {
+    val (table, path) = freshTable("admit")
+    ShingleIndexStore.build(base, 3, table, path, buckets = 8)
+    val preCount = ShingleIndexStore.load(spark, table).count()
+    val admitted = ShingleIndexStore
+      .admitAndExtend(batch, 3, table, buckets = 8, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // expectation from the public pieces
+    val matched = Dedup.crossJaccardMatches(
+      Dedup.shingleIndex(batch, 3), Dedup.shingleIndex(base, 3), 0.5)
+      .select("id_new").distinct().collect().map(_.getLong(0)).toSet
+    val all = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === (all -- matched))
+    assert(admitted.nonEmpty && matched.nonEmpty,
+      "fixture must exercise both admission outcomes")
+    // the index grew by exactly the admitted docs' shingles
+    val admittedShingles = Dedup.shingleIndex(
+      batch.filter(col("doc_id").isin(admitted.toSeq: _*)), 3).count()
+    assert(ShingleIndexStore.load(spark, table).count() ===
+      preCount + admittedShingles)
+  }
+}
