@@ -142,6 +142,7 @@ object ScaleProbe {
       val wh = java.nio.file.Files.createTempDirectory("graft-idx").toString
       spark.sql("DROP TABLE IF EXISTS probe_idx")
       spark.sql("DROP TABLE IF EXISTS probe_idx_sizes")
+      spark.sql("DROP TABLE IF EXISTS probe_idx_sigs")
       graft.plans.ShingleIndexStore.build(
         docs, 3, "probe_idx", s"$wh/idx", buckets = 32)
       spark.table("probe_idx").count()

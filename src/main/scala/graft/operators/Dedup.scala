@@ -150,18 +150,26 @@ object Dedup {
         graft.functions.MinHashSignature.sig(
           sh.sparkSession, col("gs"), numHashes).as("sig"))
 
-  /** LSH candidate pairs: band the signature (r rows per band), bucket by
-    * band hash, self-join buckets.
+  /** (doc_id, band, bh) LSH bucket rows for a signature frame: r
+    * signature slots per band, hashed to one bucket key. Scan-side map —
+    * the banding never shuffles.
     */
-  def lshCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+  def bandBuckets(sig: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val rowCols = (0 until r).map(k =>
         element_at(col("sig"), b * r + k + 1))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs: band the signature (r rows per band), bucket by
+    * band hash, self-join buckets.
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val buckets = bandBuckets(sig, bands, r)
     buckets.toDF("id_a", "band", "bh")
       .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -692,6 +700,47 @@ object Dedup {
       .select("id_new", "id_old")
   }
 
+  /** The signature-index form of [[crossJaccardMatchesIndexed]]: batch
+    * near-dups vs a corpus whose MINHASH SIGNATURES (and postings +
+    * sizes) are precomputed — candidates come from cross-banding the
+    * batch signatures against the corpus signature table (the batch side
+    * broadcasts; the corpus signature scan is ~numHashes longs per doc,
+    * postings-independent), and only candidates are exact-verified
+    * against the corpus postings. Same (48, 24×r=2) recall argument as
+    * [[qDedupMinhash]]: output equals the exact cross matches whenever
+    * banding recall is 1, which the fixture's injected near-copies
+    * guarantee (DocStreamsSpec + q_dedup_incremental_minhash pin it).
+    *
+    * At 100 TB this is the continual-ingest shape: the signature table
+    * is ~10⁴× smaller than the postings, so the per-batch candidate scan
+    * stops being proportional to corpus postings; the verify join then
+    * touches the postings only for candidate-matched docs (at extreme
+    * scale, layout the postings doc_id-keyed for that probe).
+    */
+  def crossMinhashMatches(
+      shNew: DataFrame, shOld: DataFrame, sigOld: DataFrame,
+      sizesOld: DataFrame, threshold: Double,
+      numHashes: Int = 48, bands: Int = 24, r: Int = 2): DataFrame = {
+    val sigNew = minhashSignatures(shNew, numHashes)
+    val cand = bandBuckets(sigOld, bands, r).toDF("id_old", "band", "bh")
+      .join(broadcast(bandBuckets(sigNew, bands, r)
+        .toDF("id_new", "band", "bh")), Seq("band", "bh"))
+      .select("id_new", "id_old")
+      .distinct()
+    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val inter = cand
+      .join(broadcast(shNew.toDF("id_new", "g")), "id_new")
+      .join(shOld.toDF("id_old", "g"), Seq("id_old", "g"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizesNew.toDF("id_new", "nn")), "id_new")
+      .join(sizesOld.toDF("id_old", "no"), "id_old")
+      .filter(col("i").cast("double") /
+        (col("nn") + col("no") - col("i")) >= threshold)
+      .select("id_new", "id_old")
+  }
+
   /** Incremental dedup: admit only the batch docs with no near-dup in
     * the existing corpus (word-trigram Jaccard >= 0.5 vs ANY corpus
     * doc). The synthetic batch is every 3rd doc, mutated bimodally:
@@ -715,6 +764,35 @@ object Dedup {
       .orderBy("doc_id")
       .localCheckpoint(true)
     shOld.unpersist(); shNew.unpersist()
+    out
+  }
+
+  /** The signature-index twin of [[qIncrementalDedup]]: same batch, same
+    * admission semantics, but candidates come from cross-banded minhash
+    * signatures ([[crossMinhashMatches]]) instead of the full postings
+    * join. Exact verification at recall-1 banding ⇒ identical output on
+    * this fixture, so it carries the same DuckDB oracle — the
+    * hash-checked witness for the streaming signature-index admission
+    * path ([[graft.streaming.DocStreams.admitAgainstSignatureIndex]]).
+    */
+  val qIncrementalDedupMinhash: Q = (s, d) => {
+    val base = documents(s, d).select("doc_id", "text")
+    val batch = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+    val shOld = shingleIndex(base, 3).persist()
+    val shNew = shingleIndex(batch, 3).localCheckpoint(true)
+    val sigOld = minhashSignatures(shOld, 48)
+    val sizesOld = shOld.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val matched = crossMinhashMatches(shNew, shOld, sigOld, sizesOld, 0.5)
+      .select(col("id_new").as("doc_id")).distinct()
+    val out = batch.join(matched, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    shOld.unpersist()
     out
   }
 
@@ -753,6 +831,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_dedup_editdist" -> qDedupEditDistance,
     "q_dedup_incremental" -> qIncrementalDedup,
+    "q_dedup_incremental_minhash" -> qIncrementalDedupMinhash,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -763,6 +842,9 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditDistanceSql,
     "q_dedup_incremental" -> qIncrementalDedupSql,
+    // recall-1 banding + exact verify ⇒ identical admission to the
+    // postings-join form (see qIncrementalDedupMinhash doc)
+    "q_dedup_incremental_minhash" -> qIncrementalDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

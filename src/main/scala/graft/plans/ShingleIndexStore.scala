@@ -44,6 +44,19 @@ object ShingleIndexStore {
     */
   def sizesTable(table: String): String = s"${table}_sizes"
 
+  /** Third artifact table: per-doc minhash signatures (doc_id,
+    * sig array<long>), the candidate-generation side of
+    * [[matchBatchBySignature]]. ~[[NumHashes]] longs per doc —
+    * postings-independent, so per-batch candidate scans stop costing
+    * like the corpus postings.
+    */
+  def sigsTable(table: String): String = s"${table}_sigs"
+
+  /** Signature width baked into the artifact; band setting (24×r=2)
+    * follows [[graft.operators.Dedup.qDedupMinhash]]'s recall argument.
+    */
+  val NumHashes = 48
+
   /** Build the index from `corpus` and save it (postings + sizes) under
     * `path`, registered as external tables `table` / `<table>_sizes`.
     */
@@ -55,6 +68,7 @@ object ShingleIndexStore {
     // new artifact; data files at `path` are replaced by Overwrite
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${sizesTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(table)}")
     val sh = Dedup.shingleIndex(corpus, n).persist()
     sh.write
       .bucketBy(buckets, "g")
@@ -70,6 +84,13 @@ object ShingleIndexStore {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(sizesTable(table))
+    Dedup.minhashSignatures(sh, NumHashes).write
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"${path}_sigs")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(sigsTable(table))
     sh.unpersist()
   }
 
@@ -98,6 +119,25 @@ object ShingleIndexStore {
       spark.table(sizesTable(table)).select("doc_id", "n"), threshold)
   }
 
+  /** [[matchBatch]] through the SIGNATURE side of the artifact:
+    * candidates from cross-banding the batch's minhash signatures
+    * against `<table>_sigs`, exact verification against the postings —
+    * identical matches whenever banding recall is 1 (the fixture
+    * guarantee q_dedup_incremental_minhash hash-checks). This is the
+    * continual-ingest scan shape: per-batch work reads the signature
+    * table (~[[NumHashes]] longs/doc), not the postings.
+    */
+  def matchBatchBySignature(
+      batch: DataFrame, n: Int, table: String,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val shNew = Dedup.shingleIndex(batch, n).localCheckpoint(true)
+    Dedup.crossMinhashMatches(shNew, load(spark, table),
+      spark.table(sigsTable(table)).select("doc_id", "sig"),
+      spark.table(sizesTable(table)).select("doc_id", "n"),
+      threshold, numHashes = NumHashes)
+  }
+
   /** Append `batch`'s shingles to the saved index (batch-only
     * tokenization; bucket spec is validated against the existing table
     * by the writer).
@@ -116,6 +156,12 @@ object ShingleIndexStore {
       .mode("append")
       .format("parquet")
       .saveAsTable(sizesTable(table))
+    Dedup.minhashSignatures(sh, NumHashes).write
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(sigsTable(table))
   }
 
   /** One production ingest step: batch docs with no near-dup in the

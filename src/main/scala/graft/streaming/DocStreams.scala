@@ -152,6 +152,36 @@ object DocStreams {
       sink(batch.join(matched, Seq("doc_id"), "left_anti"), batchId)
     }
 
+  /** [[admitAgainstCorpus]] against the PERSISTED signature index
+    * ([[graft.plans.ShingleIndexStore]]) instead of an in-session
+    * shingle frame — the production shape for continual ingest: the
+    * artifact outlives the run, every micro-batch cross-bands its
+    * minhash signatures against the saved `<table>_sigs` (~48 longs per
+    * corpus doc) and exact-verifies only the candidates against the
+    * saved postings, so per-batch cost tracks the batch and the
+    * signature table, not the corpus postings. Admission output is
+    * identical to [[admitAgainstCorpus]] whenever banding recall is 1 —
+    * the fixture guarantee DocStreamsSpec pins and
+    * q_dedup_incremental_minhash hash-checks.
+    *
+    * Same staleness contract as [[scrubSpansAgainstCorpus]]: admitted
+    * docs do NOT extend the index mid-run (a foreachBatch write to the
+    * table the same query reads would race its own scans); fold admitted
+    * batches in between runs via `ShingleIndexStore.extend` — the
+    * checkpoint-restart pattern the store exists for.
+    */
+  def admitAgainstSignatureIndex(
+      docs: DataFrame, table: String,
+      threshold: Double = 0.5, n: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val matched = graft.plans.ShingleIndexStore
+        .matchBatchBySignature(batch.select("doc_id", "text"), n, table,
+          threshold)
+        .select(col("id_new").as("doc_id")).distinct()
+      sink(batch.join(matched, Seq("doc_id"), "left_anti"), batchId)
+    }
+
   /** Streaming DSIR admission: score every arriving document against a
     * FROZEN importance model ([[graft.operators.TextAnalysis.dsirModel]]
     * — vocab-sized `(term, lr)` table + unseen-term default) and admit

@@ -166,6 +166,52 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.nonEmpty)
   }
 
+  test("streamed signature-index admission equals the batch matcher") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same corpus/batch shape as the postings-join admission test, but
+    // the corpus lives in the PERSISTED ShingleIndexStore artifact and
+    // candidates come from its signature table — admission must still
+    // equal the one-shot exact batch matcher (recall-1 banding)
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val newDocs = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+      .collect().map(r =>
+        Doc(r.getLong(0), r.getString(1), "crawl", ts(0)))
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+
+    Seq("stream_idx", "stream_idx_sizes", "stream_idx_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-stream-idx").toString
+    graft.plans.ShingleIndexStore.build(
+      base, 3, "stream_idx", s"$path/idx", buckets = 8)
+
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admitAgainstSignatureIndex(
+      input.toDF(), "stream_idx") { (out, _) =>
+        admitted.synchronized {
+          admitted ++= out.select("doc_id").collect().map(_.getLong(0))
+        }
+    }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expect = graft.operators.Dedup.qIncrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet === expect,
+      "signature-index admission must equal the exact batch matcher")
+    assert(admitted.nonEmpty)
+  }
+
   test("streaming DSIR admission scores against the frozen model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -46,6 +46,7 @@ class IndexStoreSpec extends AnyFunSuite {
     val table = s"idx_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_sizes")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
     (table, Files.createTempDirectory(s"graft-$tag").toString + "/idx")
   }
 
