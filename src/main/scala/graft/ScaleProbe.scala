@@ -164,6 +164,41 @@ object ScaleProbe {
       Dedup.crossJaccardMatches(
         Dedup.shingleIndex(idxBatch, 3).localCheckpoint(true),
         Dedup.shingleIndex(docs, 3), 0.5).count())
+    // hot-shingle skew: one gram planted in HALF of the natural 5k docs
+    // (df 2,500 — 5x over the 500 cap, yet its ~6M join rows ≈ 150 MB
+    // sit UNDER AQE's 256 MB skewedPartitionThreshold, so AQE will NOT
+    // split the bucket — this is exactly the medium-hot key the df cap
+    // exists for). Evidence is TASK-level: max/median task time of the
+    // pair-join job, capped vs uncapped.
+    def taskSkew(label: String, maxDf: Long): Unit = t(
+      s"hot-shingle pair join ($label)") {
+      val hotDocs = Tables.documents(spark, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" hotgramaa hotgrambb hotgramcc")))
+          .otherwise(col("text")).as("text"))
+      val sh = Dedup.capDocFrequency(
+        Dedup.shingleIndex(hotDocs, 3), maxDf).persist()
+      sh.count() // materialize OUTSIDE the measured window
+      val taskMs = scala.collection.mutable.ArrayBuffer[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskMs.synchronized { taskMs += e.taskInfo.duration }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val n = Dedup.jaccardPairs(sh, 0.5).count()
+      Thread.sleep(1000) // let the (async) listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      sh.unpersist()
+      val s = taskMs.synchronized(taskMs.sorted.toIndexedSeq)
+      val med = math.max(s(s.length / 2), 1L)
+      f"pairs=$n tasks=${s.length} med=${med}ms max=${s.last}ms " +
+        f"skew=${s.last.toDouble / med}%.1f"
+    }
+    taskSkew("df cap 500 + AQE", Dedup.ShingleDfCap)
+    // the uncapped twin: the hot bucket survives to the join — AQE alone
+    // must absorb it; expect a larger max task and wall-clock
+    taskSkew("no cap, AQE only", Long.MaxValue)
     // adversarial shape (naive propagation would need 100 rounds); round
     // count must stay ~log(diameter) and per-round cost is edge-bound
     t("connected components 1M edges (10k chains of 100, distributed path)") {
