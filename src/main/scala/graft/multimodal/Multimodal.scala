@@ -17,11 +17,13 @@ import graft.operators.Relational.Q
   *     `resize` is a true nearest-neighbor rescale.
   *   - [[WavCodec]] — a REAL pure-JVM RIFF/16-bit-PCM decoder/encoder:
   *     duration/amplitude stats come from actual samples.
+  *   - [[AviCodec]] — a REAL pure-JVM RIFF/AVI container parser:
+  *     video dimensions/frame-count/duration/handler come from actual
+  *     container headers ([[videoMeta]]); frame DECODE stays honestly
+  *     out of scope (no frame codec ships in a pure JVM).
   *   - `decodeStub` — the fixture framing (this container has no media
   *     libraries beyond what the JVM itself can parse): parses only our
-  *     synthetic 8-byte GRFT header. Video decode stays honestly
-  *     stubbed behind the same kernel signature — there is no
-  *     trivially-pure-JVM video format.
+  *     synthetic 8-byte GRFT header.
   * The Spark-side plumbing is the design under test either way: schema,
   * partition-level batching (one kernel call per partition iterator, the
   * JVM analog of PySpark's mapInPandas batch shape), and column pruning
@@ -121,7 +123,8 @@ object Multimodal {
           b += 1
         }
         MediaFeatures(r.media_id, r.modality, r.payload.length,
-          decodedHist.isDefined || decodeStub(r.payload).isDefined,
+          decodedHist.isDefined || decodeStub(r.payload).isDefined ||
+            AviCodec.decodeMeta(r.payload).isDefined,
           entropy, nonzero)
       }
     }
@@ -152,6 +155,30 @@ object Multimodal {
       }
     }.toDF("media_id", "sample_rate", "channels", "duration_ms",
       "rms", "zero_crossings")
+  }
+
+  /** Video container-metadata kernel over AVI payloads: real
+    * header-level signals (dimensions, frame count, duration from
+    * µs/frame × frames, stream FOURCC) parsed from the RIFF container
+    * by [[AviCodec]]. Frame decode stays out of scope (no frame codec
+    * ships here); undecodable rows come back zeroed — `width > 0` is
+    * the "parsed" predicate. The relational side (e.g.
+    * [[frameSamplePlan]]) can then run on PARSED duration instead of
+    * fixture metadata.
+    */
+  def videoMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        AviCodec.decodeMeta(r.payload) match {
+          case Some(m) =>
+            (r.media_id, m.width, m.height, m.nFrames, m.durationMs,
+              m.handler)
+          case None => (r.media_id, 0, 0, 0, 0L, "")
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "duration_ms",
+      "handler")
   }
 
   /** Payload-rewriting resize kernel. PPM payloads get a REAL

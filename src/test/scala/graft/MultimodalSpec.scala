@@ -151,6 +151,68 @@ class MultimodalSpec extends AnyFunSuite {
       PpmCodec.resize(PpmCodec.decode(ppm4x2).get, 2, 1).rgb.toSeq)
   }
 
+  test("AVI codec: parses container metadata from a hand-built RIFF " +
+    "and round-trips it") {
+    import graft.multimodal.AviCodec
+    val meta = AviCodec.VideoMeta(
+      width = 640, height = 480, nFrames = 300,
+      microSecPerFrame = 33333, handler = "MJPG")
+    val avi = AviCodec.encodeMeta(meta)
+    val got = AviCodec.decodeMeta(avi).getOrElse(fail("decode failed"))
+    assert(got === meta)
+    assert(got.durationMs === 33333L * 300 / 1000) // ~10s at ~30fps
+    // malformed containers refuse, never throw
+    assert(AviCodec.decodeMeta(avi.dropRight(1)).isEmpty)
+    assert(AviCodec.decodeMeta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(AviCodec.decodeMeta(Array[Byte](1, 2, 3)).isEmpty)
+    // chunk size near Int.MaxValue must not wrap the bounds check
+    val overflow = "RIFFxxxxAVI ".getBytes ++ "LIST".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(AviCodec.decodeMeta(overflow).isEmpty)
+    // a WAV payload is a RIFF but not an AVI; an AVI is not a WAV
+    val wav = graft.multimodal.WavCodec.encode(
+      graft.multimodal.WavCodec.Clip(8000, 1, Array[Short](1, -1)))
+    assert(AviCodec.decodeMeta(wav).isEmpty)
+    assert(graft.multimodal.WavCodec.decode(avi).isEmpty)
+  }
+
+  test("videoMeta kernel parses AVI payloads end-to-end; frame sampling " +
+    "runs on parsed duration") {
+    import spark.implicits._
+    import graft.multimodal.AviCodec
+    val meta = AviCodec.VideoMeta(320, 240, 90, 33333, "MJPG")
+    val avi = AviCodec.encodeMeta(meta)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi,
+        Multimodal.MediaMeta(0, 0, 0, 0, "avi")),
+      Multimodal.MediaRow(2L, "video", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta(0, 0, 0, 0, "bin")))
+    val ds = spark.createDataset(rows)
+    val got = Multimodal.videoMeta(ds).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) === 320 && got(1L).getInt(2) === 240)
+    assert(got(1L).getInt(3) === 90)
+    assert(got(1L).getLong(4) === 33333L * 90 / 1000)
+    assert(got(1L).getString(5) === "MJPG")
+    assert(got(2L).getInt(1) === 0, "unparsable rows come back zeroed")
+    // header_ok now recognizes the real container too
+    val feats = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.media_id -> f.header_ok).toMap
+    assert(feats(1L) && !feats(2L))
+    // relational frame sampling driven by PARSED duration: 2999 ms at
+    // 1000 ms cadence → offsets 0,1000,2000
+    val parsed = Multimodal.videoMeta(ds)
+    val media = parsed.filter(col("width") > 0)
+      .select(col("media_id"), lit("video").as("modality"),
+        struct(col("width"), col("height"),
+          lit(0).as("sampleRate"),
+          col("duration_ms").cast("int").as("durationMs"),
+          col("handler").as("format")).as("meta"))
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 1000)
+      .collect().map(_.getInt(1).toLong).sorted
+    assert(frames === Array(0L, 1000L, 2000L))
+  }
+
   test("WAV codec: decodes a hand-built PCM clip and round-trips it") {
     import graft.multimodal.WavCodec
     // 8 kHz mono, 8 frames: a square wave crossing zero every 2 frames
