@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.IvfCells
+import graft.operators.Similarity
+
+/** Persisted IVF index artifact — the ANN counterpart of
+  * [[ShingleIndexStore]]: at corpus scale the expensive halves of IVF
+  * serving are (a) the Lloyd training passes and (b) assigning every
+  * corpus vector to its home cell (O(n · nlist · dim) flops). Both are
+  * index-build work, not query work, so this store runs them ONCE and
+  * persists:
+  *
+  *   - `<table>`       — (cell, centroid array<double>) — the quantizer
+  *   - `<table>_cells` — (vec_id, embedding, cell), bucketed+sorted by
+  *     cell, so the probe join reads only matching buckets and carries
+  *     cell partitioning without an exchange on the corpus side
+  *
+  * `knn` then serves query batches against the saved assignment;
+  * `extend` folds new vectors in under the FROZEN quantizer (same
+  * staleness contract as the signature index: centroids drift as the
+  * corpus grows — rebuild periodically; an exact copy of an indexed
+  * vector still assigns to the same cell, so duplicate recall stays 1
+  * through extension).
+  */
+object IvfIndexStore {
+
+  def cellsTable(table: String): String = s"${table}_cells"
+
+  /** Train the quantizer on `emb` and persist centroids + the corpus
+    * cell assignment under `path` / catalog names `table`,
+    * `<table>_cells`.
+    */
+  def build(
+      emb: DataFrame, nlist: Int, table: String, path: String,
+      buckets: Int, iters: Int = 2, sampleCap: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(table)}")
+    val base = emb.select("vec_id", "embedding")
+    val centroids = Similarity.ivfIndex(base, nlist, iters, sampleCap)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write
+      .option("path", path)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+    assign(base, centroids).write
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .option("path", s"${path}_cells")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(cellsTable(table))
+  }
+
+  /** The saved quantizer, cell-ordered — the driver-side matrix every
+    * serving plan broadcasts (nlist × dim doubles, the documented IVF
+    * driver-state bound).
+    */
+  def loadCentroids(spark: SparkSession, table: String)
+      : Array[Array[Double]] =
+    spark.table(table).orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def assign(
+      emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      element_at(IvfCells.cells(
+        emb.sparkSession, col("embedding"), centroids, 1), 1).as("cell"))
+
+  /** Assign `batch` under the frozen quantizer and append to the cells
+    * table. Centroids are NOT retrained — rebuild the artifact when the
+    * corpus has drifted.
+    */
+  def extend(batch: DataFrame, table: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    assign(batch.select("vec_id", "embedding"),
+      loadCentroids(spark, table)).write
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(cellsTable(table))
+  }
+
+  /** Top-k neighbors for `queries(vec_id, embedding)` served from the
+    * SAVED assignment: queries probe their `nprobe` nearest cells
+    * (broadcast side), the cells table streams only matching buckets.
+    * Same ranking contract as [[Similarity.ivfKnn]] — exact cosine,
+    * neighbor_id tie-break — and identical output when the quantizer
+    * parameters match (IndexStoreSpec pins it).
+    */
+  def knn(
+      queries: DataFrame, k: Int, nprobe: Int, table: String): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = loadCentroids(spark, table)
+    val cos: (Column, Column) => Column =
+      (a, b) => graft.functions.CosineSimilarity.cosineNative(spark, a, b)
+    val queryCells = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      explode(IvfCells.cells(
+        spark, col("embedding"), centroids, nprobe)).as("cell"))
+    val corpusCells = spark.table(cellsTable(table)).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(queryCells).join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+}

@@ -107,6 +107,47 @@ class IndexStoreSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("ivf store: knn from the saved assignment equals in-session " +
+    "ivfKnn") {
+    import graft.operators.Similarity
+    import graft.plans.IvfIndexStore
+    Seq("ivf_t", "ivf_t_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-ivf").toString + "/ivf"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IvfIndexStore.build(emb, nlist = 8, "ivf_t", path, buckets = 4)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def tripleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fromStore = IvfIndexStore.knn(queries, k = 5, nprobe = 2, "ivf_t")
+    val direct = Similarity.ivfKnn(
+      emb, col("vec_id") % 40 === 0, 5, nlist = 8, nprobe = 2)
+    assert(tripleSet(fromStore) === tripleSet(direct))
+    assert(tripleSet(fromStore).nonEmpty)
+  }
+
+  test("ivf store: extension under the frozen quantizer keeps copy " +
+    "recall 1") {
+    import graft.plans.IvfIndexStore
+    // copies of indexed vectors assign to the same cell as the original
+    // even though the quantizer is frozen — the copy is always probed
+    Seq("ivf_e", "ivf_e_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-ivfe").toString + "/ivf"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IvfIndexStore.build(emb, nlist = 8, "ivf_e", path, buckets = 4)
+    val copies = emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    IvfIndexStore.extend(copies, "ivf_e", buckets = 4)
+    val got = IvfIndexStore.knn(copies, k = 1, nprobe = 1, "ivf_e")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = copies.collect()
+      .map(r => r.getLong(0) -> (r.getLong(0) - 5000000L)).toMap
+    assert(got === expect,
+      "each copy's rank-1 neighbor must be its identical original")
+  }
+
   test("admitAndExtend admits exactly the unmatched docs and indexes " +
     "only them") {
     val (table, path) = freshTable("admit")
