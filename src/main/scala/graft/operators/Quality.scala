@@ -116,6 +116,56 @@ object Quality {
     contamination(documents(s, d), col("doc_id") % 10 === 0, 5)
       .orderBy("doc_id")
 
+  /** Bloom-gated decontamination — [[contamination]] for benchmark sets
+    * too large to broadcast exactly. The eval grams build a
+    * [[graft.functions.GramBloom]] bit array DISTRIBUTEDLY (mergeable
+    * O(numBits/64) aggregator state; the one driver collect is the bit
+    * array itself — numBits/8 bytes, 512 KB at the default, independent
+    * of benchmark size), the corpus pre-filters through the codegen'd
+    * per-row membership kernel (zero shuffle — clean docs never leave
+    * the scan), and only surviving docs enter the exact join. Bloom
+    * false positives are killed by the exact verify; false negatives
+    * don't exist — so the output EQUALS [[contamination]] and the query
+    * carries the same DuckDB oracle.
+    *
+    * At 100 TB the difference is the exchange volume: the exact form
+    * ships every gram of every doc into the join; here only gram arrays
+    * of bloom-hit docs (contaminated + fp-rate of the rest) are
+    * exploded at all.
+    */
+  def contaminationBloom(
+      docs: DataFrame, isEval: Column, n: Int,
+      numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val withFps = docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        array_distinct(transform(
+          shinglesFromTokens(tokens(col("text")), n),
+          g => xxhash64(g))).as("hs"))
+    val bench = withFps.filter(col("is_eval"))
+    val bits: Array[Long] = bench
+      .select(explode(col("hs")).as("h")).as[Long]
+      .select(graft.functions.GramBloom.agg(numBits, numHashes))
+      .head()
+    val candidates = withFps.filter(!col("is_eval"))
+      .filter(graft.functions.GramBloom.mightContainAny(
+        s, col("hs"), bits, numHashes))
+    val benchGrams = bench
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    candidates
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  val qDecontaminateBloom: Q = (s, d) =>
+    contaminationBloom(documents(s, d), col("doc_id") % 10 === 0, 5)
+      .orderBy("doc_id")
+
   val qDecontaminateSql: String =
     """WITH t AS (SELECT doc_id,
       |    list_filter(string_split_regex(trim(text), '\s+'),
@@ -544,6 +594,7 @@ object Quality {
     "q_boilerplate" -> qBoilerplate,
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_pii_scrub" -> qPiiScrub,
     "q_corpus_mix" -> qCorpusMix,
     "q_token_budget" -> qTokenBudget,
@@ -555,6 +606,9 @@ object Quality {
     "q_boilerplate" -> qBoilerplateSql,
     "q_quality_repetition" -> qQualityRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
+    // bloom gate + exact verify: no false negatives, fps exact-killed —
+    // identical output to the exact form (see contaminationBloom doc)
+    "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_token_budget" -> qTokenBudgetSql,

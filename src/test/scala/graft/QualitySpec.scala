@@ -77,6 +77,40 @@ class QualitySpec extends AnyFunSuite {
     assert(got === Array((1L, 1L, 1L), (3L, 5L, 1L)))
   }
 
+  test("bloom-gated contamination equals the exact form") {
+    import spark.implicits._
+    // fixture corpus: bloom gate + exact verify must reproduce the
+    // exact pipeline row-for-row (no false negatives; fps exact-killed)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val exact = Quality.contamination(docs, col("doc_id") % 10 === 0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Quality.contaminationBloom(docs, col("doc_id") % 10 === 0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact)
+    assert(bloom.nonEmpty, "fixture must contain contaminated docs")
+    // a DELIBERATELY undersized filter (worst-case fp rate ~1) must
+    // still be exact — the verify join owns correctness, the bloom only
+    // sheds work
+    val tiny = Quality.contaminationBloom(
+      docs, col("doc_id") % 10 === 0, 5, numBits = 64, numHashes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiny === exact)
+  }
+
+  test("gram bloom kernel: inserted keys always hit, fp rate is sane") {
+    import graft.functions.GramBloom
+    val bits = new Array[Long](1 << 14) // 2^20 bits
+    val keys = (1L to 5000L).map(_ * 0x9e3779b97f4a7c15L)
+    keys.foreach(GramBloom.add(bits, 5, _))
+    assert(keys.forall(GramBloom.contains(bits, 5, _)),
+      "bloom filters have no false negatives")
+    // ~5k keys in 2^20 bits at 5 hashes: theoretical fp ~1e-6 — accept
+    // anything under 1% to stay timing-stable
+    val probes = (1L to 10000L).map(k => -k)
+    val fps = probes.count(GramBloom.contains(bits, 5, _))
+    assert(fps < 100, s"fp rate too high: $fps/10000")
+  }
+
   test("corpus mix keeps every doc of rate-1.0 sources, is deterministic") {
     val mix = Quality.qCorpusMix(spark, dir).cache()
     // sources with index % 4 == 0 carry threshold "g" → rate 1.0
