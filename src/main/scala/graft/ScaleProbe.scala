@@ -112,6 +112,12 @@ object ScaleProbe {
     t("decontamination 50k docs")(
       operators.Quality.contamination(docs, col("doc_id") % 10 === 0, 5)
         .count())
+    // bloom-gated twin: clean docs are dropped scan-side by the
+    // membership kernel and never reach the gram explode/join — at
+    // TB scale the exchange-volume difference IS the operator
+    t("decontamination 50k docs (bloom gate + exact verify)")(
+      operators.Quality.contaminationBloom(
+        docs, col("doc_id") % 10 === 0, 5).count())
     // within-cell pairs at nlist tracking √n (10× vectors → 3× cells)
     t("semantic dedup 20k vectors (ivf cells nlist=48)")(
       operators.Similarity.semanticDedupPairs(emb, 0.9, nlist = 48).count())

@@ -50,8 +50,8 @@ object Curation {
     // join keys, distinct-per-doc taken on strings first)
     val sh = gated.select(col("doc_id"), col("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+        explode(graft.functions.ShingleFps.fps(
+          gated.sparkSession, col("toks"), 3)).as("g"))
       .persist()
     val dupIds = pairFinder(sh)
       .select(col("id_b").as("doc_id")).distinct()
@@ -129,8 +129,8 @@ object Curation {
     val gated = qualityGate(documents(s, d)).persist()
     val sh = gated.select(col("doc_id"), col("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+        explode(graft.functions.ShingleFps.fps(
+          gated.sparkSession, col("toks"), 3)).as("g"))
       .persist()
     val pairs = Dedup.jaccardPairs(sh, 0.8).localCheckpoint(true)
     sh.unpersist()
@@ -221,8 +221,8 @@ object Curation {
     // small frame; the join keeps gated's columns for the stats below
     val kept = gated.join(selected, "doc_id").persist()
     val sh = kept.select(col("doc_id"),
-      explode(array_distinct(shinglesFromTokens(col("toks"), 3))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      explode(graft.functions.ShingleFps.fps(
+        kept.sparkSession, col("toks"), 3)).as("g"))
       .persist()
     val dupIds = Dedup.jaccardPairs(sh, 0.8)
       .select(col("id_b").as("doc_id")).distinct()

@@ -58,17 +58,24 @@ object Dedup {
     * consumer (self-joins, df cap, MinHash) needs only equality, and an
     * 8-byte key keeps the persisted index and every downstream exchange
     * ~3× narrower than ~25-byte strings — the standard shape for
-    * corpus-scale shingling. Distinct-per-doc is taken on the strings
-    * BEFORE hashing, so a fingerprint collision (P ≈ n²/2⁶⁵ ≈ 1e-9 at
-    * these cardinalities) could only merge two different shingles
-    * ACROSS the corpus, not double-count within a document.
+    * corpus-scale shingling. Distinct-per-doc is BY FINGERPRINT (the
+    * kernel emits each 64-bit value at most once per document), so a
+    * collision (P ≈ n²/2⁶⁵ ≈ 1e-9 at these cardinalities) can only
+    * merge two different shingles — within a document it collapses to
+    * one posting, across the corpus it joins two grams; it can never
+    * double-count.
     */
   def shingleIndex(corpus: DataFrame, n: Int): DataFrame =
     corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // one codegen'd pass (distinct fingerprints straight from the
+      // token array) — bit-compatible with the previous HOF chain
+      // `array_distinct(shingles) → xxhash64`, whose interpreted lambdas
+      // measured 5.6× slower on the 50k-doc probe (spec-asserted
+      // equality in PipelineOpsSpec)
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+        explode(graft.functions.ShingleFps.fps(
+          corpus.sparkSession, col("toks"), n)).as("g"))
 
   /** Shingles appearing in more than `maxDf` documents are dropped
     * before any self-join: boilerplate hot keys (headers, license

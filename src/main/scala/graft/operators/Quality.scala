@@ -100,8 +100,8 @@ object Quality {
     val grams = docs
       .select(col("doc_id"), isEval.as("is_eval"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("is_eval"),
-        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("g"))
-      .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
+        explode(graft.functions.ShingleFps.fps(
+          docs.sparkSession, col("toks"), n)).as("h"))
     val benchmark = grams.filter(col("is_eval"))
       .select(col("doc_id").as("eval_id"), col("h"))
     val train = grams.filter(!col("is_eval")).select("doc_id", "h")
@@ -138,24 +138,32 @@ object Quality {
       numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val withFps = docs
-      .select(col("doc_id"), isEval.as("is_eval"),
-        array_distinct(transform(
-          shinglesFromTokens(tokens(col("text")), n),
-          g => xxhash64(g))).as("hs"))
-    val bench = withFps.filter(col("is_eval"))
-    val bits: Array[Long] = bench
-      .select(explode(col("hs")).as("h")).as[Long]
+    // Eval side: the codegen'd explode+xxhash64 path (same as the exact
+    // form), materialized once — it feeds the bloom build AND the verify
+    // join, and is benchmark-sized by definition (MBs; the checkpoint
+    // blocks release on GC like every other small materialization here).
+    val evalGrams = docs.filter(isEval)
+      .select(col("doc_id").as("eval_id"), tokens(col("text")).as("toks"))
+      .select(col("eval_id"),
+        explode(graft.functions.ShingleFps.fps(s, col("toks"), n)).as("h"))
+      .localCheckpoint(true)
+    val bits: Array[Long] = evalGrams
+      .select(col("h")).as[Long]
       .select(graft.functions.GramBloom.agg(numBits, numHashes))
       .head()
-    val candidates = withFps.filter(!col("is_eval"))
+    // Corpus side: ONE fully-codegen'd pipeline — tokens → distinct
+    // gram-fingerprint array (ShingleFps kernel) → membership kernel →
+    // survivors explode into the verify join. Clean docs never leave
+    // the scan stage.
+    val candidates = docs.filter(!isEval)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.functions.ShingleFps.fps(
+        s, col("toks"), n).as("hs"))
       .filter(graft.functions.GramBloom.mightContainAny(
         s, col("hs"), bits, numHashes))
-    val benchGrams = bench
-      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
     candidates
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(benchGrams), "h")
+      .join(broadcast(evalGrams), "h")
       .groupBy("doc_id")
       .agg(
         countDistinct(col("h")).as("n_shared_grams"),

@@ -387,6 +387,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       "banding recall ~1 at j>=0.8 must reproduce the exact pipeline")
   }
 
+  test("shingle-fps kernel equals the HOF array_distinct+xxhash64 chain") {
+    // the fused codegen'd kernel must be bit-compatible with the
+    // composed definition it replaced inside shingleIndex
+    import graft.functions.{ShingleFps, TextFunctions}
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(200)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    for (n <- Seq(1, 3, 5)) {
+      val kernel = docs.select(col("doc_id"),
+          explode(ShingleFps.fps(spark, col("toks"), n)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hof = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextFunctions.shinglesFromTokens(col("toks"), n))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kernel === hof, s"n=$n")
+      assert(kernel.nonEmpty, s"n=$n must produce shingles")
+    }
+    // short-doc guard: fewer tokens than n → empty, never throws
+    import spark.implicits._
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    assert(tiny.select(explode(ShingleFps.fps(spark, col("toks"), 3)))
+      .count() === 0)
+  }
+
   test("charShingles: empty for short text, sliding n-grams otherwise") {
     import spark.implicits._
     val got = Seq("ab", "abcd").toDF("t")
