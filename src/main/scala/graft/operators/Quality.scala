@@ -598,7 +598,168 @@ object Quality {
       |    / count(*), 4) AS boiler_frac
       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Gopher-style heuristic rule battery (Rae et al., "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher",
+  // arXiv 2112.11446 §A1.1): per-document boolean diagnostics for the
+  // classic pretraining filter rules — word-count bounds, mean word
+  // length, symbol-to-word ratio, stopword presence, duplicate-token
+  // fraction — plus the conjunctive keep verdict. Emitting PER-RULE flags
+  // rather than just the verdict is the production shape: filter-rate
+  // dashboards and rule ablations need to know WHICH rule fired.
+  //
+  // Scale shape: one corpus scan, zero shuffle (PlanShapeSpec regime —
+  // every signal is a per-row Column over one tokenize); the only sort is
+  // the presentation orderBy. Parity: flags are exact comparisons on
+  // int/int or long/int IEEE divisions, so no rounding regime is needed.
+  // ---------------------------------------------------------------------
+  val GopherMinTokens = 20
+  val GopherMaxTokens = 1000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinStopwords = 2
+  val GopherMaxDupFrac = 0.6
+  val GopherStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** The five raw rule signals off one token array — shared by the
+    * per-doc battery and the per-source funnel so the two can't drift.
+    * Expects columns `text` and `toks`; n > 0 is guaranteed upstream by
+    * the fixture contract (min n_chars 48) — the funnel/battery keep the
+    * division unguarded for exact engine parity.
+    */
+  private def gopherSignals: Seq[Column] = {
+    val toks = col("toks")
+    val n = size(toks)
+    Seq(
+      n.cast("long").as("n_tokens"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+        .as("mean_len"),
+      (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n)
+        .as("sym_ratio"),
+      size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
+        .as("n_stop"),
+      ((n - size(array_distinct(toks))).cast("double") / n).as("dup_frac"))
+  }
+
+  /** Per-document rule flags over any frame with (doc_id, text). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val r1 = col("n_tokens").between(GopherMinTokens, GopherMaxTokens)
+    val r2 = col("mean_len").between(GopherMinMeanLen, GopherMaxMeanLen)
+    val r3 = col("sym_ratio") <= GopherMaxSymbolRatio
+    val r4 = col("n_stop") >= GopherMinStopwords
+    val r5 = col("dup_frac") <= GopherMaxDupFrac
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: gopherSignals: _*)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        r1.cast("int").as("r_word_count"),
+        r2.cast("int").as("r_mean_word_len"),
+        r3.cast("int").as("r_symbol_ratio"),
+        r4.cast("int").as("r_stopwords"),
+        r5.cast("int").as("r_dup_tokens"),
+        (r1 && r2 && r3 && r4 && r5).cast("int").as("keep"))
+  }
+
+  val qGopherRules: Q = (s, d) =>
+    gopherRules(documents(s, d)).orderBy("doc_id")
+
+  val qGopherRulesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l,
+      |    text
+      |  FROM documents),
+      |st AS (SELECT doc_id,
+      |    len(l) AS n_tokens,
+      |    CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE) / len(l)
+      |      AS mean_len,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |      / len(l) AS sym_ratio,
+      |    len(list_filter(l, x -> x IN (${GopherStopwords
+             .map(w => s"'$w'").mkString(",")}))) AS n_stop,
+      |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_frac
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens AS INT)
+      |    AS r_word_count,
+      |  CAST(mean_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen AS INT)
+      |    AS r_mean_word_len,
+      |  CAST(sym_ratio <= $GopherMaxSymbolRatio AS INT) AS r_symbol_ratio,
+      |  CAST(n_stop >= $GopherMinStopwords AS INT) AS r_stopwords,
+      |  CAST(dup_frac <= $GopherMaxDupFrac AS INT) AS r_dup_tokens,
+      |  CAST(n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+      |    AND mean_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen
+      |    AND sym_ratio <= $GopherMaxSymbolRatio
+      |    AND n_stop >= $GopherMinStopwords
+      |    AND dup_frac <= $GopherMaxDupFrac AS INT) AS keep
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Filter-funnel report: per-source survival counts through the staged
+  // gate chain (length → repetition → stopwords) — the attrition
+  // dashboard every corpus-curation run publishes. Stages are CUMULATIVE
+  // (a doc counts at stage k only if it passed 1..k-1), so columns are
+  // monotone non-increasing left to right; QualitySpec pins that and the
+  // consistency with the per-doc battery above.
+  //
+  // Scale shape: per-row predicates + one partial+final groupBy(source)
+  // — conditional sums, a #sources-row result. No joins, no second scan.
+  // ---------------------------------------------------------------------
+  /** Per-source cascade report over any frame with (source, text). */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks)
+    docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(
+        col("source"),
+        n.between(GopherMinTokens, GopherMaxTokens).as("p1"),
+        (((n - size(array_distinct(toks))).cast("double") / n) <=
+          GopherMaxDupFrac).as("p2"),
+        (size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*))) >=
+          GopherMinStopwords).as("p3"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n_len"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n_rep"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("keep_frac",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+  }
+
+  val qQualityFunnel: Q = (s, d) =>
+    qualityFunnel(documents(s, d)).orderBy("source")
+
+  val qQualityFunnelSql: String =
+    s"""WITH t AS (SELECT source,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (SELECT source,
+      |    (len(l) BETWEEN $GopherMinTokens AND $GopherMaxTokens) AS p1,
+      |    (CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) <=
+      |      $GopherMaxDupFrac) AS p2,
+      |    (len(list_filter(l, x -> x IN (${GopherStopwords
+             .map(w => s"'$w'").mkString(",")}))) >= $GopherMinStopwords)
+      |      AS p3
+      |  FROM t)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+      |  CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+      |  CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  round(CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 4) AS keep_frac
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_gopher_rules" -> qGopherRules,
+    "q_quality_funnel" -> qQualityFunnel,
     "q_boilerplate" -> qBoilerplate,
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
@@ -611,6 +772,8 @@ object Quality {
     "q_dedup_winnow" -> qDedupWinnow)
 
   val oracles: Map[String, String] = Map(
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_quality_funnel" -> qQualityFunnelSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_quality_repetition" -> qQualityRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,

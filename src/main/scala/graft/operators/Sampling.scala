@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,8 +35,20 @@ object Sampling {
     */
   def exclusivePrefixSum(
       df: DataFrame, orderCol: String, valueCol: String,
+      partitions: Int, outCol: String): DataFrame =
+    exclusivePrefixSum(df, Seq(col(orderCol)), valueCol, partitions, outCol)
+
+  /** Multi-key form: `orderCols` may carry sort direction (e.g.
+    * `col("score").desc, col("doc_id")`). The range partitioner and the
+    * per-partition window share the exact key list, so the global order —
+    * and therefore the prefix sum — stays boundary-independent even when
+    * the leading key has ties that straddle partitions (the trailing keys
+    * break them identically on both levels).
+    */
+  def exclusivePrefixSum(
+      df: DataFrame, orderCols: Seq[Column], valueCol: String,
       partitions: Int, outCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, col(orderCol))
+    val ranged = df.repartitionByRange(partitions, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist()
     val partTotals = ranged.groupBy("_pid")
@@ -54,7 +66,7 @@ object Sampling {
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("_poff",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val local = Window.partitionBy("_pid").orderBy(orderCol)
+    val local = Window.partitionBy("_pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // materialize before returning (standard release pattern — see
     // Dedup/Quality): the persisted range frame MUST feed both the

@@ -365,6 +365,88 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+  // High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+  // rank every document by its LM score and cut the corpus into
+  // head / middle / tail thirds — the standard quality tiers downstream
+  // mixers sample from. Score = the q_unigram_logprob mean (rounded to
+  // 4dp BEFORE ranking, so both engines order identical values; doc_id
+  // breaks ties deterministically). Output is the per-(source, tier)
+  // report: doc counts + mean score.
+  //
+  // Scale shape: the corpus pass is the unigram-LM aggregation (vocab-
+  // bounded state); the global rank comes from Sampling.exclusivePrefixSum
+  // — range-repartition + per-partition window + O(#partitions) driver
+  // offsets, NOT a single-partition global window. Tier boundaries are
+  // EXACT (rank·3 div n, = SQL ntile(3) cuts). At 100 TB, when exact
+  // cuts aren't required, the map-only alternative is two
+  // approx-percentile thresholds broadcast back over the score column;
+  // the exact form is kept here because the oracle must reproduce it.
+  // ---------------------------------------------------------------------
+  val qLmBuckets: Q = (s, d) => {
+    val tf = documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy("term").agg(sum("tf").as("c"))
+    val total = corpus.agg(sum("c").as("t"))
+    // scored feeds the count AND the ranked frame — persist so the
+    // tokenize+explode+join subtree (the corpus pass) runs once
+    val scored = tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "source")
+      .agg(round(
+        sum(col("tf") * log(col("c").cast("double") / col("t"))) /
+          sum(col("tf")), 4).as("mean_logprob"))
+      .persist()
+    val nDf = scored.agg(count(lit(1)).as("n"))
+    val ranked = Sampling.exclusivePrefixSum(
+      scored.withColumn("one", lit(1L)),
+      Seq(col("mean_logprob").desc, col("doc_id")), "one", 32, "rank0")
+    val out = ranked.crossJoin(broadcast(nDf))
+      .withColumn("tier", expr("1 + ((rank0 * 3) div n)"))
+      .withColumn("bucket",
+        when(col("tier") === 1, "head")
+          .when(col("tier") === 2, "middle").otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("mean_logprob"), 4).as("avg_logprob"))
+      .orderBy("source", "bucket")
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
+  val qLmBucketsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, source, term, count(*) AS tf
+      |       FROM toks GROUP BY 1, 2, 3),
+      |corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    round(sum(tf * ln(CAST(c AS DOUBLE) / t)) / sum(tf), 4)
+      |      AS mean_logprob
+      |  FROM tf JOIN corpus USING (term) CROSS JOIN tot
+      |  GROUP BY doc_id, source),
+      |rn AS (SELECT *,
+      |         row_number() OVER (ORDER BY mean_logprob DESC, doc_id) AS rn,
+      |         count(*) OVER () AS n
+      |       FROM scored),
+      |b AS (SELECT source, mean_logprob,
+      |        1 + ((rn - 1) * 3) // n AS tier FROM rn)
+      |SELECT source,
+      |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(mean_logprob), 4) AS avg_logprob
+      |FROM b GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Bigram conditional log-probability: mean ln p(w2|w1) over the doc's
   // bigram positions under the corpus bigram model — the next step past
   // the unigram proxy (captures local fluency, not just vocabulary
@@ -703,7 +785,8 @@ object TextAnalysis {
     "q_source_overlap" -> qSourceOverlap,
     "q_source_overlap_exact" -> qSourceOverlapExact,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
-    "q_unigram_logprob" -> qUnigramLogprob)
+    "q_unigram_logprob" -> qUnigramLogprob,
+    "q_lm_buckets" -> qLmBuckets)
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> qDsirWeightsSql,
@@ -716,5 +799,6 @@ object TextAnalysis {
     "q_doc_fingerprint" -> qFingerprintSql,
     "q_source_overlap_exact" -> qSourceOverlapExactSql,
     "q_tfidf_top_terms" -> qTfidfTopTermsSql,
-    "q_unigram_logprob" -> qUnigramLogprobSql)
+    "q_unigram_logprob" -> qUnigramLogprobSql,
+    "q_lm_buckets" -> qLmBucketsSql)
 }

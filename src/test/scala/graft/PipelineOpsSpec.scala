@@ -76,6 +76,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perRow === explicit)
   }
 
+  test("lm buckets cut the corpus into three near-equal tiers") {
+    val out = TextAnalysis.qLmBuckets(spark, dir).collect()
+    val sizes = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    val total = sizes.values.sum
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total === nDocs, "every document lands in exactly one tier")
+    // ntile cuts: tier sizes differ by at most one document
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"tiers must be balanced, got $sizes")
+  }
+
   test("dsir importance weights rank the target slice above the rest") {
     val rows = TextAnalysis.qDsirWeights(spark, dir).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))

@@ -39,11 +39,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // these are pure per-document maps; the ONLY exchange in the plan
     // is the range partitioning of the deterministic output order
     for (q <- Seq("q_pii_scrub", "q_text_stats", "q_doc_fingerprint",
-      "q_lang_id", "q_quality_repetition")) {
+      "q_lang_id", "q_quality_repetition", "q_gopher_rules")) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q gained a hash shuffle:\n$p")
     }
+  }
+
+  test("funnel is one partial+final aggregate — a single hash exchange") {
+    // per-row predicates then groupBy(source): partial HashAggregate on
+    // the scan side, exactly one hash exchange, final aggregate after it
+    val p = plan("q_quality_funnel")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(exchanges === 1, s"funnel must shuffle once, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"funnel must hash-aggregate:\n$p")
   }
 
   test("parquet scans push filters and prune columns") {

@@ -181,6 +181,64 @@ class QualitySpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
 
+  test("gopher battery flags each rule violation independently") {
+    import spark.implicits._
+    // one doc per violated rule, plus one clean doc that passes all five.
+    // Token budget: clean doc needs >=20 tokens, 2 stopwords, mean len
+    // in [3,10], no symbols, dup fraction <= 0.6.
+    val cleanToks =
+      Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+        "while", "many", "other", "animal", "walks", "through", "green",
+        "field", "near", "of", "old", "river", "bank") // 21 distinct, 2 stops
+    val docs = Seq(
+      (0L, cleanToks.mkString(" ")),                        // passes all
+      (1L, "too short a doc the end"),                      // word count
+      (2L, cleanToks.map(_ => "x").mkString(" ")),          // mean len < 3
+      (3L, cleanToks.map(t => s"$t!!!").mkString(" ")),     // symbols
+      (4L, cleanToks.map(_.capitalize).mkString(" ")),      // no stopwords
+      (5L, ("the a " + Seq.fill(19)("dup").mkString(" ")))  // dup tokens
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherRules(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getInt(7))).toMap
+    assert(got(0L) === ((1, 1, 1, 1, 1, 1)), "clean doc passes every rule")
+    assert(got(1L)._1 === 0 && got(1L)._6 === 0, "word-count rule fires")
+    assert(got(2L)._2 === 0, "mean-word-length rule fires")
+    assert(got(3L)._3 === 0, "symbol-ratio rule fires")
+    assert(got(4L)._4 === 0, "stopword rule fires")
+    assert(got(5L)._5 === 0, "duplicate-token rule fires")
+    // every violation doc is rejected overall
+    (1L to 5L).foreach(id => assert(got(id)._6 === 0, s"doc $id rejected"))
+  }
+
+  test("funnel stages are monotone and agree with the per-doc battery") {
+    import org.apache.spark.sql.functions.col
+    val funnel = Quality.qQualityFunnel(spark, dir).collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      val (total, len, rep, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(total >= len && len >= rep && rep >= kept,
+        s"${r.getString(0)}: cascade must shrink monotonically")
+    }
+    // the funnel's final kept count per source == docs whose battery
+    // flags pass the funnel's three rules (word count, dup, stopwords)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val battery = Quality.gopherRules(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("r_word_count") === 1 && col("r_dup_tokens") === 1 &&
+        col("r_stopwords") === 1)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    funnel.foreach { r =>
+      assert(r.getLong(4) === battery.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: funnel kept != battery-passing docs")
+    }
+    // the gates genuinely bite on the fixture
+    assert(funnel.exists(r => r.getLong(4) < r.getLong(1)))
+  }
+
   test("semantic cluster dedup equals exact all-pairs on the fixture") {
     val exact = Similarity.qDedupEmbedding(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

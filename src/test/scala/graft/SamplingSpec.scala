@@ -41,6 +41,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(reference.exceptAll(scalable).count() === 0)
   }
 
+  test("multi-key prefix sum matches the window reference under heavy ties") {
+    import spark.implicits._
+    // score has only 5 distinct values over 800 rows, so ties straddle
+    // every range-partition boundary; id must break them identically in
+    // the partitioner and the local window
+    val df = (1 to 800).map(i => ((i % 5).toDouble / 10, i.toLong, 1L))
+      .toDF("score", "id", "one")
+    val scalable = Sampling
+      .exclusivePrefixSum(df, Seq(col("score").desc, col("id")), "one",
+        partitions = 7, outCol = "rk")
+      .select("score", "id", "rk")
+    val reference = df.withColumn("rk",
+      coalesce(sum(col("one")).over(
+        Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("score", "id", "rk")
+    assert(scalable.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(scalable).count() === 0)
+  }
+
   test("packing: offsets advance by token counts, windows cover budget") {
     val rows = Sampling.qSeqPacking(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
