@@ -41,6 +41,20 @@ object ScaleProbe {
       .filter(col("rn") === 1).count())
     val docs = replicate(
       Tables.documents(spark, d).select("doc_id", "text"), 10, Seq("doc_id"), 10000000L)
+    // the three round-5 curation-report operators: gopher battery +
+    // funnel are single-scan shapes (linear by construction — the probe
+    // documents that no hidden shuffle appears at 10×); lm tiers carry
+    // the unigram-LM aggregation plus the two-level global rank, the
+    // shape whose scaling the multi-key prefix sum must protect
+    val docsSrc = replicate(
+      Tables.documents(spark, d).select("doc_id", "source", "text"),
+      10, Seq("doc_id"), 10000000L)
+    t("gopher rule battery 50k docs (per-row flags)")(
+      operators.Quality.gopherRules(docs).count())
+    t("quality funnel 50k docs (one agg)")(
+      operators.Quality.qualityFunnel(docsSrc).count())
+    t("lm tiers 50k docs (unigram LM + two-level rank)")(
+      operators.TextAnalysis.lmBuckets(docsSrc).count())
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()

@@ -383,8 +383,9 @@ object TextAnalysis {
   // approx-percentile thresholds broadcast back over the score column;
   // the exact form is kept here because the oracle must reproduce it.
   // ---------------------------------------------------------------------
-  val qLmBuckets: Q = (s, d) => {
-    val tf = documents(s, d)
+  /** Tier report over any frame with (doc_id, source, text). */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
@@ -416,6 +417,8 @@ object TextAnalysis {
     scored.unpersist()
     out
   }
+
+  val qLmBuckets: Q = (s, d) => lmBuckets(documents(s, d))
 
   val qLmBucketsSql: String =
     """WITH toks AS (
