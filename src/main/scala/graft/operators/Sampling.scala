@@ -260,6 +260,102 @@ object Sampling {
       |WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 10000 < t
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language epoch cap for the UniMax waterfill; shared with the
+    * oracle. 1.5 makes the cap bite on the fixture's smallest language
+    * while the rest waterfill — both branches exercised.
+    */
+  val UniMaxEpochCap = 1.5
+
+  // ---------------------------------------------------------------------
+  // UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+  // Effective Language Sampling for Large-Scale Multilingual
+  // Pretraining", ICLR 2023): waterfill a total token budget (B = one
+  // epoch of the whole corpus) across languages under a per-language
+  // epoch cap — low-resource languages cap at UniMaxEpochCap epochs,
+  // everyone else splits the leftover equally. Closed form: sort
+  // languages by capacity; the capped set is the largest k whose k-th
+  // smallest capacity still sits under the water level implied by
+  // capping the first k; threshold = (B − Σ capped) / (n − k).
+  //
+  // Scale shape: the ONLY corpus pass is the per-language token count
+  // (partial+final agg). Every window after it runs over the
+  // #languages-row aggregate — the dimension-sized single-partition
+  // exception (state = #langs rows, never corpus rows). Parity: both
+  // engines derive the same IEEE doubles from the same integer counts in
+  // the same cumulative order (the sort is total: cap then lang).
+  // ---------------------------------------------------------------------
+  /** Allocation over any frame with (lang, text). */
+  def langBudget(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy("cap", "lang")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("toks"))
+      .withColumn("cap", lit(UniMaxEpochCap) * col("toks"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum("cap").over(cum))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("b", sum("toks").over(all).cast("double"))
+      .withColumn("maxcap", max("cap").over(all))
+      .withColumn("feasible",
+        when(col("rn") < col("n"),
+          col("cap") <= (col("b") - col("cum")) / (col("n") - col("rn")))
+          .otherwise(col("cum") <= col("b")))
+      .withColumn("kstar",
+        max(when(col("feasible"), col("rn")).otherwise(0)).over(all))
+      .withColumn("sk", coalesce(
+        max(when(col("rn") === col("kstar"), col("cum"))).over(all),
+        lit(0.0)))
+      .withColumn("threshold",
+        when(col("kstar") === col("n"), col("maxcap"))
+          .otherwise((col("b") - col("sk")) / (col("n") - col("kstar"))))
+      .select(col("lang"), col("toks"),
+        round(least(col("cap"), col("threshold")), 2).as("alloc_tokens"),
+        round(least(col("cap"), col("threshold")) / col("toks"), 4)
+          .as("epochs"),
+        round(least(col("cap"), col("threshold")) / col("b"), 4)
+          .as("budget_share"))
+      .orderBy("lang")
+  }
+
+  val qLangBudget: Q = (s, d) => langBudget(documents(s, d))
+
+  val qLangBudgetSql: String =
+    s"""WITH tok AS (SELECT lang,
+      |    CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang),
+      |c AS (SELECT lang, toks, $UniMaxEpochCap * toks AS cap FROM tok),
+      |o AS (SELECT *,
+      |    row_number() OVER (ORDER BY cap, lang) AS rn,
+      |    sum(cap) OVER (ORDER BY cap, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    count(*) OVER () AS n,
+      |    CAST(sum(toks) OVER () AS DOUBLE) AS b,
+      |    max(cap) OVER () AS maxcap
+      |  FROM c),
+      |f AS (SELECT *,
+      |    CASE WHEN rn < n THEN cap <= (b - cum) / (n - rn)
+      |         ELSE cum <= b END AS feasible
+      |  FROM o),
+      |k AS (SELECT *,
+      |    max(CASE WHEN feasible THEN rn ELSE 0 END) OVER () AS kstar
+      |  FROM f),
+      |s AS (SELECT *,
+      |    coalesce(max(CASE WHEN rn = kstar THEN cum END) OVER (), 0.0)
+      |      AS sk
+      |  FROM k),
+      |t AS (SELECT *,
+      |    CASE WHEN kstar = n THEN maxcap
+      |         ELSE (b - sk) / (n - kstar) END AS threshold
+      |  FROM s)
+      |SELECT lang, toks,
+      |  round(least(cap, threshold), 2) AS alloc_tokens,
+      |  round(least(cap, threshold) / toks, 4) AS epochs,
+      |  round(least(cap, threshold) / b, 4) AS budget_share
+      |FROM t ORDER BY lang""".stripMargin
+
   /** Epoch seed for the deterministic shuffle; shared with the oracle. */
   val ShuffleSeed = 42
 
@@ -356,6 +452,7 @@ object Sampling {
     "q_seq_packing" -> qSeqPacking,
     "q_doc_chunks" -> qDocChunks,
     "q_mixture_temperature" -> qMixtureTemperature,
+    "q_lang_budget" -> qLangBudget,
     "q_stratified_sample" -> qStratifiedSample,
     "q_shuffle_order" -> qShuffleOrder)
 
@@ -364,6 +461,7 @@ object Sampling {
     "q_seq_packing" -> qSeqPackingSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,
+    "q_lang_budget" -> qLangBudgetSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_shuffle_order" -> qShuffleOrderSql)
 }

@@ -41,6 +41,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(reference.exceptAll(scalable).count() === 0)
   }
 
+  test("unimax waterfill exhausts the budget under the epoch cap") {
+    val rows = Sampling.qLangBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    val budget = rows.map(_._2).sum.toDouble
+    // allocation spends the whole budget (2dp rounding per language)
+    assert(math.abs(rows.map(_._3).sum - budget) < 0.05 * rows.length)
+    // nobody exceeds the epoch cap (4dp-rounded epochs)
+    rows.foreach { case (lang, _, _, ep) =>
+      assert(ep <= Sampling.UniMaxEpochCap + 1e-9, s"$lang over the cap")
+    }
+    // every uncapped language gets the same water level
+    val free = rows.filter(_._4 < Sampling.UniMaxEpochCap)
+    assert(free.nonEmpty, "someone must stay under the cap")
+    assert(free.map(_._3).distinct.length === 1,
+      "uncapped languages share one water level")
+  }
+
+  test("unimax cap bites on a skewed corpus; leftover splits equally") {
+    import spark.implicits._
+    // 'lo' has 40 tokens capacity 60; the other two have 400 each.
+    // Budget = 840 tokens: water level without caps = 280 > 60, so lo
+    // caps at 1.5 epochs and hi1/hi2 split the remaining 780 evenly.
+    def doc(lang: String, words: Int) =
+      (lang, Seq.tabulate(words)(i => s"w$i").mkString(" "))
+    val docs = (Seq.fill(4)(doc("lo", 10)) ++
+      Seq.fill(10)(doc("hi1", 40)) ++ Seq.fill(10)(doc("hi2", 40)))
+      .toDF("lang", "text")
+    val got = Sampling.langBudget(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("lo") === ((60.0, 1.5)), "small language pins to the cap")
+    assert(got("hi1") === ((390.0, 0.975)))
+    assert(got("hi2") === ((390.0, 0.975)))
+  }
+
   test("multi-key prefix sum matches the window reference under heavy ties") {
     import spark.implicits._
     // score has only 5 distinct values over 800 rows, so ties straddle
