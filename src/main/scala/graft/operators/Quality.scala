@@ -665,6 +665,32 @@ object Quality {
   val qGopherRules: Q = (s, d) =>
     gopherRules(documents(s, d)).orderBy("doc_id")
 
+  /** The ingest-gate form of the battery: admit only rule-passing
+    * documents, preserving the caller's columns. Stateless per-row, so
+    * it composes into a structured stream unchanged (DocStreamsSpec pins
+    * stream-admitted ≡ battery keep=1 on the same rows). The predicate
+    * compares the same signal expressions against the same thresholds as
+    * [[gopherRules]].
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val toks = col("_gtoks")
+    val n = size(toks)
+    val meanLen =
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
+    val symRatio =
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n
+    val nStop = size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
+    val dupFrac = (n - size(array_distinct(toks))).cast("double") / n
+    docs.withColumn("_gtoks", tokens(col("text")))
+      .filter(
+        n.between(GopherMinTokens, GopherMaxTokens) &&
+          meanLen.between(GopherMinMeanLen, GopherMaxMeanLen) &&
+          symRatio <= GopherMaxSymbolRatio &&
+          nStop >= GopherMinStopwords &&
+          dupFrac <= GopherMaxDupFrac)
+      .drop("_gtoks")
+  }
+
   val qGopherRulesSql: String =
     s"""WITH t AS (SELECT doc_id,
       |    list_filter(string_split_regex(trim(text), '\\s+'),

@@ -296,6 +296,32 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batchGot === got.toMap)
   }
 
+  test("gopher gate streams: admitted ids equal the battery's keep=1 set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture docs give a genuine pass/fail mix under the real thresholds
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(3), ts(0)))
+    val expected = graft.operators.Quality
+      .gopherRules(docs.toSeq.toDF("doc_id", "text", "source", "ingest_ts"))
+      .filter(col("keep") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < docs.length,
+      "thresholds must bite both ways on the sample")
+    val input = MemoryStream[Doc]
+    val q = graft.operators.Quality.gopherFilter(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_gate").start()
+    try {
+      input.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      val admitted = spark.table("gopher_gate")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted === expected)
+    } finally q.stop()
+  }
+
   test("prepare is batch/stream agnostic: identical rows both ways") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
