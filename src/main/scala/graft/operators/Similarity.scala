@@ -504,7 +504,70 @@ object Similarity {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY label, rnk""".stripMargin
 
+  /** Vectors kept per cluster cell; shared with the oracle. 25 against
+    * ~31-row average cells (500 vectors / 16 cells at sf0.01) makes the
+    * cap bite in dense cells while the sparsest survive whole.
+    */
+  val ClusterSampleK = 25
+
+  // ---------------------------------------------------------------------
+  // Cluster-balanced diversity sampling — the embedding-space selection
+  // move (SemDeDup-family, Abbas et al. arXiv 2303.09540; k-center
+  // selection): quantize the corpus into IVF cells, then keep at most
+  // ClusterSampleK vectors per cell so dense regions are downsampled and
+  // sparse regions survive whole — coverage over redundancy. The
+  // within-cell priority is md5(vec_id) — content-blind, deterministic,
+  // engine-neutral — so the sample is reproducible across runs and
+  // engines with no RNG state (the stratified sampler's discipline,
+  // applied to learned strata).
+  //
+  // Scale shape: assignment is a per-row map over the broadcast
+  // centroid matrix (O(nlist·dim) per row, nlist ≈ √n — ivfIndex's
+  // documented regime); the within-cell rank is a window partitioned by
+  // cell (parallel across cells; a hot cell is one AQE-splittable
+  // partition, and perCell caps what anyone downstream reads). Output is
+  // every vector with its (cell, rnk, kept) annotation.
+  //
+  // Oracle discipline (the q_knn_recall pattern): the cell ASSIGNMENT is
+  // engine-specific (seeded Lloyd), but the balanced-selection
+  // arithmetic is not — DuckDB recomputes rnk and kept from the
+  // materialized (vec_id, cell) pairs of this same Verify run and must
+  // reproduce the dumped columns bit-for-bit, so the ranking semantics,
+  // the md5 priority, and the cap all carry a real hash check.
+  // ---------------------------------------------------------------------
+  def clusterBalancedSample(
+      emb: DataFrame, nlist: Int, perCell: Int): DataFrame = {
+    val s = emb.sparkSession
+    val base = emb.select("vec_id", "embedding")
+    val centroids = ivfIndex(base, nlist)
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    base.select(col("vec_id"),
+      element_at(graft.functions.IvfCells.cells(
+        s, col("embedding"), centroids, 1), 1).as("cell"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("kept", (col("rnk") <= perCell).cast("int"))
+  }
+
+  val qClusterSample: Q = (s, d) =>
+    clusterBalancedSample(embeddings(s, d), nlist = 16, ClusterSampleK)
+      .orderBy("vec_id")
+
+  val qClusterSampleSql: String =
+    s"""WITH a AS (
+      |  SELECT vec_id, cell
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_cluster_sample/*.parquet')),
+      |r AS (
+      |  SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY cell
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+      |  FROM a)
+      |SELECT vec_id, cell, rnk,
+      |  CAST(rnk <= $ClusterSampleK AS INT) AS kept
+      |FROM r ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_sample" -> qClusterSample,
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
@@ -514,6 +577,7 @@ object Similarity {
     "q_embedding_outliers" -> qEmbeddingOutliers)
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,

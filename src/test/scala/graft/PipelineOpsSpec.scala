@@ -268,6 +268,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall@5 $recall")
   }
 
+  test("cluster-balanced sample caps dense cells, keeps sparse whole") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity
+      .clusterBalancedSample(emb, nlist = 16, perCell = 25)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.length === emb.count(), "every vector gets annotated")
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val kept = rows.count(_._4 == 1)
+      assert(kept === math.min(25, rows.length),
+        s"cell $cell keeps min(perCell, size)")
+      // ranks are a permutation of 1..size within the cell
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"cell $cell ranks")
+    }
+    // selection genuinely bites somewhere and every cell is represented
+    assert(out.count(_._4 == 1) < out.length, "cap must bite")
+    assert(byCell.keySet === out.filter(_._4 == 1).map(_._2).toSet,
+      "every non-empty cell survives into the sample")
+    // deterministic: a second build reproduces the exact annotation
+    val again = Similarity
+      .clusterBalancedSample(emb, nlist = 16, perCell = 25)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("ivf ann: exact-copy neighbors are always rank-1") {
     val emb = graft.Tables.embeddings(spark, dir)
     val corpus = emb.select("vec_id", "embedding").unionByName(
