@@ -47,7 +47,7 @@ object ScaleProbe {
     // the unigram-LM aggregation plus the two-level global rank, the
     // shape whose scaling the multi-key prefix sum must protect
     val docsSrc = replicate(
-      Tables.documents(spark, d).select("doc_id", "source", "text"),
+      Tables.documents(spark, d).select("doc_id", "source", "lang", "text"),
       10, Seq("doc_id"), 10000000L)
     t("gopher rule battery 50k docs (per-row flags)")(
       operators.Quality.gopherRules(docs).count())
@@ -55,6 +55,8 @@ object ScaleProbe {
       operators.Quality.qualityFunnel(docsSrc).count())
     t("lm tiers 50k docs (unigram LM + two-level rank)")(
       operators.TextAnalysis.lmBuckets(docsSrc).count())
+    t("unimax allocation 50k docs (one agg + #langs-row windows)")(
+      operators.Sampling.langBudget(docsSrc).count())
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
@@ -74,6 +76,8 @@ object ScaleProbe {
       operators.Similarity.embeddingNearDupPairs(emb, 0.9).count())
     // nlist tracks √n (10× data → ~3× cells); candidates/query stay
     // ~(nprobe/nlist)·n — the explicit dial the class doc describes
+    t("cluster-balanced sample 20k vectors (nlist=48)")(
+      operators.Similarity.clusterBalancedSample(emb, 48, 25).count())
     t("ann 20k vectors (ivf nlist=48)")(operators.Similarity.ivfKnn(
       emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
     // sampled index build: Lloyd over the 4096 smallest-hash vectors
