@@ -339,6 +339,57 @@ object InvariantProps extends Properties("graft.invariants") {
       run(0L) == brute && run(1000000L) == brute
     }
 
+  private val genQualityDocs: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 30L),
+      Gen.listOfN(30, Gen.frequency(
+        // stopwords present often enough that the stopword rule cuts
+        // both ways; "x" drags mean word length toward the lower bound
+        3 -> Gen.oneOf("the", "a", "of"),
+        5 -> Gen.oneOf("table", "window", "stream", "batch", "query"),
+        2 -> Gen.oneOf("x", "k")))
+        .map(_.mkString(" "))))
+      .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toList)
+
+  property("gopher gate admits exactly the battery's keep=1 set") =
+    Prop.forAll(genQualityDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val battery = graft.operators.Quality.gopherRules(df)
+        .filter(col("keep") === 1)
+        .collect().map(_.getLong(0)).toSet
+      val gate = graft.operators.Quality.gopherFilter(df)
+        .collect().map(_.getLong(0)).toSet
+      gate == battery
+    }
+
+  property("unimax waterfill matches the driver-side reference") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 5), Gen.choose(1, 50)))) { raw =>
+      // distinct languages with 1..50 one-word tokens each
+      val langs = raw.groupBy(_._1).map { case (l, vs) =>
+        (s"l$l", vs.head._2) }.toList
+      val docs = langs.map { case (l, k) =>
+        (l, Seq.fill(k)("w").mkString(" ")) }.toDF("lang", "text")
+      val got = graft.operators.Sampling.langBudget(docs)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // reference waterfill: t such that Σ min(cap, t) = B, by scanning
+      // capacities in ascending order
+      val e = graft.operators.Sampling.UniMaxEpochCap
+      val b = langs.map(_._2.toDouble).sum
+      val caps = langs.map { case (l, k) => l -> e * k }.sortBy(_._2)
+      val n = caps.length
+      var spent = 0.0
+      var level = Double.MaxValue
+      var capped = 0
+      for (((_, c), i) <- caps.zipWithIndex if level == Double.MaxValue) {
+        val t = (b - spent) / (n - i)
+        if (c <= t) { spent += c; capped = i + 1 } else level = t
+      }
+      if (level == Double.MaxValue) level = caps.last._2
+      val expected = caps.map { case (l, c) => l -> math.min(c, level) }
+      expected.forall { case (l, a) => math.abs(got(l) - a) < 0.01 }
+    }
+
   property("span scrub conserves tokens and equals brute force") =
     Prop.forAll(genDocs) { docs =>
       val n = 2 // short grams so random 6-word-vocab docs collide often
