@@ -26,6 +26,38 @@ object Layout {
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
+  /** Materialize a corpus as fixed-row-count shuffled training shards —
+    * the pipeline's last mile. Every row gets the deterministic
+    * epoch-shuffle position ([[graft.operators.Sampling.shuffledPositions]]:
+    * md5(seed, id) order, no RNG state, reproducible across runs and
+    * cluster layouts), shard = pos div rowsPerShard, and every shard
+    * lands in EXACTLY one parquet file under its own shard_id=N
+    * directory: rows hash-route to one reduce task per shard id, and the
+    * partitioned write emits one file per (task, shard) pair.
+    *
+    * Fixed rows-per-shard is both the small-files guard and the trainer
+    * contract (uniform shard sizes → uniform data-loader work, and the
+    * shard count — corpus/rowsPerShard — is chosen, not emergent). Scale
+    * shape: the position comes from the two-level prefix sum (driver
+    * O(#partitions)); the export itself is ONE exchange keyed by output
+    * shard — the cost floor for any materialization that must group rows
+    * into files. Returns the (id, pos, shard_id) manifest.
+    */
+  def writeTrainingShards(
+      docs: DataFrame, idCol: String, outDir: String,
+      rowsPerShard: Long, seed: Int = 42, partitions: Int = 32)
+      : DataFrame = {
+    val pos = graft.operators.Sampling
+      .shuffledPositions(docs, idCol, seed, partitions)
+    val sharded = docs.join(pos, idCol)
+      .withColumn("shard_id", expr(s"pos div $rowsPerShard"))
+    sharded
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "pos")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    sharded.select(col(idCol), col("pos"), col("shard_id"))
+  }
+
   /** Salted inner equi-join for skewed keys: the large side's rows get a
     * deterministic salt in [0, salt); the small side replicates each row
     * `salt` times. The hot key's rows then spread over `salt` reduce

@@ -176,6 +176,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(scan.count() === expected)
   }
 
+  test("training shards: fixed sizes, one file each, reproducible order") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    val manifest = Layout
+      .writeTrainingShards(docs, "doc_id", out, rowsPerShard = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(manifest.length === n)
+    // shard = pos div 64; sizes are exactly 64 with one remainder shard
+    manifest.foreach { case (_, pos, sid) => assert(sid === pos / 64) }
+    val sizes = manifest.groupBy(_._3).view.mapValues(_.length).toMap
+    val full = sizes.values.count(_ == 64)
+    assert(full >= sizes.size - 1, s"at most one ragged shard: $sizes")
+    assert(sizes.values.sum === n.toInt)
+    // exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.length === sizes.size)
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${dir.getName} must hold one file")
+    }
+    // round trip: the written corpus is the corpus, shuffled not lost
+    val back = spark.read.parquet(out)
+    assert(back.count() === n)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted
+      === docs.select("doc_id").collect().map(_.getLong(0)).sorted)
+    // determinism: a second export yields the identical manifest
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-shards2").toString
+    val again = Layout
+      .writeTrainingShards(docs, "doc_id", out2, rowsPerShard = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === manifest.sortBy(_._1).toSeq)
+  }
+
   test("salted join spreads a hot key of IDENTICAL rows across salts") {
     import spark.implicits._
     // all rows byte-identical — a value-hash salt would collapse to one
