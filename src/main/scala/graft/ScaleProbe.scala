@@ -57,6 +57,11 @@ object ScaleProbe {
       operators.TextAnalysis.lmBuckets(docsSrc).count())
     t("unimax allocation 50k docs (one agg + #langs-row windows)")(
       operators.Sampling.langBudget(docsSrc).count())
+    t("training shard export 50k docs, 1024 rows/shard (one keyed exchange + write)") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-probe-shards").toString
+      plans.Layout.writeTrainingShards(docs, "doc_id", dir, 1024L).count()
+    }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
