@@ -49,14 +49,25 @@ object ScaleProbe {
     val docsSrc = replicate(
       Tables.documents(spark, d).select("doc_id", "source", "lang", "text"),
       10, Seq("doc_id"), 10000000L)
+    // force every output column through an aggregate — a bare count()
+    // would let column pruning delete the very kernels being measured
+    // (the repetition/shuffle-order probes set the same convention)
     t("gopher rule battery 50k docs (per-row flags)")(
-      operators.Quality.gopherRules(docs).count())
+      operators.Quality.gopherRules(docs)
+        .agg(sum(col("keep") + col("r_word_count") + col("r_mean_word_len")
+          + col("r_symbol_ratio") + col("r_stopwords") + col("r_dup_tokens")),
+          sum("n_tokens")).first)
     t("quality funnel 50k docs (one agg)")(
-      operators.Quality.qualityFunnel(docsSrc).count())
+      operators.Quality.qualityFunnel(docsSrc)
+        .agg(sum(col("n_total") + col("n_len") + col("n_rep")
+          + col("n_kept")), sum("keep_frac")).first)
     t("lm tiers 50k docs (unigram LM + two-level rank)")(
-      operators.TextAnalysis.lmBuckets(docsSrc).count())
+      operators.TextAnalysis.lmBuckets(docsSrc)
+        .agg(sum("n_docs"), sum("avg_logprob")).first)
     t("unimax allocation 50k docs (one agg + #langs-row windows)")(
-      operators.Sampling.langBudget(docsSrc).count())
+      operators.Sampling.langBudget(docsSrc)
+        .agg(sum(col("toks") + col("alloc_tokens") + col("epochs")
+          + col("budget_share"))).first)
     t("training shard export 50k docs, 1024 rows/shard (one keyed exchange + write)") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-probe-shards").toString
@@ -82,7 +93,8 @@ object ScaleProbe {
     // nlist tracks √n (10× data → ~3× cells); candidates/query stay
     // ~(nprobe/nlist)·n — the explicit dial the class doc describes
     t("cluster-balanced sample 20k vectors (nlist=48)")(
-      operators.Similarity.clusterBalancedSample(emb, 48, 25).count())
+      operators.Similarity.clusterBalancedSample(emb, 48, 25)
+        .agg(sum(col("cell") + col("rnk") + col("kept"))).first)
     t("ann 20k vectors (ivf nlist=48)")(operators.Similarity.ivfKnn(
       emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
     // sampled index build: Lloyd over the 4096 smallest-hash vectors

@@ -622,44 +622,54 @@ object Quality {
   val GopherMaxDupFrac = 0.6
   val GopherStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  /** The five raw rule signals off one token array — shared by the
-    * per-doc battery and the per-source funnel so the two can't drift.
-    * Expects columns `text` and `toks`; n > 0 is guaranteed upstream by
-    * the fixture contract (min n_chars 48) — the funnel/battery keep the
-    * division unguarded for exact engine parity.
+  /** The five raw rule signals (n_tokens, mean_len, sym_ratio, n_stop,
+    * dup_frac) off one (text, tokens) pair — THE single definition every
+    * gopher surface derives from: the per-doc battery, the per-source
+    * funnel, and the streaming gate all call this, so the three can't
+    * drift (the spec-pinned equivalences then check the derivations, not
+    * parallel copies of the expressions). n > 0 is guaranteed upstream by
+    * the fixture contract (min n_chars 48) — divisions stay unguarded for
+    * exact engine parity.
     */
-  private def gopherSignals: Seq[Column] = {
-    val toks = col("toks")
+  private def gopherSignalCols(
+      text: Column, toks: Column): Seq[Column] = {
     val n = size(toks)
     Seq(
-      n.cast("long").as("n_tokens"),
-      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
-        .as("mean_len"),
-      (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n)
-        .as("sym_ratio"),
-      size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
-        .as("n_stop"),
-      ((n - size(array_distinct(toks))).cast("double") / n).as("dup_frac"))
+      n.cast("long"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / n,
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / n,
+      size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*))),
+      (n - size(array_distinct(toks))).cast("double") / n)
+  }
+
+  /** The five per-rule pass predicates over the same signal list. */
+  private def gopherPredicates(
+      text: Column, toks: Column): Seq[Column] = {
+    val Seq(n, meanLen, symRatio, nStop, dupFrac) =
+      gopherSignalCols(text, toks)
+    Seq(
+      n.between(GopherMinTokens, GopherMaxTokens),
+      meanLen.between(GopherMinMeanLen, GopherMaxMeanLen),
+      symRatio <= GopherMaxSymbolRatio,
+      nStop >= GopherMinStopwords,
+      dupFrac <= GopherMaxDupFrac)
   }
 
   /** Per-document rule flags over any frame with (doc_id, text). */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val r1 = col("n_tokens").between(GopherMinTokens, GopherMaxTokens)
-    val r2 = col("mean_len").between(GopherMinMeanLen, GopherMaxMeanLen)
-    val r3 = col("sym_ratio") <= GopherMaxSymbolRatio
-    val r4 = col("n_stop") >= GopherMinStopwords
-    val r5 = col("dup_frac") <= GopherMaxDupFrac
+    val ps = gopherPredicates(col("text"), col("toks"))
     docs
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id") +: gopherSignals: _*)
       .select(
-        col("doc_id"), col("n_tokens"),
-        r1.cast("int").as("r_word_count"),
-        r2.cast("int").as("r_mean_word_len"),
-        r3.cast("int").as("r_symbol_ratio"),
-        r4.cast("int").as("r_stopwords"),
-        r5.cast("int").as("r_dup_tokens"),
-        (r1 && r2 && r3 && r4 && r5).cast("int").as("keep"))
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        ps(0).cast("int").as("r_word_count"),
+        ps(1).cast("int").as("r_mean_word_len"),
+        ps(2).cast("int").as("r_symbol_ratio"),
+        ps(3).cast("int").as("r_stopwords"),
+        ps(4).cast("int").as("r_dup_tokens"),
+        ps.reduce(_ && _).cast("int").as("keep"))
   }
 
   val qGopherRules: Q = (s, d) =>
@@ -672,24 +682,10 @@ object Quality {
     * compares the same signal expressions against the same thresholds as
     * [[gopherRules]].
     */
-  def gopherFilter(docs: DataFrame): DataFrame = {
-    val toks = col("_gtoks")
-    val n = size(toks)
-    val meanLen =
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
-    val symRatio =
-      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n
-    val nStop = size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*)))
-    val dupFrac = (n - size(array_distinct(toks))).cast("double") / n
+  def gopherFilter(docs: DataFrame): DataFrame =
     docs.withColumn("_gtoks", tokens(col("text")))
-      .filter(
-        n.between(GopherMinTokens, GopherMaxTokens) &&
-          meanLen.between(GopherMinMeanLen, GopherMaxMeanLen) &&
-          symRatio <= GopherMaxSymbolRatio &&
-          nStop >= GopherMinStopwords &&
-          dupFrac <= GopherMaxDupFrac)
+      .filter(gopherPredicates(col("text"), col("_gtoks")).reduce(_ && _))
       .drop("_gtoks")
-  }
 
   val qGopherRulesSql: String =
     s"""WITH t AS (SELECT doc_id,
@@ -733,19 +729,21 @@ object Quality {
   // Scale shape: per-row predicates + one partial+final groupBy(source)
   // — conditional sums, a #sources-row result. No joins, no second scan.
   // ---------------------------------------------------------------------
-  /** Per-source cascade report over any frame with (source, text). */
+  /** Per-source cascade report over any frame with (source, text). The
+    * three stage gates are the battery's word-count, duplicate-token and
+    * stopword predicates, taken from the shared [[gopherPredicates]]
+    * list.
+    */
   def qualityFunnel(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
-    val n = size(toks)
-    docs
-      .select(col("source"), tokens(col("text")).as("toks"))
+    val tokenized = docs.select(col("source"), col("text"),
+      tokens(col("text")).as("toks"))
+    val preds = gopherPredicates(col("text"), col("toks"))
+    tokenized
       .select(
         col("source"),
-        n.between(GopherMinTokens, GopherMaxTokens).as("p1"),
-        (((n - size(array_distinct(toks))).cast("double") / n) <=
-          GopherMaxDupFrac).as("p2"),
-        (size(filter(toks, t => t.isin(GopherStopwords.map(lit): _*))) >=
-          GopherMinStopwords).as("p3"))
+        preds(0).as("p1"),
+        preds(4).as("p2"),
+        preds(3).as("p3"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_total"),

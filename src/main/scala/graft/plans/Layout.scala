@@ -47,15 +47,21 @@ object Layout {
       docs: DataFrame, idCol: String, outDir: String,
       rowsPerShard: Long, seed: Int = 42, partitions: Int = 32)
       : DataFrame = {
+    require(rowsPerShard > 0,
+      s"rowsPerShard must be positive, got $rowsPerShard")
+    // shuffledPositions materializes eagerly (checkpointed inside the
+    // prefix sum), so the join below reads it, not a recomputation
     val pos = graft.operators.Sampling
       .shuffledPositions(docs, idCol, seed, partitions)
-    val sharded = docs.join(pos, idCol)
       .withColumn("shard_id", expr(s"pos div $rowsPerShard"))
-    sharded
+    docs.join(pos, idCol)
       .repartition(col("shard_id"))
       .sortWithinPartitions("shard_id", "pos")
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    sharded.select(col(idCol), col("pos"), col("shard_id"))
+    // the manifest is fully derivable from the checkpointed positions —
+    // returning it off `pos` (not the join) means downstream actions
+    // never re-scan the corpus or re-pay the export join
+    pos.select(col(idCol), col("pos"), col("shard_id"))
   }
 
   /** Salted inner equi-join for skewed keys: the large side's rows get a
