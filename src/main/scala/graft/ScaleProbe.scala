@@ -77,13 +77,18 @@ object ScaleProbe {
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
     t("jaccard pairs 50k docs")(Dedup.jaccardPairs(sh, 0.5).count())
+    // signature columns must be referenced or pruning deletes the very
+    // aggregator/kernel being measured (same fix as the round-5 probes)
     t("minhash sigs 50k docs (bounded-state agg)")(
-      Dedup.minhashSignatures(sh, 64).count())
+      Dedup.minhashSignatures(sh, 64)
+        .agg(max(element_at(col("sig"), 1))).first)
     t("minhash sigs 50k docs (collect+kernel)")(
-      Dedup.minhashSignaturesKernel(sh, 64).count())
+      Dedup.minhashSignaturesKernel(sh, 64)
+        .agg(max(element_at(col("sig"), 1))).first)
     sh.unpersist()
     t("simhash fingerprints 50k docs (per-row kernel)")(
-      Dedup.simhashFingerprints(docs).count())
+      Dedup.simhashFingerprints(docs)
+        .agg(max(col("simhash"))).first)
     val emb = replicate(
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(
