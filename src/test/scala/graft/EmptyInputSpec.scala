@@ -127,5 +127,30 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(dsir.count() === 0)
     assert(dsir.columns.toSeq ===
       Seq("doc_id", "lang", "dsir_logratio", "selected"))
+
+    // round-5: rule battery / gate / funnel are per-row maps (empty in,
+    // empty out); tiers + waterfill aggregate to zero groups; the
+    // cluster sample must survive an EMPTY centroid matrix (zero seeds)
+    val rules = operators.Quality.gopherRules(docs)
+    assert(rules.count() === 0)
+    assert(rules.columns.toSeq === Seq("doc_id", "n_tokens",
+      "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords",
+      "r_dup_tokens", "keep"))
+    assert(operators.Quality.gopherFilter(docs).count() === 0)
+    val funnel = operators.Quality.qualityFunnel(docs)
+    assert(funnel.count() === 0)
+    assert(funnel.columns.toSeq ===
+      Seq("source", "n_total", "n_len", "n_rep", "n_kept", "keep_frac"))
+    val tiers = operators.TextAnalysis.lmBuckets(docs)
+    assert(tiers.count() === 0)
+    assert(tiers.columns.toSeq ===
+      Seq("source", "bucket", "n_docs", "avg_logprob"))
+    val budget = operators.Sampling.langBudget(docs)
+    assert(budget.count() === 0)
+    assert(budget.columns.toSeq ===
+      Seq("lang", "toks", "alloc_tokens", "epochs", "budget_share"))
+    val cs = operators.Similarity.clusterBalancedSample(emb, 8, 5)
+    assert(cs.count() === 0)
+    assert(cs.columns.toSeq === Seq("vec_id", "cell", "rnk", "kept"))
   }
 }
