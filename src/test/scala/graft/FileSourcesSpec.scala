@@ -55,4 +55,50 @@ class FileSourcesSpec extends AnyFunSuite {
       Seq("EC", "Hung", 1L), Seq("EC", "Outright Majority", 0L),
       Seq("WC", "Hung", 0L), Seq("WC", "Outright Majority", 1L)))
   }
+
+  test("jsonl corpus source: explicit schema, three malformed-line modes") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "the first document", "source": "crawl"}""",
+      """{"doc_id": 2, "text": "the second one", "source": "crawl"}""",
+      """{"doc_id": 3, "text": "broken line""", // truncated JSON
+      """{"doc_id": 4, "text": "the last document", "source": "books"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("source", StringType)))
+
+    // PERMISSIVE: bad line survives in _corrupt_record, good rows parse
+    val p = graft.sources.CorpusJsonl.read(spark, dir, schema).cache()
+    assert(p.count() === 4)
+    assert(p.filter(col(graft.sources.CorpusJsonl.CorruptCol).isNotNull)
+      .count() === 1)
+    assert(p.filter(col("doc_id").isNotNull).count() === 3)
+    p.unpersist()
+
+    // DROPMALFORMED: bad line silently gone
+    val d = graft.sources.CorpusJsonl
+      .read(spark, dir, schema, "DROPMALFORMED")
+    assert(d.count() === 3)
+    assert(d.columns.toSeq === Seq("doc_id", "text", "source"))
+
+    // FAILFAST: the corrupt line aborts the scan
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.CorpusJsonl.read(spark, dir, schema, "FAILFAST")
+        .count()
+    }
+
+    // writer round-trip: one JSON object per line, read back losslessly
+    val out = Files.createTempDirectory("graft-jsonl-out").toString
+    graft.sources.CorpusJsonl.write(d, out)
+    val back = graft.sources.CorpusJsonl
+      .read(spark, out, schema, "FAILFAST")
+    assert(back.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 4L))
+  }
 }
