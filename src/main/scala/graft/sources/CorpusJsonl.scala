@@ -36,6 +36,25 @@ object CorpusJsonl {
     spark.read.schema(s).option("mode", mode).json(path)
   }
 
+  /** Streaming form: tail a landing directory for new JSONL dumps — the
+    * production corpus ingest source (crawl batches land as files; the
+    * file source tracks processed files in the checkpoint, so each dump
+    * is ingested exactly once across restarts). Same explicit-schema
+    * discipline; malformed-line mode applies per file. Compose with the
+    * DocStreams gates (prepare / gopherFilter / admitAgainstSignatureIndex)
+    * for the full ingest pipeline.
+    */
+  def readStream(
+      spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE"): DataFrame = {
+    val s =
+      if (mode.equalsIgnoreCase("PERMISSIVE") &&
+        !schema.fieldNames.contains(CorruptCol))
+        schema.add(CorruptCol, StringType)
+      else schema
+    spark.readStream.schema(s).option("mode", mode).json(path)
+  }
+
   /** One JSON object per line, parallel part files — the corpus export
     * twin of the reader (pair with Layout.writeTrainingShards when the
     * consumer needs fixed-size shards instead of whatever partitioning

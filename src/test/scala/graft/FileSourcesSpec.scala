@@ -101,4 +101,39 @@ class FileSourcesSpec extends AnyFunSuite {
     assert(back.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
       === Seq(1L, 2L, 4L))
   }
+
+  test("jsonl landing-dir stream ingests dumps through the gopher gate") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val land = Files.createTempDirectory("graft-jsonl-land").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // doc 1 passes the battery; doc 2 fails the word-count rule
+    val good = Seq.tabulate(25)(i => s"word$i").patch(0,
+      Seq("the", "a"), 2).mkString(" ")
+    def dump(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(land, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    dump("batch1.jsonl", Seq(
+      s"""{"doc_id": 1, "text": "$good"}""",
+      """{"doc_id": 2, "text": "too short"}"""))
+    val q = graft.operators.Quality.gopherFilter(
+      graft.sources.CorpusJsonl
+        .readStream(spark, land, schema, "DROPMALFORMED"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("jsonl_ingest").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_ingest").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      // a second dump landing later is picked up incrementally
+      dump("batch2.jsonl",
+        Seq(s"""{"doc_id": 3, "text": "$good again"}"""))
+      q.processAllAvailable()
+      assert(spark.table("jsonl_ingest").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
 }
