@@ -56,6 +56,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"funnel must hash-aggregate:\n$p")
   }
 
+  test("lang budget: one corpus exchange; windows stay on the aggregate") {
+    // scan(text,lang) → partial+final agg (1 hash exchange) → windows on
+    // the #langs-row frame (1 single-partition exchange) → presentation
+    // sort. A third hash exchange would mean corpus rows reached the
+    // waterfill.
+    val p = plan("q_lang_budget")
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(hashEx === 1, s"corpus must shuffle exactly once:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"scan must prune to (text, lang):\n$p")
+  }
+
+  test("cluster sample: assignment is scan-side; one cell exchange") {
+    // per-row centroid assignment must NOT join (the matrix is baked
+    // into the kernel); the only hash exchange partitions by cell for
+    // the rank window
+    val p = plan("q_cluster_sample")
+    assert(!p.contains("Join"), s"assignment must not plan a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(hashEx === 1, s"exactly the cell-window exchange:\n$p")
+  }
+
   test("parquet scans push filters and prune columns") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters: [") &&
