@@ -112,10 +112,16 @@ class FileSourcesSpec extends AnyFunSuite {
     // doc 1 passes the battery; doc 2 fails the word-count rule
     val good = Seq.tabulate(25)(i => s"word$i").patch(0,
       Seq("the", "a"), 2).mkString(" ")
-    def dump(name: String, lines: Seq[String]): Unit =
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(land, name),
-        lines.mkString("\n").getBytes("UTF-8"))
+    // land dumps ATOMICALLY (temp write + rename) per the readStream
+    // producer contract — an in-place write races the source's file
+    // listing and can be ingested truncated, then never re-read
+    def dump(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft-dump", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(land, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     dump("batch1.jsonl", Seq(
       s"""{"doc_id": 1, "text": "$good"}""",
       """{"doc_id": 2, "text": "too short"}"""))
