@@ -292,6 +292,85 @@ object Reshape {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stream-stream interval join, BATCH TWIN: multi-touch click→purchase
+  // attribution. This runs EventStreams.clickAttribution itself on batch
+  // frames — `EliminateEventTimeWatermark` strips the watermark nodes on
+  // a batch child, so the driver-hashed query and the streaming spec
+  // exercise the same join definition (same pattern as
+  // q_event_session_window hash-anchoring sessionize).
+  //
+  // 100 TB shape: an equi-key (user_id) join with a range residual —
+  // Spark hashes on the equi key, so this shuffles like any keyed join
+  // (no cartesian), and in the streaming form the watermark + two-sided
+  // time bound lets state be evicted (EventStreams.scala scaladoc).
+  // ---------------------------------------------------------------------
+  val qClickAttribution: Q = (s, d) => {
+    val ev = events(s, d)
+    graft.streaming.EventStreams.clickAttribution(
+        clicks = ev.filter(col("event_type") === "click"),
+        purchases = ev.filter(col("event_type") === "purchase"))
+      .select(
+        col("click_id"), col("purchase_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val qClickAttributionSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |             "value"
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, p.purchase_id, c.user_id,
+      |  round("value", 2) AS "value"
+      |FROM c JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.purchase_ts >= c.click_ts
+      | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      |ORDER BY p.purchase_id, c.click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Heavy hitters, EXACT via a 2-pass Count-Min sketch: users with >= T
+  // events. Pass 1 builds a CMS over user_id (exchange bounded at
+  // depth×width rows per task — never O(distinct keys)); keys whose CMS
+  // estimate clears T form a GUARANTEED candidate superset (CMS never
+  // underestimates, CountMin.scala scaladoc); pass 2 recounts exactly
+  // over the candidate-filtered rows only. Output = the exact
+  // heavy-hitter set with exact counts — sketch parameters affect cost,
+  // never the result, which is why this row is fully DuckDB-oracled
+  // (plain GROUP BY/HAVING) while the plan stays sketch-shaped.
+  //
+  // 100 TB: the direct groupBy(user_id) shuffles every distinct key ×
+  // every task; here the only keyed shuffles are the candidate distinct
+  // and the recount, both over keys that plausibly clear T — bounded by
+  // N/T + false candidates (E[false] <= distinct × (N/(width·T))^depth).
+  // The candidate broadcast is justified the same way: |candidates| <=
+  // N/T + that tail, orders of magnitude under the corpus.
+  // ---------------------------------------------------------------------
+  private val HeavyThreshold = 80L
+
+  val qHeavyHitters: Q = (s, d) => {
+    val keys = events(s, d).select(col("user_id"))
+    val cms = graft.functions.CountMin.build(keys, "user_id")
+    val candidates = keys
+      .where(cms.estimate(col("user_id")) >= HeavyThreshold)
+      .distinct()
+    events(s, d)
+      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= HeavyThreshold)
+      .orderBy("user_id")
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY 1
+      |HAVING count(*) >= 80
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Pivot (wide aggregation): order counts per year × priority column.
   // The pivoted column set is fixed and enumerated in both engines.
   // ---------------------------------------------------------------------
@@ -329,6 +408,8 @@ object Reshape {
     "q_event_sessions" -> qEventSessions,
     "q_event_session_window" -> qEventSessionWindow,
     "q_range_join_clicks" -> qRangeJoinClicks,
+    "q_click_attribution" -> qClickAttribution,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube)
 
@@ -341,6 +422,8 @@ object Reshape {
     "q_event_sessions" -> qEventSessionsSql,
     "q_event_session_window" -> qEventSessionWindowSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
+    "q_click_attribution" -> qClickAttributionSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql)
 }
