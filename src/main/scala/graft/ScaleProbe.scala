@@ -301,6 +301,27 @@ object ScaleProbe {
       operators.Sampling.shuffledPositions(
         docs.select("doc_id"), "doc_id", 42, 64)
         .agg(max("pos")).collect()(0).getLong(0))
+    // CMS exchange is depth x width per task however many distinct keys
+    // exist; the probe replicates users DISTINCT (15k keys) so the
+    // candidate distinct + recount stay key-bounded, and cross-checks
+    // the 2-pass result against the direct groupBy on the same replica
+    t("heavy hitters 1M events / 15k users (CMS 2-pass vs direct)") {
+      val evs = replicate(
+        Tables.events(spark, d).select("event_id", "user_id"),
+        10, Seq("event_id", "user_id"), 100000000L)
+      val keys = evs.select("user_id")
+      val cms = functions.CountMin.build(keys, "user_id")
+      val cand = keys.where(cms.estimate(col("user_id")) >= 80L).distinct()
+      val two = evs.join(broadcast(cand), Seq("user_id"), "left_semi")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 80L)
+        .agg(count(lit(1)), sum("n")).collect()(0)
+      val direct = evs.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 80L)
+        .agg(count(lit(1)), sum("n")).collect()(0)
+      require(two == direct, s"$two != $direct")
+      two
+    }
     // centroid state is labels x dim regardless of corpus size; scoring
     // is a per-row map over the broadcast centroids
     t("embedding outliers 20k vectors (label-dim agg)") {
