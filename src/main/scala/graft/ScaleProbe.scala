@@ -301,6 +301,20 @@ object ScaleProbe {
       operators.Sampling.shuffledPositions(
         docs.select("doc_id"), "doc_id", 42, 64)
         .agg(max("pos")).collect()(0).getLong(0))
+    // one stats agg + one range exchange on the z-value + per-partition
+    // sort — the global-sort cost floor; spans checked by LayoutSpec,
+    // this measures the write at 6M rows
+    t("z-order write 6M rows -> 64 files (stats agg + range exchange)") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-zprobe").toString
+      plans.Layout.writeZOrdered(
+        li.select("l_orderkey", "l_partkey", "l_quantity"),
+        dir, "l_orderkey", "l_partkey", files = 64)
+      val n = spark.read.parquet(dir).count()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+      n
+    }
     // CMS exchange is depth x width per task however many distinct keys
     // exist; the probe replicates users DISTINCT (15k keys) so the
     // candidate distinct + recount stay key-bounded, and cross-checks

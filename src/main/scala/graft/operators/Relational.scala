@@ -488,6 +488,43 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Z-order (Morton) key kernel: the bit-interleave behind
+  // Layout.writeZOrdered, hash-anchored on its own — both engines
+  // compute the same magic-mask spread ladder over the low 16 bits of
+  // two join keys (pure integer bit ops, so parity is exact). The
+  // layout itself (range partition + per-file span collapse on BOTH
+  // columns) is asserted in LayoutSpec; this row pins the kernel.
+  // ---------------------------------------------------------------------
+  val qZorder: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.plans.Layout.zValue(
+          pmod(col("l_orderkey"), lit(65536)).cast("long"),
+          pmod(col("l_partkey"), lit(65536)).cast("long")).as("zv"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qZorderSql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    (l_orderkey % 65536) & 65535 AS a0,
+      |    (l_partkey % 65536) & 65535 AS b0
+      |  FROM lineitem WHERE l_orderkey <= 200),
+      |s1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
+      |               (b0 | (b0 << 8)) & 16711935 AS b1 FROM base),
+      |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+      |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+      |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+      |               (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+      |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+      |               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST((a4 << 1) | b4 AS BIGINT) AS zv
+      |FROM s4
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Date functions (F5): order volume per calendar year.
   // ---------------------------------------------------------------------
   val qDateAgg: Q = (s, d) =>
@@ -613,6 +650,7 @@ object Relational {
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
     "q_scalar" -> qScalar,
+    "q_zorder" -> qZorder,
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
@@ -640,5 +678,6 @@ object Relational {
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
     "q_scalar" -> qScalarSql,
+    "q_zorder" -> qZorderSql,
     "q_date_agg" -> qDateAggSql)
 }

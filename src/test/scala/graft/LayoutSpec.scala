@@ -225,4 +225,41 @@ class LayoutSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(salts === 8, s"expected the hot key spread over 8 salts, got $salts")
   }
+
+  test("z-order collapses per-file spans on BOTH columns; single sort on one") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // per-file min/max span of a column, averaged over files — the
+    // quantity parquet footer pruning keys on: a reader filtering
+    // `col = x` skips every file whose [min,max] misses x
+    def avgSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(c) - min(c)).cast("double").as("span"))
+        .collect().map(_.getAs[Double]("span"))
+      spans.sum / spans.length
+    }
+    val full = li.agg(
+      (max("l_orderkey") - min("l_orderkey")).cast("double"),
+      (max("l_partkey") - min("l_partkey")).cast("double")).collect()(0)
+    val (okRange, pkRange) = (full.getDouble(0), full.getDouble(1))
+
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val sDir = Files.createTempDirectory("graft-singlesort").toString
+    Layout.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", files = 16)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+
+    // same rows either way
+    assert(spark.read.parquet(zDir).count() === li.count())
+    // single sort: near-perfect on the sort key, NO clustering on the
+    // other (every file spans ~the full partkey range)
+    assert(avgSpan(sDir, "l_orderkey") < okRange / 8)
+    assert(avgSpan(sDir, "l_partkey") > pkRange * 0.8)
+    // z-order: BOTH columns clustered — every file covers a fraction of
+    // each range, so either predicate prunes most files
+    assert(avgSpan(zDir, "l_orderkey") < okRange / 2)
+    assert(avgSpan(zDir, "l_partkey") < pkRange / 2)
+  }
 }
