@@ -394,6 +394,55 @@ object Sampling {
       |    AS pos
       |FROM documents ORDER BY pos""".stripMargin
 
+  /** Sample size for the weighted sample; shared with the oracle. */
+  val WeightedSampleK = 50
+
+  /** Efraimidis–Spirtakis weighted sampling WITHOUT replacement
+    * (IPL 2006), exponential-race form: each row gets
+    * `es_key = -ln(u) / w` — an Exp(w) arrival time with u derived
+    * deterministically from md5(seed:id) (the [[shuffledPositions]]
+    * engine-portable convention: first 13 hex chars as a 52-bit
+    * integer, +0.5, /2^52 ⇒ u strictly inside (0,1)) — and the k
+    * SMALLEST keys win. P(row i sampled first) = w_i/Σw exactly, and
+    * the remaining draws follow the without-replacement law; a new
+    * seed is a fresh independent sample, reproducible across engines.
+    *
+    * Scale shape: one per-row map (md5 + ln are codegen'd built-ins) +
+    * a global top-k — TakeOrderedAndProject keeps k rows per map task
+    * and merges k×tasks at the driver; no full sort, no shuffle of the
+    * corpus. The weight column must be strictly positive.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: Int): DataFrame = {
+    val u = (conv(
+      substring(md5(concat_ws(":", lit(seed), col(idCol))), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy("es_key")
+      .limit(k)
+  }
+
+  val qWeightedSample: Q = (s, d) =>
+    weightedSample(
+      documents(s, d).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", WeightedSampleK, ShuffleSeed)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        round(col("es_key"), 6).as("es_key"))
+      .orderBy("doc_id")
+
+  val qWeightedSampleSql: String =
+    s"""WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    -ln((CAST('0x' || substr(md5($ShuffleSeed || ':' || doc_id),
+      |                             1, 13) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0) / n_chars AS es_key
+      |  FROM documents),
+      |win AS (SELECT * FROM keyed ORDER BY es_key LIMIT $WeightedSampleK)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+      |  round(es_key, 6) AS es_key
+      |FROM win ORDER BY doc_id""".stripMargin
+
   /** Split percentages (test / val, rest train); shared with the oracle. */
   val SplitTestPct = 10L
   val SplitValPct = 10L
@@ -454,7 +503,8 @@ object Sampling {
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_lang_budget" -> qLangBudget,
     "q_stratified_sample" -> qStratifiedSample,
-    "q_shuffle_order" -> qShuffleOrder)
+    "q_shuffle_order" -> qShuffleOrder,
+    "q_weighted_sample" -> qWeightedSample)
 
   val oracles: Map[String, String] = Map(
     "q_split_leakage_safe" -> qSplitLeakageSafeSql,
@@ -463,5 +513,6 @@ object Sampling {
     "q_mixture_temperature" -> qMixtureTemperatureSql,
     "q_lang_budget" -> qLangBudgetSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
-    "q_shuffle_order" -> qShuffleOrderSql)
+    "q_shuffle_order" -> qShuffleOrderSql,
+    "q_weighted_sample" -> qWeightedSampleSql)
 }

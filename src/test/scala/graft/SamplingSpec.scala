@@ -257,4 +257,45 @@ class SamplingSpec extends AnyFunSuite {
           s"over-target stratum $lang should be downsampled, kept=$kept")
     }
   }
+
+  /** Driver-side reference of the E-S key for one (seed, id, weight). */
+  private def esKeyRef(seed: Int, id: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(13), 16)
+    -math.log((h + 0.5) / 4503599627370496.0) / w
+  }
+
+  test("weighted sample equals the exact driver-side E-S reference") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i % 7 + 1).toDouble))
+    val got = Sampling
+      .weightedSample(rows.toDF("id", "w").repartition(7), "id", "w",
+        20, seed = 99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.sortBy { case (i, w) => esKeyRef(99, i, w) }
+      .take(20).map(_._1).toSet
+    assert(got === want)
+  }
+
+  test("weighted sample inclusion tracks the weight law across seeds") {
+    import spark.implicits._
+    // two items, weights 9:1, k=1 — P(heavy) = 0.9 exactly (E-S law);
+    // the md5-derived u stream should land inside a generous band
+    val picks = (1 to 400).count { seed =>
+      esKeyRef(seed, 1L, 9.0) < esKeyRef(seed, 2L, 1.0)
+    }
+    assert(picks > 320 && picks < 400, s"heavy item picked $picks/400")
+    // and the distributed form agrees with the reference on a few seeds
+    (1 to 3).foreach { seed =>
+      val got = Sampling
+        .weightedSample(
+          Seq((1L, 9.0), (2L, 1.0)).toDF("id", "w"), "id", "w", 1, seed)
+        .select("id").collect()(0).getLong(0)
+      val want =
+        if (esKeyRef(seed, 1L, 9.0) < esKeyRef(seed, 2L, 1.0)) 1L else 2L
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
