@@ -330,6 +330,52 @@ object Reshape {
       |ORDER BY p.purchase_id, c.click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Funnel analysis (sequential pattern over event streams): users who
+  // viewed, then clicked within 24h of their FIRST view, then purchased
+  // within 24h of that first qualifying click. Expressed as a chain of
+  // per-stage min-aggregations joined forward — each stage is a keyed
+  // agg over an ever-SHRINKING user frame, so the plan is three
+  // user-keyed shuffles and zero per-user event sorting (the window/
+  // collect_list formulation would materialize every user's full
+  // ordered history; the min-join needs only one timestamp per user per
+  // stage). At 100 TB the stage frames shrink fast enough to broadcast
+  // after stage 1, and no operator ever holds a user's whole sequence.
+  // ---------------------------------------------------------------------
+  val qEventFunnel: Q = (s, d) => {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_24h")))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts) AS t2
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts > t1
+      |        AND ts <= t1 + INTERVAL 24 HOURS GROUP BY 1),
+      |p AS (SELECT e.user_id, min(ts) AS t3
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts > t2
+      |        AND ts <= t2 + INTERVAL 24 HOURS GROUP BY 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_24h,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Heavy hitters, EXACT via a 2-pass Count-Min sketch: users with >= T
   // events. Pass 1 builds a CMS over user_id (exchange bounded at
   // depth×width rows per task — never O(distinct keys)); keys whose CMS
@@ -409,6 +455,7 @@ object Reshape {
     "q_event_session_window" -> qEventSessionWindow,
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_click_attribution" -> qClickAttribution,
+    "q_event_funnel" -> qEventFunnel,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube)
@@ -423,6 +470,7 @@ object Reshape {
     "q_event_session_window" -> qEventSessionWindowSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_click_attribution" -> qClickAttributionSql,
+    "q_event_funnel" -> qEventFunnelSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql)
