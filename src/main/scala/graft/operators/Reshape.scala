@@ -376,6 +376,40 @@ object Reshape {
       |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Retention cohorts: users grouped by first-active day, counted on
+  // each subsequent active day — the (cohort_day, day_offset) activity
+  // matrix. The corpus-size reduction happens FIRST: events collapse to
+  // distinct (user, day) pairs before any join (bounded by users ×
+  // days, orders of magnitude under raw events at 100 TB), the cohort
+  // anchor is one keyed min-agg, and the final cell count is keyed by
+  // (cohort, offset) — output bounded by days², independent of corpus.
+  // ---------------------------------------------------------------------
+  val qRetentionCohorts: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val qRetentionCohortsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM days JOIN cohort USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Heavy hitters, EXACT via a 2-pass Count-Min sketch: users with >= T
   // events. Pass 1 builds a CMS over user_id (exchange bounded at
   // depth×width rows per task — never O(distinct keys)); keys whose CMS
@@ -456,6 +490,7 @@ object Reshape {
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_click_attribution" -> qClickAttribution,
     "q_event_funnel" -> qEventFunnel,
+    "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube)
@@ -471,6 +506,7 @@ object Reshape {
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_click_attribution" -> qClickAttributionSql,
     "q_event_funnel" -> qEventFunnelSql,
+    "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql)

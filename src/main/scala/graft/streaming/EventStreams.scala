@@ -172,6 +172,109 @@ object EventStreams {
         "purchase_ts", "value")
   }
 
+  /** Final funnel stage reached by a user: 1 = viewed, 2 = clicked
+    * within the window after the first view, 3 = purchased within the
+    * window after that first qualifying click.
+    */
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Public: the state encoder's generated code instantiates it.
+    * `views` keeps only the running MIN view time (min is monotone under
+    * late data, so one long is exact); clicks/purchases must buffer
+    * candidates because a LATE earlier view can shift the window left
+    * and admit a click that an eager evaluation would have discarded.
+    */
+  final case class FunnelState(
+      minView: Long, clicks: List[Long], purchases: List[Long])
+
+  /** Streaming funnel (the stateful twin of Reshape.qEventFunnel): per
+    * user, emit the final stage reached once the watermark closes the
+    * user's horizon (one row per user per horizon; a user re-appearing
+    * after close starts a fresh funnel — by then the old candidates
+    * could never qualify anyway, since anything still arriving has
+    * event time past the closed window).
+    *
+    * Candidate pruning must respect LATE VIEWS: the final first-view
+    * time t1* can be lower than the current minView (a late view), but
+    * never lower than the WATERMARK (older rows are dropped), so
+    * t1* ≥ min(minView, wm). A click qualifies iff t1* < c ≤
+    * t1*+window, hence keep c ∈ (min(minView, wm), minView+window] —
+    * the upper bound because c ≤ t1*+window ≤ minView+window; dropping
+    * anything below the floor is safe because no admissible t1* sits
+    * under it. Purchases analogously on a 2·window span. State per
+    * user is therefore bounded by activity inside watermark-lag +
+    * 2·window, never the whole stream (same watermark-bounds-state
+    * argument as [[sessionize]]).
+    */
+  def funnelStages(
+      events: Dataset[Event], windowMs: Long,
+      watermark: String = "10 minutes"): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[FunnelState]) =>
+          def prune(s: FunnelState, wm: Long): FunnelState = {
+            val floor = math.min(s.minView, wm)
+            val (clickHi, purHi) =
+              if (s.minView == Long.MaxValue)
+                (Long.MaxValue, Long.MaxValue) // t1* unknown: keep > wm
+              else (s.minView + windowMs, s.minView + 2 * windowMs)
+            FunnelState(
+              s.minView,
+              s.clicks.filter(c => c > floor && c <= clickHi),
+              s.purchases.filter(p => p > floor && p <= purHi))
+          }
+          def finalStage(s: FunnelState): Int =
+            if (s.minView == Long.MaxValue) 0
+            else {
+              val t1 = s.minView
+              val t2 = s.clicks
+                .filter(c => c > t1 && c <= t1 + windowMs)
+                .sorted.headOption
+              val t3 = t2.flatMap(t => s.purchases
+                .filter(p => p > t && p <= t + windowMs)
+                .sorted.headOption)
+              if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1
+            }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val st = finalStage(s)
+            if (st > 0) Iterator.single(FunnelStage(user, st))
+            else Iterator.empty
+          } else {
+            var s = state.getOption
+              .getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+            var maxSeen = Long.MinValue
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              maxSeen = math.max(maxSeen, t)
+              e.event_type match {
+                case "view" => s = s.copy(minView = math.min(s.minView, t))
+                case "click" => s = s.copy(clicks = t :: s.clicks)
+                case "purchase" =>
+                  s = s.copy(purchases = t :: s.purchases)
+                case _ => ()
+              }
+            }
+            s = prune(s, state.getCurrentWatermarkMs())
+            state.update(s)
+            // the user's funnel can still change until the watermark
+            // passes their last possible transition; park the timeout
+            // just past the horizon (and never behind the watermark)
+            state.setTimeoutTimestamp(math.max(
+              (if (s.minView == Long.MaxValue) maxSeen
+               else s.minView + 2 * windowMs) + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming dedup on event_id within the watermark horizon —
     * exactly-once semantics over an at-least-once source.
     *

@@ -268,4 +268,70 @@ class StreamingSpec extends AnyFunSuite {
     val got = EventStreams.tumblingCounts(batch, "24 hours", "1 hour")
     assert(got.agg(sum("n")).head.getLong(0) === batch.count())
   }
+
+  test("streaming funnel honors a LATE view that re-qualifies a click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .funnelStages(input.toDS(), windowMs = 10 * 60 * 1000L,
+        watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_late").start()
+    try {
+      // click first — no view seen yet, so nothing qualifies so far
+      input.addData(ev(1, 8, typ = "click"))
+      q.processAllAvailable()
+      // the view arrives LATE but inside the watermark, at minute 2:
+      // the funnel window becomes (10:02, 10:12], so the click at 10:08
+      // must count — an eager evaluation that discarded it would miss
+      input.addData(ev(2, 2, typ = "view"))
+      q.processAllAvailable()
+      // push the watermark far past the horizon to close the funnel
+      input.addData(ev(3, 59, user = 2L, typ = "other"))
+      q.processAllAvailable()
+      input.addData(ev(4, 59, user = 2L, typ = "other"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_late").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.toSeq === Seq((1L, 2)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel equals the batch funnel on the fixture corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // deterministic shuffle into 3 batches — the watermark (31 days)
+    // exceeds the fixture span, so no reordering drops anything and the
+    // prune-floor logic sees genuinely out-of-order arrivals
+    val shuffled = all.sortBy(e => e.event_id * 2654435761L % 100003)
+    val batches = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .funnelStages(input.toDS(), windowMs = 24 * 3600 * 1000L,
+        watermark = "31 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_fixture").start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      // two far-future punches: first advances the watermark past every
+      // horizon, second lets the event-time timeouts fire
+      val punch = Event(9999999L,
+        Timestamp.valueOf("2031-01-01 00:00:00"), 999999L, "other", 0.0)
+      input.addData(punch); q.processAllAvailable()
+      input.addData(punch.copy(event_id = 9999998L)); q.processAllAvailable()
+      val stages = spark.table("funnel_fixture").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(stages.map(_._1).distinct.length === stages.length,
+        "one final row per user")
+      val want = graft.operators.Reshape.qEventFunnel(spark, dir).head()
+      assert(stages.count(_._2 >= 1).toLong === want.getLong(0))
+      assert(stages.count(_._2 >= 2).toLong === want.getLong(1))
+      assert(stages.count(_._2 >= 3).toLong === want.getLong(2))
+    } finally q.stop()
+  }
 }
