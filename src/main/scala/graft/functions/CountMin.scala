@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch over a key column, built and probed entirely with
@@ -54,6 +54,48 @@ final case class CmsSketch(depth: Int, width: Int, rows: Array[Array[Long]]) {
 }
 
 object CountMin {
+
+  /** Counter-wise sum of two sketches with identical dimensions and
+    * hash family. Count-Min is LINEAR: build(A) ⊕ build(B) ==
+    * build(A ∪ B) counter-for-counter, so a corpus sketch can be
+    * maintained incrementally — sketch each arriving batch alone, merge
+    * into the saved artifact, and NEVER rescan old batches. (The same
+    * linearity is why the build's partial aggregation is exact.)
+    */
+  def merge(a: CmsSketch, b: CmsSketch): CmsSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"sketch shapes differ: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    CmsSketch(a.depth, a.width,
+      a.rows.zip(b.rows).map { case (x, y) =>
+        x.zip(y).map { case (m, n) => m + n }
+      })
+  }
+
+  /** Persist the sketch as a (r, b, n) parquet — the artifact is
+    * depth×width rows (KBs) whatever the corpus size.
+    */
+  def save(spark: SparkSession, cms: CmsSketch, path: String): Unit = {
+    import spark.implicits._
+    cms.rows.zipWithIndex.flatMap { case (row, r) =>
+      row.zipWithIndex.collect { case (n, b) if n != 0 => (r, b, n) }
+    }.toSeq.toDF("r", "b", "n")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+    // dims ride alongside so load() can't mis-shape a sparse sketch
+    Seq((cms.depth, cms.width)).toDF("depth", "width")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_dims")
+  }
+
+  def load(spark: SparkSession, path: String): CmsSketch = {
+    val d = spark.read.parquet(s"$path/_dims").collect()(0)
+    val (depth, width) = (d.getInt(0), d.getInt(1))
+    val rows = Array.fill(depth)(new Array[Long](width))
+    spark.read.parquet(path).collect().foreach { r =>
+      rows(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    CmsSketch(depth, width, rows)
+  }
 
   /** One aggregation pass over `df`'s `keyCol` → a driver-side sketch.
     *

@@ -96,6 +96,41 @@ class CountMinSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sketch linearity: merged batch sketches equal the corpus sketch") {
+    val df = skewed
+    val Array(b1, b2) = df.randomSplit(Array(0.5, 0.5), seed = 7)
+    val whole = CountMin.build(df, "user_id", depth = 3, width = 64)
+    val merged = CountMin.merge(
+      CountMin.build(b1, "user_id", depth = 3, width = 64),
+      CountMin.build(b2, "user_id", depth = 3, width = 64))
+    // linearity is counter-EXACT, not approximate
+    whole.rows.zip(merged.rows).foreach { case (w, m) =>
+      assert(w.toSeq === m.toSeq)
+    }
+    // and a shape mismatch is refused, not silently mis-merged
+    intercept[IllegalArgumentException] {
+      CountMin.merge(whole, CountMin.build(df, "user_id", 3, 32))
+    }
+  }
+
+  test("sketch artifact round-trips through parquet save/load") {
+    val df = skewed
+    val cms = CountMin.build(df, "user_id", depth = 3, width = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString + "/sketch"
+    CountMin.save(spark, cms, dir)
+    val back = CountMin.load(spark, dir)
+    assert(back.depth === cms.depth && back.width === cms.width)
+    cms.rows.zip(back.rows).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    // incremental corpus pattern: extend the saved artifact with a new
+    // batch's sketch and query candidates without touching old batches
+    val extended = CountMin.merge(back, CountMin.build(
+      skewed, "user_id", depth = 3, width = 64))
+    assert(extended.total === cms.total * 2)
+  }
+
   test("q_heavy_hitters matches the direct form on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val got = Reshape.qHeavyHitters(spark, dir)

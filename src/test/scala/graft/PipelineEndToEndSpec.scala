@@ -58,6 +58,22 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(math.abs(budget.map(_.getDouble(2)).sum - totalToks) <
       0.05 * budget.length, "waterfill spends the whole surviving budget")
 
+    // stage 4b: weighted downsample of the survivors — selection
+    // pressure by document length, exact E-S without-replacement law,
+    // deterministic across replays (seeded hash keys)
+    val k = (nDeduped / 2).toInt
+    val sampled = Sampling
+      .weightedSample(deduped, "doc_id", "n_chars", k, seed = 42)
+    assert(sampled.count() === k.toLong)
+    val sampledIds = sampled.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampledIds.subsetOf(
+      deduped.select("doc_id").collect().map(_.getLong(0)).toSet))
+    val replay = Sampling
+      .weightedSample(deduped, "doc_id", "n_chars", k, seed = 42)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay === sampledIds, "sample is replay-deterministic")
+
     // stage 5: shard export of the deduped corpus; manifest covers it
     val out = java.nio.file.Files
       .createTempDirectory("graft-e2e-shards").toString
