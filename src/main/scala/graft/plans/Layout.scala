@@ -143,6 +143,10 @@ object Layout {
     val r = df.agg(
       min(colA).cast("long"), max(colA).cast("long"),
       min(colB).cast("long"), max(colB).cast("long")).collect()(0)
+    if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     def norm(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
       else (col(c).cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)

@@ -153,4 +153,41 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(cs.count() === 0)
     assert(cs.columns.toSeq === Seq("vec_id", "cell", "rnk", "kept"))
   }
+
+  test("round-5-late event/sampling newcomers survive empty inputs") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import spark.implicits._
+    val events = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+
+    // CMS over an empty frame: all-zero counters, zero candidates —
+    // the 2-pass pipeline ends empty instead of throwing
+    val cms = functions.CountMin.build(events, "user_id", 3, 32)
+    assert(cms.total === 0L && cms.rows.forall(_.forall(_ == 0L)))
+    val cand = events.select("user_id")
+      .where(cms.estimate(col("user_id")) >= 80L).distinct()
+    val hh = events.join(broadcast(cand), Seq("user_id"), "left_semi")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(hh.count() === 0)
+
+    val rc = streaming.EventStreams.clickAttribution(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    assert(rc.count() === 0)
+    assert(rc.columns.toSeq === Seq("click_id", "purchase_id", "user_id",
+      "click_ts", "purchase_ts", "value"))
+
+    // weighted sample of an empty frame is empty, k notwithstanding
+    val ws = operators.Sampling.weightedSample(docs, "doc_id", "n_chars",
+      10, seed = 1)
+    assert(ws.count() === 0)
+
+    // z-order write of an empty frame produces a readable empty dataset
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft-empty-z").toString
+    plans.Layout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), zdir, "a", "b", files = 4)
+    assert(spark.read.parquet(zdir).count() === 0)
+  }
 }
