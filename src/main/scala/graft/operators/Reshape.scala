@@ -444,10 +444,10 @@ object Reshape {
   }
 
   val qHeavyHittersSql: String =
-    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
       |FROM events
       |GROUP BY 1
-      |HAVING count(*) >= 80
+      |HAVING count(*) >= $HeavyThreshold
       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -410,7 +410,14 @@ object Sampling {
     * Scale shape: one per-row map (md5 + ln are codegen'd built-ins) +
     * a global top-k — TakeOrderedAndProject keeps k rows per map task
     * and merges k×tasks at the driver; no full sort, no shuffle of the
-    * corpus. The weight column must be strictly positive.
+    * corpus.
+    *
+    * Rows with non-positive weight are EXCLUDED up front: w = 0 means
+    * zero selection probability under the E-S law (but its +∞ key
+    * would backfill an undersized sample), and w < 0 would invert the
+    * ordering and deterministically force the row into every sample —
+    * both silently plausible-looking, so the filter enforces the
+    * precondition instead of documentation alone.
     */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
@@ -418,7 +425,8 @@ object Sampling {
     val u = (conv(
       substring(md5(concat_ws(":", lit(seed), col(idCol))), 1, 13),
       16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    df.withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
       .orderBy("es_key")
       .limit(k)
   }

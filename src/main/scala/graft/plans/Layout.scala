@@ -147,9 +147,15 @@ object Layout {
       df.write.mode("overwrite").parquet(outDir)
       return
     }
+    // normalize in DOUBLE: a long (value-lo)*65535 product wraps for
+    // key ranges past ~2^47 (snowflake-style ids) and the 0xFFFF mask
+    // would then scatter rows to arbitrary buckets with no error;
+    // double precision only coarsens bucket boundaries, never wraps
     def norm(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (col(c).cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+      else least(lit(65535.0), greatest(lit(0.0),
+        (col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0)
+          / lit((hi - lo).toDouble)))
     val zv = zValue(
       norm(colA, r.getLong(0), r.getLong(1)).cast("long"),
       norm(colB, r.getLong(2), r.getLong(3)).cast("long"))

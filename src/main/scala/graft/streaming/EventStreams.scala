@@ -265,11 +265,18 @@ object EventStreams {
             state.update(s)
             // the user's funnel can still change until the watermark
             // passes their last possible transition; park the timeout
-            // just past the horizon (and never behind the watermark)
+            // just past the horizon (and never behind the watermark).
+            // With no view yet the horizon must cover the BUFFERED
+            // candidates too, not just this batch's maxSeen — a batch
+            // of older-but-admissible events would otherwise drag the
+            // timeout below a buffered click and discard it before a
+            // late view could re-qualify it
+            val horizon =
+              if (s.minView == Long.MaxValue)
+                (maxSeen :: s.clicks ::: s.purchases).max
+              else s.minView + 2 * windowMs
             state.setTimeoutTimestamp(math.max(
-              (if (s.minView == Long.MaxValue) maxSeen
-               else s.minView + 2 * windowMs) + 1,
-              state.getCurrentWatermarkMs() + 1))
+              horizon + 1, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

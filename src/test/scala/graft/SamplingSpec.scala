@@ -279,6 +279,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("weighted sample excludes non-positive weights instead of mis-ranking") {
+    import spark.implicits._
+    // w=0 would backfill via a +Infinity key; w<0 would sort FIRST and
+    // force inclusion — both must be excluded, not silently sampled
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -2.0), (4L, 1.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 4, seed = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L))
+  }
+
   test("weighted sample inclusion tracks the weight law across seeds") {
     import spark.implicits._
     // two items, weights 9:1, k=1 — P(heavy) = 0.9 exactly (E-S law);
