@@ -153,7 +153,16 @@ object Clustering {
     * (n, cap, threshold) setting on each side, so Spark and SQL can't
     * drift apart per consumer. Returns (doc_id, cluster_id).
     */
-  def nearDupClusterLabels(s: SparkSession, d: String): DataFrame = {
+  def nearDupClusterLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(nearDupPairs(s, d), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+
+  /** The near-dup EDGE list of the corpusNear fixture (id_a < id_b),
+    * materialized via `localCheckpoint` — word-trigram Jaccard >= 0.5.
+    * Shared by the components/cluster consumers above and the triangle
+    * census below, so every graph query scores pairs identically.
+    */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val (sh, raw) = Dedup.cachedCappedIndex(
       Dedup.corpusNear(s, d), 3, Dedup.ShingleDfCap)
     // Subquadratic pair finder: MinHash banding generates candidates,
@@ -166,8 +175,7 @@ object Clustering {
       Dedup.minhashSignatures(sh, 48), bands = 24, r = 2)
     val pairs = Dedup.verifyJaccard(cand, sh, 0.5).localCheckpoint(true)
     raw.unpersist(); sh.unpersist()
-    connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
+    pairs
   }
 
   /** Near-dup clusters over the corpusNear fixture: word-trigram Jaccard
@@ -190,12 +198,12 @@ object Clustering {
       .orderBy("doc_id")
   }
 
-  /** The shared WITH-chain through the `labels` CTE (corpus → pairs →
-    * recursive closure): the SQL twin of [[nearDupClusterLabels]],
-    * composed into both consumers' oracles below. Ends after `labels`,
-    * open for further CTEs or a final SELECT.
+  /** The shared WITH-chain through the `pairs` CTE (corpus → shingles →
+    * Jaccard >= 0.5 edges): the SQL twin of [[nearDupPairs]], the common
+    * prefix of every graph oracle below. Opens the WITH RECURSIVE chain
+    * (harmless for non-recursive continuations) and ends after `pairs`.
     */
-  val clusterLabelsCtes: String =
+  val pairsCtes: String =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -219,7 +227,19 @@ object Clustering {
       |pairs AS (SELECT id_a, id_b FROM inter
       |          JOIN sizes na ON id_a = na.doc_id
       |          JOIN sizes nb ON id_b = nb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+      |          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5)""".stripMargin
+
+  /** The shared WITH-chain through the `labels` CTE (corpus → pairs →
+    * recursive closure): the SQL twin of [[nearDupClusterLabels]],
+    * composed into both consumers' oracles below. Ends after `labels`,
+    * open for further CTEs or a final SELECT.
+    */
+  // stripMargin the NEW lines only, then concatenate: re-stripping the
+  // already-stripped prefix would silently corrupt it if any of its lines
+  // ever started with '|' (e.g. a wrapped '||' string concat)
+  val clusterLabelsCtes: String =
+    pairsCtes +
+      """,
       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
       |          UNION SELECT id_b, id_a FROM pairs),
       |reach(node, r) AS (
@@ -248,9 +268,197 @@ object Clustering {
       |FROM labels l JOIN lens USING (doc_id)
       |ORDER BY l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PageRank — the canonical iterative-fixpoint graph operator (Page et
+  // al. 1999, "The PageRank Citation Ranking"), here over the page-
+  // transition graph mined from the event stream: per-user consecutive
+  // `props.k` pages define directed src→dst edges (the classic web-log
+  // click graph). Complements connectedComponents: CC is the
+  // convergence-detected fixpoint, PageRank the fixed-iteration one.
+  // ---------------------------------------------------------------------
+
+  /** `iters` rounds of PageRank over `edges` (cols src, dst; dedup'd and
+    * self-loop-stripped here). Returns (node, rank).
+    *
+    * Engine-exact by construction, so the driver can hash-check it:
+    * every iteration rounds to 12 dp — both engines compute per-node
+    * contribution sums whose float-order noise is ~1e-18 on this graph,
+    * so the rounded fixpoint trajectory is identical — and the teleport
+    * term is written `(1 - damping) / n` on BOTH sides (the two
+    * expressions differ from a literal `0.15` by one ulp).
+    *
+    * Scale shape: the edge list is the only corpus-sized frame. It is
+    * deduplicated once, pre-partitioned by src, and `localCheckpoint`ed
+    * (on a cluster: `checkpoint` to the cluster FS), so each iteration
+    * is one join against the nodes-sized rank frame (broadcast-eligible:
+    * ranks is |V| rows however big |E| gets) plus one partial+final agg
+    * by dst. Driver state is O(1) — `n` only. Dangling nodes (no
+    * out-edges) simply leak their mass: ranks then sum to < 1 but the
+    * ORDER — the thing PageRank is consumed for — is unaffected, and the
+    * alternative (redistributing dangling mass) costs a full extra agg
+    * per iteration. Lineage is truncated per round exactly like
+    * [[connectedComponents]].
+    */
+  def pageRank(
+      edges: DataFrame, damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // static per-edge weight denominator attaches once, outside the loop
+    val weighted = e.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** PageRank over the event-stream page graph: pages = `props.k`,
+    * edges = consecutive pages within a user's timeline (ts, event_id
+    * order — the same deterministic ordering convention as the
+    * sessionization family). Output (page, rank) at 6 dp.
+    */
+  val qPageRank: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("long").as("k"))
+    val edges = ev
+      .withColumn("nk", lead("k", 1).over(byUser))
+      .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+      .select(col("k").as("src"), col("nk").as("dst"))
+    pageRank(edges, damping = 0.85, iters = 5)
+      .select(col("node").as("page"), round(col("rank"), 6).as("rank"))
+      .orderBy("page")
+  }
+
+  /** DuckDB oracle: identical edge derivation, the five iterations
+    * unrolled as chained CTEs (generated from one template so the Spark
+    * loop and the SQL can't drift on the update formula).
+    */
+  val qPageRankSql: String = {
+    val iterCte = (k: Int) =>
+      s"""r$k AS (SELECT n.node,
+         |  round((1 - 0.85) / (SELECT cnt FROM nn)
+         |    + 0.85 * coalesce(sum(r.rank / deg.outdeg), 0), 12) AS rank
+         |FROM nodes n
+         |LEFT JOIN edges e ON e.dst = n.node
+         |LEFT JOIN deg ON deg.src = e.src
+         |LEFT JOIN r${k - 1} r ON r.node = e.src
+         |GROUP BY n.node)""".stripMargin
+    """WITH ev AS (SELECT user_id, ts, event_id,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |seq AS (SELECT k, lead(k) OVER
+      |          (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+      |        FROM ev),
+      |edges AS (SELECT DISTINCT k AS src, nk AS dst FROM seq
+      |          WHERE nk IS NOT NULL AND nk <> k),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM edges
+      |   UNION ALL SELECT dst FROM edges)),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+      |r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank
+      |       FROM nodes),
+      |""".stripMargin +
+      (1 to 5).map(iterCte).mkString(",\n") +
+      """
+      |SELECT node AS page, round(rank, 6) AS rank FROM r5
+      |ORDER BY page""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Triangle census — the standard graph-clustering/cohesion metric
+  // (and the classic MapReduce graph benchmark) over the near-dup pair
+  // graph: a triangle of near-dup edges is a mutually-similar trio, the
+  // strongest dedup-cluster signal (chains A~B~C without A~C are the
+  // weak ones transitive closure over-merges).
+  // ---------------------------------------------------------------------
+
+  /** Per-node triangle participation over canonical (u < v) edges.
+    * Shape: the oriented-wedge formulation — wedges (a<b<c) from one
+    * self-join on the middle node, closed by a semi-ish inner join on
+    * the (a,c) edge. Edge orientation (always join low→high) means each
+    * triangle is generated exactly once, and the wedge fan-out is
+    * bounded by high-degree nodes only on their SMALLER side — the
+    * standard degree-orientation trick that keeps the join volume at
+    * O(m^{3/2}) instead of O(Σ deg²). Output (node, n_triangles),
+    * triangle-free nodes omitted.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), "b")
+      .select("a", "b", "c")
+    val triangles = wedges
+      .join(edges.toDF("a", "c"), Seq("a", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle census of the corpusNear near-dup graph (same pairs as
+    * q_dedup_clusters): (doc_id, n_triangles) for every doc in at least
+    * one mutually-similar trio.
+    */
+  val qTriangles: Q = (s, d) =>
+    triangleCounts(nearDupPairs(s, d), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+
+  /** DuckDB oracle: the same pairs CTE, wedge join + closing-edge join. */
+  val qTrianglesSql: String =
+    pairsCtes +
+      """,
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+      |tri AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+      |        FROM e w1 JOIN e w2 ON w1.v = w2.u
+      |        JOIN e w3 ON w3.u = w1.u AND w3.v = w2.v)
+      |SELECT node AS doc_id, count(*) AS n_triangles
+      |FROM (SELECT a AS node FROM tri
+      |      UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_dedup_clusters" -> qDedupClusters)
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_pagerank" -> qPageRank,
+    "q_triangles" -> qTriangles)
 
   val oracles: Map[String, String] = Map(
-    "q_dedup_clusters" -> qDedupClustersSql)
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_pagerank" -> qPageRankSql,
+    "q_triangles" -> qTrianglesSql)
 }

@@ -124,4 +124,105 @@ class ClusteringSpec extends AnyFunSuite {
     }
     out.unpersist()
   }
+
+  /** Driver-side reference PageRank (same formula and rounding). */
+  private def brutePageRank(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val outdeg = e.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map(p => rank(p._1) / outdeg(p._1)).sum).toMap
+      rank = nodes.map(v => v -> BigDecimal(
+        0.15 / n + 0.85 * in.getOrElse(v, 0.0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    rank
+  }
+
+  private def prOf(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    import spark.implicits._
+    Clustering.pageRank(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank matches driver-side reference on a cyclic graph") {
+    // cycle with a chord and a dangling sink — exercises in-degree
+    // asymmetry, out-degree division, and leaked dangling mass
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+    val got = prOf(edges)
+    val want = brutePageRank(edges, 5)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-11, s"node $k: $v vs ${want(k)}")
+    }
+  }
+
+  test("pageRank: symmetric cycle is uniform, hub outranks spokes") {
+    // pure 3-cycle: rank must stay exactly 1/3 each round
+    val cyc = prOf(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    cyc.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+    // star into node 9: the hub must dominate every spoke
+    val star = prOf(Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)))
+    assert(star(9L) > star(1L) && star(9L) > star(2L))
+    // spoke 1 receives the hub's mass; 2 and 3 only teleport mass
+    assert(star(1L) > star(2L) && math.abs(star(2L) - star(3L)) < 1e-12)
+  }
+
+  test("pageRank and triangle census: empty edges yield empty frames") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Clustering.pageRank(none).columns.toSeq ===
+      Seq("node", "rank"))
+    assert(Clustering.pageRank(none).count() === 0)
+    assert(Clustering.triangleCounts(none, "src", "dst").count() === 0)
+  }
+
+  /** Driver-side triangle reference: brute over node triples. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).toSet
+    val nodes = es.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val tri = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+  }
+
+  test("triangleCounts matches brute force; chains have none") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3), a chain tail, duplicate and
+    // reversed edges thrown in — orientation must still count each once
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (4L, 5L), (5L, 6L))
+    val got = Clustering
+      .triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bruteTriangles(edges))
+    // pure chain: no triangles at all
+    val chain = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Clustering
+      .triangleCounts(chain.toDF("a", "b"), "a", "b").count() === 0)
+  }
+
+  test("q_triangles docs are all members of >=3-sized clusters") {
+    // a triangle is three mutual near-dup edges, so each of its docs
+    // must sit in a cluster of at least 3 members
+    val tri = Clustering.qTriangles(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    if (tri.nonEmpty) {
+      val sizes = Clustering.qDedupClusters(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      tri.foreach(docId =>
+        assert(sizes.get(docId).exists(_ >= 3),
+          s"triangle member $docId must be in a >=3 cluster"))
+    }
+  }
 }
