@@ -626,7 +626,80 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Column profiler — the data-quality census every warehouse engine
+  // ships (null fraction, exact distinct count, min/max per column) in
+  // ONE corpus pass: a single multi-aggregate over the table, unpivoted
+  // to a row per column with `stack` (executor-side Generator, no
+  // shuffle). The multiple DISTINCT aggregates compile to Spark's
+  // Expand-based plan — one shuffle total, each row replicated once per
+  // distinct column, which is the exact-count floor; at 100 TB the swap
+  // is `approx_count_distinct` (HLL, mergeable O(1) state — drops
+  // Expand entirely), kept exact here so the driver can hash-check.
+  // Min/max render through one formatting convention per type family
+  // (bigint→string, round-2dp-decimal→string, date→ISO) so both engines
+  // print identical value strings.
+  // ---------------------------------------------------------------------
+  private val ProfileCols = Seq(
+    ("o_orderkey", "num"), ("o_custkey", "num"),
+    ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
+    ("o_orderdate", "date"), ("o_orderpriority", "str"))
+
+  val qProfile: Q = (s, d) => {
+    def fmt(c: Column, kind: String): Column = kind match {
+      case "num"  => c.cast("string")
+      case "str"  => c
+      case "dbl"  => round(c, 2).cast("decimal(18,2)").cast("string")
+      case "date" => to_date(c).cast("string")
+    }
+    val aggs = ProfileCols.flatMap { case (c, kind) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      fmt(min(col(c)), kind).as(s"${c}__mn"),
+      fmt(max(col(c)), kind).as(s"${c}__mx"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
+    }.mkString(", ")
+    orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_value, max_value)"),
+        col("n_rows"))
+      .select("col_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value")
+      .orderBy("col_name")
+  }
+
+  val qProfileSql: String = {
+    def fmt(c: String, kind: String): String = kind match {
+      case "num"  => s"CAST($c AS VARCHAR)"
+      case "str"  => c
+      case "dbl"  => s"CAST(CAST(round($c, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+      case "date" => s"CAST(CAST($c AS DATE) AS VARCHAR)"
+    }
+    val metrics = ProfileCols.map { case (c, kind) =>
+      s"""  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ${c}__nn,
+         |  count(DISTINCT $c) AS ${c}__nd,
+         |  ${fmt(s"min($c)", kind)} AS ${c}__mn,
+         |  ${fmt(s"max($c)", kind)} AS ${c}__mx""".stripMargin
+    }.mkString(",\n")
+    val arms = ProfileCols.map { case (c, _) =>
+      s"""SELECT '$c' AS col_name, n_rows, ${c}__nn AS n_null,
+         |  ${c}__nd AS n_distinct, ${c}__mn AS min_value,
+         |  ${c}__mx AS max_value FROM p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT count(*) AS n_rows,
+       |$metrics
+       |FROM orders)
+       |$arms
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_profile" -> qProfile,
     "q_topk_perkey" -> qTopKPerKey,
     "q_quantiles" -> qQuantiles,
     "q_count_distinct" -> qCountDistinct,
@@ -654,6 +727,7 @@ object Relational {
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     // bounded-state top-k reproduces the window form exactly — same oracle
     "q_topk_perkey" -> qWindowRankSql,
     "q_quantiles" -> qQuantilesSql,

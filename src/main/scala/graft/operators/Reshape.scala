@@ -479,7 +479,69 @@ object Reshape {
       |GROUP BY 1
       |ORDER BY order_year""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Event-rate anomaly — the control-chart primitive of stream
+  // monitoring (per-type daily volume vs that type's own mean ± σ band):
+  // which days spiked or cratered relative to the series' history. The
+  // per-row corpus collapses to the (type, day) aggregate FIRST — one
+  // partial+final count — and everything statistical runs as windows
+  // over that types×days-bounded frame, so corpus size never enters the
+  // window state. z is 0 where σ=0 (a constant series has no spikes by
+  // definition, and ±∞ would poison the hash compare); 4dp rounding
+  // clears cross-engine variance-accumulation ulps. The |z| ≥ 2 flag
+  // rides along as a column instead of a filter so the full control
+  // chart stays inspectable (and the driver row stays non-vacuous even
+  // on a spike-free fixture). Streaming twin: rate gate vs a FROZEN
+  // stats artifact in EventStreams.
+  // ---------------------------------------------------------------------
+  val RateAnomalySigma = 2.0
+
+  def rateAnomaly(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+    ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_pop(col("n")).over(w))
+      .withColumn("z",
+        when(col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("spike", abs(col("z")) >= RateAnomalySigma)
+      .select("event_type", "day", "n", "z", "spike")
+  }
+
+  /** The frozen per-type (mu, sd) stats artifact the STREAMING gate
+    * scores against ([[graft.streaming.EventStreams.rateAnomalyGate]]):
+    * built offline over the history, types-sized, broadcastable. Same
+    * day-grain count base as [[rateAnomaly]].
+    */
+  def rateStats(ev: DataFrame): DataFrame =
+    ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sd"))
+
+  val qRateAnomaly: Q = (s, d) =>
+    rateAnomaly(events(s, d)).orderBy("event_type", "day")
+
+  val qRateAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, day, n,
+       |         avg(n) OVER (PARTITION BY event_type) AS mu,
+       |         stddev_pop(n) OVER (PARTITION BY event_type) AS sd
+       |       FROM daily)
+       |SELECT event_type, day, n,
+       |  CASE WHEN sd > 0 THEN round((n - mu) / sd, 4) ELSE 0 END AS z,
+       |  (abs(CASE WHEN sd > 0 THEN round((n - mu) / sd, 4)
+       |       ELSE 0 END) >= $RateAnomalySigma) AS spike
+       |FROM st
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rate_anomaly" -> qRateAnomaly,
     "q_asof_prev_click" -> qAsofPrevClick,
     "q_pivot" -> qPivot,
     "q_explode_tokens" -> qExplodeTokens,
@@ -496,6 +558,7 @@ object Reshape {
     "q_cube" -> qCube)
 
   val oracles: Map[String, String] = Map(
+    "q_rate_anomaly" -> qRateAnomalySql,
     "q_asof_prev_click" -> qAsofPrevClickSql,
     "q_pivot" -> qPivotSql,
     "q_explode_tokens" -> qExplodeTokensSql,

@@ -776,7 +776,75 @@ object TextAnalysis {
       |    / sum(n_docs) OVER (PARTITION BY lang), 4) AS pct
       |FROM b ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Token co-occurrence + PMI — collocation mining (Church & Hanks,
+  // CL'90), the count-based primitive under word-embedding / phrase-
+  // table pipelines: which token pairs co-occur in documents more than
+  // their marginals predict. pmi = ln(N·c_xy / (c_x·c_y)) over document-
+  // level co-occurrence.
+  //
+  // Scale shape: the corpus collapses to DISTINCT (doc, term) once (one
+  // exchange); the pair stage self-joins that frame on doc_id —
+  // co-partitioned, so no extra shuffle — and aggregates by (t1, t2),
+  // whose cardinality is vocab²-bounded, never corpus-bounded. Per-doc
+  // fan-out is distinct-tokens², the df-cap analog here being a top-V
+  // vocabulary cut (documented knob; the fixture vocab is tiny). The
+  // support floor prunes the long tail BEFORE the marginal joins, and
+  // N rides along as a broadcast one-row frame like TF-IDF's n_docs.
+  // ---------------------------------------------------------------------
+  val PmiMinSupport = 50L
+
+  def tokenPmi(docs: DataFrame, minSupport: Long): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val cx = dt.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = dt.toDF("doc_id", "t1")
+      .join(dt.toDF("doc_id", "t2"), "doc_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSupport)
+    pairs
+      .join(cx.toDF("t1", "c_x"), "t1")
+      .join(cx.toDF("t2", "c_y"), "t2")
+      .crossJoin(broadcast(n))
+      // long·long product stays exact (≤ N·c_xy ≪ 2⁶³) before the one
+      // double division; 4dp rounding clears cross-libm ln ulps
+      .withColumn("pmi",
+        round(log((col("c_xy") * col("n_docs")).cast("double") /
+          (col("c_x") * col("c_y"))), 4))
+      .select("t1", "t2", "c_xy", "pmi")
+  }
+
+  val qTokenPmi: Q = (s, d) =>
+    tokenPmi(documents(s, d), PmiMinSupport).orderBy("t1", "t2")
+
+  val qTokenPmiSql: String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS term
+       |  FROM documents)),
+       |cx AS (SELECT term, count(*) AS c_t FROM dt GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |pr AS (SELECT a.term AS t1, b.term AS t2,
+       |         CAST(count(*) AS BIGINT) AS c_xy
+       |       FROM dt a JOIN dt b
+       |         ON a.doc_id = b.doc_id AND a.term < b.term
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= $PmiMinSupport)
+       |SELECT t1, t2, c_xy,
+       |  round(ln(CAST(c_xy * n_docs AS DOUBLE) / (x.c_t * y.c_t)), 4)
+       |    AS pmi
+       |FROM pr
+       |JOIN cx x ON t1 = x.term
+       |JOIN cx y ON t2 = y.term
+       |CROSS JOIN n
+       |ORDER BY t1, t2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_token_pmi" -> qTokenPmi,
     "q_dsir_weights" -> qDsirWeights,
     "q_backoff_logprob" -> qBackoffLogprob,
     "q_length_histogram" -> qLengthHistogram,
@@ -792,6 +860,7 @@ object TextAnalysis {
     "q_lm_buckets" -> qLmBuckets)
 
   val oracles: Map[String, String] = Map(
+    "q_token_pmi" -> qTokenPmiSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_backoff_logprob" -> qBackoffLogprobSql,
     "q_length_histogram" -> qLengthHistogramSql,

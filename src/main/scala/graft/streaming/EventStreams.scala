@@ -37,6 +37,38 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming rate-anomaly gate — the live half of the batch control
+    * chart (`Reshape.rateAnomaly`): windowed per-type counts scored
+    * against a FROZEN per-type (mu, sd) stats artifact built offline by
+    * [[graft.operators.Reshape.rateStats]]. Same frozen-model shape as
+    * the DSIR/decontamination ingest gates: the artifact is types-sized,
+    * broadcasts to every task, and the stream side is one watermarked
+    * windowed count — state bounded by watermark lag, nothing stateful
+    * added by the scoring join. z and the σ flag use the exact batch
+    * formula, so stream flags ≡ batch flags on replayed data
+    * (StreamingSpec pins it).
+    */
+  def rateAnomalyGate(
+      events: DataFrame, stats: DataFrame,
+      window: String = "1 day",
+      watermark: String = "2 hours",
+      sigma: Double = graft.operators.Reshape.RateAnomalySigma): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z",
+        when(col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("spike", abs(col("z")) >= sigma)
+      .select("window_start", "event_type", "n", "z", "spike")
+
   /** Sliding-window event rate (1h window sliding 15m). */
   def slidingRate(
       events: DataFrame,

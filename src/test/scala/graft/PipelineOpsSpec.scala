@@ -521,4 +521,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     val admitted = Dedup.qIncrementalDedup(spark, dir).count()
     assert(admitted > 0)
   }
+
+  test("tokenPmi matches a driver-side recount and ranks correlation") {
+    import spark.implicits._
+    // 8 docs: x and y always co-occur (4 docs), p and q never, z alone
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y z"), (4L, "x y"),
+      (5L, "p z"), (6L, "q z"), (7L, "p z"), (8L, "q p")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPmi(docs, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // brute force over the same corpus
+    val sets = Map(1L -> Set("x", "y"), 2L -> Set("x", "y"),
+      3L -> Set("x", "y", "z"), 4L -> Set("x", "y"),
+      5L -> Set("p", "z"), 6L -> Set("q", "z"), 7L -> Set("p", "z"),
+      8L -> Set("q", "p"))
+    val n = sets.size.toDouble
+    val cx = sets.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val want = (for {
+      t1 <- cx.keys; t2 <- cx.keys if t1 < t2
+      cxy = sets.values.count(s => s(t1) && s(t2)) if cxy >= 1
+    } yield (t1, t2) -> ((cxy.toLong, BigDecimal(
+      math.log(cxy * n / (cx(t1) * cx(t2))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    assert(got === want)
+    // perfectly-correlated (x,y) must outrank the never-pair's absence
+    // and any cross pair: pmi(x,y) = ln(8·4/(4·4)) = ln 2
+    assert(math.abs(got(("x", "y"))._2 - math.log(2.0)) < 1e-4)
+    assert(got(("x", "y"))._2 > got(("x", "z"))._2,
+      "correlated pair must outrank the incidental one")
+  }
 }

@@ -198,4 +198,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(!physical.contains("NestedLoop"),
       "bin-bucketed range join must plan as an equi join")
   }
+
+  test("q_profile metrics match driver-side recounts") {
+    val prof = Relational.qProfile(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    val rows = Tables.orders(spark, dir).collect()
+    assert(prof.keySet === Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    // every column reports the same row universe
+    prof.values.foreach(v => assert(v._1 === rows.length.toLong))
+    val custs = rows.map(_.getAs[Long]("o_custkey"))
+    assert(prof("o_custkey")._3 === custs.distinct.length.toLong)
+    assert(prof("o_custkey")._4 === custs.min.toString)
+    assert(prof("o_custkey")._5 === custs.max.toString)
+    val stats = rows.map(_.getAs[String]("o_orderstatus"))
+    assert(prof("o_orderstatus")._2 === 0L)
+    assert(prof("o_orderstatus")._3 === stats.distinct.length.toLong)
+    assert(prof("o_orderstatus")._4 === stats.min)
+    // the decimal render pins two digits: "…\.\d\d" exactly
+    assert(prof("o_totalprice")._4.matches("""\d+\.\d\d"""))
+    assert(prof("o_orderdate")._4.matches("""\d{4}-\d{2}-\d{2}"""))
+  }
 }

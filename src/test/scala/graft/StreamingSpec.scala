@@ -334,4 +334,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(stages.count(_._2 >= 3).toLong === want.getLong(2))
     } finally q.stop()
   }
+
+  test("streaming rate gate flags spikes against frozen stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // frozen artifact: clicks historically run mu=2 per window, sd=1
+    val stats = Seq(("click", 2.0, 1.0)).toDF("event_type", "mu", "sd")
+    val q = EventStreams
+      .rateAnomalyGate(input.toDF(), stats,
+        window = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_gate").start()
+    try {
+      // window [10:00,10:10): 4 clicks → z = 2 → spike;
+      // window [10:10,10:20): 2 clicks → z = 0 → quiet
+      input.addData(ev(1, 0), ev(2, 2), ev(3, 5), ev(4, 9),
+        ev(5, 11), ev(6, 14))
+      q.processAllAvailable()
+      input.addData(ev(7, 40)) // advance watermark: both windows close
+      q.processAllAvailable()
+      val rows = spark.table("rate_gate").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("z"),
+            r.getAs[Boolean]("spike")))).toMap
+      assert(rows(ts(0)) === ((4L, 2.0, true)))
+      assert(rows(ts(10)) === ((2L, 0.0, false)))
+    } finally q.stop()
+  }
+
+  test("batch-mode rate gate with self-built stats equals the control chart") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+    val gate = EventStreams
+      .rateAnomalyGate(evs, graft.operators.Reshape.rateStats(evs),
+        window = "1 day", watermark = "0 seconds")
+      .select(col("event_type"), col("window_start").cast("date").as("day"),
+        col("n"), col("z"), col("spike"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val chart = graft.operators.Reshape.qRateAnomaly(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(gate === chart)
+  }
 }
