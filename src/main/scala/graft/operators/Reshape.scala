@@ -540,7 +540,111 @@ object Reshape {
        |FROM st
        |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Full outer join (§2 set-reconciliation gap closure) — merge two
+  // misaligned hourly series keeping rows unique to EITHER side: the
+  // reconciliation shape (left-only = purchases without errors that
+  // hour, right-only = the converse). Both inputs collapse to hour
+  // grain before the join, so the shuffle is hours-bounded; the side
+  // indicator is derived from pre-coalesce nullability, the part an
+  // inner or one-sided join cannot express.
+  // ---------------------------------------------------------------------
+  val qFullOuter: Q = (s, d) => {
+    val ev = events(s, d)
+    def hourly(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 35.0)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as(s"n_$t"))
+    hourly("purchase").join(hourly("error"), Seq("hour"), "full_outer")
+      .select(col("hour"),
+        when(col("n_purchase").isNotNull && col("n_error").isNotNull,
+          "both")
+          .when(col("n_purchase").isNotNull, "purchase_only")
+          .otherwise("error_only").as("side"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+      .orderBy("hour")
+  }
+
+  val qFullOuterSql: String =
+    """WITH p AS (SELECT date_trunc('hour', ts) AS hour,
+      |            count(*) AS n_purchase
+      |          FROM events
+      |          WHERE event_type = 'purchase' AND "value" > 35
+      |          GROUP BY 1),
+      |e AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_error
+      |      FROM events
+      |      WHERE event_type = 'error' AND "value" > 35
+      |      GROUP BY 1)
+      |SELECT coalesce(p.hour, e.hour) AS hour,
+      |  CASE WHEN p.hour IS NOT NULL AND e.hour IS NOT NULL THEN 'both'
+      |       WHEN p.hour IS NOT NULL THEN 'purchase_only'
+      |       ELSE 'error_only' END AS side,
+      |  coalesce(n_purchase, 0) AS n_purchase,
+      |  coalesce(n_error, 0) AS n_error
+      |FROM p FULL OUTER JOIN e ON p.hour = e.hour
+      |ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Time-series gap fill + LOCF — the resample/forward-fill primitive
+  // (sparse sensor/market series → dense daily series): build each
+  // series' date spine with `sequence`, left-join observations, carry
+  // the last observation forward with an ignoreNulls window. The spine
+  // is per-ENTITY (event_type here), so the window partitions by entity
+  // and parallelizes across series — the single-global-series window
+  // would be the one-task trap the prefix-sum family already documents.
+  // Spine length is (days × entities), bounded by calendar × dimension,
+  // never event count; the high observation threshold makes the fixture
+  // genuinely sparse (2-6 observed days of 30 per type at sf0.01).
+  // ---------------------------------------------------------------------
+  val GapFillThreshold = 250.0
+
+  val qGapFill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val obs = events(s, d)
+      .filter(col("value") > GapFillThreshold)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(max("value"), 2).as("v"))
+    val spine = obs.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("filled", last("v", ignoreNulls = true).over(w))
+      .withColumn("observed", col("v").isNotNull)
+      .select("event_type", "day", "filled", "observed")
+      .orderBy("event_type", "day")
+  }
+
+  val qGapFillSql: String =
+    s"""WITH obs AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    round(max("value"), 2) AS v
+       |  FROM events WHERE "value" > $GapFillThreshold
+       |  GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+       |      FROM obs GROUP BY 1),
+       |spine AS (SELECT event_type,
+       |            unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+       |              AS day
+       |          FROM b),
+       |j AS (SELECT spine.event_type, spine.day, v
+       |      FROM spine LEFT JOIN obs
+       |        ON spine.event_type = obs.event_type
+       |        AND spine.day = obs.day)
+       |SELECT event_type, day,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+       |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS filled,
+       |  (v IS NOT NULL) AS observed
+       |FROM j
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_full_outer" -> qFullOuter,
+    "q_gap_fill" -> qGapFill,
     "q_rate_anomaly" -> qRateAnomaly,
     "q_asof_prev_click" -> qAsofPrevClick,
     "q_pivot" -> qPivot,
@@ -558,6 +662,8 @@ object Reshape {
     "q_cube" -> qCube)
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer" -> qFullOuterSql,
+    "q_gap_fill" -> qGapFillSql,
     "q_rate_anomaly" -> qRateAnomalySql,
     "q_asof_prev_click" -> qAsofPrevClickSql,
     "q_pivot" -> qPivotSql,

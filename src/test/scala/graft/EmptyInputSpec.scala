@@ -190,4 +190,19 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), zdir, "a", "b", files = 4)
     assert(spark.read.parquet(zdir).count() === 0)
   }
+
+  test("graph/analysis newcomers survive empty inputs") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pmi = operators.TextAnalysis.tokenPmi(docs, 1L)
+    assert(pmi.count() === 0)
+    assert(pmi.columns.toSeq === Seq("t1", "t2", "c_xy", "pmi"))
+
+    val events = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    val ra = operators.Reshape.rateAnomaly(events)
+    assert(ra.count() === 0)
+    assert(ra.columns.toSeq === Seq("event_type", "day", "n", "z", "spike"))
+    assert(operators.Reshape.rateStats(events).count() === 0)
+  }
 }

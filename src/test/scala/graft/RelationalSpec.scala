@@ -221,4 +221,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(prof("o_totalprice")._4.matches("""\d+\.\d\d"""))
     assert(prof("o_orderdate")._4.matches("""\d{4}-\d{2}-\d{2}"""))
   }
+
+  test("full outer join reconciles both one-sided row families") {
+    val rows = Reshape.qFullOuter(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (side, np, ne) = (r.getString(1), r.getLong(2), r.getLong(3))
+      side match {
+        case "both"          => assert(np > 0 && ne > 0)
+        case "purchase_only" => assert(np > 0 && ne === 0)
+        case "error_only"    => assert(np === 0 && ne > 0)
+      }
+    }
+    // the union of sides partitions the distinct hour set of each input
+    val np = rows.count(r => r.getLong(2) > 0)
+    val ne = rows.count(r => r.getLong(3) > 0)
+    val ev = Tables.events(spark, dir)
+    def hours(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 35.0)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(np.toLong === hours("purchase"))
+    assert(ne.toLong === hours("error"))
+  }
+
+  test("gap fill carries the last observation forward per series") {
+    val rows = Reshape.qGapFill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(!_._4), "fixture must contain gap days")
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2)
+      // spine is contiguous daily and starts observed (no leading null)
+      assert(sorted.head._4, "series starts at its first observation")
+      val days = sorted.map(r => java.time.LocalDate.parse(r._2)).toSeq
+      days.sliding(2).foreach {
+        case Seq(a, b) => assert(b === a.plusDays(1), "spine must be gapless")
+        case _ => ()
+      }
+      // LOCF: a gap row repeats the previous row's filled value
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(prev, cur) if !cur._4 => assert(cur._3 === prev._3)
+        case _ => ()
+      }
+    }
+  }
 }
