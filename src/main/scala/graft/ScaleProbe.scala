@@ -336,6 +336,24 @@ object ScaleProbe {
       require(two == direct, s"$two != $direct")
       two
     }
+    // fixed-iteration fixpoint: each of the 5 rounds is one join of the
+    // checkpointed 1M-edge list against the 100k-row rank frame plus a
+    // partial+final agg by dst — wall-clock must stay ~linear in |E|,
+    // and rank mass (sum) stays ≤ 1 (dangling leak only)
+    t("pagerank 1M edges / 100k nodes, 5 iters") {
+      val e = spark.range(1000000L).toDF("id")
+        .select((col("id") % 100000L).as("src"),
+          pmod(col("id") * 2654435761L, lit(100000L)).as("dst"))
+      val mass = operators.Clustering.pageRank(e)
+        .agg(sum("rank")).collect()(0).getDouble(0)
+      require(mass <= 1.000001, s"rank mass $mass exceeds 1")
+      f"mass=$mass%.4f"
+    }
+    // vocab²-bounded pair aggregation: the replicated corpus has 10×
+    // docs over the SAME vocabulary, so the (t1,t2) key space is
+    // constant and only per-doc work scales — expect ~linear
+    t("token pmi 50k docs (distinct + co-occurrence self-join)")(
+      operators.TextAnalysis.tokenPmi(docs, 500L).count())
     // centroid state is labels x dim regardless of corpus size; scoring
     // is a per-row map over the broadcast centroids
     t("embedding outliers 20k vectors (label-dim agg)") {

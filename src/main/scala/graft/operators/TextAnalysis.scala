@@ -783,14 +783,20 @@ object TextAnalysis {
   // their marginals predict. pmi = ln(N·c_xy / (c_x·c_y)) over document-
   // level co-occurrence.
   //
-  // Scale shape: the corpus collapses to DISTINCT (doc, term) once (one
-  // exchange); the pair stage self-joins that frame on doc_id —
-  // co-partitioned, so no extra shuffle — and aggregates by (t1, t2),
-  // whose cardinality is vocab²-bounded, never corpus-bounded. Per-doc
-  // fan-out is distinct-tokens², the df-cap analog here being a top-V
-  // vocabulary cut (documented knob; the fixture vocab is tiny). The
-  // support floor prunes the long tail BEFORE the marginal joins, and
-  // N rides along as a broadcast one-row frame like TF-IDF's n_docs.
+  // Scale shape: the corpus collapses to DISTINCT (doc, term) — a
+  // partial-aggregate dedup, so the exchange moves locally-deduped rows,
+  // not the raw exploded token stream (an explicit repartition(doc_id)
+  // was measured 2× slower at the 10× probe for exactly that reason).
+  // The pair stage self-joins that frame on doc_id: at fixture scale
+  // AQE broadcasts one side; past broadcast scale both sides need the
+  // same doc_id exchange of the same subtree, which the ReuseExchange
+  // rule collapses to one — two corpus-sized exchanges end to end, both
+  // carrying the deduped frame. The pair aggregate is vocab²-bounded,
+  // never corpus-bounded; per-doc fan-out is distinct-tokens², the
+  // df-cap analog being a top-V vocabulary cut (documented knob; the
+  // fixture vocab is tiny). The support floor prunes the long tail
+  // BEFORE the marginal joins, and N rides along as a broadcast one-row
+  // frame like TF-IDF's n_docs.
   // ---------------------------------------------------------------------
   val PmiMinSupport = 50L
 
