@@ -364,6 +364,39 @@ object Relational {
       |ORDER BY c_mktsegment, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Distribution windows (§2.6 completeness): ntile quartiles +
+  // percent_rank + cume_dist per nation over customer balances — the
+  // rank-family trio the rank/running queries don't cover. All three
+  // are pure functions of the (deterministically tie-broken) sort
+  // position, so the doubles are integer ratios both engines compute
+  // bit-identically. Per-nation partitions parallelize; no global
+  // window anywhere.
+  // ---------------------------------------------------------------------
+  val qWindowNtile: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  val qWindowNtileSql: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Running aggregate window: cumulative spend per customer over time.
   // ---------------------------------------------------------------------
   val qWindowRunning: Q = (s, d) => {
@@ -717,6 +750,7 @@ object Relational {
     "q_string_agg" -> qStringAgg,
     "q_unpivot" -> qUnpivot,
     "q_window_rank" -> qWindowRank,
+    "q_window_ntile" -> qWindowNtile,
     "q_window_running" -> qWindowRunning,
     "q_topk" -> qTopK,
     "q_union" -> qUnion,
@@ -746,6 +780,7 @@ object Relational {
     "q_string_agg" -> qStringAggSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_rank" -> qWindowRankSql,
+    "q_window_ntile" -> qWindowNtileSql,
     "q_window_running" -> qWindowRunningSql,
     "q_topk" -> qTopKSql,
     "q_union" -> qUnionSql,

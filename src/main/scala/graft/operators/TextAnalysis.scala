@@ -529,28 +529,38 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   val BackoffAlpha = 0.4
 
-  val qBackoffLogprob: Q = (s, d) => {
-    val toksAll = documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val model = toksAll.filter(col("doc_id") % 10 === 0)
-    val cbg = model
+  /** The two COUNT tables that ARE a Stupid Backoff model: bigram counts
+    * (g, c_bg) and unigram counts (w2, c_u). Counts are linear, so two
+    * corpora's models merge by summing counters — the property
+    * [[graft.plans.LmStore]] exploits for incremental extension; every
+    * derived quantity (prefix counts, N, V) recomputes from these two
+    * vocab-bounded frames.
+    */
+  def backoffModel(modelToks: DataFrame): (DataFrame, DataFrame) = (
+    modelToks
       .select(explode(shinglesFromTokens(col("toks"), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c_bg"))
-      .persist()
+      .groupBy("g").agg(count(lit(1)).as("c_bg")),
+    modelToks.select(explode(col("toks")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c_u")))
+
+  /** Score every doc in `docToks` (doc_id, toks) against a frozen model
+    * given as its two count tables. Derives prefix counts and (N, V)
+    * from the tables (vocab-sized aggs), then runs the three LEFT joins
+    * + per-doc mean. Unsorted; callers order/materialize.
+    */
+  def backoffScore(
+      docToks: DataFrame, cbg: DataFrame, cu: DataFrame): DataFrame = {
     val cw1 = cbg
       .groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum("c_bg").as("c_w1"))
-    val cu = model.select(explode(col("toks")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("c_u"))
-      .persist()
     val totals = cu.agg(
       coalesce(sum("c_u"), lit(0L)).as("n"),
       count(lit(1)).as("v"))
-    val docBg = toksAll
+    val docBg = docToks
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
-    val out = docBg
+    docBg
       .join(cbg, Seq("g"), "left")
       .join(cw1, Seq("w1"), "left")
       .join(cu, Seq("w2"), "left")
@@ -565,6 +575,16 @@ object TextAnalysis {
       .agg(
         round(avg("lp"), 4).as("mean_backoff_logprob"),
         sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+
+  val qBackoffLogprob: Q = (s, d) => {
+    val toksAll = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val (cbgPlan, cuPlan) = backoffModel(
+      toksAll.filter(col("doc_id") % 10 === 0))
+    val cbg = cbgPlan.persist()
+    val cu = cuPlan.persist()
+    val out = backoffScore(toksAll, cbg, cu)
       .orderBy("doc_id")
       .localCheckpoint(true)
     cbg.unpersist(); cu.unpersist()

@@ -170,4 +170,43 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(ShingleIndexStore.load(spark, table).count() ===
       preCount + admittedShingles)
   }
+
+  private def freshLm(tag: String): (String, String) = {
+    val table = s"lm_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bigrams")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_unigrams")
+    (table, Files.createTempDirectory(s"graft-$tag").toString + "/lm")
+  }
+
+  test("saved LM scores equal the in-session backoff query") {
+    import graft.plans.LmStore
+    val (table, path) = freshLm("score")
+    // same model rule as q_backoff_logprob: fit on the doc_id%10 slice
+    LmStore.build(base.filter(col("doc_id") % 10 === 0), table, path)
+    val viaStore = LmStore.score(spark, base, table)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    val inSession = graft.operators.TextAnalysis
+      .qBackoffLogprob(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(viaStore === inSession)
+  }
+
+  test("LM extension is counter-linear: build+extend == build on union") {
+    import graft.plans.LmStore
+    val a = base.filter(col("doc_id") % 2 === 0)
+    val b = base.filter(col("doc_id") % 2 === 1)
+    val (tInc, pInc) = freshLm("inc")
+    LmStore.build(a, tInc, pInc)
+    LmStore.extend(b, tInc, pInc)
+    val (tFull, pFull) = freshLm("full")
+    LmStore.build(a.unionByName(b), tFull, pFull)
+    def counts(t: String): (Map[String, Long], Map[String, Long]) = (
+      spark.table(s"${t}_bigrams").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      spark.table(s"${t}_unigrams").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(counts(tInc) === counts(tFull))
+  }
 }
