@@ -480,6 +480,37 @@ object Reshape {
       |ORDER BY order_year""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Sliding-window aggregation, batch form (§2.10) — the hash-anchored
+  // twin of EventStreams.slidingRate, the same way q_event_session_window
+  // anchors session_window: every event lands in window/slide
+  // overlapping windows (6 here), which Spark's `window()` generator
+  // fans out executor-side with no shuffle before the one windowed agg.
+  // The oracle reproduces the epoch-aligned window math with an explicit
+  // 0..5 hour-offset unnest. Output is (hours+5)×types-bounded.
+  // ---------------------------------------------------------------------
+  val qEventSliding: Q = (s, d) =>
+    events(s, d)
+      .groupBy(
+        window(col("ts"), "6 hours", "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val qEventSlidingSql: String =
+    """WITH w AS (
+      |  SELECT event_type, "value",
+      |    date_trunc('hour', ts) - (CAST(k AS INT) * INTERVAL 1 HOUR)
+      |      AS window_start
+      |  FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS k) r)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  round(sum("value"), 2) AS total_value
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Event-rate anomaly — the control-chart primitive of stream
   // monitoring (per-type daily volume vs that type's own mean ± σ band):
   // which days spiked or cratered relative to the series' history. The
@@ -653,6 +684,7 @@ object Reshape {
     "q_event_daily" -> qEventDaily,
     "q_event_sessions" -> qEventSessions,
     "q_event_session_window" -> qEventSessionWindow,
+    "q_event_sliding" -> qEventSliding,
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_click_attribution" -> qClickAttribution,
     "q_event_funnel" -> qEventFunnel,
@@ -672,6 +704,7 @@ object Reshape {
     "q_event_daily" -> qEventDailySql,
     "q_event_sessions" -> qEventSessionsSql,
     "q_event_session_window" -> qEventSessionWindowSql,
+    "q_event_sliding" -> qEventSlidingSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_click_attribution" -> qClickAttributionSql,
     "q_event_funnel" -> qEventFunnelSql,

@@ -269,6 +269,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n")).head.getLong(0) === batch.count())
   }
 
+  test("sliding windows count every event window/slide times") {
+    val dir = "/root/testdata/sf0.001"
+    val n = Tables.events(spark, dir).count()
+    // 6h window sliding 1h ⇒ each event belongs to exactly 6 windows
+    val got = graft.operators.Reshape.qEventSliding(spark, dir)
+    assert(got.agg(sum("n")).head.getLong(0) === 6 * n)
+  }
+
   test("streaming funnel honors a LATE view that re-qualifies a click") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
