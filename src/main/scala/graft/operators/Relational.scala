@@ -369,8 +369,11 @@ object Relational {
   // rank-family trio the rank/running queries don't cover. All three
   // are pure functions of the (deterministically tie-broken) sort
   // position, so the doubles are integer ratios both engines compute
-  // bit-identically. Per-nation partitions parallelize; no global
-  // window anywhere.
+  // bit-identically. The 6-dp discretization is floor(x*1e6)/1e6, NOT
+  // round(x, 6): k/n can land exactly on the half-way boundary (e.g.
+  // 410/6400 = 0.0640625), where Spark rounds half-up but DuckDB
+  // half-even — floor of IEEE-exact products is rounding-mode-free.
+  // Per-nation partitions parallelize; no global window anywhere.
   // ---------------------------------------------------------------------
   val qWindowNtile: Q = (s, d) => {
     val w = Window.partitionBy("c_nationkey")
@@ -378,8 +381,9 @@ object Relational {
     customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("pct_rank",
+        floor(percent_rank().over(w) * lit(1e6)) / lit(1e6))
+      .withColumn("cume", floor(cume_dist().over(w) * lit(1e6)) / lit(1e6))
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("bal"),
         col("quartile"), col("pct_rank"), col("cume"))
@@ -389,8 +393,8 @@ object Relational {
   val qWindowNtileSql: String =
     """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal,
       |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cume
+      |  floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+      |  floor(cume_dist() OVER w * 1e6) / 1e6 AS cume
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey
       |             ORDER BY c_acctbal, c_custkey)
