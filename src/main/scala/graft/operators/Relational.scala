@@ -605,6 +605,72 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Approximate distinct count (HLL++) — THE cardinality tool at corpus
+  // scale: countDistinct's exact Expand plan shuffles every (group, value)
+  // pair, while the sketch carries O(2^p) mergeable register state per
+  // group with map-side combine — corpus-size-independent, like every
+  // other sketch in the suite (KMinSketch, CountMin). The estimate is
+  // engine-specific (Spark's HLL++ bias correction differs from DuckDB's
+  // HLL), so this row is rows-only by design; q_approx_distinct_err
+  // below puts the FAMILY under the driver's hash gate the same way
+  // q_knn_recall closes the ANN family: the engine-neutral claim — the
+  // sketch lands within its advertised error of the exact count — is a
+  // pure-integer join of this query's materialized output against ground
+  // truth both engines compute independently.
+  // ---------------------------------------------------------------------
+  val qApproxDistinct: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
+      .orderBy("l_returnflag")
+
+  /** |approx − exact| in basis points, integer arithmetic end to end
+    * (diff·10⁴ ≈ 2·10⁹ max here — well inside Long), so the compare has
+    * zero float-parity surface. The 2% HLL rsd ⇒ a ≤300 bp gate is ~3σ;
+    * RelationalSpec additionally pins the observed error much tighter.
+    */
+  val qApproxDistinctErr: Q = (s, d) => {
+    val approx = qApproxDistinct(s, d)
+    val exact = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("e_parts"),
+        countDistinct(col("l_suppkey")).as("e_supps"))
+    // floor(x/e) over sub-2⁵³ longs is exact (quotients sit ≥1/e from an
+    // integer unless exactly divisible, vs ~1e-14 division ulp) and lands
+    // as LONG — matching DuckDB's BIGINT `//` in value AND schema
+    def bp(a: Column, e: Column): Column =
+      floor(abs(a - e) * lit(10000L) / e)
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("e_parts"), col("e_supps"),
+        bp(col("n_parts_approx"), col("e_parts")).as("parts_err_bp"),
+        bp(col("n_supps_approx"), col("e_supps")).as("supps_err_bp"))
+      .withColumn("within_3sigma",
+        col("parts_err_bp") <= 300 && col("supps_err_bp") <= 300)
+      .orderBy("l_returnflag")
+  }
+
+  val qApproxDistinctErrSql: String =
+    """WITH exact AS (
+      |  SELECT l_returnflag,
+      |    count(DISTINCT l_partkey) AS e_parts,
+      |    count(DISTINCT l_suppkey) AS e_supps
+      |  FROM lineitem GROUP BY 1),
+      |approx AS (
+      |  SELECT l_returnflag, n_parts_approx, n_supps_approx
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_approx_distinct/*.parquet'))
+      |SELECT l_returnflag, e_parts, e_supps,
+      |  abs(n_parts_approx - e_parts) * 10000 // e_parts AS parts_err_bp,
+      |  abs(n_supps_approx - e_supps) * 10000 // e_supps AS supps_err_bp,
+      |  (abs(n_parts_approx - e_parts) * 10000 // e_parts <= 300
+      |   AND abs(n_supps_approx - e_supps) * 10000 // e_supps <= 300)
+      |    AS within_3sigma
+      |FROM approx JOIN exact USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-key top-k with BOUNDED aggregation state (the sort-free form of
   // q_window_rank): TopKAgg keeps at most k rows per group with map-side
   // combine. Spark 4's WindowGroupLimit already bounds the window form's
@@ -740,6 +806,8 @@ object Relational {
     "q_topk_perkey" -> qTopKPerKey,
     "q_quantiles" -> qQuantiles,
     "q_count_distinct" -> qCountDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_distinct_err" -> qApproxDistinctErr,
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -770,6 +838,9 @@ object Relational {
     "q_topk_perkey" -> qWindowRankSql,
     "q_quantiles" -> qQuantilesSql,
     "q_count_distinct" -> qCountDistinctSql,
+    // q_approx_distinct itself is rows-only by design (engine-specific
+    // sketch); the err twin is the family's hash gate
+    "q_approx_distinct_err" -> qApproxDistinctErrSql,
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_join_broadcast" -> qJoinBroadcastSql,

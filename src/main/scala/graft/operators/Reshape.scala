@@ -214,6 +214,41 @@ object Reshape {
       |ORDER BY order_year ASC NULLS FIRST,
       |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // GROUPING SETS — the general lattice form rollup/cube are sugar for:
+  // an explicit mix of unrelated slices in ONE pass — (year, priority)
+  // detail, a per-status slice, and the grand total. Same Expand-based
+  // single-shuffle plan as rollup/cube (each row replicated once per
+  // set it participates in — 3 here), vs the naive alternative of three
+  // separate scans + union. Null patterns are unambiguous because every
+  // grouping column is non-null in the data, so no grouping_id column
+  // is needed for the oracle compare.
+  val qGroupingSets: Q = (s, d) => {
+    // derive order_year BEFORE grouping: groupingSets matches set members
+    // to output columns by attribute, and an Alias-wrapped expression in
+    // the set list silently null-masks its output column instead
+    val prioC = col("o_orderpriority")
+    val statC = col("o_orderstatus")
+    orders(s, d)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("order_year"), prioC), Seq(statC), Seq.empty),
+        col("order_year"), prioC, statC)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("order_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  o_orderpriority, o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((1, 2), (3), ())
+      |ORDER BY order_year ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST,
+      |  o_orderstatus ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------------
   // As-of join, composed from built-ins (SURVEY §2.3 notes Spark's
   // built-ins cover range/as-of semantics): for every error event, the
@@ -691,7 +726,8 @@ object Reshape {
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rollup" -> qRollup,
-    "q_cube" -> qCube)
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
     "q_full_outer" -> qFullOuterSql,
@@ -711,5 +747,6 @@ object Reshape {
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_rollup" -> qRollupSql,
-    "q_cube" -> qCubeSql)
+    "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql)
 }

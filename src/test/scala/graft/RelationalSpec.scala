@@ -266,4 +266,37 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("HLL approx distinct lands inside its advertised error") {
+    val rows = Relational.qApproxDistinctErr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_3sigma"),
+        s"${r.getString(0)}: parts ${r.getAs[Long]("parts_err_bp")} bp, " +
+          s"supps ${r.getAs[Long]("supps_err_bp")} bp")
+    }
+    // observed behavior is far tighter than the 3-sigma gate; pin it so a
+    // sketch-parameter regression (rsd, register width) surfaces here
+    assert(rows.map(_.getAs[Long]("parts_err_bp")).max <= 250)
+  }
+
+  test("grouping sets equals the union of its member slices") {
+    val gs = Reshape.qGroupingSets(spark, dir)
+    val base = Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+    val detail = base.groupBy("order_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val status = base.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val detailGs = gs.filter(col("order_year").isNotNull)
+    assert(detailGs.count() === detail.count())
+    val statusGs = gs.filter(col("o_orderstatus").isNotNull)
+    assert(statusGs.count() === status.count())
+    val grand = gs.filter(col("order_year").isNull &&
+      col("o_orderpriority").isNull && col("o_orderstatus").isNull)
+    assert(grand.count() === 1)
+    assert(grand.head.getAs[Long]("n") === base.count())
+    // one Expand-based pass, not three scans unioned
+    val plan = gs.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must plan via Expand")
+  }
 }
