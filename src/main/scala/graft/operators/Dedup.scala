@@ -537,6 +537,86 @@ object Dedup {
     out
   }
 
+  /** Containment pairs — the ASYMMETRIC near-dup detector Jaccard
+    * misses: C = |A∩B| / min(|A|,|B|) flags a short document embedded in
+    * a long one (quoted posts, excerpt pages, boilerplate-wrapped
+    * copies) whose Jaccard is diluted by the size gap (a doc 10% the
+    * size of its container has J ≤ 0.1 at C = 1.0). Standard companion
+    * to Jaccard in corpus dedup (the "containment" of Broder's resemblance
+    * work).
+    *
+    * Scale shape: the same df-capped inverted-index co-occurrence join
+    * as [[jaccardPairs]] — cost Σ df² over shared grams, bounded by the
+    * cap, never all-pairs. MinHash-LSH is NOT the subquadratic fallback
+    * here (banding recall collapses exactly on the asymmetric pairs this
+    * op exists to find); at extreme scale the candidate generator is the
+    * capped index itself, which is why the cap is load-bearing.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("id_a", "g")
+      .join(sh.toDF("id_b", "g"), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("c", col("inter").cast("double") / col("n_small"))
+      .filter(col("c") >= threshold)
+      // floor discretization (the q_window_ntile lesson): i/n rationals
+      // can sit exactly on a 4-dp rounding boundary where the engines'
+      // rounding modes differ; floor of IEEE-exact products cannot.
+      // The integer columns beside it are the bulletproof compare.
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_small"),
+        (floor(col("c") * lit(1e4)) / lit(1e4)).as("containment"))
+  }
+
+  /** Word-trigram containment ≥ 0.9 over the near-dup fixture: each
+    * truncated near-copy is a near-subset of its original (the cut can
+    * mint a few boundary-artifact shingles from the split word), so this
+    * query sees the copies at C ≈ 1.0 that Jaccard scores lower.
+    */
+  val qDedupContainment: Q = (s, d) => {
+    val (sh, raw) = cachedCappedIndex(corpusNear(s, d), 3, ShingleDfCap)
+    val out = containmentPairs(sh, 0.9).orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    raw.unpersist(); sh.unpersist()
+    out
+  }
+
+  val qDedupContainmentSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       t -> t <> '') AS l
+      |         FROM corpus),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, i AS inter,
+      |  least(na.n, nb.n) AS n_small,
+      |  floor(CAST(i AS DOUBLE) / least(na.n, nb.n) * 1e4) / 1e4
+      |    AS containment
+      |FROM inter
+      |JOIN sizes na ON id_a = na.doc_id
+      |JOIN sizes nb ON id_b = nb.doc_id
+      |WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash near-dup pairs at hamming <= 3 (exact via chunk banding). */
   val qDedupSimhash: Q = (s, d) =>
     simhashPairs(simhashFingerprints(corpusNear(s, d)), 3)
@@ -842,6 +922,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_md5" -> qDedupSimhashMd5)
@@ -855,6 +936,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)
     "q_dedup_minhash" -> qDedupNgramJaccardSql,

@@ -45,6 +45,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("containment dominates jaccard and catches the truncated copies") {
+    val sh = Dedup.capDocFrequency(
+      Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3),
+      Dedup.ShingleDfCap).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.containmentPairs(sh, 0.9)
+    val contPairs = pairSet(cont)
+    // C = i/min(na,nb) >= i/(na+nb-i) = J pointwise, so the high-Jaccard
+    // pairs are a subset of the containment pairs at the same threshold
+    assert(pairSet(Dedup.jaccardPairs(sh, 0.9)).subsetOf(contPairs))
+    // each injected truncated copy is a NEAR-subset of its original (the
+    // character-level cut can mint up to n-1 artifact shingles from the
+    // split word, so very short copies may fall under the threshold):
+    // containment must still flag the vast majority, many at exactly 1.0
+    val copies = contPairs.filter { case (a, b) => b == a + 1000000L }
+    val copyIds = sh.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).filter(_ >= 1000000L).toSet
+    assert(copies.map(_._2).subsetOf(copyIds))
+    assert(copies.size >= (copyIds.size * 9) / 10,
+      s"flagged ${copies.size} of ${copyIds.size} truncated copies")
+    assert(cont.filter(col("id_b") === col("id_a") + 1000000L)
+      .filter(col("containment") === 1.0).count() > 0L,
+      "clean-cut copies must surface at containment exactly 1.0")
+    sh.unpersist()
+  }
+
   test("minhash aggregator signatures are bit-identical to the kernel form") {
     val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
