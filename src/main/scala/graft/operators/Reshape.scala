@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -708,9 +708,145 @@ object Reshape {
        |FROM j
        |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SCD Type-2 merge — the warehouse dimension-history MERGE: close the
+  // current version of every changed key, open a new version at the
+  // batch's effective date, insert unseen keys, pass closed history and
+  // unchanged rows through untouched. This is the recurring-refresh
+  // pattern the reference's cron model implies (each run re-lands the
+  // dimension); SCD2 is what turns that into queryable history.
+  // ---------------------------------------------------------------------
+
+  /** Merge `batch` (key + attrs) into SCD2 `base` (key + attrs +
+    * valid_from/valid_to, valid_to IS NULL = current).
+    *
+    * Scale shape: closed history never joins — it is filtered out and
+    * unioned back, so the merge cost is one full-outer join of CURRENT
+    * rows against the batch (both dimension-sized, shuffled on the key;
+    * broadcast-eligible when the batch is small). Classification emits
+    * 1-2 rows per key through one conditional-array explode — a single
+    * pass over the join output instead of the four-branch union that
+    * would rescan it. Change detection is null-safe (<=>).
+    */
+  /** Open-end sentinel for current SCD2 rows — the standard warehouse
+    * convention (avoids nullable end-dates, keeps BETWEEN range probes
+    * coalesce-free, and sidesteps engine-specific NULL-date rendering).
+    */
+  val Scd2OpenEnd = "9999-12-31"
+
+  def scd2Merge(base: DataFrame, batch: DataFrame, keyCol: String,
+      attrCols: Seq[String], effective: Column): DataFrame = {
+    val openEnd = to_date(lit(Scd2OpenEnd))
+    val outCols = (keyCol +: attrCols) :+ "valid_from" :+ "valid_to"
+    val history = base.filter(col("valid_to") =!= openEnd)
+    val current = base.filter(col("valid_to") === openEnd)
+    val u = batch.select(
+      (keyCol +: attrCols).map(c => col(c).as(s"${c}__u")): _*)
+    val joined = current.join(
+      u, col(keyCol) === col(s"${keyCol}__u"), "full_outer")
+    val changed = attrCols
+      .map(a => !(col(a) <=> col(s"${a}__u"))).reduce(_ || _)
+    def row(key: Column, attrs: Seq[Column],
+        from: Column, to: Column): Column =
+      struct((key.as(keyCol) +:
+        attrs.zip(attrCols).map { case (c, n) => c.as(n) }) ++
+        Seq(from.as("valid_from"), to.cast("date").as("valid_to")): _*)
+    val keep = row(col(keyCol), attrCols.map(col),
+      col("valid_from"), col("valid_to"))
+    val closed = row(col(keyCol), attrCols.map(col),
+      col("valid_from"), effective)
+    val opened = row(col(s"${keyCol}__u"),
+      attrCols.map(a => col(s"${a}__u")), effective, openEnd)
+    val merged = joined
+      .select(explode(
+        when(col(s"${keyCol}__u").isNull, array(keep))
+          .when(col(keyCol).isNull, array(opened))
+          .when(changed, array(closed, opened))
+          .otherwise(array(keep))).as("r"))
+      .select(outCols.map(c => col(s"r.$c")): _*)
+    history.select(outCols.map(col): _*)
+      .unionByName(merged)
+      .withColumn("is_current", col("valid_to") === openEnd)
+  }
+
+  /** SCD2 over a customer-dimension fixture: base = every customer
+    * current since 1995 (plus a closed 1994 version for every 13th key —
+    * passthrough coverage); batch = balance updates for every 7th key,
+    * no-op resends for every 7th+1, and brand-new keys from every 5th+2.
+    */
+  val qScd2: Q = (s, d) => {
+    val attrs = Seq("c_mktsegment", "bal")
+    val cust = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val base = cust
+      .withColumn("valid_from", to_date(lit("1995-01-01")))
+      .withColumn("valid_to", to_date(lit(Scd2OpenEnd)))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 4)
+        .withColumn("bal", round(col("bal") - 50, 2))
+        .withColumn("valid_from", to_date(lit("1994-01-01")))
+        .withColumn("valid_to", to_date(lit("1995-01-01"))))
+    val batch = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("bal", round(col("bal") + 100, 2))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 1))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+    scd2Merge(base, batch, "c_custkey", attrs,
+      to_date(lit("1996-06-01")))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val qScd2Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+      |  FROM customer),
+      |hist AS (
+      |  SELECT c_custkey, c_mktsegment, round(bal - 50, 2) AS bal,
+      |    DATE '1994-01-01' AS valid_from, DATE '1995-01-01' AS valid_to
+      |  FROM cust WHERE c_custkey % 13 = 4),
+      |cur AS (
+      |  SELECT c_custkey, c_mktsegment, bal,
+      |    DATE '1995-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+      |  FROM cust),
+      |batch AS (
+      |  SELECT c_custkey, c_mktsegment, round(bal + 100, 2) AS bal
+      |  FROM cust WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, bal FROM cust WHERE c_custkey % 7 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_mktsegment, bal
+      |  FROM cust WHERE c_custkey % 5 = 2),
+      |j AS (
+      |  SELECT cur.c_custkey AS k, cur.c_mktsegment AS seg, cur.bal,
+      |    cur.valid_from, b.c_custkey AS k_u, b.c_mktsegment AS seg_u,
+      |    b.bal AS bal_u
+      |  FROM cur FULL OUTER JOIN batch b ON cur.c_custkey = b.c_custkey),
+      |merged AS (
+      |  SELECT k AS c_custkey, seg AS c_mktsegment, bal, valid_from,
+      |    DATE '9999-12-31' AS valid_to
+      |  FROM j WHERE k IS NOT NULL AND (k_u IS NULL OR
+      |    (seg IS NOT DISTINCT FROM seg_u
+      |     AND bal IS NOT DISTINCT FROM bal_u))
+      |  UNION ALL
+      |  SELECT k, seg, bal, valid_from, DATE '1996-06-01'
+      |  FROM j WHERE k IS NOT NULL AND k_u IS NOT NULL
+      |    AND (seg IS DISTINCT FROM seg_u OR bal IS DISTINCT FROM bal_u)
+      |  UNION ALL
+      |  SELECT k_u, seg_u, bal_u, DATE '1996-06-01', DATE '9999-12-31'
+      |  FROM j WHERE k IS NOT NULL AND k_u IS NOT NULL
+      |    AND (seg IS DISTINCT FROM seg_u OR bal IS DISTINCT FROM bal_u)
+      |  UNION ALL
+      |  SELECT k_u, seg_u, bal_u, DATE '1996-06-01', DATE '9999-12-31'
+      |  FROM j WHERE k IS NULL)
+      |SELECT c_custkey, c_mktsegment, bal, valid_from, valid_to,
+      |  (valid_to = DATE '9999-12-31') AS is_current
+      |FROM (SELECT * FROM hist UNION ALL SELECT * FROM merged)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_full_outer" -> qFullOuter,
     "q_gap_fill" -> qGapFill,
+    "q_scd2" -> qScd2,
     "q_rate_anomaly" -> qRateAnomaly,
     "q_asof_prev_click" -> qAsofPrevClick,
     "q_pivot" -> qPivot,
@@ -732,6 +868,7 @@ object Reshape {
   val oracles: Map[String, String] = Map(
     "q_full_outer" -> qFullOuterSql,
     "q_gap_fill" -> qGapFillSql,
+    "q_scd2" -> qScd2Sql,
     "q_rate_anomaly" -> qRateAnomalySql,
     "q_asof_prev_click" -> qAsofPrevClickSql,
     "q_pivot" -> qPivotSql,

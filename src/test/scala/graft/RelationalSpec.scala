@@ -267,6 +267,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 merge: one current row per key, and re-merge is a no-op") {
+    val out = Reshape.qScd2(spark, dir).cache()
+    // exactly one open version per key
+    val multiCurrent = out.filter(col("is_current"))
+      .groupBy("c_custkey").count().filter(col("count") > 1).count()
+    assert(multiCurrent === 0L)
+    // closed versions never outlive their successor's start
+    assert(out.filter(!col("is_current"))
+      .filter(col("valid_to") <= col("valid_from")).count() === 0L)
+    // changed keys (every 7th) carry exactly one closed 1995 version
+    val changedClosed = out
+      .filter(col("c_custkey") % 7 === 0 && col("c_custkey") < 1000000L)
+      .filter(col("valid_to") === to_date(lit("1996-06-01")))
+    assert(changedClosed.count() ===
+      Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 7 === 0).count())
+    // idempotence: applying the same batch to the merged table changes
+    // nothing — resends and already-applied updates must both be no-ops
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val batch = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("bal", round(col("bal") + 100, 2))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 1))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+    val again = Reshape.scd2Merge(
+      out.drop("is_current"), batch, "c_custkey",
+      Seq("c_mktsegment", "bal"), to_date(lit("1997-01-01")))
+    assert(again.count() === out.count(), "re-merge must add no rows")
+    assert(again.filter(col("valid_to") === to_date(lit("1997-01-01")))
+      .count() === 0L, "re-merge must close no rows")
+    out.unpersist()
+  }
+
   test("HLL approx distinct lands inside its advertised error") {
     val rows = Relational.qApproxDistinctErr(spark, dir).collect()
     assert(rows.nonEmpty)
