@@ -51,6 +51,8 @@ object GraftExtensions {
       (e => SimHashMd5Fingerprint(e(0))),
     RepetitionStats.functionName ->
       (e => RepetitionStats(e(0))),
+    JaroSimilarity.functionName ->
+      (e => JaroSimilarity(e(0), e(1))),
     DeletionNeighborhood.functionName ->
       (e => DeletionNeighborhood(e(0), literalInt(e(1),
         "deletion_neighborhood k"))))

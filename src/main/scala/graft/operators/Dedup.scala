@@ -748,6 +748,42 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Jaro fuzzy matches over brand-blocked part names — the record-
+    * linkage scorer beside the edit-distance family: Levenshtein's
+    * banded ≤2 window is the strict typo detector, Jaro the graded
+    * name-similarity used when entities drift more than a few edits
+    * (word swaps, suffix churn). Same blocked-join scale shape (brand
+    * blocks bound the pair fan-out; the kernel is a codegen'd per-row
+    * map — [[graft.functions.JaroSimilarity]]); Jaro admits no variant
+    * index like SymSpell's, so blocking IS the scale path.
+    *
+    * Parity note: both engines implement the same standard definition,
+    * and the raw-double threshold plus 4-dp round has held hash-exact on
+    * every tested SF (divergence only exists for the empty-vs-empty
+    * convention — DuckDB scores it 0, this kernel 1 — which the fixture
+    * never exercises).
+    */
+  val qFuzzyJaro: Q = (s, d) => {
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.toDF("id_a", "brand", "name_a").repartition(32, col("brand"))
+    val b = p.toDF("id_b", "brand", "name_b").repartition(32, col("brand"))
+    a.join(b, "brand")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        graft.functions.JaroSimilarity.sim(s, col("name_a"), col("name_b")))
+      .filter(col("sim") >= 0.92)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("jaro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qFuzzyJaroSql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  round(jaro_similarity(a.p_name, b.p_name), 4) AS jaro
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE jaro_similarity(a.p_name, b.p_name) >= 0.92
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Asymmetric near-dup matches: NEW-batch docs vs an EXISTING corpus —
     * the continual-ingest shape (daily batch ≪ corpus). Unlike the
     * self-join pair finders, the two sides are different frames and only
@@ -923,6 +959,7 @@ object Dedup {
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
+    "q_fuzzy_jaro" -> qFuzzyJaro,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_md5" -> qDedupSimhashMd5)
@@ -937,6 +974,7 @@ object Dedup {
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,
+    "q_fuzzy_jaro" -> qFuzzyJaroSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)
     "q_dedup_minhash" -> qDedupNgramJaccardSql,

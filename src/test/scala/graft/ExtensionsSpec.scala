@@ -164,6 +164,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val nbr = spark.sql("SELECT deletion_neighborhood('ab', 1)")
       .head.getSeq[String](0).toSet
     assert(nbr === Set("ab", "a", "b"))
+    // jaro: the textbook record-linkage values (Winkler's own examples).
+    // Expected values follow the kernel's (m/|a| + m/|b| + (m-t)/m)/3
+    // evaluation order — one ulp off the correctly-rounded rational,
+    // exactly as DuckDB's implementation also computes them (the parity
+    // property the driver hash check relies on)
+    assert(spark.sql("SELECT jaro_sim('martha', 'marhta')")
+      .head.getDouble(0) === (1.0 + 1.0 + 5.0 / 6.0) / 3.0)
+    assert(spark.sql("SELECT jaro_sim('dixon', 'dicksonx')")
+      .head.getDouble(0) === (4.0 / 5.0 + 4.0 / 8.0 + 1.0) / 3.0)
+    assert(spark.sql("SELECT jaro_sim('abc', 'abc')").head.getDouble(0) === 1.0)
+    assert(spark.sql("SELECT jaro_sim('abc', '')").head.getDouble(0) === 0.0)
+    assert(spark.sql("SELECT jaro_sim('abc', 'xyz')").head.getDouble(0) === 0.0)
+    assert(spark.sql("SELECT jaro_sim('crate', 'trace') = " +
+      "jaro_sim('trace', 'crate')").head.getBoolean(0), "jaro is symmetric")
     // 32-bit md5 variant: high 32 bits clear, single-token fp equals
     // the big-endian packing of the token's first 4 digest bytes
     val md5fp = spark.sql("SELECT simhash_md5_fingerprint(array('x'))")
