@@ -326,6 +326,90 @@ object TextAnalysis {
       |ORDER BY doc_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF cosine pair similarity — the weighted-sparse-vector text
+  // similarity of classic IR, complementing the set-based family
+  // (Jaccard/containment ignore term salience; embedding cosine needs a
+  // model). Vectors are each document's top-k TF-IDF terms, which is
+  // the scale-honest shape: restricting to salient terms bounds the
+  // inverted-index fan-out by construction (salient ⇒ high tf·ln(N/df)
+  // ⇒ low df), so the term-keyed self-join never sees the stop-word
+  // df² blowup — the same skew argument as the shingle df cap, enforced
+  // here by SELECTION instead of a cap. Weights are the ROUNDED 4-dp
+  // scores, so both engines dot identical doubles; only summation-order
+  // jitter (~1e-13) remains under the 4-dp output rounding — the same
+  // parity regime as the logprob family.
+  // ---------------------------------------------------------------------
+  def tfidfCosinePairs(
+      docs: DataFrame, k: Int, minShared: Int,
+      threshold: Double): DataFrame = {
+    val v = tfidfTopTerms(docs, k).select("doc_id", "term", "score")
+    val norms = v.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    val dots = v.toDF("id_a", "term", "w_a")
+      .join(v.toDF("id_b", "term", "w_b"), "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("w_a") * col("w_b")).as("dot"),
+        count(lit(1)).as("shared_terms"))
+      .filter(col("shared_terms") >= minShared)
+    dots
+      .join(norms.toDF("id_a", "na"), "id_a")
+      .join(norms.toDF("id_b", "nb"), "id_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_terms"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Top-10-term TF-IDF cosine over the near-dup fixture: truncated
+    * copies keep their original's salient terms, so they surface at
+    * cosine ≈ 1 — the IR-weighted view of the same near-dup structure
+    * the shingle family detects set-wise.
+    */
+  val qTfidfCosine: Q = (s, d) =>
+    tfidfCosinePairs(Dedup.corpusNear(s, d), 10, 2, 0.7)
+      .orderBy("id_a", "id_b")
+
+  val qTfidfCosineSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM corpus),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM corpus),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |v AS (SELECT doc_id, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |  WHERE rnk <= 10),
+      |norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
+      |          FROM v GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |           sum(a.score * b.score) AS dot, count(*) AS shared_terms
+      |         FROM v a JOIN v b ON a.term = b.term
+      |           AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2
+      |         HAVING count(*) >= 2)
+      |SELECT id_a, id_b, shared_terms,
+      |  round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      |FROM dots
+      |JOIN norms na ON id_a = na.doc_id
+      |JOIN norms nb ON id_b = nb.doc_id
+      |WHERE dot / (na.nrm * nb.nrm) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Unigram log-probability quality score: mean ln p(token) under the
   // corpus unigram distribution — the cheap LM-perplexity proxy used to
   // rank documents by "typicality". Corpus stats are one vocab-sized
@@ -882,6 +966,7 @@ object TextAnalysis {
     "q_source_overlap" -> qSourceOverlap,
     "q_source_overlap_exact" -> qSourceOverlapExact,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
+    "q_tfidf_cosine" -> qTfidfCosine,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
@@ -897,6 +982,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> qFingerprintSql,
     "q_source_overlap_exact" -> qSourceOverlapExactSql,
     "q_tfidf_top_terms" -> qTfidfTopTermsSql,
+    "q_tfidf_cosine" -> qTfidfCosineSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

@@ -73,6 +73,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("tfidf cosine pairs surface the truncated copies at high score") {
+    val out = operators.TextAnalysis
+      .tfidfCosinePairs(Dedup.corpusNear(spark, dir), 10, 2, 0.7).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // cosine of nonnegative tf-idf vectors is in [0, 1] (+rounding slack)
+    assert(rows.forall(r => r.getAs[Double]("cosine") <= 1.0001))
+    assert(rows.forall(r => r.getAs[Long]("shared_terms") >= 2L))
+    // a truncated copy keeps its original's salient terms: copy pairs
+    // must appear, and score strictly above the population median
+    val copies = out.filter(col("id_b") === col("id_a") + 1000000L)
+    assert(copies.count() > 0)
+    val medAll = out.stat.approxQuantile("cosine", Array(0.5), 0.0).head
+    val medCopies = copies.stat.approxQuantile("cosine", Array(0.5), 0.0).head
+    assert(medCopies > medAll,
+      s"copy median $medCopies must exceed population median $medAll")
+    out.unpersist()
+  }
+
   test("minhash aggregator signatures are bit-identical to the kernel form") {
     val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
