@@ -401,6 +401,37 @@ object Relational {
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // RANGE-frame window (§2.6 completeness): 90-day trailing spend per
+  // customer — the time-interval frame semantics a ROWS frame cannot
+  // express (the frame is defined by the ORDER value, so all same-day
+  // peers enter together and the result is independent of tie order —
+  // which is also what makes it hash-checkable without a full tie-break).
+  // Spark's rangeBetween needs a numeric ordering key: unix_date puts
+  // both engines on the same integer day axis.
+  // ---------------------------------------------------------------------
+  val qWindowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_date(to_date(col("o_orderdate"))))
+      .rangeBetween(-90L, 0L)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("trailing_90d", round(sum("o_totalprice").over(w), 2))
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY CAST(o_orderdate AS DATE)
+      |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 2)
+      |    AS trailing_90d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Running aggregate window: cumulative spend per customer over time.
   // ---------------------------------------------------------------------
   val qWindowRunning: Q = (s, d) => {
@@ -824,6 +855,7 @@ object Relational {
     "q_window_rank" -> qWindowRank,
     "q_window_ntile" -> qWindowNtile,
     "q_window_running" -> qWindowRunning,
+    "q_window_range_frame" -> qWindowRangeFrame,
     "q_topk" -> qTopK,
     "q_union" -> qUnion,
     "q_intersect" -> qIntersect,
@@ -857,6 +889,7 @@ object Relational {
     "q_window_rank" -> qWindowRankSql,
     "q_window_ntile" -> qWindowNtileSql,
     "q_window_running" -> qWindowRunningSql,
+    "q_window_range_frame" -> qWindowRangeFrameSql,
     "q_topk" -> qTopKSql,
     "q_union" -> qUnionSql,
     "q_intersect" -> qIntersectSql,
