@@ -452,13 +452,102 @@ object Clustering {
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // k-core decomposition — the standard graph-cohesion peel (Seidman
+  // 1983): iteratively delete nodes of degree < k until the remaining
+  // subgraph is everywhere ≥ k. On a near-dup graph the 2-core separates
+  // DENSE duplicate cliques (template families, mirror farms) from the
+  // weak chains transitive closure over-merges — the complement signal
+  // to the triangle census above.
+  // ---------------------------------------------------------------------
+
+  /** Nodes of the k-core of `pairs` with their within-core degree.
+    * Each peel round is one degree aggregation + two anti-joins over the
+    * CURRENT edge list (which only shrinks); driver state is the O(1)
+    * under-degree count per round. Converges in at most peel-depth
+    * rounds (≤ graph diameter); the guard mirrors
+    * [[connectedComponents]]'s.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 60): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"kCore: no convergence after $rounds rounds")
+      val bad = sym(edges).groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
+        .select("node")
+        .localCheckpoint(true)
+      if (bad.isEmpty) converged = true
+      else edges = edges
+        .join(bad.toDF("u"), Seq("u"), "left_anti")
+        .join(bad.toDF("v"), Seq("v"), "left_anti")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    sym(edges).groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** 2-core of the corpusNear near-dup graph: (doc_id, core_degree) for
+    * every doc surviving the peel — the docs in at least one duplicate
+    * cycle/clique rather than a chain tail.
+    */
+  val qKCore: Q = (s, d) =>
+    kCore(nearDupPairs(s, d), "id_a", "id_b", 2)
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+
+  /** DuckDB oracle: the same pairs CTE, peel rounds unrolled from one
+    * template (16 ≫ the fixture's peel depth; the Spark side converges —
+    * a depth regression would surface as its round guard, not silent
+    * drift). Generated like the PageRank iteration CTEs.
+    */
+  val qKCoreSql: String = {
+    // every CTE here is MATERIALIZED: each round references its
+    // predecessor three times, and DuckDB's default CTE inlining would
+    // re-evaluate the chain 3^16 times (observed as fd exhaustion on the
+    // repeatedly re-opened parquet scan)
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS c FROM
+         |  (SELECT u AS node FROM e${r - 1}
+         |   UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+         |bad$r AS MATERIALIZED (SELECT node FROM d$r WHERE c < 2),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |  WHERE u NOT IN (SELECT node FROM bad$r)
+         |    AND v NOT IN (SELECT node FROM bad$r))""".stripMargin
+    pairsCtes +
+      """,
+      |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs),
+      |""".stripMargin +
+      (1 to 16).map(round).mkString(",\n") +
+      """
+      |SELECT node AS doc_id, count(*) AS core_degree
+      |FROM (SELECT u AS node FROM e16 UNION ALL SELECT v FROM e16)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters" -> qDedupClusters,
     "q_pagerank" -> qPageRank,
+    "q_kcore" -> qKCore,
     "q_triangles" -> qTriangles)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_pagerank" -> qPageRankSql,
+    "q_kcore" -> qKCoreSql,
     "q_triangles" -> qTrianglesSql)
 }

@@ -173,6 +173,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(star(1L) > star(2L) && math.abs(star(2L) - star(3L)) < 1e-12)
   }
 
+  test("kCore peels chains, keeps cycles, and contains every triangle") {
+    import spark.implicits._
+    // a 4-cycle (its own 2-core), a chain of 4 (peels to nothing), and
+    // a triangle hanging off the chain (survives; the chain tail doesn't)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // cycle
+      (10L, 11L), (11L, 12L), (12L, 13L), // chain
+      (13L, 20L), (20L, 21L), (21L, 13L) // triangle at the chain's end
+    ).toDF("a", "b")
+    val core = Clustering.kCore(edges, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set(1L, 2L, 3L, 4L, 13L, 20L, 21L))
+    assert(core.values.forall(_ >= 2L), "every survivor has degree >= k")
+    // empty input and over-peeling both land on the empty frame
+    assert(Clustering.kCore(edges, "a", "b", 3).count() === 0)
+    assert(Clustering.kCore(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2).count() === 0)
+    // fixture invariant: triangle members always survive the 2-core peel
+    // (a triangle is everywhere degree-2, so peeling can never enter it)
+    val tri = Clustering.qTriangles(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fixtureCore = Clustering.qKCore(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tri.subsetOf(fixtureCore))
+  }
+
   test("pageRank and triangle census: empty edges yield empty frames") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
