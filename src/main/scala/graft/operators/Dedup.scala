@@ -617,6 +617,59 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtering candidate pairs (Chaudhuri et al. SSJoin ICDE'06 /
+    * Xiao et al. PPJoin WWW'08 — public papers): the EXACT subquadratic
+    * candidate generator for Jaccard self-joins. Order each document's
+    * shingles by global rarity (df asc, fingerprint asc — one total
+    * order for the whole corpus) and index only the first
+    * |d| − ⌈θ·|d|⌉ + 1 of them: two sets with J ≥ θ must overlap in at
+    * least ⌈θ/(1+θ)·(|a|+|b|)⌉ elements, so skipping more than the
+    * prefix on either side cannot leave a qualifying pair without a
+    * shared indexed token — candidates are COMPLETE at the threshold,
+    * unlike MinHash banding's probabilistic recall.
+    *
+    * Scale shape: the inverted index shrinks to the prefixes (~(1−θ) of
+    * the postings), and because prefixes hold each document's RAREST
+    * tokens, high-df boilerplate shingles never enter the self-join —
+    * prefix selection is df-capping by construction, aimed exactly at
+    * the hot-key skew that kills shingle joins. Cost: one df
+    * aggregation + a per-document window (parallel across docs).
+    */
+  def prefixFilterCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefix = sh
+      .join(dfreq, "g")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "g")
+    prefix.toDF("id_a", "g")
+      .join(prefix.toDF("id_b", "g"), "g")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Prefix-filtered exact Jaccard pairs: candidates from
+    * [[prefixFilterCandidates]] (complete at the threshold), verified
+    * with exact Jaccard — output IDENTICAL to the full self-join
+    * [[qDedupNgramJaccard]] by construction (PipelineOpsSpec asserts
+    * equality and candidate completeness), so it carries the same
+    * oracle. The deterministic-exact alternative to q_dedup_minhash
+    * when recall 1 is a requirement, not a fixture property.
+    */
+  val qDedupPrefixFilter: Q = (s, d) => {
+    val (sh, raw) = cachedCappedIndex(corpusNear(s, d), 3, ShingleDfCap)
+    val out = verifyJaccard(prefixFilterCandidates(sh, 0.5), sh, 0.5)
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    raw.unpersist(); sh.unpersist()
+    out
+  }
+
   /** SimHash near-dup pairs at hamming <= 3 (exact via chunk banding). */
   val qDedupSimhash: Q = (s, d) =>
     simhashPairs(simhashFingerprints(corpusNear(s, d)), 3)
@@ -960,6 +1013,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
     "q_fuzzy_jaro" -> qFuzzyJaro,
+    "q_dedup_prefix_filter" -> qDedupPrefixFilter,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_md5" -> qDedupSimhashMd5)
@@ -975,6 +1029,10 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_fuzzy_jaro" -> qFuzzyJaroSql,
+    // prefix filtering is exact-complete → identical output to the full
+    // self-join, same oracle (the q_dedup_minhash precedent, minus the
+    // recall caveat)
+    "q_dedup_prefix_filter" -> qDedupNgramJaccardSql,
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)
     "q_dedup_minhash" -> qDedupNgramJaccardSql,

@@ -92,6 +92,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("prefix filtering is complete: candidates cover every exact pair " +
+    "from a strictly smaller index") {
+    val sh = Dedup.capDocFrequency(
+      Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3),
+      Dedup.ShingleDfCap).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.jaccardPairs(sh, 0.5))
+    val cands = pairSet(Dedup.prefixFilterCandidates(sh, 0.5))
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(cands),
+      "prefix-filter candidates must be COMPLETE at the threshold")
+    // verified output is then exactly the full self-join's pairs
+    assert(pairSet(Dedup.verifyJaccard(
+      Dedup.prefixFilterCandidates(sh, 0.5), sh, 0.5)) === exact)
+    // and the candidate index is genuinely smaller than the full one:
+    // prefixes hold ~(1-θ) of the postings
+    val full = sh.count().toDouble
+    val pref = {
+      import org.apache.spark.sql.expressions.Window
+      val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+      sh.join(dfreq, "g").withColumn("rnk", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("rnk") <= col("n") - ceil(col("n") * 0.5) + 1)
+        .count().toDouble
+    }
+    assert(pref < 0.62 * full,
+      s"prefix index $pref should be ~half of full $full")
+    sh.unpersist()
+  }
+
   test("minhash aggregator signatures are bit-identical to the kernel form") {
     val sh = Dedup.shingleIndex(Dedup.corpusNear(spark, dir), 3).cache()
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
