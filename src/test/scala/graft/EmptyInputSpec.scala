@@ -205,4 +205,51 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(ra.columns.toSeq === Seq("event_type", "day", "n", "z", "spike"))
     assert(operators.Reshape.rateStats(events).count() === 0)
   }
+
+  test("round-5 similarity/merge newcomers survive empty inputs") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import spark.implicits._
+    val sh = Seq.empty[(Long, Long)].toDF("doc_id", "g")
+
+    val cont = operators.Dedup.containmentPairs(sh, 0.9)
+    assert(cont.count() === 0)
+    assert(cont.columns.toSeq ===
+      Seq("id_a", "id_b", "inter", "n_small", "containment"))
+
+    val pf = operators.Dedup.prefixFilterCandidates(sh, 0.5)
+    assert(pf.count() === 0)
+    assert(pf.columns.toSeq === Seq("id_a", "id_b"))
+
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cos = operators.TextAnalysis.tfidfCosinePairs(docs, 10, 2, 0.7)
+    assert(cos.count() === 0)
+    assert(cos.columns.toSeq ===
+      Seq("id_a", "id_b", "shared_terms", "cosine"))
+
+    val kc = operators.Clustering.kCore(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
+    assert(kc.count() === 0)
+    assert(kc.columns.toSeq === Seq("node", "core_degree"))
+
+    // scd2: empty base + empty batch → empty table, right shape; empty
+    // base + real batch → pure inserts, all current
+    val eBase = Seq.empty[(Long, String, java.sql.Date, java.sql.Date)]
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val eBatch = Seq.empty[(Long, String)].toDF("k", "attr")
+    val m0 = operators.Reshape.scd2Merge(
+      eBase, eBatch, "k", Seq("attr"), to_date(lit("2000-01-01")))
+    assert(m0.count() === 0)
+    assert(m0.columns.toSeq ===
+      Seq("k", "attr", "valid_from", "valid_to", "is_current"))
+    val m1 = operators.Reshape.scd2Merge(
+      eBase, Seq((1L, "x")).toDF("k", "attr"), "k", Seq("attr"),
+      to_date(lit("2000-01-01")))
+    assert(m1.count() === 1)
+    assert(m1.filter(col("is_current")).count() === 1)
+
+    // jaro kernel on a frame with zero rows still builds its plan
+    val jj = docs.select(graft.functions.JaroSimilarity
+      .sim(spark, col("text"), col("text")).as("j"))
+    assert(jj.count() === 0)
+  }
 }
