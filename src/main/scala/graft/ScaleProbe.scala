@@ -77,6 +77,16 @@ object ScaleProbe {
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
     t("jaccard pairs 50k docs")(Dedup.jaccardPairs(sh, 0.5).count())
+    // prefix filtering vs the full self-join above: SAME output pairs,
+    // candidates generated from only the rarest-(1−θ) prefix postings —
+    // the exact-complete alternative to minhash banding
+    t("jaccard pairs 50k docs (prefix-filtered)")(
+      Dedup.verifyJaccard(
+        Dedup.prefixFilterCandidates(sh, 0.5), sh, 0.5).count())
+    // asymmetric containment over the same persisted index; output-driven
+    // on this all-replicas corpus like every pair row here
+    t("containment pairs 50k docs")(
+      Dedup.containmentPairs(sh, 0.9).count())
     // signature columns must be referenced or pruning deletes the very
     // aggregator/kernel being measured (same fix as the round-5 probes)
     t("minhash sigs 50k docs (bounded-state agg)")(
@@ -141,6 +151,24 @@ object ScaleProbe {
     t("editdist 200k parts (symspell deletes)")(
       Dedup.editDistancePairsDeletes(
         parts, "p_partkey", "p_name", Seq("p_brand"), 2).count())
+    // jaro admits no variant index — blocking granularity is the scale
+    // dial: at 10× the registered query's brand-only blocks go quadratic
+    // (800 → 8,000 rows each), so the probe demonstrates the finer
+    // (brand, first-word) key that keeps within-block pair counts flat
+    t("jaro fuzzy 200k parts (brand+firstword-blocked)") {
+      val w0 = split(col("p_name"), " ").getItem(0)
+      val a = parts.select(col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"), col("p_brand").as("brand"),
+        w0.as("w0")).repartition(64, col("brand"), col("w0"))
+      val b = parts.select(col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"), col("p_brand").as("brand"),
+        w0.as("w0"))
+      a.join(b, Seq("brand", "w0"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("s", graft.functions.JaroSimilarity.sim(
+          spark, col("name_a"), col("name_b")))
+        .filter(col("s") >= 0.92).count()
+    }
     // per-row kernel: must scale linearly (zero shuffle)
     t("repetition stats 50k docs (per-row kernel)")(
       docs.select(col("doc_id"),
@@ -255,6 +283,28 @@ object ScaleProbe {
       // probe measures the distributed path, not the driver finish
       operators.Clustering.connectedComponents(e, "u", "v", 0L).count()
     }
+    // peel shape: 10-node chains die from both ends in ~5 rounds while
+    // every triangle survives — per-round cost tracks the SHRINKING edge
+    // list, so the chain mass is gone after round one's degree pass
+    t("k-core 2 peel: 90k chain edges + 30k triangle edges") {
+      val chains = spark.range(100000L).toDF("u")
+        .withColumn("v", col("u") + 1).filter(col("v") % 10 =!= 0)
+      val tris = spark.range(10000L)
+        .select((col("id") * 3 + 5000000L).as("b"))
+        .select(explode(array(
+          struct(col("b").as("u"), (col("b") + 1).as("v")),
+          struct((col("b") + 1).as("u"), (col("b") + 2).as("v")),
+          struct(col("b").as("u"), (col("b") + 2).as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+      operators.Clustering.kCore(
+        chains.unionByName(tris), "u", "v", 2).count()
+    }
+    // salient-term cosine: selection (top-10 terms) bounds the inverted
+    // index regardless of corpus size — the df² blowup the full tf-idf
+    // vector join would hit cannot occur by construction
+    t("tfidf cosine pairs 50k docs (top-10 terms)")(
+      operators.TextAnalysis.tfidfCosinePairs(docs, 10, 2, 0.7)
+        .agg(sum(col("shared_terms")), sum(col("cosine"))).first)
     // two-level prefix sum: per-partition windows + a #partitions-row
     // driver scan — must scale linearly, no single-task global sort
     t("sequence packing 50k docs (two-level prefix sum)") {
