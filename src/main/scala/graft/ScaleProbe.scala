@@ -299,12 +299,28 @@ object ScaleProbe {
       operators.Clustering.kCore(
         chains.unionByName(tris), "u", "v", 2).count()
     }
-    // salient-term cosine: selection (top-10 terms) bounds the inverted
-    // index regardless of corpus size — the df² blowup the full tf-idf
-    // vector join would hit cannot occur by construction
-    t("tfidf cosine pairs 50k docs (top-10 terms)")(
-      operators.TextAnalysis.tfidfCosinePairs(docs, 10, 2, 0.7)
-        .agg(sum(col("shared_terms")), sum(col("cosine"))).first)
+    // salient-term cosine: the scale claim is "salient ⇒ low df, so the
+    // term-keyed join never fans out" — which presumes a Heaps-law
+    // vocabulary (vocab grows with corpus; real text). The synthetic
+    // fixture's ~60-word vocabulary VIOLATES that premise (every term's
+    // postings are O(n) and the probe would go output-quadratic like the
+    // all-replica jaccard rows), so this probe builds a corpus with
+    // realistic vocabulary statistics instead: 20 filler tokens from a
+    // 50-word pool (high df — never salient) + 10 doc-group tokens from
+    // a 12,500-term pool (df 4 — always salient). TF-IDF selection must
+    // pick the rare ten, and the pair join's fan-out is then bounded by
+    // the rare terms' postings (4 each) however many docs exist.
+    t("tfidf cosine pairs 50k docs (Heaps-vocab synth, top-10 terms)") {
+      val synth = spark.range(50000).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 20).map(i =>
+            concat(lit("w"), pmod(col("id") * (i * 7 + 3), lit(50)))) ++
+            (0 until 10).map(i =>
+              concat(lit("r"), pmod(col("id"), lit(12500)),
+                lit("_"), lit(i))): _*).as("text"))
+      operators.TextAnalysis.tfidfCosinePairs(synth, 10, 2, 0.7)
+        .agg(count(lit(1)), sum(col("shared_terms"))).first
+    }
     // two-level prefix sum: per-partition windows + a #partitions-row
     // driver scan — must scale linearly, no single-task global sort
     t("sequence packing 50k docs (two-level prefix sum)") {

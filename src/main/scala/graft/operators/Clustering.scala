@@ -539,15 +539,133 @@ object Clustering {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Label propagation communities (Raghavan et al. PRE 2007) — the
+  // near-linear community detector: unlike connectedComponents (which
+  // merges everything reachable) LPA splits a connected graph into
+  // densely-linked groups, the structure consumed for topic/site
+  // clustering over page graphs. Synchronous, fixed-iteration, fully
+  // deterministic variant: every node adopts the most frequent label
+  // among its neighbors PLUS its own current label (self-retention vote
+  // — the standard stabilizer; without it synchronous LPA oscillates on
+  // stars/bipartite shapes), ties broken by smallest label. Fixed
+  // rounds + deterministic tie-break is what makes the trajectory
+  // engine-exact and therefore driver-hash-checkable (the PageRank
+  // argument, but integer-only so not even a rounding regime).
+  // ---------------------------------------------------------------------
+
+  /** `iters` synchronous LPA rounds over undirected `pairs`.
+    * Returns (node, community).
+    *
+    * Scale shape: the symmetric edge list is built and checkpointed
+    * ONCE; each round is one join keyed by neighbor against the
+    * nodes-sized label frame (broadcast-eligible: |V| rows however big
+    * |E| gets), then two partial+final aggs — (node, label) vote counts
+    * (Σdeg rows) and a per-node argmax via `max(struct(count, -label))`,
+    * NO window and NO sort anywhere (the window-rank formulation would
+    * sort every node's vote list per round). Driver state: zero.
+    * Lineage truncated per round like [[connectedComponents]].
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.withColumnRenamed("label", "community")
+  }
+
+  /** LPA communities of the event-stream page graph (the same
+    * consecutive-page edges PageRank ranks, taken undirected): which
+    * pages form densely inter-navigated groups. 4 rounds — enough for
+    * the fixture's diameter; the output is the round-4 labeling either
+    * way, which is what the oracle reproduces.
+    */
+  val qCommunitiesLpa: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("long").as("k"))
+    val edges = ev
+      .withColumn("nk", lead("k", 1).over(byUser))
+      .filter(col("nk").isNotNull && col("nk") =!= col("k"))
+      .select(col("k").as("src"), col("nk").as("dst"))
+    labelPropagation(edges, "src", "dst", 4)
+      .select(col("node").as("page"), col("community"))
+      .orderBy("page")
+  }
+
+  /** DuckDB oracle: identical edge/sym derivation, the four rounds
+    * unrolled from one template (window-rank argmax — same
+    * deterministic (count desc, label asc) pick as the struct-max).
+    * MATERIALIZED for the q_kcore reason: each round is referenced by
+    * the next and default inlining re-evaluates the chain exponentially.
+    */
+  val qCommunitiesLpaSql: String = {
+    val round = (k: Int) =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT s.node, r.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY s.node
+         |        ORDER BY count(*) DESC, r.label ASC) AS rn
+         |    FROM sym s JOIN l${k - 1} r ON r.node = s.nbr
+         |    GROUP BY s.node, r.label)
+         |  WHERE rn = 1)""".stripMargin
+    """WITH ev AS (SELECT user_id, ts, event_id,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |seq AS (SELECT k, lead(k) OVER
+      |          (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+      |        FROM ev),
+      |edges AS (SELECT DISTINCT least(k, nk) AS u, greatest(k, nk) AS v
+      |          FROM seq WHERE nk IS NOT NULL AND nk <> k),
+      |nodes AS (SELECT DISTINCT node FROM
+      |  (SELECT u AS node FROM edges
+      |   UNION ALL SELECT v FROM edges)),
+      |sym AS (SELECT u AS node, v AS nbr FROM edges
+      |        UNION ALL SELECT v, u FROM edges
+      |        UNION ALL SELECT node, node FROM nodes),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |""".stripMargin +
+      (1 to 4).map(round).mkString(",\n") +
+      """
+      |SELECT node AS page, label AS community FROM l4
+      |ORDER BY page""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters" -> qDedupClusters,
     "q_pagerank" -> qPageRank,
     "q_kcore" -> qKCore,
+    "q_communities_lpa" -> qCommunitiesLpa,
     "q_triangles" -> qTriangles)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_pagerank" -> qPageRankSql,
     "q_kcore" -> qKCoreSql,
+    "q_communities_lpa" -> qCommunitiesLpaSql,
     "q_triangles" -> qTrianglesSql)
 }

@@ -832,7 +832,42 @@ object Relational {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ORC round trip — the second columnar format of the source matrix
+  // (SURVEY §2.1 extension): Spark's ORC source is built in, and lake
+  // migrations routinely pass data through both. The query re-lands the
+  // customer dimension as ORC (overwrite ⇒ rerun-safe), reads it back,
+  // and aggregates — proving type fidelity (BIGINT/DOUBLE/VARCHAR)
+  // through the alien format's writer+reader pair, not just that files
+  // appeared. The oracle computes the same aggregate from the original
+  // parquet: any value corruption in either direction of the ORC hop
+  // breaks the hash. Column pruning and predicate pushdown work on the
+  // ORC scan exactly as on parquet (FileSourcesSpec pins the pruned
+  // ReadSchema); at 100 TB the hop is a distributed write + read like
+  // any other — nothing funnels through the driver.
+  // ---------------------------------------------------------------------
+  val qOrcRoundtrip: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    customer(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        min("c_name").as("first_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  min(c_name) AS first_name
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
     "q_topk_perkey" -> qTopKPerKey,
     "q_quantiles" -> qQuantiles,
@@ -865,6 +900,7 @@ object Relational {
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
     // bounded-state top-k reproduces the window form exactly — same oracle
     "q_topk_perkey" -> qWindowRankSql,

@@ -334,7 +334,13 @@ object TextAnalysis {
   // inverted-index fan-out by construction (salient ⇒ high tf·ln(N/df)
   // ⇒ low df), so the term-keyed self-join never sees the stop-word
   // df² blowup — the same skew argument as the shingle df cap, enforced
-  // here by SELECTION instead of a cap. Weights are the ROUNDED 4-dp
+  // here by SELECTION instead of a cap. The premise is a Heaps-law
+  // vocabulary (vocab grows with corpus — true of real text, violated
+  // by the synthetic fixture's ~60-word pool, where even salient terms
+  // carry O(n) postings); for degenerate near-closed vocabularies
+  // compose an explicit term-df cap exactly like the shingle one. The
+  // ScaleProbe row demonstrates the bounded join on a realistic-vocab
+  // 50k-doc corpus. Weights are the ROUNDED 4-dp
   // scores, so both engines dot identical doubles; only summation-order
   // jitter (~1e-13) remains under the 4-dp output rounding — the same
   // parity regime as the logprob family.

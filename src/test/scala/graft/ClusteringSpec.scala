@@ -199,6 +199,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(tri.subsetOf(fixtureCore))
   }
 
+  test("labelPropagation separates cliques one component would merge") {
+    import spark.implicits._
+    // two triangles joined by a single bridge edge: ONE connected
+    // component, but LPA keeps two communities — each triangle floods
+    // to its min id in round 1 (self-retention vote included), and the
+    // bridge's single vote can never outvote a clique's majority
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique A
+      (10L, 11L), (11L, 12L), (10L, 12L), // clique B
+      (3L, 10L) // bridge
+    ).toDF("a", "b")
+    val lpa = Clustering.labelPropagation(edges, "a", "b", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1L) === 1L && lpa(2L) === 1L && lpa(3L) === 1L)
+    assert(lpa(11L) === 10L && lpa(12L) === 10L)
+    // vs components: everything collapses to one cluster
+    val cc = Clustering.connectedComponents(
+      edges.toDF("u", "v"), "u", "v", 0L)
+      .select("cluster_id").distinct().count()
+    assert(cc === 1L)
+    // converged on this fixture: one more round changes nothing
+    val more = Clustering.labelPropagation(edges, "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === lpa)
+    // empty input keeps the output shape
+    val none = Clustering.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 4)
+    assert(none.columns.toSeq === Seq("node", "community"))
+    assert(none.count() === 0)
+  }
+
   test("pageRank and triangle census: empty edges yield empty frames") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")

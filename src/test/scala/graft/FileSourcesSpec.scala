@@ -102,6 +102,33 @@ class FileSourcesSpec extends AnyFunSuite {
       === Seq(1L, 2L, 4L))
   }
 
+  test("orc hop preserves values; orc scan prunes and pushes down") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // the registered round trip equals the parquet-direct aggregate
+    val viaOrc = graft.operators.Relational.qOrcRoundtrip(spark, dir)
+      .collect().map(_.toSeq)
+    val direct = graft.Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        min("c_name").as("first_name"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq)
+    assert(viaOrc.toSeq === direct.toSeq)
+    // the ORC scan gets the same optimizer treatment as parquet:
+    // selected columns only in ReadSchema, filter pushed to the scan
+    val orcPath = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val plan = spark.read.orc(orcPath)
+      .filter(col("c_custkey") === 42L)
+      .select("c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), " +
+      "EqualTo(c_custkey,42)]"), plan)
+    assert(!plan.contains("c_acctbal"), "pruned column read back:\n" + plan)
+  }
+
   test("jsonl landing-dir stream ingests dumps through the gopher gate") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._

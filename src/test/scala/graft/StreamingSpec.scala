@@ -386,4 +386,48 @@ class StreamingSpec extends AnyFunSuite {
         ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
     assert(gate === chart)
   }
+
+  test("scd2 sink versions a dimension from a CDC stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-scd2").toString + "/dim"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2c").toString
+    def at(day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val input = MemoryStream[Event]
+    val q = EventStreams.scd2Sink(input.toDF(), table, ckpt,
+      "user_id", Seq("event_type", "value"), "ts").start()
+    try {
+      // day 1: two fresh keys open
+      input.addData(
+        Event(1L, at(1), 1L, "click", 1.0),
+        Event(2L, at(1), 2L, "view", 2.0))
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(table)
+      assert(t1.count() === 2 && t1.filter(col("is_current")).count() === 2)
+      // day 2: key 1 changes (close+open), key 2 resends unchanged (no-op)
+      input.addData(
+        Event(3L, at(2), 1L, "click", 5.0),
+        Event(4L, at(2), 2L, "view", 2.0))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(table).cache()
+      assert(t2.filter(col("user_id") === 1L).count() === 2)
+      val closed = t2.filter(col("user_id") === 1L && !col("is_current"))
+        .collect().head
+      assert(closed.getAs[java.sql.Date]("valid_to").toString
+        === "2024-01-02")
+      assert(t2.filter(col("user_id") === 1L && col("is_current"))
+        .collect().head.getAs[Double]("value") === 5.0)
+      assert(t2.filter(col("user_id") === 2L).count() === 1,
+        "unchanged resend must not version")
+      t2.unpersist()
+      // day 3: a brand-new key joins; history stays intact
+      input.addData(Event(5L, at(3), 3L, "view", 9.0))
+      q.processAllAvailable()
+      val t3 = spark.read.parquet(table)
+      assert(t3.filter(col("is_current")).count() === 3)
+      assert(t3.count() === 4)
+    } finally q.stop()
+  }
 }
