@@ -843,10 +843,90 @@ object Reshape {
       |FROM (SELECT * FROM hist UNION ALL SELECT * FROM merged)
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Snapshot diff — derive a change feed from two table versions: the
+  // inverse of the SCD2 merge. The reference's operating model re-lands
+  // every output wholesale each cron run (README.md:11-13); snapshotDiff
+  // is what turns consecutive re-lands into ADDED/REMOVED/CHANGED rows —
+  // the CDC events a downstream consumer (or [[EventStreams.scd2Sink]])
+  // actually wants, and the regression-diff tool for comparing a
+  // pipeline rerun against its previous output.
+  // ---------------------------------------------------------------------
+
+  /** Rows that differ between `oldSnap` and `newSnap`, keyed by
+    * `keyCol`: one row per added / removed / attribute-changed key with
+    * both sides' attribute values (`old_*` / `new_*`, null on the absent
+    * side). Unchanged keys are dropped — CDC output is
+    * delta-sized, not table-sized.
+    *
+    * Scale shape: ONE full-outer join shuffled on the key (AQE handles
+    * skew; either side broadcast-eligible when dimension-sized) and a
+    * single null-safe comparison pass — no window, no second scan of
+    * either snapshot. Change detection is null-safe (`<=>`), so
+    * NULL→value and value→NULL both classify as changed.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, attrCols: Seq[String]): DataFrame = {
+    val n = newSnap.select(
+      (keyCol +: attrCols).map(c => col(c).as(s"${c}__n")): _*)
+    val changed = attrCols
+      .map(a => !(col(a) <=> col(s"${a}__n"))).reduce(_ || _)
+    oldSnap.select((keyCol +: attrCols).map(col): _*)
+      .join(n, col(keyCol) === col(s"${keyCol}__n"), "full_outer")
+      .filter(col(keyCol).isNull || col(s"${keyCol}__n").isNull || changed)
+      .select(
+        coalesce(col(keyCol), col(s"${keyCol}__n")).as(keyCol) +:
+          when(col(keyCol).isNull, lit("added"))
+            .when(col(s"${keyCol}__n").isNull, lit("removed"))
+            .otherwise(lit("changed")).as("change_type") +:
+          attrCols.flatMap(a => Seq(
+            col(a).as(s"old_$a"), col(s"${a}__n").as(s"new_$a"))): _*)
+  }
+
+  /** Diff two deterministic snapshots of the customer dimension: the
+    * old snapshot lacks every 101st key (those read as added), the new
+    * lacks every 97th (removed) and bumps the balance of every 89th
+    * (changed); everything else is identical and must NOT appear.
+    */
+  val qSnapshotDiff: Q = (s, d) => {
+    val cust = customer(s, d).select(col("c_custkey"),
+      col("c_mktsegment"), round(col("c_acctbal"), 2).as("bal"))
+    val oldSnap = cust.filter(col("c_custkey") % 101 =!= 0)
+    val newSnap = cust.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("bal", when(col("c_custkey") % 89 === 0,
+        round(col("bal") + 25, 2)).otherwise(col("bal")))
+    snapshotDiff(oldSnap, newSnap, "c_custkey", Seq("c_mktsegment", "bal"))
+      .orderBy("c_custkey")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+      |  FROM customer),
+      |o AS (SELECT * FROM cust WHERE c_custkey % 101 <> 0),
+      |n AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 89 = 0 THEN round(bal + 25, 2)
+      |         ELSE bal END AS bal
+      |  FROM cust WHERE c_custkey % 97 <> 0)
+      |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+      |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+      |       WHEN n.c_custkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  o.c_mktsegment AS old_c_mktsegment,
+      |  n.c_mktsegment AS new_c_mktsegment,
+      |  o.bal AS old_bal, n.bal AS new_bal
+      |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+      |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+      |  OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+      |  OR o.bal IS DISTINCT FROM n.bal
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_full_outer" -> qFullOuter,
     "q_gap_fill" -> qGapFill,
     "q_scd2" -> qScd2,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_rate_anomaly" -> qRateAnomaly,
     "q_asof_prev_click" -> qAsofPrevClick,
     "q_pivot" -> qPivot,
@@ -869,6 +949,7 @@ object Reshape {
     "q_full_outer" -> qFullOuterSql,
     "q_gap_fill" -> qGapFillSql,
     "q_scd2" -> qScd2Sql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_rate_anomaly" -> qRateAnomalySql,
     "q_asof_prev_click" -> qAsofPrevClickSql,
     "q_pivot" -> qPivotSql,

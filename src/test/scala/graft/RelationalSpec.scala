@@ -302,6 +302,32 @@ class RelationalSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("snapshot diff emits exactly the delta, with round-trip closure") {
+    val out = Reshape.qSnapshotDiff(spark, dir).cache()
+    val cust = Tables.customer(spark, dir)
+    // each change family matches its construction rule exactly
+    val added = out.filter(col("change_type") === "added")
+    val removed = out.filter(col("change_type") === "removed")
+    val changed = out.filter(col("change_type") === "changed")
+    assert(added.filter(col("c_custkey") % 101 =!= 0).count() === 0L)
+    assert(removed.filter(col("c_custkey") % 97 =!= 0).count() === 0L)
+    assert(changed.filter(col("c_custkey") % 89 =!= 0).count() === 0L)
+    assert(added.count() ===
+      cust.filter(col("c_custkey") % 101 === 0 &&
+        col("c_custkey") % 97 =!= 0).count())
+    // absent side is null, present side populated, changed rows differ
+    assert(added.filter(col("old_bal").isNotNull ||
+      col("new_bal").isNull).count() === 0L)
+    assert(removed.filter(col("new_bal").isNotNull ||
+      col("old_bal").isNull).count() === 0L)
+    assert(changed.filter(col("old_bal") === col("new_bal")).count() === 0L)
+    // diffing a snapshot against itself is empty — no false positives
+    val self = Reshape.snapshotDiff(cust, cust,
+      "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+    assert(self.count() === 0L)
+    out.unpersist()
+  }
+
   test("HLL approx distinct lands inside its advertised error") {
     val rows = Relational.qApproxDistinctErr(spark, dir).collect()
     assert(rows.nonEmpty)
