@@ -250,6 +250,63 @@ object Reshape {
       |  o_orderstatus ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Incremental rollup refresh via the persisted agg-state artifact
+  // ([[graft.plans.AggStore]]): build the daily-revenue rollup on the
+  // first twenty days of events, then fold the remaining days in as a
+  // batch — the recurring-run shape of the reference's cron model
+  // (README.md:11-13) where each run scans only its new facts. The
+  // result must equal the from-scratch rollup over ALL events, which is
+  // exactly what the oracle computes — any error in the merge law
+  // (count/sum/min/max linearity) or in the read-time avg derivation
+  // breaks the hash.
+  // ---------------------------------------------------------------------
+  val qRollupIncremental: Q = (s, d) => {
+    val id = java.lang.Integer.toHexString(d.hashCode)
+    val table = s"graft_rollup_inc_$id"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_aggstore_$id"
+    // money quantized to integer cents: long sums are exactly
+    // associative, so the merged state is bit-identical to the
+    // from-scratch build no matter how many batches arrived — double
+    // sums would pick up merge-order jitter that flips display rounding
+    // on boundary values (observed at sf0.001)
+    val ev = events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val cut = lit("2024-01-21").cast("date")
+    graft.plans.AggStore.build(ev.filter(col("day") < cut),
+      Seq("event_type", "day"), "cents", table, path)
+    graft.plans.AggStore.extend(
+      ev.filter(col("day") >= cut), "cents", table, path)
+    // display shaping: the 2dp money columns round AT their native
+    // precision (never a .5 boundary), while avg carries sub-cent
+    // precision and so is emitted as EXACT integer micro-dollars via
+    // floor-div — the q_approx_distinct_err regime; round(avg, 4) sits
+    // exactly on .xxxx5 for e.g. sum=30703¢/n=8 and the engines'
+    // rounding disagrees there
+    graft.plans.AggStore.read(s, table)
+      .select(col("event_type"), col("day"), col("n_rows"),
+        round(col("sum_v") / 100.0, 2).as("sum_v"),
+        round(col("min_v") / 100.0, 2).as("min_v"),
+        round(col("max_v") / 100.0, 2).as("max_v"),
+        expr("(sum_v * 10000) div n_rows").as("avg_udollar"))
+      .orderBy("event_type", "day")
+  }
+
+  val qRollupIncrementalSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(round("value" * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, day, count(*) AS n_rows,
+      |  round(sum(cents) / 100.0, 2) AS sum_v,
+      |  round(min(cents) / 100.0, 2) AS min_v,
+      |  round(max(cents) / 100.0, 2) AS max_v,
+      |  CAST((sum(cents) * 10000) // count(*) AS BIGINT) AS avg_udollar
+      |FROM ev
+      |GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // As-of join, composed from built-ins (SURVEY §2.3 notes Spark's
   // built-ins cover range/as-of semantics): for every error event, the
   // most recent preceding click by the same user. A running conditional
@@ -942,6 +999,7 @@ object Reshape {
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rollup" -> qRollup,
+    "q_rollup_incremental" -> qRollupIncremental,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets)
 
@@ -966,5 +1024,6 @@ object Reshape {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_rollup_incremental" -> qRollupIncrementalSql,
     "q_grouping_sets" -> qGroupingSetsSql)
 }

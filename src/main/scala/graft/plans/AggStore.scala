@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-refreshable grouped-aggregate state — the
+  * rollup-table sibling of [[LmStore]]/[[ShingleIndexStore]]/the
+  * Count-Min artifact, and the incremental-ETL shape of the reference's
+  * cron model (`SANEF_Uploader.sh`, README.md:11-13): each recurring run
+  * folds ONLY its new batch into the saved summary instead of
+  * re-scanning the whole fact history.
+  *
+  * Why partial-aggregate state and not final values: the state per group
+  * is the MERGEABLE quadruple (count, sum, min, max) — all four are
+  * commutative monoids, so `merge(state(A), state(B)) == state(A ∪ B)`
+  * exactly, the same linearity law the LM and Count-Min artifacts
+  * exploit. Derived measures that are NOT mergeable (avg) are computed
+  * from the state at read time, never stored — a stored avg would be
+  * frozen to the wrong denominator the moment a batch arrived.
+  *
+  * Scale shape: the artifact is group-count-sized (|dims| rows), i.e.
+  * MB-scale however many TB of facts it summarizes; `extend` aggregates
+  * ONLY the new batch (one partial+final agg) and merges against the
+  * |dims|-row saved state — the historical fact scan happens exactly
+  * once, at `build`.
+  */
+object AggStore {
+
+  /** Mergeable state columns; everything else in the saved schema is a
+    * grouping dimension — `extend`/`read` re-derive the dims from the
+    * schema so callers can't desync them from what was built.
+    */
+  val StateCols: Seq[String] = Seq("n_rows", "sum_v", "min_v", "max_v")
+
+  private def dimsOf(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(StateCols.contains)
+
+  private def partials(
+      df: DataFrame, dims: Seq[String], measure: String): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(measure).as("sum_v"),
+        min(measure).as("min_v"), max(measure).as("max_v"))
+
+  private def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    val dims = dimsOf(a)
+    a.unionByName(b)
+      .groupBy(dims.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+  }
+
+  private def save(df: DataFrame, table: String, path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.option("path", path).mode("overwrite")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Aggregate `facts` by `dims` over `measure` and persist the state
+    * table — the one full historical scan.
+    */
+  def build(facts: DataFrame, dims: Seq[String], measure: String,
+      table: String, path: String): Unit =
+    save(partials(facts, dims, measure), table, path)
+
+  /** Fold `batch` into the saved state: one agg over the batch only,
+    * merged with the |dims|-row artifact. Materialized via
+    * `localCheckpoint` BEFORE the overwrite for the [[LmStore.extend]]
+    * reason — the merge plan reads the very table the write replaces.
+    */
+  def extend(batch: DataFrame, measure: String, table: String,
+      path: String): Unit = {
+    val saved = batch.sparkSession.table(table)
+    val merged = merge(saved, partials(batch, dimsOf(saved), measure))
+      .localCheckpoint(true)
+    save(merged, table, path)
+  }
+
+  /** The rollup with read-time derived measures: avg from sum/count.
+    * No rounding here — display shaping is the caller's; the state keeps
+    * full precision across arbitrarily many merges. For bit-exact merge
+    * linearity feed an integer-quantized measure (e.g. cents): long
+    * sums are associativity-free, where double sums pick up
+    * merge-order jitter near rounding boundaries.
+    */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .withColumn("avg_v", col("sum_v") / col("n_rows"))
+}

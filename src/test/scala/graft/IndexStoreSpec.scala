@@ -209,4 +209,50 @@ class IndexStoreSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
     assert(counts(tInc) === counts(tFull))
   }
+
+  private def freshAgg(tag: String): (String, String) = {
+    val table = s"agg_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    (table, Files.createTempDirectory(s"graft-$tag").toString + "/agg")
+  }
+
+  test("agg-state extension is merge-linear: build+extend+extend == " +
+    "build on the full fact history") {
+    import graft.plans.AggStore
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("value"))
+    val dims = Seq("event_type", "day")
+    // three disjoint day ranges exercise two merges, including groups
+    // present in only one batch and groups spanning all three
+    val cut1 = lit("2024-01-11").cast("date")
+    val cut2 = lit("2024-01-21").cast("date")
+    val (tInc, pInc) = freshAgg("inc")
+    AggStore.build(ev.filter(col("day") < cut1), dims, "value", tInc, pInc)
+    AggStore.extend(
+      ev.filter(col("day") >= cut1 && col("day") < cut2), "value", tInc, pInc)
+    AggStore.extend(ev.filter(col("day") >= cut2), "value", tInc, pInc)
+    val (tFull, pFull) = freshAgg("full")
+    AggStore.build(ev, dims, "value", tFull, pFull)
+    def state(t: String): Map[(String, java.sql.Date), (Long, Double,
+      Double, Double)] =
+      spark.table(t).collect().map(r => (r.getString(0), r.getDate(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val inc = state(tInc)
+    val full = state(tFull)
+    assert(inc.keySet === full.keySet)
+    inc.foreach { case (k, (n, s, mn, mx)) =>
+      val (fn, fs, fmn, fmx) = full(k)
+      assert(n === fn, s"count for $k")
+      // min/max are exact under merge; sum differs only by fp
+      // association order
+      assert(mn === fmn, s"min for $k")
+      assert(mx === fmx, s"max for $k")
+      assert(math.abs(s - fs) <= 1e-9 * math.max(1.0, math.abs(fs)),
+        s"sum for $k")
+    }
+    // derived avg rides the state: read-time only, never stored
+    assert(!spark.table(tInc).columns.contains("avg_v"))
+    assert(AggStore.read(spark, tInc).columns.contains("avg_v"))
+  }
 }
