@@ -125,6 +125,39 @@ object Relational {
       |ORDER BY r_name, n_name""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Bucketed co-partitioned join (SURVEY §7.4 layout, promoted to the
+  // driver ledger): both sides land bucketed+sorted on the join key, so
+  // the join executes with NO shuffle exchange on either input — at
+  // 100 TB this converts a full-network fact⋈dim exchange into a
+  // per-bucket local merge, and it is the layout every recurring join
+  // against the same key should pay for once. The MERGE hint pins the
+  // sort-merge path so the exchange-free claim is about BUCKETING, not
+  // about a broadcast that would also skip the shuffle; PlanShapeSpec
+  // asserts the executed plan's only hash exchange is the final segment
+  // aggregation. Carries q_join_broadcast's oracle (same semantics, a
+  // physically different route).
+  // ---------------------------------------------------------------------
+  val qJoinBucketed: Q = (s, d) => {
+    val id = java.lang.Integer.toHexString(d.hashCode)
+    val oT = s"graft_bkt_orders_$id"
+    val cT = s"graft_bkt_customer_$id"
+    graft.plans.Layout.dropHard(s, oT)
+    graft.plans.Layout.dropHard(s, cT)
+    graft.plans.Layout.writeBucketed(
+      orders(s, d).select("o_custkey", "o_totalprice"), oT, "o_custkey", 8)
+    graft.plans.Layout.writeBucketed(
+      customer(s, d).select("c_custkey", "c_mktsegment"), cT,
+      "c_custkey", 8)
+    s.table(oT).hint("merge")
+      .join(s.table(cT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------------
   // J3 — the reference's agg+agg+self-join (SANEF_Uploader.py:228-231)
   // collapsed into ONE multi-aggregate groupBy (no self-join, one shuffle).
   // ---------------------------------------------------------------------
@@ -877,6 +910,7 @@ object Relational {
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_join_chain" -> qJoinChain,
     "q_multi_agg" -> qMultiAgg,
     "q_left_anti" -> qLeftAnti,
@@ -912,6 +946,8 @@ object Relational {
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
+    // physically-different route, same semantics — carries the same oracle
+    "q_join_bucketed" -> qJoinBroadcastSql,
     "q_join_chain" -> qJoinChainSql,
     "q_multi_agg" -> qMultiAggSql,
     "q_left_anti" -> qLeftAntiSql,

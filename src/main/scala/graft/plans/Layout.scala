@@ -26,6 +26,24 @@ object Layout {
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
+  /** Drop `table` AND its warehouse location. A managed-table overwrite
+    * fails with LOCATION_ALREADY_EXISTS on a location orphaned by a
+    * previous JVM — the in-memory catalog forgets its tables at
+    * shutdown while the warehouse directory survives — so recurring
+    * jobs that re-land bucketed tables must clear both.
+    */
+  def dropHard(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.net.URI
+      .create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Materialize a corpus as fixed-row-count shuffled training shards —
     * the pipeline's last mile. Every row gets the deterministic
     * epoch-shuffle position ([[graft.operators.Sampling.shuffledPositions]]:

@@ -35,6 +35,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join: SMJ inputs are exchange-free; only the agg " +
+    "shuffles") {
+    val out = operators.Relational.qJoinBucketed(spark, dir)
+    out.collect() // finalize AQE so the pinned plan is the executed one
+    // AQE's toString prints the final plan THEN the initial one — pin
+    // only the plan that actually ran
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint must pin the sort-merge path:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"join inputs must read pre-bucketed files — the single hash " +
+        s"exchange is the segment agg:\n${p.take(3000)}")
+    assert(p.contains("Bucketed: true"),
+      "both scans must read the bucketed layout")
+  }
+
   test("per-row kernel queries never hash-shuffle rows") {
     // these are pure per-document maps; the ONLY exchange in the plan
     // is the range partitioning of the deterministic output order
