@@ -56,10 +56,25 @@ object Tables {
         ns.conf.set(k, v)
     }
     ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(ns, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // The fixture's physical `ts` type has changed across driver testdata
+    // generations (TIMESTAMP(NANOS) → TIMESTAMP_NTZ), so branch on what the
+    // file actually carries instead of assuming one encoding; all branches
+    // normalize to a session-TZ TimestampType column so every downstream
+    // plan (windows, as-of joins, sessionization) sees one stable type.
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(ns, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long (legacy conf above): rebuild micros with integer
+        // division — ns-since-epoch exceeds double's 2^53 mantissa.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // NTZ wall time ≡ the DuckDB oracle's TIMESTAMP; cast to the
+        // session-TZ instant type (Verify pins UTC) for downstream ops.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

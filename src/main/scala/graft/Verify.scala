@@ -25,6 +25,16 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A failed query must surface as an explicit red row in the
+          // driver's correctness report, not vanish from it (round 5
+          // silently dropped 6 regressed queries this way): write a
+          // 1-row marker whose schema can never match any oracle, so
+          // the compare records rows/schema/hash = false for this name.
+          try {
+            import spark.implicits._
+            Seq(("" + e.getMessage).take(500)).toDF("__query_failed")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
