@@ -367,13 +367,109 @@ object TextAnalysis {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** All-pairs variant of [[tfidfCosinePairs]] — byte-identical output,
+    * different scale shape, for the CLOSED-vocabulary corpus regime.
+    *
+    * The inverted-index form's cost is Σ_term df², which is subquadratic
+    * exactly when the vocabulary obeys Heaps' law (salient terms stay
+    * rare). A near-closed vocabulary breaks that premise structurally:
+    * measured on the sf0.1 fixture (114 distinct terms over 6,250 docs),
+    * the term-keyed self-join emits 130M intermediate pairs for a
+    * 535-row result, and no complete pruning can help — a Bayardo-style
+    * suffix-norm prefix filter at θ=0.7 still admits 65% of all pairs
+    * (measured), and hyperplane LSH cannot separate a pair distribution
+    * whose p50/p99 cosine is 0.25/0.62 from a 0.7 threshold. When
+    * (nearly) all pairs are genuine candidates, the optimal exact shape
+    * is blocked brute force with a tight kernel, not a shuffle join.
+    *
+    * Shape: per-doc sparse vectors (sorted 64-bit term fingerprints +
+    * 4dp weights, ≤k entries) are collected and broadcast — k·~24 B per
+    * doc ≈ 240 MB at 10M docs, the same bounded-small-side argument as
+    * [[Similarity]]'s brute-force kNN and the decontamination gram sets;
+    * past that bound, shard the broadcast side or use the inverted-index
+    * form (still the default operator). Each task merge-joins its rows
+    * against the broadcast array (O(k) per pair, integer compares) and
+    * emits ONLY survivors — at 3·10⁻⁵ selectivity this skips the
+    * 19.5M-row join materialization entirely, which is the whole win:
+    * mapPartitions is justified here precisely because the per-pair
+    * kernel output is almost always empty. Term keys are xxhash64
+    * fingerprints (the [[graft.operators.Dedup]] shingle-index trade:
+    * 2⁻⁶⁴ collision odds, 8-byte keys); dot accumulates in key order, so
+    * the sum is deterministic and sits ~9 orders under the 4dp rounding
+    * the driver hash-checks.
+    */
+  def tfidfCosinePairsBroadcast(
+      docs: DataFrame, k: Int, minShared: Int,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = tfidfTopTerms(docs, k).select("doc_id", "term", "score")
+    val vecs = v
+      .withColumn("tkey", xxhash64(col("term")))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("tkey"), col("score")))).as("tw"),
+        sqrt(sum(col("score") * col("score"))).as("nrm"))
+      .select(
+        col("doc_id"),
+        expr("transform(tw, x -> x.tkey)").as("keys"),
+        expr("transform(tw, x -> x.score)").as("ws"),
+        col("nrm"))
+      .as[(Long, Array[Long], Array[Double], Double)]
+    // ONE corpus pass: the vector build runs once (collect), and the
+    // distributed side is just indices into the broadcast array — reusing
+    // `vecs` for both sides would re-run the tokenize→tf→df→top-k
+    // pipeline twice. The kernel is allocation-free per pair (survivors
+    // are ~3·10⁻⁵ of pairs, so per-pair Iterator wrappers would dominate
+    // the merge arithmetic itself).
+    val side = vecs.collect()
+    val bc = spark.sparkContext.broadcast(side)
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism * 4, side.length))
+    val pairs = spark.range(0, side.length, 1, slices)
+      .as[Long].mapPartitions { idxs =>
+        val all = bc.value
+        idxs.flatMap { ai =>
+          val (ida, ka, wa, na) = all(ai.toInt)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          var b = 0
+          while (b < all.length) {
+            val (idb, kb, wb, nb) = all(b)
+            if (idb > ida) {
+              var i = 0; var j = 0; var dot = 0.0; var shared = 0
+              while (i < ka.length && j < kb.length) {
+                val x = ka(i); val y = kb(j)
+                if (x == y) {
+                  dot += wa(i) * wb(j); shared += 1; i += 1; j += 1
+                } else if (x < y) i += 1
+                else j += 1
+              }
+              val cos = dot / (na * nb)
+              if (shared >= minShared && cos >= threshold)
+                buf += ((ida, idb, shared.toLong, cos))
+            }
+            b += 1
+          }
+          buf.iterator
+        }
+      }.toDF("id_a", "id_b", "shared_terms", "cos")
+    pairs.select(col("id_a"), col("id_b"), col("shared_terms"),
+      round(col("cos"), 4).as("cosine"))
+  }
+
   /** Top-10-term TF-IDF cosine over the near-dup fixture: truncated
     * copies keep their original's salient terms, so they surface at
     * cosine ≈ 1 — the IR-weighted view of the same near-dup structure
-    * the shingle family detects set-wise.
+    * the shingle family detects set-wise. Runs the broadcast all-pairs
+    * shape because the fixture's vocabulary is near-closed (see
+    * [[tfidfCosinePairsBroadcast]] — the inverted-index form measured
+    * 80 s at sf0.1 on a 130M-pair intermediate); the sparse form stays
+    * the general-corpus default, and TextAnalysisSpec pins the two
+    * byte-equal on the same corpus.
     */
   val qTfidfCosine: Q = (s, d) =>
-    tfidfCosinePairs(Dedup.corpusNear(s, d), 10, 2, 0.7)
+    tfidfCosinePairsBroadcast(Dedup.corpusNear(s, d), 10, 2, 0.7)
       .orderBy("id_a", "id_b")
 
   val qTfidfCosineSql: String =

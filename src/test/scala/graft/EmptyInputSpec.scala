@@ -226,6 +226,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(cos.columns.toSeq ===
       Seq("id_a", "id_b", "shared_terms", "cosine"))
 
+    val cosB =
+      operators.TextAnalysis.tfidfCosinePairsBroadcast(docs, 10, 2, 0.7)
+    assert(cosB.count() === 0)
+    assert(cosB.columns.toSeq ===
+      Seq("id_a", "id_b", "shared_terms", "cosine"))
+
     val kc = operators.Clustering.kCore(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
     assert(kc.count() === 0)

@@ -92,6 +92,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("broadcast all-pairs tfidf cosine ≡ inverted-index form") {
+    // the registered query runs the broadcast shape (closed-vocabulary
+    // fixture — see tfidfCosinePairsBroadcast's doc); this pins the two
+    // formulations row-identical so either can carry the oracle
+    val corpus = Dedup.corpusNear(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val sparse = rows(operators.TextAnalysis
+      .tfidfCosinePairs(corpus, 10, 2, 0.7))
+    val dense = rows(operators.TextAnalysis
+      .tfidfCosinePairsBroadcast(corpus, 10, 2, 0.7))
+    assert(sparse.nonEmpty)
+    assert(dense === sparse)
+  }
+
   test("prefix filtering is complete: candidates cover every exact pair " +
     "from a strictly smaller index") {
     val sh = Dedup.capDocFrequency(
