@@ -398,13 +398,17 @@ object TextAnalysis {
     * the sum is deterministic and sits ~9 orders under the 4dp rounding
     * the driver hash-checks.
     */
-  def tfidfCosinePairsBroadcast(
-      docs: DataFrame, k: Int, minShared: Int,
-      threshold: Double): DataFrame = {
+  /** Per-doc top-k TF-IDF vectors in merge-join form: sorted 64-bit term
+    * fingerprints + weights + the vector norm. Shared by the broadcast
+    * all-pairs and retrieval queries; the fingerprint trade is the
+    * [[graft.operators.Dedup]] shingle-index one (2⁻⁶⁴ collisions,
+    * 8-byte keys).
+    */
+  def tfidfVectors(docs: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Double], Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val v = tfidfTopTerms(docs, k).select("doc_id", "term", "score")
-    val vecs = v
+    tfidfTopTerms(docs, k).select("doc_id", "term", "score")
       .withColumn("tkey", xxhash64(col("term")))
       .groupBy("doc_id")
       .agg(
@@ -416,6 +420,30 @@ object TextAnalysis {
         expr("transform(tw, x -> x.score)").as("ws"),
         col("nrm"))
       .as[(Long, Array[Long], Array[Double], Double)]
+  }
+
+  /** Merge-join dot of two sorted-fingerprint sparse vectors →
+    * (dot, shared-term count). O(k) integer compares, allocation-free.
+    */
+  private def sparseDot(
+      ka: Array[Long], wa: Array[Double],
+      kb: Array[Long], wb: Array[Double]): (Double, Int) = {
+    var i = 0; var j = 0; var dot = 0.0; var shared = 0
+    while (i < ka.length && j < kb.length) {
+      val x = ka(i); val y = kb(j)
+      if (x == y) { dot += wa(i) * wb(j); shared += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    (dot, shared)
+  }
+
+  def tfidfCosinePairsBroadcast(
+      docs: DataFrame, k: Int, minShared: Int,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vecs = tfidfVectors(docs, k)
     // ONE corpus pass: the vector build runs once (collect), and the
     // distributed side is just indices into the broadcast array — reusing
     // `vecs` for both sides would re-run the tokenize→tf→df→top-k
@@ -437,14 +465,7 @@ object TextAnalysis {
           while (b < all.length) {
             val (idb, kb, wb, nb) = all(b)
             if (idb > ida) {
-              var i = 0; var j = 0; var dot = 0.0; var shared = 0
-              while (i < ka.length && j < kb.length) {
-                val x = ka(i); val y = kb(j)
-                if (x == y) {
-                  dot += wa(i) * wb(j); shared += 1; i += 1; j += 1
-                } else if (x < y) i += 1
-                else j += 1
-              }
+              val (dot, shared) = sparseDot(ka, wa, kb, wb)
               val cos = dot / (na * nb)
               if (shared >= minShared && cos >= threshold)
                 buf += ((ida, idb, shared.toLong, cos))
@@ -510,6 +531,115 @@ object TextAnalysis {
       |JOIN norms nb ON id_b = nb.doc_id
       |WHERE dot / (na.nrm * nb.nrm) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TF-IDF retrieval: top-k most-similar documents per query document —
+  // classic lexical search (the BM25/tf-idf retrieval stage of a RAG or
+  // dedup-review pipeline), complementing the embedding-side kNN family
+  // with its text-side twin. Scale shape: the QUERY side is small by
+  // definition (a query batch), so its vectors broadcast and the corpus
+  // streams past them — one corpus pass, no corpus self-join at all;
+  // per-query candidates then reduce through the bounded-state TopKAgg
+  // (map-side partial top-k, O(queries × k × partitions) exchange).
+  // Ranking is on the 4dp-ROUNDED cosine with neighbor-id tie-break, so
+  // rank order is engine-exact (rounding collapses the ~1e-13 summation
+  // jitter that makes raw-double ORDER BY engine-specific). Pairs with
+  // zero shared terms never surface (both engines: no join row / kernel
+  // skip), so short result lists agree too.
+  // ---------------------------------------------------------------------
+  def tfidfRetrieval(
+      docs: DataFrame, queryPred: Column, k: Int, topN: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one corpus pass feeds both the broadcast query side and the
+    // streamed corpus side (same persist-collect-release pattern as
+    // qDedupWinnow: without it the tokenize→tf→df→top-k subtree runs
+    // twice)
+    val vecs = tfidfVectors(docs, k).persist()
+    val qside = vecs.toDF("doc_id", "keys", "ws", "nrm")
+      .join(broadcast(docs.filter(queryPred).select("doc_id")), "doc_id")
+      .as[(Long, Array[Long], Array[Double], Double)]
+      .collect()
+    val bc = spark.sparkContext.broadcast(qside)
+    val hits = vecs.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (idb, kb, wb, nb) =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Long)]
+        var qi = 0
+        while (qi < qs.length) {
+          val (ida, ka, wa, na) = qs(qi)
+          if (ida != idb) {
+            val (dot, shared) = sparseDot(ka, wa, kb, wb)
+            if (shared > 0) {
+              // round BEFORE ranking: the rank key must be engine-exact
+              val cos4 = BigDecimal(dot / (na * nb))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              buf += ((ida, cos4, idb))
+            }
+          }
+          qi += 1
+        }
+        buf.iterator
+      }
+    }.toDF("query_id", "cos4", "neighbor_id")
+    val out = hits
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .topK(topN, col("cos4"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("row._2").as("neighbor_id"),
+        col("row._1").as("cosine"))
+      .orderBy("query_id", "rnk")
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
+  }
+
+  /** Top-3 lexical neighbors for every 25th document. */
+  val qTfidfRetrieval: Q = (s, d) =>
+    tfidfRetrieval(documents(s, d), col("doc_id") % 25 === 0, 10, 3)
+
+  val qTfidfRetrievalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |v AS (SELECT doc_id, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |  WHERE rnk <= 10),
+      |norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
+      |          FROM v GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+      |           sum(a.score * b.score) AS dot
+      |         FROM v a JOIN v b ON a.term = b.term
+      |           AND a.doc_id % 25 = 0 AND b.doc_id <> a.doc_id
+      |         GROUP BY 1, 2),
+      |cosd AS (SELECT query_id, neighbor_id,
+      |           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      |         FROM dots
+      |         JOIN norms na ON query_id = na.doc_id
+      |         JOIN norms nb ON neighbor_id = nb.doc_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cosd)
+      |SELECT query_id, rnk, neighbor_id, cosine
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
   // Unigram log-probability quality score: mean ln p(token) under the
@@ -1069,6 +1199,7 @@ object TextAnalysis {
     "q_source_overlap_exact" -> qSourceOverlapExact,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_tfidf_cosine" -> qTfidfCosine,
+    "q_tfidf_retrieval" -> qTfidfRetrieval,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
@@ -1085,6 +1216,7 @@ object TextAnalysis {
     "q_source_overlap_exact" -> qSourceOverlapExactSql,
     "q_tfidf_top_terms" -> qTfidfTopTermsSql,
     "q_tfidf_cosine" -> qTfidfCosineSql,
+    "q_tfidf_retrieval" -> qTfidfRetrievalSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

@@ -49,9 +49,28 @@ object AggStore {
         min("min_v").as("min_v"), max("max_v").as("max_v"))
   }
 
+  /** Each save lands in a fresh `v<n>` subdirectory and the table is
+    * repointed at it — never an in-place overwrite of a directory a
+    * live plan may have listed. Overwriting in place corrupts reads two
+    * ways at once: the JVM-shared file-status cache can serve the
+    * replaced listing (observed: FAILED_READ_FILE on the overwritten
+    * part file every bench iteration), and on object stores a
+    * concurrent reader sees a half-deleted prefix. Write-new-then-
+    * repoint is the atomic-swap discipline table formats formalize;
+    * the superseded `v<n-1>` dirs double as the snapshot history the
+    * CDC diff derivation consumes.
+    */
   private def save(df: DataFrame, table: String, path: String): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.option("path", path).mode("overwrite")
+    val spark = df.sparkSession
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val next =
+      if (!fs.exists(base)) 0
+      else fs.listStatus(base).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toInt).foldLeft(-1)(math.max) + 1
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.option("path", s"$path/v$next").mode("overwrite")
       .format("parquet").saveAsTable(table)
   }
 

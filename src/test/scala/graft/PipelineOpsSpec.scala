@@ -92,6 +92,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("tfidf retrieval ≡ join+window reference; no self, ranks dense") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val out = TextAnalysis
+      .tfidfRetrieval(docs, col("doc_id") % 25 === 0, 10, 3).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    // ranks are 1..n per query with no gaps
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall { rs =>
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted.toSeq
+      ranks == (1 to ranks.size) && ranks.size <= 3
+    })
+    // reference formulation: sparse term join + row_number window (the
+    // oracle's shape) must produce identical rows
+    val v = TextAnalysis.tfidfTopTerms(docs, 10)
+      .select("doc_id", "term", "score")
+    val norms = v.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    val dots = v.toDF("query_id", "term", "w_a")
+      .filter(col("query_id") % 25 === 0)
+      .join(v.toDF("neighbor_id", "term", "w_b"), "term")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+    val ref = dots
+      .join(norms.toDF("query_id", "na"), "query_id")
+      .join(norms.toDF("neighbor_id", "nb"), "neighbor_id")
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+    def asSet(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(asSet(rows) === asSet(ref.collect()))
+    out.unpersist()
+  }
+
   test("broadcast all-pairs tfidf cosine ≡ inverted-index form") {
     // the registered query runs the broadcast shape (closed-vocabulary
     // fixture — see tfidfCosinePairsBroadcast's doc); this pins the two
