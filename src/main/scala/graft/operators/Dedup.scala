@@ -645,10 +645,19 @@ object Dedup {
       .withColumn("rnk", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "g")
-    prefix.toDF("id_a", "g")
-      .join(prefix.toDF("id_b", "g"), "g")
+      .select("doc_id", "g", "n")
+    prefix.toDF("id_a", "g", "na")
+      .join(prefix.toDF("id_b", "g", "nb"), "g")
       .filter(col("id_a") < col("id_b"))
+      // SSJoin's length filter, free here because the prefix rows carry
+      // sizes anyway: J ≥ θ forces |a∩b| ≥ θ·max(|a|,|b|) and the
+      // intersection is capped by min(|a|,|b|), so any qualifying pair
+      // has min ≥ θ·max — pairs of very different sizes are pruned
+      // BEFORE the candidate distinct and the verify join-back (1e-9
+      // slack keeps the θ·max double rounding from ever pruning a
+      // boundary pair; completeness is spec-pinned either way).
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * threshold - 1e-9)
       .select("id_a", "id_b")
       .distinct()
   }
