@@ -599,6 +599,142 @@ object TextAnalysis {
     out
   }
 
+  /** Merge-join sum of corpus-side weights over shared keys — the BM25
+    * kernel (query terms are a SET; all weighting lives on the corpus
+    * side). Returns (sum, shared-count).
+    */
+  private def sparseSum(
+      qk: Array[Long], ck: Array[Long], cw: Array[Double]): (Double, Int) = {
+    var i = 0; var j = 0; var s = 0.0; var shared = 0
+    while (i < qk.length && j < ck.length) {
+      val x = qk(i); val y = ck(j)
+      if (x == y) { s += cw(j); shared += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    (s, shared)
+  }
+
+  // ---------------------------------------------------------------------
+  // BM25 retrieval — the production lexical ranker (Robertson's
+  // probabilistic model, the Lucene/Elasticsearch default), completing
+  // the retrieval family: tf-idf cosine is the vector-space form, BM25
+  // adds tf saturation (k1) and length normalization (b). All weighting
+  // is precomputable PER (doc, term): w = idf · tf·(k1+1)/(tf + k1·(1−b
+  // + b·dl/avgdl)) with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)), so
+  // a pair score is a plain sum of corpus-side weights over the query's
+  // term SET (doc-as-query uses distinct terms; per-term rounding to
+  // 4dp makes the summands engine-identical — ln and the dl/avgdl
+  // division differ ≤1 ulp, orders under the rounding). Scale shape =
+  // [[tfidfRetrieval]]: query batch broadcasts, corpus streams past in
+  // one pass, bounded-state TopKAgg reduction; ranking on the rounded
+  // score with id tie-break is engine-exact.
+  // ---------------------------------------------------------------------
+  def bm25Retrieval(
+      docs: DataFrame, queryPred: Column, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weights = tf
+      .join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
+      .select(col("doc_id"), xxhash64(col("term")).as("tkey"), col("w"))
+    val vecs = weights
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tkey"), col("w")))).as("tw"))
+      .select(col("doc_id"),
+        expr("transform(tw, x -> x.tkey)").as("keys"),
+        expr("transform(tw, x -> x.w)").as("ws"))
+      .as[(Long, Array[Long], Array[Double])]
+      .persist()
+    val qside = vecs.toDF("doc_id", "keys", "ws")
+      .join(broadcast(docs.filter(queryPred).select("doc_id")), "doc_id")
+      .as[(Long, Array[Long], Array[Double])].collect()
+      .map { case (id, ks, _) => (id, ks) }
+    val bc = spark.sparkContext.broadcast(qside)
+    val hits = vecs.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (idb, kb, wb) =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Long)]
+        var qi = 0
+        while (qi < qs.length) {
+          val (ida, ka) = qs(qi)
+          if (ida != idb) {
+            val (s0, shared) = sparseSum(ka, kb, wb)
+            if (shared > 0) {
+              val s4 = BigDecimal(s0)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              buf += ((ida, s4, idb))
+            }
+          }
+          qi += 1
+        }
+        buf.iterator
+      }
+    }.toDF("query_id", "score4", "neighbor_id")
+    val out = hits
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .topK(topN, col("score4"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("row._2").as("neighbor_id"),
+        col("row._1").as("score"))
+      .orderBy("query_id", "rnk")
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
+  }
+
+  /** Top-3 BM25 neighbors for every 25th document (k1=1.2, b=0.75). */
+  val qBm25Retrieval: Q = (s, d) =>
+    bm25Retrieval(documents(s, d), col("doc_id") % 25 === 0, 3)
+
+  val qBm25RetrievalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |        round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |          (tf * 2.2) /
+      |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS w
+      |      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+      |      CROSS JOIN stats),
+      |q AS (SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 25 = 0),
+      |dots AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+      |           round(sum(w.w), 4) AS score
+      |         FROM q JOIN w ON q.term = w.term AND w.doc_id <> q.doc_id
+      |         GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, score,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY score DESC, neighbor_id) AS rnk
+      |           FROM dots)
+      |SELECT query_id, rnk, neighbor_id, score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** Top-3 lexical neighbors for every 25th document. */
   val qTfidfRetrieval: Q = (s, d) =>
     tfidfRetrieval(documents(s, d), col("doc_id") % 25 === 0, 10, 3)
@@ -1200,6 +1336,7 @@ object TextAnalysis {
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_tfidf_cosine" -> qTfidfCosine,
     "q_tfidf_retrieval" -> qTfidfRetrieval,
+    "q_bm25_retrieval" -> qBm25Retrieval,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
@@ -1217,6 +1354,7 @@ object TextAnalysis {
     "q_tfidf_top_terms" -> qTfidfTopTermsSql,
     "q_tfidf_cosine" -> qTfidfCosineSql,
     "q_tfidf_retrieval" -> qTfidfRetrievalSql,
+    "q_bm25_retrieval" -> qBm25RetrievalSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

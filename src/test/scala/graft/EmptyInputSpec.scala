@@ -232,6 +232,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(cosB.columns.toSeq ===
       Seq("id_a", "id_b", "shared_terms", "cosine"))
 
+    val ret = operators.TextAnalysis
+      .tfidfRetrieval(docs, col("doc_id") % 25 === 0, 10, 3)
+    assert(ret.count() === 0)
+    assert(ret.columns.toSeq ===
+      Seq("query_id", "rnk", "neighbor_id", "cosine"))
+
+    val bm = operators.TextAnalysis
+      .bm25Retrieval(docs, col("doc_id") % 25 === 0, 3)
+    assert(bm.count() === 0)
+    assert(bm.columns.toSeq ===
+      Seq("query_id", "rnk", "neighbor_id", "score"))
+
     val kc = operators.Clustering.kCore(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
     assert(kc.count() === 0)

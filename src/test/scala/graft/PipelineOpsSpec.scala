@@ -134,6 +134,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("bm25 retrieval ≡ join+window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val out = TextAnalysis
+      .bm25Retrieval(docs, col("doc_id") % 25 === 0, 3).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    // reference: per-(doc,term) BM25 weights summed over the query's
+    // distinct-term set via a term join, ranked by a window — the
+    // oracle's shape
+    val tf = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 4))
+      .select(col("doc_id").as("neighbor_id"), col("term"), col("w"))
+    val q = tf.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val ref = q.join(w, "term")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum("w"), 4).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "score")
+    def asSet(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSet
+    assert(asSet(rows) === asSet(ref.collect()))
+    out.unpersist()
+  }
+
   test("broadcast all-pairs tfidf cosine ≡ inverted-index form") {
     // the registered query runs the broadcast shape (closed-vocabulary
     // fixture — see tfidfCosinePairsBroadcast's doc); this pins the two
