@@ -735,6 +735,119 @@ object TextAnalysis {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) — the standard
+  // hybrid-search combiner: rankers vote 1/(c+rank), votes sum per
+  // (query, candidate), fused list re-ranks by the sum. Rank-only inputs
+  // make it ranker-agnostic (scores on incompatible scales fuse without
+  // calibration — the reason RRF is the default hybrid in production
+  // retrieval stacks). Scale shape: inputs are already top-k lists
+  // (queries × k rows — tiny regardless of corpus size), so fusion is a
+  // union + keyed sum + bounded top-k; the heavy lifting stays in the
+  // rankers. Parity: 1/(c+rank) is the same double in both engines and
+  // per-pair vote counts are ≤ #rankers, so the sum is order-exact;
+  // ranking on the 6dp-rounded fused score with id tie-break.
+  // ---------------------------------------------------------------------
+  def rrfFusion(
+      rankings: Seq[DataFrame], topN: Int, c: Int = 60): DataFrame = {
+    val votes = rankings
+      .map(_.select(col("query_id"), col("rnk"), col("neighbor_id")))
+      .reduce(_ unionByName _)
+      .withColumn("vote", lit(1.0) / (lit(c) + col("rnk")))
+    votes
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum("vote"), 6).as("rrf"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .topK(topN, col("rrf"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("row._2").as("neighbor_id"),
+        col("row._1").as("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Hybrid lexical retrieval: tf-idf cosine and BM25 top-10 lists for
+    * the same query set, fused to a top-5 by RRF.
+    */
+  val qRrfFusion: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pred = col("doc_id") % 25 === 0
+    rrfFusion(Seq(
+      tfidfRetrieval(docs, pred, 10, 10),
+      bm25Retrieval(docs, pred, 10)), 5)
+  }
+
+  val qRrfFusionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+      |v AS (SELECT doc_id, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |  WHERE rnk <= 10),
+      |norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
+      |          FROM v GROUP BY 1),
+      |tdots AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+      |            sum(a.score * b.score) AS dot
+      |          FROM v a JOIN v b ON a.term = b.term
+      |            AND a.doc_id % 25 = 0 AND b.doc_id <> a.doc_id
+      |          GROUP BY 1, 2),
+      |tranked AS (SELECT query_id, neighbor_id,
+      |              row_number() OVER (PARTITION BY query_id
+      |                ORDER BY cosine DESC, neighbor_id) AS rnk
+      |            FROM (SELECT query_id, neighbor_id,
+      |                    round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      |                  FROM tdots
+      |                  JOIN norms na ON query_id = na.doc_id
+      |                  JOIN norms nb ON neighbor_id = nb.doc_id)),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |        round(ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |          (tf * 2.2) /
+      |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS w
+      |      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+      |      CROSS JOIN stats),
+      |qq AS (SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 25 = 0),
+      |bdots AS (SELECT qq.doc_id AS query_id, w.doc_id AS neighbor_id,
+      |            round(sum(w.w), 4) AS score
+      |          FROM qq JOIN w ON qq.term = w.term AND w.doc_id <> qq.doc_id
+      |          GROUP BY 1, 2),
+      |branked AS (SELECT query_id, neighbor_id,
+      |              row_number() OVER (PARTITION BY query_id
+      |                ORDER BY score DESC, neighbor_id) AS rnk
+      |            FROM bdots),
+      |votes AS (
+      |  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS vote
+      |  FROM tranked WHERE rnk <= 10
+      |  UNION ALL
+      |  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS vote
+      |  FROM branked WHERE rnk <= 10),
+      |fused AS (SELECT query_id, neighbor_id,
+      |            round(sum(vote), 6) AS rrf
+      |          FROM votes GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, rrf,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY rrf DESC, neighbor_id) AS rnk
+      |           FROM fused)
+      |SELECT query_id, rnk, neighbor_id, rrf
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** Top-3 lexical neighbors for every 25th document. */
   val qTfidfRetrieval: Q = (s, d) =>
     tfidfRetrieval(documents(s, d), col("doc_id") % 25 === 0, 10, 3)
@@ -1337,6 +1450,7 @@ object TextAnalysis {
     "q_tfidf_cosine" -> qTfidfCosine,
     "q_tfidf_retrieval" -> qTfidfRetrieval,
     "q_bm25_retrieval" -> qBm25Retrieval,
+    "q_rrf_fusion" -> qRrfFusion,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
@@ -1355,6 +1469,7 @@ object TextAnalysis {
     "q_tfidf_cosine" -> qTfidfCosineSql,
     "q_tfidf_retrieval" -> qTfidfRetrievalSql,
     "q_bm25_retrieval" -> qBm25RetrievalSql,
+    "q_rrf_fusion" -> qRrfFusionSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

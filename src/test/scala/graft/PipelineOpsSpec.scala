@@ -178,6 +178,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("rrf fusion: vote law on hand-built rankings") {
+    import spark.implicits._
+    // query 1: ranker A says (10,20,30), ranker B says (20,10,40).
+    // doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/62 (tie with 20, id wins);
+    // doc 30: 1/63; doc 40: 1/63 (tie, id wins)
+    val a = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rnk", "neighbor_id")
+    val b = Seq((1L, 1, 20L), (1L, 2, 10L), (1L, 3, 40L))
+      .toDF("query_id", "rnk", "neighbor_id")
+    val out = TextAnalysis.rrfFusion(Seq(a, b), 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val both = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one3 = BigDecimal(1.0 / 63)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (1, 10L, both), (2, 20L, both), (3, 30L, one3), (4, 40L, one3)))
+  }
+
   test("broadcast all-pairs tfidf cosine ≡ inverted-index form") {
     // the registered query runs the broadcast shape (closed-vocabulary
     // fixture — see tfidfCosinePairsBroadcast's doc); this pins the two
