@@ -794,6 +794,83 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Constraint validation suite — the Deequ/dbt-test shape: a declared
+  // battery of data-quality checks evaluated in ONE fused pass over the
+  // fact table (each check is an aggregate expression, so N checks cost
+  // one scan + one 1-row aggregate, not N scans), plus one broadcast
+  // anti-join for the referential check (the only constraint that needs
+  // a second table; the dim side broadcasts). Output is one row per
+  // constraint (name, observed metric, pass 0/1) — the report shape a
+  // pipeline gate consumes. At 100 TB nothing changes: the fused agg is
+  // a partial+final over however many files, and the FK anti-join
+  // stays broadcast-sized by the dim. Integers end to end (counts and
+  // 0/1 flags), so the driver hash-check is exact.
+  // ---------------------------------------------------------------------
+  def dqReport(o: DataFrame, cust: DataFrame): DataFrame = {
+    val fused = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("bad_status"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("nonpos_price"))
+    val orphans = o.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    fused.crossJoin(orphans)
+      .select(expr(
+        """stack(6,
+          |  'fk_custkey_in_customer', orphans, CAST(orphans = 0 AS INT),
+          |  'not_null_custkey', null_cust, CAST(null_cust = 0 AS INT),
+          |  'pk_unique_orderkey', n_rows - n_keys,
+          |    CAST(n_rows = n_keys AS INT),
+          |  'positive_totalprice', nonpos_price,
+          |    CAST(nonpos_price = 0 AS INT),
+          |  'row_count_min_1000', n_rows, CAST(n_rows >= 1000 AS INT),
+          |  'status_in_OFP', bad_status, CAST(bad_status = 0 AS INT)
+          |) AS (check_name, observed, pass)""".stripMargin))
+      .orderBy("check_name")
+  }
+
+  val qDqConstraints: Q = (s, d) => dqReport(orders(s, d), customer(s, d))
+
+  val qDqConstraintsSql: String =
+    """WITH fused AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(DISTINCT o_orderkey) AS n_keys,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS null_cust,
+      |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0
+      |      ELSE 1 END) AS BIGINT) AS bad_status,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nonpos_price
+      |  FROM orders),
+      |orph AS (
+      |  SELECT count(*) AS orphans FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |rows_out AS (
+      |  SELECT 'fk_custkey_in_customer' AS check_name, orphans AS observed,
+      |    CAST(orphans = 0 AS INT) AS pass FROM fused, orph
+      |  UNION ALL
+      |  SELECT 'not_null_custkey', null_cust,
+      |    CAST(null_cust = 0 AS INT) FROM fused
+      |  UNION ALL
+      |  SELECT 'pk_unique_orderkey', n_rows - n_keys,
+      |    CAST(n_rows = n_keys AS INT) FROM fused
+      |  UNION ALL
+      |  SELECT 'positive_totalprice', nonpos_price,
+      |    CAST(nonpos_price = 0 AS INT) FROM fused
+      |  UNION ALL
+      |  SELECT 'row_count_min_1000', n_rows,
+      |    CAST(n_rows >= 1000 AS INT) FROM fused
+      |  UNION ALL
+      |  SELECT 'status_in_OFP', bad_status,
+      |    CAST(bad_status = 0 AS INT) FROM fused)
+      |SELECT * FROM rows_out
+      |ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Column profiler — the data-quality census every warehouse engine
   // ships (null fraction, exact distinct count, min/max per column) in
   // ONE corpus pass: a single multi-aggregate over the table, unpivoted
@@ -902,6 +979,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
+    "q_dq_constraints" -> qDqConstraints,
     "q_topk_perkey" -> qTopKPerKey,
     "q_quantiles" -> qQuantiles,
     "q_count_distinct" -> qCountDistinct,
@@ -936,6 +1014,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
+    "q_dq_constraints" -> qDqConstraintsSql,
     // bounded-state top-k reproduces the window form exactly — same oracle
     "q_topk_perkey" -> qWindowRankSql,
     "q_quantiles" -> qQuantilesSql,

@@ -360,4 +360,33 @@ class RelationalSpec extends AnyFunSuite {
     val plan = gs.queryExecution.executedPlan.toString
     assert(plan.contains("Expand"), "grouping sets must plan via Expand")
   }
+
+  test("dq constraints flag exactly the injected violations") {
+    import spark.implicits._
+    // clean fixture: every check passes
+    val clean = Relational.qDqConstraints(spark, dir).collect()
+    assert(clean.length === 6)
+    assert(clean.forall(_.getAs[Int]("pass") === 1))
+    // corrupted frame: duplicate pk, null custkey, orphan fk, bad
+    // status, non-positive price, and fewer than 1000 rows — every
+    // check must fail with the exact observed count
+    val o = Seq(
+      (1L, Option(10L), "O", 5.0),   // ok
+      (1L, Option(10L), "F", 5.0),   // duplicate orderkey
+      (2L, None, "O", 5.0),          // null custkey
+      (3L, Option(99L), "O", 5.0),   // orphan custkey
+      (4L, Option(10L), "X", 5.0),   // bad status
+      (5L, Option(10L), "O", -1.0))  // non-positive price
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val c = Seq(10L).toDF("c_custkey")
+    val rep = Relational.dqReport(o, c).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rep("pk_unique_orderkey") === ((1L, 0)))
+    assert(rep("not_null_custkey") === ((1L, 0)))
+    // null and orphan custkeys both miss the dim: anti-join keeps 2
+    assert(rep("fk_custkey_in_customer") === ((2L, 0)))
+    assert(rep("status_in_OFP") === ((1L, 0)))
+    assert(rep("positive_totalprice") === ((1L, 0)))
+    assert(rep("row_count_min_1000") === ((6L, 0)))
+  }
 }
