@@ -425,7 +425,7 @@ object TextAnalysis {
   /** Merge-join dot of two sorted-fingerprint sparse vectors →
     * (dot, shared-term count). O(k) integer compares, allocation-free.
     */
-  private def sparseDot(
+  private[graft] def sparseDot(
       ka: Array[Long], wa: Array[Double],
       kb: Array[Long], wb: Array[Double]): (Double, Int) = {
     var i = 0; var j = 0; var dot = 0.0; var shared = 0
@@ -603,7 +603,7 @@ object TextAnalysis {
     * kernel (query terms are a SET; all weighting lives on the corpus
     * side). Returns (sum, shared-count).
     */
-  private def sparseSum(
+  private[graft] def sparseSum(
       qk: Array[Long], ck: Array[Long], cw: Array[Double]): (Double, Int) = {
     var i = 0; var j = 0; var s = 0.0; var shared = 0
     while (i < qk.length && j < ck.length) {

@@ -94,6 +94,29 @@ object AggStore {
     save(merged, table, path)
   }
 
+  /** Retention for the version history [[save]] accumulates: delete
+    * superseded `v<n>` directories, keeping the newest `keep` (≥ 1, so
+    * the live version the catalog table points at is never removable).
+    * Returns the number of versions removed. The snapshot-history use
+    * case (CDC diff between versions) sets `keep` to its window; a pure
+    * latest-state store vacuums with keep=1 after every extend.
+    */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    require(keep >= 1, "keep must retain at least the live version")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) 0
+    else {
+      val doomed = fs.listStatus(base).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.drop(1).nonEmpty && p.getName.drop(1).forall(_.isDigit))
+        .sortBy(p => -p.getName.drop(1).toInt)
+        .drop(keep)
+      doomed.foreach(p => fs.delete(p, true))
+      doomed.length
+    }
+  }
+
   /** The rollup with read-time derived measures: avg from sum/count.
     * No rounding here — display shaping is the caller's; the state keeps
     * full precision across arbitrarily many merges. For bit-exact merge

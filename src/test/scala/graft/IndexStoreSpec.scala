@@ -254,5 +254,21 @@ class IndexStoreSpec extends AnyFunSuite {
     // derived avg rides the state: read-time only, never stored
     assert(!spark.table(tInc).columns.contains("avg_v"))
     assert(AggStore.read(spark, tInc).columns.contains("avg_v"))
+
+    // versioned saves: build+extend+extend left v0..v2 on disk; vacuum
+    // retains the newest `keep` and the live table keeps reading
+    def versions(p: String): Set[String] = {
+      val base = new org.apache.hadoop.fs.Path(p)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.startsWith("v")).toSet
+    }
+    assert(versions(pInc) === Set("v0", "v1", "v2"))
+    assert(AggStore.vacuum(spark, pInc, keep = 1) === 2)
+    assert(versions(pInc) === Set("v2"))
+    assert(state(tInc) === inc, "live table must survive the vacuum")
+    assert(AggStore.vacuum(spark, pInc, keep = 1) === 0)
+    intercept[IllegalArgumentException](
+      AggStore.vacuum(spark, pInc, keep = 0))
   }
 }

@@ -415,4 +415,36 @@ object InvariantProps extends Properties("graft.invariants") {
           nTok - nRm == clean.length.toLong && text == clean.mkString(" ")
       }
     }
+
+  // --- merge-kernel laws: the sorted-merge sparse kernels that power
+  // the broadcast cosine/retrieval/BM25 queries and the Jaccard verify
+  // must agree with naive set/map arithmetic on arbitrary inputs ---
+  private val genVec: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 30L), Gen.choose(0.1, 9.9)))
+      .map(_.distinctBy(_._1).sortBy(_._1))
+
+  property("sparseDot kernel == naive map dot, and is symmetric") =
+    Prop.forAll(genVec, genVec) { (a, b) =>
+      val (ka, wa) = (a.map(_._1).toArray, a.map(_._2).toArray)
+      val (kb, wb) = (b.map(_._1).toArray, b.map(_._2).toArray)
+      val (dot, shared) = operators.TextAnalysis.sparseDot(ka, wa, kb, wb)
+      val ma = a.toMap
+      val mb = b.toMap
+      val keys = ma.keySet intersect mb.keySet
+      val naive = keys.toList.map(k => ma(k) * mb(k)).sum
+      val (dotR, sharedR) = operators.TextAnalysis.sparseDot(kb, wb, ka, wa)
+      shared == keys.size && math.abs(dot - naive) < 1e-9 &&
+        sharedR == shared && math.abs(dotR - dot) < 1e-12
+    }
+
+  property("sparseSum kernel == naive filtered sum over the query set") =
+    Prop.forAll(genVec.map(_.map(_._1)), genVec) { (q, c) =>
+      val qk = q.toArray
+      val (ck, cw) = (c.map(_._1).toArray, c.map(_._2).toArray)
+      val (s0, shared) = operators.TextAnalysis.sparseSum(qk, ck, cw)
+      val qs = q.toSet
+      val hits = c.filter(t => qs(t._1))
+      shared == hits.size && math.abs(s0 - hits.map(_._2).sum) < 1e-9
+    }
+
 }
