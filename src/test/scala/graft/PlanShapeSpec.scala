@@ -113,4 +113,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("props") && !read.contains("event_type"),
       s"session aggregation reads unneeded columns: $read")
   }
+
+  test("dq constraints: fused battery scans orders twice at most " +
+    "(fused agg + FK anti-join), dim side broadcasts") {
+    // N checks must NOT become N scans — the whole point of the fused
+    // aggregate; the referential check is the only second pass, and its
+    // customer side must broadcast, never shuffle the fact table
+    val p = plan("q_dq_constraints")
+    val orderScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("orders"))
+    assert(orderScans <= 2, s"fused battery re-scans orders:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"FK check must broadcast the dim side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"FK check must not sort-merge the fact table:\n$p")
+  }
 }
