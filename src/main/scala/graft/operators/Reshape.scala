@@ -979,9 +979,77 @@ object Reshape {
       |  OR o.bal IS DISTINCT FROM n.bal
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Rollup CDC — [[snapshotDiff]] composed over the [[graft.plans
+  // .AggStore]] VERSION HISTORY: build the weekly-revenue rollup on
+  // facts before a mid-week cut (lands as `v<n>`), fold the remaining
+  // facts in (lands as `v<n+1>`), then diff the two newest version
+  // directories. This is the payoff of versioned artifact saves: the
+  // change feed between consecutive recurring runs derives from
+  // history that already exists, no extra bookkeeping. The mid-week
+  // cut makes the boundary week CHANGED (its counts grow) and later
+  // weeks ADDED; earlier weeks drop out (CDC is delta-sized); REMOVED
+  // cannot occur in an append-only rollup — asserted by the spec, not
+  // just documented. Integer state (counts + cent sums) keeps the
+  // diff hash-exact.
+  // ---------------------------------------------------------------------
+  val qRollupCdc: Q = (s, d) => {
+    val id = java.lang.Integer.toHexString(d.hashCode)
+    val table = s"graft_rollup_cdc_$id"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_aggstore_cdc_$id"
+    val ev = events(s, d).select(col("event_type"),
+      date_trunc("week", col("ts")).cast("date").as("wk"),
+      to_date(col("ts")).as("day"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val cut = lit("2024-01-18").cast("date") // Thursday: splits a week
+    graft.plans.AggStore.build(ev.filter(col("day") < cut)
+        .select("event_type", "wk", "cents"),
+      Seq("event_type", "wk"), "cents", table, path)
+    graft.plans.AggStore.extend(ev.filter(col("day") >= cut)
+      .select("event_type", "wk", "cents"), "cents", table, path)
+    // diff the two NEWEST versions (repeat invocations append history;
+    // the latest pair is always this run's build/extend)
+    val vs = graft.plans.AggStore.versionPaths(s, path)
+    val withKey = (p: String) => s.read.parquet(p)
+      .select(concat(col("event_type"), lit("|"),
+        col("wk").cast("string")).as("k"),
+        col("n_rows"), col("sum_v"))
+    snapshotDiff(withKey(vs(vs.length - 2)), withKey(vs.last), "k",
+      Seq("n_rows", "sum_v"))
+      .orderBy("k")
+  }
+
+  val qRollupCdcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    CAST(ts AS DATE) AS day,
+      |    CAST(round("value" * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |v0 AS (
+      |  SELECT event_type || '|' || CAST(wk AS VARCHAR) AS k,
+      |    count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_v
+      |  FROM ev WHERE day < DATE '2024-01-18' GROUP BY 1),
+      |v1 AS (
+      |  SELECT event_type || '|' || CAST(wk AS VARCHAR) AS k,
+      |    count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_v
+      |  FROM ev GROUP BY 1)
+      |SELECT coalesce(v0.k, v1.k) AS k,
+      |  CASE WHEN v0.k IS NULL THEN 'added'
+      |       WHEN v1.k IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  v0.n_rows AS old_n_rows, v1.n_rows AS new_n_rows,
+      |  v0.sum_v AS old_sum_v, v1.sum_v AS new_sum_v
+      |FROM v0 FULL OUTER JOIN v1 ON v0.k = v1.k
+      |WHERE v0.k IS NULL OR v1.k IS NULL
+      |  OR v0.n_rows IS DISTINCT FROM v1.n_rows
+      |  OR v0.sum_v IS DISTINCT FROM v1.sum_v
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_full_outer" -> qFullOuter,
     "q_gap_fill" -> qGapFill,
+    "q_rollup_cdc" -> qRollupCdc,
     "q_scd2" -> qScd2,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_rate_anomaly" -> qRateAnomaly,
@@ -1008,6 +1076,7 @@ object Reshape {
     "q_gap_fill" -> qGapFillSql,
     "q_scd2" -> qScd2Sql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_rollup_cdc" -> qRollupCdcSql,
     "q_rate_anomaly" -> qRateAnomalySql,
     "q_asof_prev_click" -> qAsofPrevClickSql,
     "q_pivot" -> qPivotSql,

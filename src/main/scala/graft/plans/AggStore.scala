@@ -94,6 +94,21 @@ object AggStore {
     save(merged, table, path)
   }
 
+  /** The version directories under `path`, oldest → newest. This IS the
+    * snapshot history: consecutive entries diff into a change feed
+    * (see `q_rollup_cdc`).
+    */
+  def versionPaths(spark: SparkSession, path: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).nonEmpty && p.getName.drop(1).forall(_.isDigit))
+      .sortBy(_.getName.drop(1).toInt)
+      .map(_.toString).toSeq
+  }
+
   /** Retention for the version history [[save]] accumulates: delete
     * superseded `v<n>` directories, keeping the newest `keep` (≥ 1, so
     * the live version the catalog table points at is never removable).

@@ -389,4 +389,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(rep("positive_totalprice") === ((1L, 0)))
     assert(rep("row_count_min_1000") === ((6L, 0)))
   }
+
+  test("rollup CDC over the version history: boundary week changed, " +
+    "later weeks added, nothing removed, counts consistent") {
+    val out = Reshape.qRollupCdc(spark, dir).collect()
+    assert(out.nonEmpty)
+    val types = out.map(_.getAs[String]("change_type")).toSet
+    // an append-only rollup can only grow: REMOVED must be impossible
+    assert(!types.contains("removed"))
+    assert(types === Set("added", "changed"))
+    out.filter(_.getAs[String]("change_type") == "changed").foreach { r =>
+      // a changed group strictly grew in event count (values may be
+      // negative, so the cent sum direction is not asserted)
+      assert(r.getAs[Long]("new_n_rows") > r.getAs[Long]("old_n_rows"))
+    }
+    out.filter(_.getAs[String]("change_type") == "added").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("old_n_rows")))
+      assert(r.getAs[Long]("new_n_rows") > 0L)
+    }
+  }
 }
