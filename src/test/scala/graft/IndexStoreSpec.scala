@@ -271,4 +271,40 @@ class IndexStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       AggStore.vacuum(spark, pInc, keep = 0))
   }
+
+  test("bm25 store: saved-index search equals the in-session query; " +
+    "frozen-stats extension ties a verbatim copy to its original") {
+    import graft.plans.Bm25IndexStore
+    val docs = base
+    val (table, path) = freshTable("bm25")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Bm25IndexStore.build(docs, table, path, buckets = 4)
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = rows(Bm25IndexStore.search(spark, table, queries, 3))
+    val inSession = rows(graft.operators.TextAnalysis
+      .bm25Retrieval(docs, col("doc_id") % 25 === 0, 3))
+    assert(served.nonEmpty)
+    assert(served === inSession,
+      "saved-index search must reproduce the in-session ranking")
+    // frozen-stats extension: append a VERBATIM copy of the first
+    // query's top-1 neighbor — under frozen df/avgdl the copy's
+    // per-term weights equal the original's, so it must tie the
+    // original's score exactly (and lose the id tie-break)
+    val (q0, _, n1, s1) = served.head
+    val copy = docs.filter(col("doc_id") === n1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    Bm25IndexStore.extend(copy, table, buckets = 4)
+    val after = rows(Bm25IndexStore.search(spark, table, queries, 3))
+      .filter(_._1 == q0)
+    assert(after.map(_._3).contains(n1 + 5000000L),
+      s"extended copy of $n1 must surface for query $q0: $after")
+    val copyRow = after.find(_._3 == n1 + 5000000L).get
+    assert(copyRow._4 === s1,
+      "frozen stats must score the copy identically to its original")
+    val origRank = after.find(_._3 == n1).get._2
+    assert(origRank < copyRow._2, "id tie-break keeps the original first")
+  }
 }
