@@ -283,14 +283,24 @@ object TextAnalysis {
   /** Reusable operator (the registered query and ScaleProbe both call
     * this — the probe must measure the same plan shape the query runs).
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
+  /** Per-(doc, term) counts — the shared first pass of every lexical
+    * operator here; compute once and thread through when several
+    * consumers share a corpus (see [[hybridRrf]]).
+    */
+  def termFreq(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[tfidfTopTerms]] from a precomputed tf frame; `nDocs` stays a
+    * separate 1-row frame because it counts ALL docs, including
+    * token-less ones tf can't see.
+    */
+  def tfidfTopTermsFromTf(
+      tf: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
@@ -301,6 +311,10 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
   }
+
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame =
+    tfidfTopTermsFromTf(termFreq(docs),
+      docs.agg(count(lit(1)).as("n_docs")), k)
 
   val qTfidfTopTerms: Q = (s, d) =>
     tfidfTopTerms(documents(s, d), 3).orderBy("doc_id", "rnk")
@@ -404,11 +418,11 @@ object TextAnalysis {
     * [[graft.operators.Dedup]] shingle-index one (2⁻⁶⁴ collisions,
     * 8-byte keys).
     */
-  def tfidfVectors(docs: DataFrame, k: Int)
+  def tfidfVectorsFromTf(tf: DataFrame, nDocs: DataFrame, k: Int)
       : org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Double], Double)] = {
-    val spark = docs.sparkSession
+    val spark = tf.sparkSession
     import spark.implicits._
-    tfidfTopTerms(docs, k).select("doc_id", "term", "score")
+    tfidfTopTermsFromTf(tf, nDocs, k).select("doc_id", "term", "score")
       .withColumn("tkey", xxhash64(col("term")))
       .groupBy("doc_id")
       .agg(
@@ -421,6 +435,11 @@ object TextAnalysis {
         col("nrm"))
       .as[(Long, Array[Long], Array[Double], Double)]
   }
+
+  def tfidfVectors(docs: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Double], Double)] =
+    tfidfVectorsFromTf(termFreq(docs),
+      docs.agg(count(lit(1)).as("n_docs")), k)
 
   /** Merge-join dot of two sorted-fingerprint sparse vectors →
     * (dot, shared-term count). O(k) integer compares, allocation-free.
@@ -548,16 +567,26 @@ object TextAnalysis {
   // skip), so short result lists agree too.
   // ---------------------------------------------------------------------
   def tfidfRetrieval(
-      docs: DataFrame, queryPred: Column, k: Int, topN: Int): DataFrame = {
-    val spark = docs.sparkSession
+      docs: DataFrame, queryPred: Column, k: Int, topN: Int): DataFrame =
+    tfidfRetrievalFromVecs(tfidfVectors(docs, k),
+      docs.filter(queryPred).select("doc_id"), topN)
+
+  /** The retrieval kernel given prebuilt vectors — split out so
+    * [[hybridRrf]] can feed vectors derived from a SHARED tf pass.
+    */
+  def tfidfRetrievalFromVecs(
+      rawVecs: org.apache.spark.sql.Dataset[
+        (Long, Array[Long], Array[Double], Double)],
+      queryIds: DataFrame, topN: Int): DataFrame = {
+    val spark = rawVecs.sparkSession
     import spark.implicits._
     // one corpus pass feeds both the broadcast query side and the
     // streamed corpus side (same persist-collect-release pattern as
     // qDedupWinnow: without it the tokenize→tf→df→top-k subtree runs
     // twice)
-    val vecs = tfidfVectors(docs, k).persist()
+    val vecs = rawVecs.persist()
     val qside = vecs.toDF("doc_id", "keys", "ws", "nrm")
-      .join(broadcast(docs.filter(queryPred).select("doc_id")), "doc_id")
+      .join(broadcast(queryIds), "doc_id")
       .as[(Long, Array[Long], Array[Double], Double)]
       .collect()
     val bc = spark.sparkContext.broadcast(qside)
@@ -632,13 +661,18 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   def bm25Retrieval(
       docs: DataFrame, queryPred: Column, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RetrievalFromTf(termFreq(docs),
+      docs.filter(queryPred).select("doc_id"), topN, k1, b)
+
+  /** BM25 retrieval from a precomputed tf frame — split out so
+    * [[hybridRrf]] shares one tokenize pass across both rankers.
+    */
+  def bm25RetrievalFromTf(
+      tf: DataFrame, queryIds: DataFrame, topN: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    val tf = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -661,7 +695,7 @@ object TextAnalysis {
       .as[(Long, Array[Long], Array[Double])]
       .persist()
     val qside = vecs.toDF("doc_id", "keys", "ws")
-      .join(broadcast(docs.filter(queryPred).select("doc_id")), "doc_id")
+      .join(broadcast(queryIds), "doc_id")
       .as[(Long, Array[Long], Array[Double])].collect()
       .map { case (id, ks, _) => (id, ks) }
     val bc = spark.sparkContext.broadcast(qside)
@@ -791,13 +825,33 @@ object TextAnalysis {
   /** Hybrid lexical retrieval: tf-idf cosine and BM25 top-10 lists for
     * the same query set, fused to a top-5 by RRF.
     */
-  val qRrfFusion: Q = (s, d) => {
-    val docs = documents(s, d)
-    val pred = col("doc_id") % 25 === 0
-    rrfFusion(Seq(
-      tfidfRetrieval(docs, pred, 10, 10),
-      bm25Retrieval(docs, pred, 10)), 5)
+  /** Hybrid retrieval with a SHARED tokenize pass: both rankers derive
+    * from one persisted tf frame, then fuse by RRF. On the fixture the
+    * saving is small (tokenize+tf is ~0.6 s of a ~4.8 s query — the
+    * rankers' vector builds and kernels dominate), but the shape is
+    * the right one at 100 TB, where the corpus-sized tokenize pass IS
+    * the dominant cost and paying it once instead of once per ranker
+    * is the difference that matters.
+    */
+  def hybridRrf(
+      docs: DataFrame, queryPred: Column, kVec: Int, kList: Int,
+      topN: Int): DataFrame = {
+    val tf = termFreq(docs).persist()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val queryIds = docs.filter(queryPred).select("doc_id")
+    // both ranker helpers materialize eagerly (persist-collect-release
+    // + localCheckpoint), so the fused output is safe to consume after
+    // tf unpersists
+    val lexical = tfidfRetrievalFromVecs(
+      tfidfVectorsFromTf(tf, nDocs, kVec), queryIds, kList)
+    val bm25 = bm25RetrievalFromTf(tf, queryIds, kList, 1.2, 0.75)
+    val out = rrfFusion(Seq(lexical, bm25), topN).localCheckpoint(true)
+    tf.unpersist()
+    out
   }
+
+  val qRrfFusion: Q = (s, d) =>
+    hybridRrf(documents(s, d), col("doc_id") % 25 === 0, 10, 10, 5)
 
   val qRrfFusionSql: String =
     """WITH toks AS (
