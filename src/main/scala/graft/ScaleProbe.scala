@@ -238,6 +238,32 @@ object ScaleProbe {
       Dedup.crossJaccardMatches(
         Dedup.shingleIndex(idxBatch, 3).localCheckpoint(true),
         Dedup.shingleIndex(docs, 3), 0.5).count())
+    // BM25 serving split: the corpus-sized tokenize+weigh lives in
+    // build; a query batch served from the saved postings must cost
+    // like the batch, not like the corpus
+    t("bm25 index: build 50k docs (tokenize+weigh+save)") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+      spark.sql("DROP TABLE IF EXISTS probe_bm25")
+      spark.sql("DROP TABLE IF EXISTS probe_bm25_df")
+      spark.sql("DROP TABLE IF EXISTS probe_bm25_stats")
+      graft.plans.Bm25IndexStore.build(
+        docs, "probe_bm25", s"$wh/bm25", buckets = 32)
+      spark.table("probe_bm25").count()
+    }
+    // NOTE the regime boundary this row exposes: on this CLOSED-vocab
+    // replica corpus every query shares terms with ~every doc, so the
+    // postings join emits Σ_term(queries×docs) ≈ 570M rows — the same
+    // structural blowup the cosine inverted-index hit. Posting-list
+    // search is the right shape for Heaps-law vocabularies (selective
+    // terms ⇒ short lists); for dense-overlap corpora the broadcast
+    // kernel (bm25Retrieval) is the documented path, exactly as with
+    // tfidfCosinePairsBroadcast. Production engines cut this further
+    // with impact-ordered postings + WAND upper-bound skipping — the
+    // documented next knob, not built.
+    t("bm25 index: search 500 queries vs saved 50k (closed-vocab " +
+      "worst case — see comment)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25",
+        docs.filter(col("doc_id") % 100 === 0), 5).count())
     // hot-shingle skew: one gram planted in HALF of the natural 5k docs
     // (df 2,500 — 5x over the 500 cap, yet its ~6M join rows ≈ 150 MB
     // sit UNDER AQE's 256 MB skewedPartitionThreshold, so AQE will NOT
