@@ -146,9 +146,18 @@ object Bench {
       elidedClause + "}"
     val minsJson = mins.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // tie the artifact to the code revision that produced it (file copy
+    // only — stdout has a byte budget); absent git → field omitted
+    val commitClause = (try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{7,40}")) Some(out)
+      else None
+    } catch { case _: Throwable => None })
+      .map(h => s""""commit":"$h",""").getOrElse("")
     val fileJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$commitClause""" +
         s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
         s""""cold":$colds,"queries":$qs,"mins":$minsJson,"sf":"$sfDir"}"""
     println(json)
