@@ -422,6 +422,57 @@ object Reshape {
       |ORDER BY p.purchase_id, c.click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Multi-touch attribution — the credit-splitting layer over the
+  // attribution pair join: every qualifying click shares a purchase's
+  // value equally (linear attribution, the auditable baseline marketing
+  // stacks reconcile against). Same scale shape as the pair join it
+  // builds on (the purchase-keyed windows add one exchange over
+  // PAIR-sized data, not event-sized); credit = value / n_touches is a
+  // double ÷ long — bit-identical in both engines — rounded at 4dp,
+  // and touch positions tie-break on click_id so ordering is
+  // engine-exact.
+  // ---------------------------------------------------------------------
+  val qAttributionMultitouch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val pairs = graft.streaming.EventStreams.clickAttribution(
+      clicks = ev.filter(col("event_type") === "click"),
+      purchases = ev.filter(col("event_type") === "purchase"))
+    val perP = Window.partitionBy("purchase_id")
+    val order = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ts"), col("click_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(perP))
+      .withColumn("touch_pos", row_number().over(order).cast("int"))
+      .withColumn("credit", round(col("value") / col("n_touches"), 4))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("touch_pos"), col("n_touches"), col("credit"))
+      .orderBy("purchase_id", "touch_pos")
+  }
+
+  val qAttributionMultitouchSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |             "value"
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts,
+      |         p."value"
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT purchase_id, click_id, user_id,
+      |  CAST(row_number() OVER (PARTITION BY purchase_id
+      |    ORDER BY click_ts, click_id) AS INT) AS touch_pos,
+      |  count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+      |  round("value" / count(*) OVER (PARTITION BY purchase_id), 4)
+      |    AS credit
+      |FROM pairs
+      |ORDER BY purchase_id, touch_pos""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Funnel analysis (sequential pattern over event streams): users who
   // viewed, then clicked within 24h of their FIRST view, then purchased
   // within 24h of that first qualifying click. Expressed as a chain of
@@ -1063,6 +1114,7 @@ object Reshape {
     "q_event_sliding" -> qEventSliding,
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_click_attribution" -> qClickAttribution,
+    "q_attribution_multitouch" -> qAttributionMultitouch,
     "q_event_funnel" -> qEventFunnel,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -1088,6 +1140,7 @@ object Reshape {
     "q_event_sliding" -> qEventSlidingSql,
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_click_attribution" -> qClickAttributionSql,
+    "q_attribution_multitouch" -> qAttributionMultitouchSql,
     "q_event_funnel" -> qEventFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

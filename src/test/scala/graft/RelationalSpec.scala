@@ -390,6 +390,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(rep("row_count_min_1000") === ((6L, 0)))
   }
 
+  test("multi-touch attribution conserves each purchase's value") {
+    val out = Reshape.qAttributionMultitouch(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per purchase: touch positions dense 1..n, n_touches consistent,
+    // credits sum back to the (rounded) purchase value within the
+    // per-touch rounding budget (n × 0.5 × 1e-4)
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getAs[Long]("purchase_id")).foreach { case (pid, rs) =>
+      val n = rs.head.getAs[Long]("n_touches")
+      assert(rs.length.toLong === n)
+      assert(rs.map(_.getAs[Int]("touch_pos")).sorted.toSeq ===
+        (1 to rs.length))
+      val creditSum = rs.map(_.getAs[Double]("credit")).sum
+      assert(math.abs(creditSum - purchases(pid)) <= n * 5e-5 + 1e-9,
+        s"purchase $pid: credits $creditSum vs value ${purchases(pid)}")
+    }
+    out.unpersist()
+  }
+
   test("rollup CDC over the version history: boundary week changed, " +
     "later weeks added, nothing removed, counts consistent") {
     val out = Reshape.qRollupCdc(spark, dir).collect()
