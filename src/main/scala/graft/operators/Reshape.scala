@@ -473,6 +473,58 @@ object Reshape {
       |ORDER BY purchase_id, touch_pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Time-decay attribution — the recency-weighted sibling of the linear
+  // split: a click's share halves for every full 10 minutes between it
+  // and the purchase (k = Δ div 10min ∈ 0..6 inside the 1h window), so
+  // w = 2⁻ᵏ. Weights are EXACT DYADIC rationals built by integer shift
+  // (never pow(), whose last-ulp rounding is libm-specific), their
+  // window sums are exact in binary, and credit = value·w/Σw is one
+  // deterministic double op per row — the whole credit column is
+  // bit-identical across engines before the 4dp display rounding.
+  // Same pair-sized scale shape as the linear form.
+  // ---------------------------------------------------------------------
+  val qAttributionTimedecay: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val pairs = graft.streaming.EventStreams.clickAttribution(
+      clicks = ev.filter(col("event_type") === "click"),
+      purchases = ev.filter(col("event_type") === "purchase"))
+    val perP = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("k", expr(
+        "(unix_millis(purchase_ts) - unix_millis(click_ts)) div 600000")
+        .cast("int"))
+      .withColumn("w", expr("1.0 / cast(shiftleft(1, k) as double)"))
+      .withColumn("credit",
+        round(col("value") * col("w") / sum("w").over(perP), 4))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("k").as("decay_steps"), col("credit"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val qAttributionTimedecaySql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |             "value"
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id,
+      |    CAST((epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts)) // 600000
+      |      AS INT) AS k,
+      |    p."value"
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR),
+      |w AS (SELECT *, 1.0 / CAST(1 << k AS DOUBLE) AS wt FROM pairs)
+      |SELECT purchase_id, click_id, user_id, k AS decay_steps,
+      |  round("value" * wt /
+      |    sum(wt) OVER (PARTITION BY purchase_id), 4) AS credit
+      |FROM w
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Funnel analysis (sequential pattern over event streams): users who
   // viewed, then clicked within 24h of their FIRST view, then purchased
   // within 24h of that first qualifying click. Expressed as a chain of
@@ -1115,6 +1167,7 @@ object Reshape {
     "q_range_join_clicks" -> qRangeJoinClicks,
     "q_click_attribution" -> qClickAttribution,
     "q_attribution_multitouch" -> qAttributionMultitouch,
+    "q_attribution_timedecay" -> qAttributionTimedecay,
     "q_event_funnel" -> qEventFunnel,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -1141,6 +1194,7 @@ object Reshape {
     "q_range_join_clicks" -> qRangeJoinClicksSql,
     "q_click_attribution" -> qClickAttributionSql,
     "q_attribution_multitouch" -> qAttributionMultitouchSql,
+    "q_attribution_timedecay" -> qAttributionTimedecaySql,
     "q_event_funnel" -> qEventFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -413,6 +413,30 @@ class RelationalSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("time-decay attribution: recency wins, value conserved") {
+    val out = Reshape.qAttributionTimedecay(spark, dir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getAs[Long]("purchase_id")).foreach { case (pid, rs) =>
+      // fewer decay steps (more recent click) never earns less credit
+      val byStep = rs.sortBy(_.getAs[Int]("decay_steps"))
+      byStep.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("credit") >= b.getAs[Double]("credit"))
+        case _ => ()
+      }
+      val creditSum = rs.map(_.getAs[Double]("credit")).sum
+      assert(math.abs(creditSum - purchases(pid)) <=
+        rs.length * 5e-5 + 1e-9,
+        s"purchase $pid: credits $creditSum vs value ${purchases(pid)}")
+    }
+    out.unpersist()
+  }
+
   test("rollup CDC over the version history: boundary week changed, " +
     "later weeks added, nothing removed, counts consistent") {
     val out = Reshape.qRollupCdc(spark, dir).collect()
