@@ -525,6 +525,62 @@ object Reshape {
       |ORDER BY purchase_id, click_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Conversion-lag distribution — "how long before a purchase was the
+  // last touch?", the latency histogram every attribution dashboard
+  // leads with. Last-touch lag per purchase (max preceding click inside
+  // the window — one pair-sized max aggregate over the same join the
+  // credit queries share), bucketed by purchase hour-of-day, summarized
+  // as exact quantiles over INTEGER minutes (integer inputs make the
+  // percentile interpolation arithmetic engine-exact — the q_quantiles
+  // parity argument).
+  // ---------------------------------------------------------------------
+  val qConversionLag: Q = (s, d) => {
+    val ev = events(s, d)
+    val pairs = graft.streaming.EventStreams.clickAttribution(
+      clicks = ev.filter(col("event_type") === "click"),
+      purchases = ev.filter(col("event_type") === "purchase"))
+    pairs
+      .groupBy("purchase_id")
+      .agg(max("click_ts").as("last_click"),
+        first("purchase_ts").as("purchase_ts"))
+      .withColumn("lag_min", expr(
+        "(unix_millis(purchase_ts) - unix_millis(last_click)) div 60000"))
+      .groupBy(hour(col("purchase_ts")).as("purchase_hour"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        expr("percentile(lag_min, array(0.50, 0.90))").as("ps"))
+      .select(col("purchase_hour"), col("n_purchases"),
+        col("ps")(0).as("p50_lag_min"), col("ps")(1).as("p90_lag_min"))
+      .orderBy("purchase_hour")
+  }
+
+  val qConversionLagSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |last_touch AS (
+      |  SELECT p.purchase_id, max(c.click_ts) AS last_click,
+      |         any_value(p.purchase_ts) AS purchase_ts
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.purchase_ts >= c.click_ts
+      |   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      |  GROUP BY p.purchase_id),
+      |lags AS (
+      |  SELECT purchase_id,
+      |    (epoch_ms(purchase_ts) - epoch_ms(last_click)) // 60000
+      |      AS lag_min,
+      |    CAST(hour(purchase_ts) AS INT) AS purchase_hour
+      |  FROM last_touch)
+      |SELECT purchase_hour, count(*) AS n_purchases,
+      |  quantile_cont(lag_min, 0.50) AS p50_lag_min,
+      |  quantile_cont(lag_min, 0.90) AS p90_lag_min
+      |FROM lags
+      |GROUP BY purchase_hour
+      |ORDER BY purchase_hour""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Funnel analysis (sequential pattern over event streams): users who
   // viewed, then clicked within 24h of their FIRST view, then purchased
   // within 24h of that first qualifying click. Expressed as a chain of
@@ -1168,6 +1224,7 @@ object Reshape {
     "q_click_attribution" -> qClickAttribution,
     "q_attribution_multitouch" -> qAttributionMultitouch,
     "q_attribution_timedecay" -> qAttributionTimedecay,
+    "q_conversion_lag" -> qConversionLag,
     "q_event_funnel" -> qEventFunnel,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -1195,6 +1252,7 @@ object Reshape {
     "q_click_attribution" -> qClickAttributionSql,
     "q_attribution_multitouch" -> qAttributionMultitouchSql,
     "q_attribution_timedecay" -> qAttributionTimedecaySql,
+    "q_conversion_lag" -> qConversionLagSql,
     "q_event_funnel" -> qEventFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
