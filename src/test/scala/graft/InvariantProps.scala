@@ -447,4 +447,65 @@ object InvariantProps extends Properties("graft.invariants") {
       shared == hits.size && math.abs(s0 - hits.map(_._2).sum) < 1e-9
     }
 
+
+  // --- snapshotDiff partition law: keys classify into exactly
+  // added/removed/changed; unchanged keys never surface; the CDC output
+  // over random old/new snapshots equals naive map arithmetic ---
+  private val genSnap: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 25L), Gen.choose(0L, 3L)))
+      .map(_.distinctBy(_._1))
+
+  property("snapshotDiff == naive map diff; unchanged keys absent") =
+    Prop.forAll(genSnap, genSnap) { (oldS, newS) =>
+      val o = oldS.toDF("k", "v")
+      val n = newS.toDF("k", "v")
+      val got = operators.Reshape.snapshotDiff(o, n, "k", Seq("v"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+      val om = oldS.toMap
+      val nm = newS.toMap
+      val expect = (om.keySet ++ nm.keySet).flatMap { k =>
+        (om.get(k), nm.get(k)) match {
+          case (None, Some(nv)) => Some(k -> ("added", None, Some(nv)))
+          case (Some(ov), None) => Some(k -> ("removed", Some(ov), None))
+          case (Some(ov), Some(nv)) if ov != nv =>
+            Some(k -> ("changed", Some(ov), Some(nv)))
+          case _ => None
+        }
+      }.toMap
+      got == expect
+    }
+
+  // --- RRF fusion law: fused ranking over arbitrary rank lists equals
+  // the naive vote-sum reference, including rank-position tie-breaks ---
+  private val genRanking: Gen[List[(Long, List[Long])]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 5L),
+      Gen.nonEmptyListOf(Gen.choose(1L, 20L)).map(_.distinct)))
+      .map(_.distinctBy(_._1))
+
+  property("rrfFusion == naive vote-sum reference") =
+    Prop.forAll(genRanking, genRanking) { (ra, rb) =>
+      def toDf(r: List[(Long, List[Long])]) = r.flatMap { case (q, ns) =>
+        ns.zipWithIndex.map { case (nid, i) => (q, i + 1, nid) }
+      }.toDF("query_id", "rnk", "neighbor_id")
+      val got = operators.TextAnalysis
+        .rrfFusion(Seq(toDf(ra), toDf(rb)), 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      def votes(r: List[(Long, List[Long])]) = r.flatMap { case (q, ns) =>
+        ns.zipWithIndex.map { case (nid, i) => ((q, nid), 1.0 / (61 + i)) }
+      }
+      val fused = (votes(ra) ++ votes(rb))
+        .groupBy(_._1).map { case ((q, nid), vs) =>
+          (q, nid, BigDecimal(vs.map(_._2).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      val expect = fused.groupBy(_._1).toList.flatMap { case (q, rows) =>
+        rows.toList.sortBy(t => (-t._3, t._2)).take(4).zipWithIndex
+          .map { case ((_, nid, s), i) => (q, i + 1, nid, s) }
+      }.sortBy(t => (t._1, t._2))
+      got == expect
+    }
+
 }
