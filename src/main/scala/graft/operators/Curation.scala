@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -294,13 +295,92 @@ object Curation {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Per-source data card — the corpus-documentation composite (Datasheets
+  // for Datasets, Gebru et al. CACM'21; every release ships one): for
+  // each source, volume (docs, tokens), length distribution (mean +
+  // exact interpolated median chars), language spread (distinct langs +
+  // majority lang with deterministic tie-break), and the corpus-wide
+  // exact-duplicate exposure (fraction of the source's docs whose full
+  // text appears ≥2× ANYWHERE in the corpus — cross-source, so a source
+  // that plagiarizes another is charged for it).
+  //
+  // Scale shape: one groupBy(source) carries every per-source stat
+  // (partial aggregation map-side; state is O(sources)); the dup-rate
+  // needs one extra hash aggregation on the text key joined back to the
+  // (doc, source) pairs — the q_dedup_exact exchange family, 64-bit
+  // fingerprintable at 100 TB; the majority lang is a (source, lang)
+  // aggregate (≤ sources × langs rows) windowed per source. Nothing is
+  // corpus-quadratic; every stage's state is dimension-bounded.
+  // ---------------------------------------------------------------------
+  def corpusDataCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val dupTexts = base.groupBy("text")
+      .agg(count(lit(1)).as("copies"))
+      .filter(col("copies") >= 2)
+      .select("text")
+    val withDup = base.join(dupTexts.withColumn("is_dup", lit(1L)),
+      Seq("text"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+    val perSource = withDup.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      round(avg("n_chars"), 2).as("avg_chars"),
+      round(percentile(col("n_chars"), lit(0.5)), 2).as("p50_chars"),
+      countDistinct("lang").as("n_langs"),
+      round(sum("is_dup").cast("double") / count(lit(1)), 4)
+        .as("dup_rate"))
+    val wl = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val topLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(wl))
+      .filter(col("rnk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    perSource.join(topLang, Seq("source")).orderBy("source")
+  }
+
+  val qCorpusDataCard: Q = (s, d) => corpusDataCard(documents(s, d))
+
+  val qCorpusDataCardSql: String =
+    """WITH base AS (SELECT doc_id, text, lang, source, n_chars,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                         x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |dup AS (SELECT text FROM base GROUP BY 1 HAVING count(*) >= 2),
+      |wd AS (SELECT b.*,
+      |    CASE WHEN d.text IS NULL THEN 0 ELSE 1 END AS is_dup
+      |  FROM base b LEFT JOIN dup d USING (text)),
+      |per AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    round(avg(n_chars), 2) AS avg_chars,
+      |    round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_rate
+      |  FROM wd GROUP BY 1),
+      |tl AS (SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY count(*) DESC, lang ASC) AS rnk
+      |    FROM base GROUP BY source, lang)
+      |  WHERE rnk = 1)
+      |SELECT p.source, n_docs, n_tokens, avg_chars, p50_chars,
+      |  n_langs, dup_rate, top_lang
+      |FROM per p JOIN tl USING (source)
+      |ORDER BY p.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_corpus_datacard" -> qCorpusDataCard,
     "q_corpus_curation" -> qCorpusCuration,
     "q_corpus_curation_clusters" -> qCorpusCurationClusters,
     "q_corpus_curation_minhash" -> qCorpusCurationMinhash,
     "q_curation_dsir" -> qCurationDsir)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_datacard" -> qCorpusDataCardSql,
     "q_corpus_curation" -> qCorpusCurationSql,
     "q_corpus_curation_clusters" -> qCorpusCurationClustersSql,
     // banding recall ≈ 1 − 2e-11 at j ≥ 0.8 ⇒ identical output (see

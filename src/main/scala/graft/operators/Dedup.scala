@@ -1042,7 +1042,115 @@ object Dedup {
       |WHERE is_new = 1 AND doc_id NOT IN (SELECT id_new FROM matched)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Line-level dedup (CCNet)
+  // ---------------------------------------------------------------------
+
+  /** Segment width for [[lineDedup]]; shared with the oracle. The fixture
+    * text carries no newlines, so "lines" are fixed 8-token windows — on a
+    * real web corpus the chunker is `split(text, "\n")` and everything
+    * downstream is unchanged (the keep-first machinery never looks inside
+    * the segment string).
+    */
+  val LineSegTokens = 8
+
+  /** CCNet-style line-level dedup (Wenzek et al., LREC'20 §4.1): hash
+    * every line of every document, drop all but the corpus-wide FIRST
+    * occurrence of each distinct line, rebuild documents from the
+    * surviving lines. Distinct from [[duplicatedSpanScrub]] on two axes:
+    * segments are non-overlapping (no coverage union), and the semantics
+    * are keep-first rather than remove-everywhere — the first document to
+    * use a boilerplate line keeps it.
+    *
+    * Scale shape: one hash aggregation on the segment key (min-struct
+    * keeps the (doc_id, seg_idx)-lexicographic first occurrence with
+    * map-side partial aggregation — order-insensitive, so no sort and no
+    * single-task window) plus one join back on the same key; the rebuild
+    * is a per-doc sorted collect over that doc's own segments. The same
+    * gram-key exchange family as boilerplate/spans: skew on a viral line
+    * is bounded because the aggregation side collapses each distinct line
+    * to ONE row before the join, and AQE splits the probe side.
+    */
+  def lineDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nSegs = ceil(size(col("toks")) / lit(segTokens.toDouble)).cast("int")
+    // guard the empty doc: sequence(0, -1) steps DOWNWARD in Spark
+    // (yielding [0, -1], i.e. two phantom empty segments), it is not an
+    // empty range
+    val segs = toks.select(col("doc_id"),
+      posexplode(when(nSegs === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(
+            slice(col("toks"), i * segTokens + 1, lit(segTokens)), " "))))
+        .as(Seq("seg_idx", "seg")))
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keeper"))
+    val kept = segs.join(first, Seq("seg"))
+      .withColumn("keep",
+        col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.seg_idx") === col("seg_idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("clean_text"))
+    // docs whose token list is empty produce zero segment rows — recover
+    // them with an outer join so the output covers every input document
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Driver row: line dedup over the corpus-with-verbatim-copies fixture
+    * (the random-vocabulary fixture has no naturally repeated 8-token
+    * windows, so the injected copies supply the duplicate lines; every
+    * copy's segments lose keep-first to its original).
+    */
+  val qLineDedup: Q = (s, d) =>
+    lineDedup(corpusExact(s, d), LineSegTokens).orderBy("doc_id")
+
+  val qLineDedupSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM base),
+      |mx AS (SELECT CAST(ceil(max(len(l)) / $LineSegTokens.0) AS INT) AS m
+      |       FROM toks),
+      |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(
+      |      l[(CAST(i AS INT) * $LineSegTokens + 1):
+      |        (CAST(i AS INT) * $LineSegTokens + $LineSegTokens)],
+      |      ' ') AS seg
+      |  FROM toks CROSS JOIN
+      |    (SELECT unnest(range(0, (SELECT m FROM mx))) AS i) r
+      |  WHERE CAST(i AS INT) * $LineSegTokens < len(l)),
+      |first AS (SELECT seg, min(doc_id * 100000 + seg_idx) AS fk
+      |          FROM segs GROUP BY 1),
+      |kept AS (SELECT s.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_segs,
+      |    CAST(sum(CASE WHEN s.doc_id * 100000 + s.seg_idx = f.fk
+      |             THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |    COALESCE(string_agg(
+      |      CASE WHEN s.doc_id * 100000 + s.seg_idx = f.fk THEN s.seg END,
+      |      ' ' ORDER BY s.seg_idx), '') AS clean_text
+      |  FROM segs s JOIN first f USING (seg)
+      |  GROUP BY 1)
+      |SELECT b.doc_id,
+      |  COALESCE(n_segs, 0) AS n_segs,
+      |  COALESCE(n_dropped, 0) AS n_dropped,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM base b LEFT JOIN kept USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_line_dedup" -> qLineDedup,
     "q_dedup_editdist" -> qDedupEditDistance,
     "q_dedup_incremental" -> qIncrementalDedup,
     "q_dedup_incremental_minhash" -> qIncrementalDedupMinhash,
@@ -1057,6 +1165,7 @@ object Dedup {
     "q_dedup_simhash_md5" -> qDedupSimhashMd5)
 
   val oracles: Map[String, String] = Map(
+    "q_line_dedup" -> qLineDedupSql,
     "q_dedup_editdist" -> qDedupEditDistanceSql,
     "q_dedup_incremental" -> qIncrementalDedupSql,
     // recall-1 banding + exact verify ⇒ identical admission to the

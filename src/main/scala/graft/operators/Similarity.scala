@@ -566,7 +566,93 @@ object Similarity {
       |  CAST(rnk <= $ClusterSampleK AS INT) AS kept
       |FROM r ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Margin-based bitext mining (Artetxe & Schwenk, ACL'19): align two
+  // embedding collections by MUTUAL nearest neighbor, scored by the
+  // ratio margin cos(x,y) / mean(top-k neighborhood sims of both ends) —
+  // the score that separates true translations from hubs (vectors close
+  // to everything score margin ≈ 1 and are rejected). The two "language
+  // sides" here are the even/odd vec_id halves of the fixture.
+  //
+  // Scale shape: the pair stage is broadcast(one side) × scan(other) at
+  // fixture scale; at 100 TB the candidate pairs come from the existing
+  // ANN path (annKnn / IVF probes) and everything downstream — two
+  // per-side window ranks, two k-row means, the margin join — is
+  // unchanged and bounded by candidates, not |X|×|Y|. Parity regime:
+  // sims round to 6 dp BEFORE ranking/means (adjacent gaps ~1e-5, four
+  // orders above double jitter), margins to 4 dp, ranks tie-break on id.
+  // ---------------------------------------------------------------------
+  def bitextMarginMine(
+      emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cos = cosineCol(emb.sparkSession)
+    val x = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = broadcast(x).join(y)
+      .select(col("x_id"), col("y_id"),
+        round(cos(col("xv"), col("yv")), 6).as("sim"))
+    val wx = Window.partitionBy("x_id")
+      .orderBy(col("sim").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id")
+      .orderBy(col("sim").desc, col("x_id"))
+    val ranked = pairs
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .persist()
+    val meanX = ranked.filter(col("rx") <= k)
+      .groupBy("x_id").agg(avg("sim").as("mx"))
+    val meanY = ranked.filter(col("ry") <= k)
+      .groupBy("y_id").agg(avg("sim").as("my"))
+    val out = ranked.filter(col("rx") === 1 && col("ry") === 1)
+      .join(meanX, Seq("x_id"))
+      .join(meanY, Seq("y_id"))
+      .withColumn("margin",
+        round(col("sim") / ((col("mx") + col("my")) / 2.0), 4))
+      .select(col("x_id"), col("y_id"), col("margin"),
+        (col("margin") >= threshold).cast("int").as("mined"))
+      .orderBy("x_id")
+      .localCheckpoint(true)
+    ranked.unpersist()
+    out
+  }
+
+  /** Neighborhood size / acceptance margin; shared with the oracle. */
+  val BitextK = 4
+  val BitextMargin = 1.05
+
+  val qBitextMargin: Q = (s, d) =>
+    bitextMarginMine(embeddings(s, d), BitextK, BitextMargin)
+
+  val qBitextMarginSql: String =
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv
+      |      FROM embeddings WHERE vec_id % 2 = 1),
+      |pairs AS (SELECT x_id, y_id,
+      |    round(list_cosine_similarity(xv, yv), 6) AS sim
+      |  FROM x CROSS JOIN y),
+      |ranked AS (SELECT x_id, y_id, sim,
+      |    row_number() OVER (PARTITION BY x_id
+      |      ORDER BY sim DESC, y_id) AS rx,
+      |    row_number() OVER (PARTITION BY y_id
+      |      ORDER BY sim DESC, x_id) AS ry
+      |  FROM pairs),
+      |mx AS (SELECT x_id, avg(sim) AS m FROM ranked
+      |       WHERE rx <= $BitextK GROUP BY 1),
+      |my AS (SELECT y_id, avg(sim) AS m FROM ranked
+      |       WHERE ry <= $BitextK GROUP BY 1)
+      |SELECT r.x_id, r.y_id,
+      |  round(r.sim / ((mx.m + my.m) / 2), 4) AS margin,
+      |  CAST(round(r.sim / ((mx.m + my.m) / 2), 4) >= $BitextMargin
+      |       AS INT) AS mined
+      |FROM ranked r
+      |JOIN mx USING (x_id) JOIN my USING (y_id)
+      |WHERE rx = 1 AND ry = 1
+      |ORDER BY x_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_bitext_margin" -> qBitextMargin,
     "q_cluster_sample" -> qClusterSample,
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
@@ -577,6 +663,7 @@ object Similarity {
     "q_embedding_outliers" -> qEmbeddingOutliers)
 
   val oracles: Map[String, String] = Map(
+    "q_bitext_margin" -> qBitextMarginSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_knn_recall" -> qKnnRecallSql,

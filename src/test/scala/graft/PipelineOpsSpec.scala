@@ -756,4 +756,109 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(("x", "y"))._2 > got(("x", "z"))._2,
       "correlated pair must outrank the incidental one")
   }
+
+  test("line dedup: keep-first across docs, within docs, ragged tails") {
+    import spark.implicits._
+    def seg(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val a = seg("a"); val b = seg("b"); val c = seg("c")
+    val docs = Seq(
+      (1L, s"$a $b"),            // first user of a and b: keeps both
+      (2L, s"$a $c"),            // a drops (doc 1 owns it), c survives
+      (3L, s"$b $b"),            // cross-doc dup AND within-doc repeat
+      (4L, "t1 t2 t3"),          // ragged 3-token tail segment
+      (5L, "")                   // empty doc must still appear
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 0L, s"$a $b")))
+    assert(got(2L) === ((2L, 1L, c)))
+    assert(got(3L) === ((2L, 2L, "")), "both b copies lose to doc 1's")
+    assert(got(4L) === ((1L, 0L, "t1 t2 t3")))
+    assert(got(5L) === ((0L, 0L, "")))
+  }
+
+  test("line dedup on the copy corpus: copies lose everything to originals") {
+    val got = Dedup.qLineDedup(spark, dir).cache()
+    assert(got.count() === 600)
+    // every injected copy shares every segment with its (smaller-id)
+    // original, so keep-first scrubs it whole
+    val copies = got.filter(col("doc_id") >= 1000000)
+    assert(copies.count() === 100)
+    assert(copies.filter(col("clean_text") =!= "" ||
+      col("n_dropped") =!= col("n_segs")).count() === 0)
+    // conservation: exactly one survivor per distinct segment string
+    val kept = got.agg(sum(col("n_segs") - col("n_dropped")))
+      .head.getLong(0)
+    import spark.implicits._
+    val distinctSegs = Dedup.corpusExact(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].flatMap { case (_, t) =>
+        t.split("\\s+").filter(_.nonEmpty).grouped(8).map(_.mkString(" "))
+      }.distinct().count()
+    assert(kept === distinctSegs)
+    got.unpersist()
+  }
+
+  test("bitext margin mining matches a naive driver-side computation") {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(u: Array[Float], v: Array[Float]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) {
+        d += u(i).toDouble * v(i); nu += u(i).toDouble * u(i)
+        nv += v(i).toDouble * v(i); i += 1
+      }
+      d / (math.sqrt(nu) * math.sqrt(nv))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val ys = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val sim = (for (x <- xs; y <- ys)
+      yield (x, y) -> r6(cos(emb(x), emb(y)))).toMap
+    def topk(sims: Seq[(Long, Double)], k: Int): Seq[Double] =
+      sims.sortBy { case (id, s) => (-s, id) }.take(k).map(_._2)
+    val mx = xs.map(x =>
+      x -> topk(ys.map(y => y -> sim((x, y))), Similarity.BitextK)).toMap
+    val my = ys.map(y =>
+      y -> topk(xs.map(x => x -> sim((x, y))), Similarity.BitextK)).toMap
+    val want = (for {
+      x <- xs
+      bestY = ys.minBy(y => (-sim((x, y)), y))
+      bestX = xs.minBy(x2 => (-sim((x2, bestY)), x2)) if bestX == x
+      margin = r4(sim((x, bestY)) /
+        ((mx(x).sum / mx(x).size + my(bestY).sum / my(bestY).size) / 2))
+    } yield (x, bestY, margin,
+      if (margin >= Similarity.BitextMargin) 1 else 0)).toSet
+    val got = Similarity.qBitextMargin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.map(_._1).size === got.size, "each x mined at most once")
+  }
+
+  test("data card totals reconcile with direct corpus aggregates") {
+    val docs = graft.Tables.documents(spark, dir).cache()
+    val card = graft.operators.Curation.corpusDataCard(docs).cache()
+    assert(card.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    assert(card.filter(col("dup_rate") < 0 || col("dup_rate") > 1)
+      .count() === 0)
+    // top_lang must be a lang the source actually uses
+    val pairs = docs.select("source", "lang").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(card.select("source", "top_lang").collect()
+      .forall(r => pairs((r.getString(0), r.getString(1)))))
+    // one source recomputed end to end
+    val src = card.orderBy("source").head
+    val s0 = src.getString(src.fieldIndex("source"))
+    val mine = docs.filter(col("source") === s0)
+    assert(src.getLong(src.fieldIndex("n_docs")) === mine.count())
+    assert(src.getLong(src.fieldIndex("n_langs")) ===
+      mine.select("lang").distinct().count())
+    card.unpersist(); docs.unpersist()
+  }
 }
