@@ -1507,7 +1507,138 @@ object TextAnalysis {
        |CROSS JOIN n
        |ORDER BY t1, t2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BPE merge learning (Sennrich et al., ACL'16) — tokenizer training,
+  // the canonical corpus→vocabulary op. The standard scale shape: ONE
+  // corpus pass collapses 100 TB of text to a (word, freq) table (vocab-
+  // bounded — Heaps' law puts it in the millions, not the trillions),
+  // then every merge iteration runs on that vocab table alone: explode
+  // adjacent symbol pairs weighted by word freq, aggregate, take the
+  // global argmax (a 1-row collect — the sanctioned scalar shape), apply
+  // the merge as a per-word left-to-right non-overlapping fold, repeat.
+  // Per-iteration cost is O(vocab × word_len), corpus-size-independent;
+  // localCheckpoint truncates the per-iteration lineage so the plan
+  // doesn't grow by numMerges HOF layers.
+  //
+  // Determinism: argmax tie-breaks on (count DESC, left ASC, right ASC);
+  // the fold merges exactly the occurrences a left-to-right scan would —
+  // bit-identical to the oracle's string replace() over a paren-wrapped
+  // segmentation encoding ('(a)(b)(c)'; wrapping makes adjacent-pair
+  // patterns non-overlapping so replace() IS the BPE merge step, with no
+  // shared-delimiter misses). The oracle unrolls the iteration as
+  // machine-generated chained CTEs — same argmax, same apply, per rank.
+  // ---------------------------------------------------------------------
+  def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val emptyPairs = array().cast("array<struct<a:string,b:string>>")
+    def adjacentPairs(syms: Column): Column =
+      when(size(syms) < 2, emptyPairs)
+        .otherwise(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b"))))
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // java's split(regex, -1) appends a trailing "" on zero-width
+      // matches — drop it so no phantom empty symbol enters the vocab
+      .select(col("freq"),
+        filter(split(col("w"), ""), x => x =!= "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, c))
+        val merged = lit(a + b)
+        // left-to-right non-overlapping apply: fold each word's symbol
+        // array, merging when (last(acc), next) == (a, b). get() (not
+        // element_at) so the empty accumulator reads null, not an ANSI
+        // out-of-bounds error.
+        val next = vocab.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint(true)
+        vocab = next
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rnk", "lhs", "rhs", "freq")
+      .orderBy("rnk")
+  }
+
+  /** Learned merge count; shared with the oracle generator. */
+  val BpeMerges = 10
+
+  val qBpeMerges: Q = (s, d) => bpeLearn(documents(s, d), BpeMerges)
+
+  /** Machine-generated unrolled oracle: seg_0 is the paren-wrapped char
+    * segmentation of each distinct word; stage k computes pair counts
+    * from seg_{k-1}, picks the argmax merge, and rewrites seg_k via
+    * replace(). The final SELECT unions the per-stage argmax rows.
+    */
+  val qBpeMergesSql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each stage references its predecessor several
+    // times — unmaterialized, the 10-stage unroll re-evaluates the
+    // corpus scan exponentially (observed as fd exhaustion)
+    val stages = (1 to BpeMerges).map { k =>
+      s"""sym_$k AS MATERIALIZED (SELECT freq,
+        |  string_split(trim(seg_${k - 1}, '()'), ')(') AS l
+        |  FROM seg_$k${"_"}in),
+        |pairs_$k AS MATERIALIZED (SELECT l[CAST(i AS INT)] AS a,
+        |    l[CAST(i AS INT) + 1] AS b,
+        |    CAST(sum(freq) AS BIGINT) AS c
+        |  FROM sym_$k CROSS JOIN
+        |    (SELECT unnest(range(1, (SELECT mxl FROM mx))) AS i) r
+        |  WHERE CAST(i AS INT) + 1 <= len(l)
+        |  GROUP BY 1, 2),
+        |top_$k AS MATERIALIZED (SELECT a, b, c FROM pairs_$k
+        |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        |seg_${k}_out AS MATERIALIZED (SELECT freq,
+        |  replace(seg_${k - 1},
+        |    '(' || (SELECT a FROM top_$k) || ')(' ||
+        |      (SELECT b FROM top_$k) || ')',
+        |    '(' || (SELECT a FROM top_$k) ||
+        |      (SELECT b FROM top_$k) || ')') AS seg_$k
+        |  FROM seg_$k${"_"}in)""".stripMargin
+        .replace(s"seg_${k}_in", if (k == 1) "seg0" else s"seg_${k - 1}_out")
+    }
+    val unions = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS rnk, a AS lhs, b AS rhs, c AS freq FROM top_$k"
+    }
+    s"""WITH words AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(
+      |      string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1),
+      |seg0 AS MATERIALIZED (SELECT freq,
+      |  '(' || array_to_string(regexp_split_to_array(w, ''), ')(') || ')'
+      |    AS seg_0
+      |  FROM words),
+      |mx AS MATERIALIZED (SELECT max(len(w)) AS mxl FROM words),
+      |${stages.mkString(",\n")}
+      |${unions.mkString("\nUNION ALL\n")}
+      |ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_merges" -> qBpeMerges,
     "q_token_pmi" -> qTokenPmi,
     "q_dsir_weights" -> qDsirWeights,
     "q_backoff_logprob" -> qBackoffLogprob,
@@ -1529,6 +1660,7 @@ object TextAnalysis {
     "q_lm_buckets" -> qLmBuckets)
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_token_pmi" -> qTokenPmiSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_backoff_logprob" -> qBackoffLogprobSql,

@@ -841,6 +841,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).size === got.size, "each x mined at most once")
   }
 
+  private def refBpe(
+      words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    def applyMerge(
+        syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    var vocab = words.toSeq.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector, f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val counts = vocab.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Seq(a, b) => (a, b) -> f }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, a, b, c))
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe merges: hand corpus with overlap runs and tie-breaks") {
+    import spark.implicits._
+    // freq: "aaaa"×3, "abab"×2, "cd"×2 — (a,a) counts overlapping
+    // positions (3 per word) but merges non-overlapping (2 per word)
+    val docs = Seq(
+      (1L, "aaaa abab cd"), (2L, "aaaa abab cd"), (3L, "aaaa")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearn(docs, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = refBpe(Map("aaaa" -> 3L, "abab" -> 2L, "cd" -> 2L), 4)
+    assert(got === want)
+    // iteration 1 must be (a,a) with overlapping count 9 (3 words × 3)
+    assert(got.head === ((1, "a", "a", 9L)))
+    // after merging, "aaaa" = [aa, aa] so (aa, aa) carries 3
+    assert(got.exists { case (_, a, b, c) => a == "aa" && b == "aa" && c == 3L })
+  }
+
+  test("bpe merges on the fixture equal the driver-side reference") {
+    import spark.implicits._
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val want = refBpe(words, TextAnalysis.BpeMerges)
+    val got = TextAnalysis.qBpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    assert(got.size === TextAnalysis.BpeMerges)
+    // the learned table must contain at least one composed (multi-char)
+    // merge, i.e. iteration genuinely feeds forward
+    assert(got.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 })
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
