@@ -1528,9 +1528,12 @@ object TextAnalysis {
   // shared-delimiter misses). The oracle unrolls the iteration as
   // machine-generated chained CTEs — same argmax, same apply, per rank.
   // ---------------------------------------------------------------------
-  def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The merge loop: returns the learned merge table and the FINAL
+    * per-word segmentation (the trained tokenizer's vocab artifact —
+    * what [[bpeEncode]] serves from).
+    */
+  private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val emptyPairs = array().cast("array<struct<a:string,b:string>>")
     def adjacentPairs(syms: Column): Column =
       when(size(syms) < 2, emptyPairs)
@@ -1542,7 +1545,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       // java's split(regex, -1) appends a trailing "" on zero-width
       // matches — drop it so no phantom empty symbol enters the vocab
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         filter(split(col("w"), ""), x => x =!= "").as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
@@ -1566,7 +1569,7 @@ object TextAnalysis {
         // array, merging when (last(acc), next) == (a, b). get() (not
         // element_at) so the empty accumulator reads null, not an ANSI
         // out-of-bounds error.
-        val next = vocab.select(col("freq"),
+        val next = vocab.select(col("w"), col("freq"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) => when(
               get(acc, size(acc) - 1) === lit(a) && x === lit(b),
@@ -1577,9 +1580,49 @@ object TextAnalysis {
         rank += 1
       }
     }
-    merges.toSeq.toDF("rnk", "lhs", "rhs", "freq")
+    (merges.toSeq, vocab)
+  }
+
+  def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeVocabLoop(docs, numMerges)._1
+      .toDF("rnk", "lhs", "rhs", "freq")
       .orderBy("rnk")
   }
+
+  /** Encode the corpus with the trained tokenizer: per document, the
+    * word/char/BPE-token counts and the chars-per-token compression
+    * ratio. The serving shape: the segmentation table is VOCAB-sized, so
+    * it broadcasts to a map-side join against the corpus's exploded
+    * words — the corpus is never shuffled, and per-doc aggregation is
+    * the only exchange. This is the token-counting every budget /
+    * packing / mixing computation actually needs once a real tokenizer
+    * replaces whitespace splitting.
+    */
+  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    val (_, vocab) = bpeVocabLoop(docs, numMerges)
+    val enc = vocab.select(col("w"),
+      size(col("syms")).cast("long").as("n_syms"),
+      length(col("w")).cast("long").as("n_chars"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(enc), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(coalesce(col("n_bpe_tokens"), lit(0L)) > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val qBpeEncode: Q = (s, d) => bpeEncode(documents(s, d), BpeMerges)
 
   /** Learned merge count; shared with the oracle generator. */
   val BpeMerges = 10
@@ -1591,11 +1634,14 @@ object TextAnalysis {
     * from seg_{k-1}, picks the argmax merge, and rewrites seg_k via
     * replace(). The final SELECT unions the per-stage argmax rows.
     */
-  val qBpeMergesSql: String = {
-    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
-    // reference, and each stage references its predecessor several
-    // times — unmaterialized, the 10-stage unroll re-evaluates the
-    // corpus scan exponentially (observed as fd exhaustion)
+  /** Shared WITH-clause prelude + unrolled stages. Every CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    * stage references its predecessor several times — unmaterialized,
+    * the 10-stage unroll re-evaluates the corpus scan exponentially
+    * (observed as fd exhaustion). The word `w` rides along so the
+    * encode oracle can join the final segmentation back to documents.
+    */
+  private val bpeOracleStages: String = {
     val stages = (1 to BpeMerges).map { k =>
       s"""sym_$k AS MATERIALIZED (SELECT freq,
         |  string_split(trim(seg_${k - 1}, '()'), ')(') AS l
@@ -1609,7 +1655,7 @@ object TextAnalysis {
         |  GROUP BY 1, 2),
         |top_$k AS MATERIALIZED (SELECT a, b, c FROM pairs_$k
         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-        |seg_${k}_out AS MATERIALIZED (SELECT freq,
+        |seg_${k}_out AS MATERIALIZED (SELECT w, freq,
         |  replace(seg_${k - 1},
         |    '(' || (SELECT a FROM top_$k) || ')(' ||
         |      (SELECT b FROM top_$k) || ')',
@@ -1618,27 +1664,58 @@ object TextAnalysis {
         |  FROM seg_$k${"_"}in)""".stripMargin
         .replace(s"seg_${k}_in", if (k == 1) "seg0" else s"seg_${k - 1}_out")
     }
-    val unions = (1 to BpeMerges).map { k =>
-      s"SELECT $k AS rnk, a AS lhs, b AS rhs, c AS freq FROM top_$k"
-    }
     s"""WITH words AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
       |    SELECT unnest(list_filter(
       |      string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
       |    FROM documents)
       |  GROUP BY 1),
-      |seg0 AS MATERIALIZED (SELECT freq,
+      |seg0 AS MATERIALIZED (SELECT w, freq,
       |  '(' || array_to_string(regexp_split_to_array(w, ''), ')(') || ')'
       |    AS seg_0
       |  FROM words),
       |mx AS MATERIALIZED (SELECT max(len(w)) AS mxl FROM words),
-      |${stages.mkString(",\n")}
+      |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  val qBpeMergesSql: String = {
+    val unions = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS rnk, a AS lhs, b AS rhs, c AS freq FROM top_$k"
+    }
+    s"""$bpeOracleStages
       |${unions.mkString("\nUNION ALL\n")}
       |ORDER BY rnk""".stripMargin
   }
 
+  val qBpeEncodeSql: String =
+    s"""$bpeOracleStages,
+      |enc AS MATERIALIZED (SELECT w,
+      |  CAST(len(string_split(trim(seg_$BpeMerges, '()'), ')(')) AS BIGINT)
+      |    AS n_syms,
+      |  CAST(len(w) AS BIGINT) AS n_chars
+      |  FROM seg_${BpeMerges}_out),
+      |dw AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |agg AS (SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(enc.n_chars) AS BIGINT) AS n_chars,
+      |    CAST(sum(enc.n_syms) AS BIGINT) AS n_bpe_tokens
+      |  FROM dw JOIN enc USING (w)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_words, 0) AS n_words,
+      |  COALESCE(a.n_chars, 0) AS n_chars,
+      |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  CASE WHEN COALESCE(a.n_bpe_tokens, 0) > 0
+      |       THEN round(CAST(a.n_chars AS DOUBLE) / a.n_bpe_tokens, 4)
+      |  END AS chars_per_token
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_encode" -> qBpeEncode,
     "q_token_pmi" -> qTokenPmi,
     "q_dsir_weights" -> qDsirWeights,
     "q_backoff_logprob" -> qBackoffLogprob,
@@ -1661,6 +1738,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_token_pmi" -> qTokenPmiSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_backoff_logprob" -> qBackoffLogprobSql,

@@ -907,6 +907,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 })
   }
 
+  test("bpe encode: token counts bounded by chars and words, and compress") {
+    val got = TextAnalysis.qBpeEncode(spark, dir).cache()
+    assert(got.count() === 500)
+    // chars >= bpe tokens >= words for every doc, strictly fewer tokens
+    // than chars overall (10 merges must compress a natural corpus)
+    assert(got.filter(col("n_bpe_tokens") > col("n_chars") ||
+      col("n_bpe_tokens") < col("n_words")).count() === 0)
+    val totals = got.agg(sum("n_chars"), sum("n_bpe_tokens")).head
+    assert(totals.getLong(1) < totals.getLong(0))
+    // conservation against the raw corpus: summed word chars match
+    val rawChars = graft.Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(got.agg(sum("n_chars")).head.getLong(0) === rawChars)
+    got.unpersist()
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
