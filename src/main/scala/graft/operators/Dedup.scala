@@ -1071,24 +1071,31 @@ object Dedup {
     * is bounded because the aggregation side collapses each distinct line
     * to ONE row before the join, and AQE splits the probe side.
     */
-  def lineDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+  /** Non-overlapping fixed-width segments of every doc:
+    * (doc_id, seg_idx, seg).
+    */
+  def lineSegments(docs: DataFrame, segTokens: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val nSegs = ceil(size(col("toks")) / lit(segTokens.toDouble)).cast("int")
     // guard the empty doc: sequence(0, -1) steps DOWNWARD in Spark
     // (yielding [0, -1], i.e. two phantom empty segments), it is not an
     // empty range
-    val segs = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
       posexplode(when(nSegs === 0, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), nSegs - 1),
           i => array_join(
             slice(col("toks"), i * segTokens + 1, lit(segTokens)), " "))))
         .as(Seq("seg_idx", "seg")))
-    val first = segs.groupBy("seg")
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keeper"))
-    val kept = segs.join(first, Seq("seg"))
-      .withColumn("keep",
-        col("keeper.doc_id") === col("doc_id") &&
-          col("keeper.seg_idx") === col("seg_idx"))
+  }
+
+  /** Rebuild each doc from its flagged segments: `flagged` is
+    * (doc_id, seg_idx, seg, keep); docs whose token list is empty
+    * produce zero segment rows, so an outer join against the doc list
+    * recovers them with (0, 0, "").
+    */
+  private def rebuildFromFlagged(
+      docs: DataFrame, flagged: DataFrame): DataFrame = {
+    val kept = flagged
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
@@ -1096,14 +1103,55 @@ object Dedup {
           array_sort(collect_list(when(col("keep"),
             struct(col("seg_idx"), col("seg"))))),
           x => x("seg")), " ").as("clean_text"))
-    // docs whose token list is empty produce zero segment rows — recover
-    // them with an outer join so the output covers every input document
     docs.select("doc_id").join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  def lineDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val segs = lineSegments(docs, segTokens)
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keeper"))
+    val flagged = segs.join(first, Seq("seg"))
+      .withColumn("keep",
+        col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.seg_idx") === col("seg_idx"))
+    rebuildFromFlagged(docs, flagged)
+  }
+
+  /** Line scrub of an arriving batch against a FROZEN corpus line set
+    * (one string column `seg`) — the continual-ingest form of
+    * [[lineDedup]]'s keep-first rule: the corpus owns every line it
+    * already contains, and within the batch the first occurrence wins.
+    * When every corpus doc_id precedes every batch doc_id, this equals
+    * the whole-corpus [[lineDedup]] restricted to the batch's rows
+    * (DocStreamsSpec pins it). The corpus side ships as a broadcast-able
+    * distinct line set — the batch is the only corpus-independent input,
+    * the frozen-model discipline of the decontamination/DSIR gates.
+    */
+  def lineScrubAgainstCorpus(
+      batch: DataFrame, corpusLines: DataFrame, segTokens: Int): DataFrame = {
+    val segs = lineSegments(batch, segTokens)
+    val batchFirst = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keeper"))
+    val flagged = segs
+      .join(batchFirst, Seq("seg"))
+      .join(broadcast(corpusLines.select(col("seg")).distinct()
+        .withColumn("in_corpus", lit(true))), Seq("seg"), "left")
+      .withColumn("keep",
+        col("in_corpus").isNull &&
+          col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.seg_idx") === col("seg_idx"))
+    rebuildFromFlagged(batch, flagged)
+  }
+
+  /** The distinct line set of a static corpus — the frozen input to
+    * [[lineScrubAgainstCorpus]].
+    */
+  def corpusLineSet(corpus: DataFrame, segTokens: Int): DataFrame =
+    lineSegments(corpus, segTokens).select("seg").distinct()
 
   /** Driver row: line dedup over the corpus-with-verbatim-copies fixture
     * (the random-vocabulary fixture has no naturally repeated 8-token

@@ -248,6 +248,24 @@ object DocStreams {
         batch.select("doc_id", "text"), corpusGrams, n), batchId)
     }
 
+  /** Line-level admission scrub per micro-batch against a FROZEN corpus
+    * line set ([[graft.operators.Dedup.corpusLineSet]]) — the streaming
+    * CCNet rule: the corpus owns every line it already contains;
+    * arriving docs keep only never-seen lines, batch-first-wins within
+    * the micro-batch. Same frozen-model caveat as the span scrub above:
+    * lines admitted by earlier micro-batches are NOT added to the set
+    * (that would grow executor-resident state unboundedly) — rebuild
+    * the line set periodically as a compaction pass.
+    */
+  def scrubLinesAgainstCorpus(
+      docs: DataFrame, corpusLines: DataFrame,
+      segTokens: Int = graft.operators.Dedup.LineSegTokens)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.lineScrubAgainstCorpus(
+        batch.select("doc_id", "text"), corpusLines, segTokens), batchId)
+    }
+
   /** The distinct word n-gram set of a static corpus — the hot-gram
     * input to [[scrubSpansAgainstCorpus]] (string grams; at production
     * scale collapse to 64-bit fingerprints on BOTH sides as

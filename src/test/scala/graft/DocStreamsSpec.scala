@@ -296,6 +296,47 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batchGot === got.toMap)
   }
 
+  test("line scrub streams: frozen corpus lines own keep-first, batch-first within") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def seg(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val a = seg("a"); val b = seg("b"); val f = seg("f"); val g = seg("g")
+    val corpus = Seq((1L, s"$a $b"), (2L, f"$f")).toDF("doc_id", "text")
+    val lines = graft.operators.Dedup.corpusLineSet(corpus, 8)
+      .localCheckpoint(true)
+    val d100 = Doc(100, s"$a $g", "c", ts(0))   // a owned by corpus
+    val d101 = Doc(101, s"$g $g", "c", ts(1))   // within-batch repeat of g
+    val d102 = Doc(102, s"$a $b", "c", ts(2))   // 2nd batch: verbatim corpus
+    val got = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.scrubLinesAgainstCorpus(input.toDF(), lines) {
+      (out, _) =>
+        got.synchronized {
+          out.collect().foreach(r => got(r.getLong(0)) =
+            (r.getLong(1), r.getLong(2), r.getString(3)))
+        }
+    }.start()
+    try {
+      input.addData(d100, d101)
+      q.processAllAvailable()
+      input.addData(d102)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(100L) === ((2L, 1L, g)), "corpus-owned line drops, fresh stays")
+    // d100 precedes d101, so d100's g wins the batch and d101 loses both
+    assert(got(101L) === ((2L, 2L, "")))
+    assert(got(102L) === ((2L, 2L, "")), "verbatim corpus copy scrubs whole")
+    // whole-corpus batch lineDedup restricted to the arriving ids agrees
+    // (corpus ids precede batch ids; batches share no fresh lines)
+    val batchGot = graft.operators.Dedup.lineDedup(
+      corpus.unionByName(Seq((100L, d100.text), (101L, d101.text),
+        (102L, d102.text)).toDF("doc_id", "text")), 8)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(batchGot === got.toMap)
+  }
+
   test("gopher gate streams: admitted ids equal the battery's keep=1 set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
