@@ -454,6 +454,29 @@ object ScaleProbe {
         10, Seq("vec_id"), 10000000L)
       operators.Similarity.embeddingOutliers(embL, 5).count()
     }
+    // keep-first line dedup: 10 replicas make EVERY segment 10-hot —
+    // worst-case probe volume for the seg-keyed join; the agg side still
+    // collapses each distinct segment to one keeper row before the join
+    t("line dedup 50k docs (seg-key agg + join, all segments hot)")(
+      Dedup.lineDedup(docs, Dedup.LineSegTokens)
+        .agg(sum("n_segs"), sum("n_dropped")).first)
+    // BPE: the replicated corpus has 10x docs over the SAME word set, so
+    // the first aggregation collapses it to the IDENTICAL vocab table
+    // (freqs x10) and every merge iteration costs exactly what the 1x
+    // run costs — the corpus-size-independence claim, measured
+    t("bpe learn 50k docs, 10 merges (corpus pass + vocab-bounded loop)")(
+      operators.TextAnalysis.bpeLearn(docs, 10).count())
+    t("bpe encode 50k docs (broadcast vocab join + per-doc agg)")(
+      operators.TextAnalysis.bpeEncode(docs, 10)
+        .agg(sum("n_bpe_tokens"), sum("n_chars")).first)
+    // data card: per-source state is O(sources); the text-key dup agg is
+    // the only corpus-sized exchange, and 10 replicas make every text
+    // 10-hot — worst case for it
+    t("corpus data card 50k docs (source agg + text-key dup agg)")(
+      operators.Curation.corpusDataCard(
+        replicate(Tables.documents(spark, d), 10, Seq("doc_id"),
+          10000000L))
+        .agg(sum("n_tokens"), sum("n_docs")).first)
     spark.stop()
   }
 }
