@@ -1532,6 +1532,33 @@ object TextAnalysis {
     * per-word segmentation (the trained tokenizer's vocab artifact —
     * what [[bpeEncode]] serves from).
     */
+  /** One BPE merge applied to a symbol-array column: left-to-right
+    * non-overlapping fold, merging when (last(acc), next) == (a, b).
+    * get() (not element_at) so the empty accumulator reads null, not an
+    * ANSI out-of-bounds error.
+    */
+  def bpeApplyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Segment a word column under a FROZEN ordered merge list — the
+    * serving-side tokenizer: applying the learned merges in rank order
+    * reproduces the training loop's segmentation on trained words and
+    * extends it to unseen words (the standard BPE inference rule). Each
+    * merge is one nested fold; fine for the tens-to-hundreds regime —
+    * a production 30k-merge tokenizer would compile the list into a
+    * single mapPartitions encoder instead of a 30k-deep expression.
+    */
+  def bpeSegmentWord(
+      word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      filter(split(word, ""), x => x =!= "")) {
+      case (syms, (a, b)) => bpeApplyMerge(syms, a, b)
+    }
+
   private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val emptyPairs = array().cast("array<struct<a:string,b:string>>")
@@ -1564,17 +1591,8 @@ object TextAnalysis {
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, c))
-        val merged = lit(a + b)
-        // left-to-right non-overlapping apply: fold each word's symbol
-        // array, merging when (last(acc), next) == (a, b). get() (not
-        // element_at) so the empty accumulator reads null, not an ANSI
-        // out-of-bounds error.
         val next = vocab.select(col("w"), col("freq"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(
-              get(acc, size(acc) - 1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-              .otherwise(concat(acc, array(x)))).as("syms"))
+          bpeApplyMerge(col("syms"), a, b).as("syms"))
           .localCheckpoint(true)
         vocab = next
         rank += 1
@@ -1602,7 +1620,16 @@ object TextAnalysis {
     */
   def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
     val (_, vocab) = bpeVocabLoop(docs, numMerges)
-    val enc = vocab.select(col("w"),
+    bpeEncodeWithVocab(docs, vocab.select(col("w"), col("syms")))
+  }
+
+  /** The per-doc counting tail shared by [[bpeEncode]] (vocab from the
+    * training loop) and the artifact-served encode
+    * ([[graft.plans.BpeStore.encode]], vocab from applying the FROZEN
+    * merge list to the batch's own distinct words).
+    */
+  def bpeEncodeWithVocab(docs: DataFrame, vocabSyms: DataFrame): DataFrame = {
+    val enc = vocabSyms.select(col("w"),
       size(col("syms")).cast("long").as("n_syms"),
       length(col("w")).cast("long").as("n_chars"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1623,6 +1650,21 @@ object TextAnalysis {
   }
 
   val qBpeEncode: Q = (s, d) => bpeEncode(documents(s, d), BpeMerges)
+
+  /** Artifact-served twin: build the merge table once, encode from the
+    * FROZEN artifact. Ordered merge application reproduces the training
+    * loop's segmentation on trained words (the standard BPE inference
+    * property — IndexStoreSpec also pins unseen-word behavior), so the
+    * row carries [[qBpeEncodeSql]] unchanged.
+    */
+  val qBpeEncodeServed: Q = (s, d) => {
+    val id = java.lang.Integer.toHexString(d.hashCode)
+    val table = s"graft_bpe_$id"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bpe_$id"
+    val docs = documents(s, d)
+    graft.plans.BpeStore.build(docs, BpeMerges, table, path)
+    graft.plans.BpeStore.encode(s, docs, table)
+  }
 
   /** Learned merge count; shared with the oracle generator. */
   val BpeMerges = 10
@@ -1716,6 +1758,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
+    "q_bpe_encode_served" -> qBpeEncodeServed,
     "q_token_pmi" -> qTokenPmi,
     "q_dsir_weights" -> qDsirWeights,
     "q_backoff_logprob" -> qBackoffLogprob,
@@ -1739,6 +1782,9 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    // served-from-artifact form: ordered merge application ≡ the
+    // training segmentation on trained words, so the oracle carries over
+    "q_bpe_encode_served" -> qBpeEncodeSql,
     "q_token_pmi" -> qTokenPmiSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_backoff_logprob" -> qBackoffLogprobSql,

@@ -307,4 +307,48 @@ class IndexStoreSpec extends AnyFunSuite {
     val origRank = after.find(_._3 == n1).get._2
     assert(origRank < copyRow._2, "id tie-break keeps the original first")
   }
+
+  test("bpe store: served encode equals the training-loop encode; " +
+    "unseen words segment by ordered merge application") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe-store").toString
+    graft.plans.BpeStore.build(
+      docs, graft.operators.TextAnalysis.BpeMerges, "probe_bpe", path)
+    val merges = graft.plans.BpeStore.loadMerges(spark, "probe_bpe")
+    assert(merges.size === graft.operators.TextAnalysis.BpeMerges)
+    // trained corpus: artifact-served encode ≡ the in-session loop
+    val served = graft.plans.BpeStore.encode(spark, docs, "probe_bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val direct = graft.operators.TextAnalysis
+      .bpeEncode(docs, graft.operators.TextAnalysis.BpeMerges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(served === direct)
+    // unseen words: the frozen list applies in rank order — compare
+    // against a driver-side fold of the same merges
+    def refSegment(w: String): Vector[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+        case (syms, (a, b)) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+      }
+    val unseen = Seq((1L, "zzer zparz xin yatyat unseeenword"))
+      .toDF("doc_id", "text")
+    val got = graft.plans.BpeStore.encode(spark, unseen, "probe_bpe")
+      .collect().head
+    val words = Seq("zzer", "zparz", "xin", "yatyat", "unseeenword")
+    val wantTokens = words.map(refSegment(_).size.toLong).sum
+    assert(got.getLong(3) === wantTokens,
+      s"unseen-word token count must match driver-side merge application")
+    assert(got.getLong(1) === words.size.toLong)
+    assert(got.getLong(2) === words.map(_.length.toLong).sum)
+    // the merges genuinely fire on unseen words (else the count would
+    // equal the char count)
+    assert(wantTokens < words.map(_.length.toLong).sum)
+  }
 }
