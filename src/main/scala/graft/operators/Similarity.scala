@@ -582,16 +582,12 @@ object Similarity {
   // sims round to 6 dp BEFORE ranking/means (adjacent gaps ~1e-5, four
   // orders above double jitter), margins to 4 dp, ranks tie-break on id.
   // ---------------------------------------------------------------------
-  def bitextMarginMine(
-      emb: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val cos = cosineCol(emb.sparkSession)
-    val x = emb.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
-    val y = emb.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
-    val pairs = broadcast(x).join(y)
-      .select(col("x_id"), col("y_id"),
-        round(cos(col("xv"), col("yv")), 6).as("sim"))
+  /** The margin/mutual-best tail over a scored pair frame
+    * (x_id, y_id, sim) — shared by the exact all-pairs form and the
+    * LSH-candidate form; bounded by the pair count either way.
+    */
+  private def bitextMarginTail(
+      pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
     val wx = Window.partitionBy("x_id")
       .orderBy(col("sim").desc, col("y_id"))
     val wy = Window.partitionBy("y_id")
@@ -614,6 +610,56 @@ object Similarity {
       .orderBy("x_id")
       .localCheckpoint(true)
     ranked.unpersist()
+    out
+  }
+
+  def bitextMarginMine(
+      emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cos = cosineCol(emb.sparkSession)
+    val x = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = broadcast(x).join(y)
+      .select(col("x_id"), col("y_id"),
+        round(cos(col("xv"), col("yv")), 6).as("sim"))
+    bitextMarginTail(pairs, k, threshold)
+  }
+
+  /** The 100 TB form: candidate pairs from LSH bucket collisions
+    * between the two sides instead of the |X|×|Y| cross — everything
+    * downstream (ranks, k-row neighborhood means, mutual-best, margin)
+    * runs on candidates only, so cost tracks collisions, and margin
+    * denominators are the candidate-neighborhood means (the standard
+    * ANN-mining approximation; SimilaritySpec asserts subset-of-exact
+    * candidates and a recall floor on the mined pair set — recall < 1
+    * by design on natural mid-similarity data, which is why the
+    * registered oracled row stays the exact form).
+    */
+  def bitextMarginMineAnn(
+      emb: DataFrame, k: Int, threshold: Double,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val cos = cosineCol(emb.sparkSession)
+    val buckets = lshBuckets(emb, tables, bits).persist()
+    val xb = buckets
+      .join(emb.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id")
+      .toDF("x_id", "table", "bucket")
+    val yb = buckets
+      .join(emb.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id")
+      .toDF("y_id", "table", "bucket")
+    val cand = xb.join(yb, Seq("table", "bucket"))
+      .select("x_id", "y_id").distinct()
+    val x = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = cand
+      .join(broadcast(x), Seq("x_id"))
+      .join(y, Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(cos(col("xv"), col("yv")), 6).as("sim"))
+    val out = bitextMarginTail(pairs, k, threshold)
+    buckets.unpersist()
     out
   }
 

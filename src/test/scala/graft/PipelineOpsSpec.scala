@@ -925,6 +925,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("ann bitext mining: mined pairs track the exact form at a recall floor") {
+    val exact = Similarity.qBitextMargin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.bitextMarginMineAnn(
+      graft.Tables.embeddings(spark, dir),
+      Similarity.BitextK, Similarity.BitextMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.map(_._1).distinct.length === ann.length,
+      "each x mined at most once")
+    val annSet = ann.toSet
+    val recall = annSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"candidate-pruned mining recall $recall vs ${exact.size} exact pairs")
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
