@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -781,7 +782,147 @@ object Quality {
       |    AS DOUBLE) / count(*), 4) AS keep_frac
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Cross-source quality calibration — the fix for "one global threshold
+  // over heterogeneous sources": a quality classifier's raw scores are
+  // not comparable across domains (a mid-tier academic page outscores a
+  // top-tier forum post), so production filters threshold at a PER-
+  // SOURCE percentile, not a global score (the CCNet per-language-bucket
+  // and Llama-era per-domain practice). Score here is the type-token
+  // ratio (distinct/total tokens — deterministic, engine-neutral);
+  // output carries the raw score, both percentiles, and the two keep
+  // flags at the 50th percentile so the calibrated-vs-raw disagreement
+  // is directly inspectable.
+  //
+  // Scale shape: the per-source percentile is a window partitioned by
+  // source (parallel across sources; a hot source is one AQE-splittable
+  // partition); the GLOBAL percentile reuses the two-level prefix sum —
+  // a range exchange + parallel local ranks + #partitions-row driver
+  // scan, never a single-task global window. Ranks order on the ROUNDED
+  // score with doc_id tie-break, so rank order is engine-exact.
+  // ---------------------------------------------------------------------
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1)), 4).as("score"))
+      .persist()
+    val nTot = scored.agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val nSrc = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val ranked = Sampling.exclusivePrefixSum(
+      scored.withColumn("one", lit(1L)),
+      Seq(col("score").desc, col("doc_id")), "one", 32, "rank0")
+    val out = ranked
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("rn_src", row_number().over(wSrc))
+      .select(col("doc_id"), col("source"), col("score"),
+        round((col("rn_src") - 1).cast("double") /
+          greatest(col("n_src") - 1, lit(1)), 6).as("pct_src"),
+        round(col("rank0").cast("double") /
+          greatest(col("n") - 1, lit(1)), 6).as("pct_global"))
+      .withColumn("keep_cal", (col("pct_src") <= 0.5).cast("int"))
+      .withColumn("keep_raw", (col("pct_global") <= 0.5).cast("int"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
+  val qQualityCalibration: Q = (s, d) => qualityCalibration(documents(s, d))
+
+  val qQualityCalibrationSql: String =
+    """WITH scored AS (SELECT doc_id, source,
+      |    round(CAST(len(list_distinct(l)) AS DOUBLE) /
+      |          greatest(len(l), 1), 4) AS score
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split_regex(trim(text), '\s+'),
+      |                      x -> x <> '') AS l
+      |        FROM documents)),
+      |r AS (SELECT doc_id, source, score,
+      |    round(CAST(row_number() OVER (PARTITION BY source
+      |        ORDER BY score DESC, doc_id) - 1 AS DOUBLE) /
+      |      greatest(count(*) OVER (PARTITION BY source) - 1, 1), 6)
+      |      AS pct_src,
+      |    round(CAST(row_number() OVER (
+      |        ORDER BY score DESC, doc_id) - 1 AS DOUBLE) /
+      |      greatest(count(*) OVER () - 1, 1), 6) AS pct_global
+      |  FROM scored)
+      |SELECT doc_id, source, score, pct_src, pct_global,
+      |  CAST(pct_src <= 0.5 AS INT) AS keep_cal,
+      |  CAST(pct_global <= 0.5 AS INT) AS keep_raw
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus drift report — snapshot-over-snapshot distribution monitoring
+  // (the data-quality twin of the rate-anomaly control chart): per
+  // source, the total-variation distance between the two snapshots'
+  // doc-length histograms. TV = 0.5·Σ|p_A − p_B| over fixed-width
+  // buckets: bounded [0,1], zero iff identical, and — unlike KS on raw
+  // values — computable as ONE aggregation over (source, bucket) cells.
+  // The snapshot split here is md5(doc_id) parity — engine-neutral and
+  // ~50/50 WITHIN every source (the fixture assigns sources cyclically,
+  // so raw doc_id parity is constant per source and would put each
+  // source wholly in one half); production keys the halves on ingest
+  // date.
+  //
+  // Scale shape: state is sources × buckets cells however large the
+  // corpus — one groupBy with map-side partials, then a sources-sized
+  // second agg. Nothing row-scale leaves the first exchange.
+  // ---------------------------------------------------------------------
+  def corpusDrift(docs: DataFrame, bucketWidth: Long): DataFrame = {
+    val cells = docs.select(col("source"),
+      (col("n_chars").cast("long") / lit(bucketWidth)).cast("long")
+        .as("bucket"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+        .as("in_a"))
+      .groupBy("source", "bucket")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+    val tot = cells.groupBy("source")
+      .agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    // greatest(n, 1): a half can be empty on a tiny source — TV then
+    // degenerates to 1 (total drift) instead of a division error
+    cells.join(tot, Seq("source"))
+      .groupBy("source")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        round(lit(0.5) * sum(abs(
+          col("c_a").cast("double") / greatest(col("n_a"), lit(1L)) -
+            col("c_b").cast("double") / greatest(col("n_b"), lit(1L)))),
+          4).as("tv_dist"))
+      .orderBy("source")
+  }
+
+  /** Histogram bucket width (chars); shared with the oracle. */
+  val DriftBucketChars = 100L
+
+  val qCorpusDrift: Q = (s, d) =>
+    corpusDrift(documents(s, d), DriftBucketChars)
+
+  val qCorpusDriftSql: String =
+    s"""WITH cells AS (SELECT source, n_chars // $DriftBucketChars AS bucket,
+      |    CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |               < '8' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |               < '8' THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS n_a,
+      |    CAST(sum(c_b) AS BIGINT) AS n_b
+      |  FROM cells GROUP BY 1)
+      |SELECT source, n_a, n_b,
+      |  round(0.5 * sum(abs(CAST(c_a AS DOUBLE) / greatest(n_a, 1) -
+      |                      CAST(c_b AS DOUBLE) / greatest(n_b, 1))), 4)
+      |    AS tv_dist
+      |FROM cells JOIN tot USING (source)
+      |GROUP BY source, n_a, n_b
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_quality_calibration" -> qQualityCalibration,
+    "q_corpus_drift" -> qCorpusDrift,
     "q_gopher_rules" -> qGopherRules,
     "q_quality_funnel" -> qQualityFunnel,
     "q_boilerplate" -> qBoilerplate,
@@ -796,6 +937,8 @@ object Quality {
     "q_dedup_winnow" -> qDedupWinnow)
 
   val oracles: Map[String, String] = Map(
+    "q_quality_calibration" -> qQualityCalibrationSql,
+    "q_corpus_drift" -> qCorpusDriftSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_quality_funnel" -> qQualityFunnelSql,
     "q_boilerplate" -> qBoilerplateSql,

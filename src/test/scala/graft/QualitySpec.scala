@@ -248,4 +248,50 @@ class QualitySpec extends AnyFunSuite {
     assert(sem === exact,
       "copies share a cell, so cluster-local compare must find all pairs")
   }
+
+  test("quality calibration keeps a balanced half per source; raw does not") {
+    val got = Quality.qQualityCalibration(spark, dir).cache()
+    assert(got.count() === 500)
+    assert(got.filter(col("pct_src") < 0 || col("pct_src") > 1 ||
+      col("pct_global") < 0 || col("pct_global") > 1).count() === 0)
+    // per-source calibrated keep rate is pinned to ~half by construction
+    val perSrc = got.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("keep_cal").as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    perSrc.foreach { case (n, k) =>
+      assert(k >= n / 2 && k <= n / 2 + 1, s"keep_cal $k of $n")
+    }
+    // the top-ranked doc of every source sits at source percentile 0
+    assert(got.filter(col("pct_src") === 0.0).count() >= 20)
+    got.unpersist()
+  }
+
+  test("corpus drift equals a driver-side TV recount") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5EvenHalf(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) < 8
+    }
+    val want = docs.groupBy(_._2).map { case (src, rows) =>
+      val a = rows.filter(r => md5EvenHalf(r._1))
+      val b = rows.filter(r => !md5EvenHalf(r._1))
+      val buckets = rows.map(_._3 / 100).distinct
+      val tv = 0.5 * buckets.map { bk =>
+        math.abs(
+          a.count(_._3 / 100 == bk).toDouble / math.max(a.length, 1) -
+            b.count(_._3 / 100 == bk).toDouble / math.max(b.length, 1))
+      }.sum
+      src -> ((a.length.toLong, b.length.toLong,
+        BigDecimal(tv).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    val got = Quality.qCorpusDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got.values.forall { case (_, _, tv) => tv >= 0.0 && tv <= 1.0 })
+  }
 }
