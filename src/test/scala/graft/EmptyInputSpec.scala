@@ -269,5 +269,47 @@ class EmptyInputSpec extends AnyFunSuite {
     val jj = docs.select(graft.functions.JaroSimilarity
       .sim(spark, col("text"), col("text")).as("j"))
     assert(jj.count() === 0)
+
+    // round-6 continuation operators
+    val fullDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ld = operators.Dedup.lineDedup(docs, 8)
+    assert(ld.count() === 0)
+    assert(ld.columns.toSeq ===
+      Seq("doc_id", "n_segs", "n_dropped", "clean_text"))
+
+    val lsc = operators.Dedup.lineScrubAgainstCorpus(
+      docs, Seq.empty[String].toDF("seg"), 8)
+    assert(lsc.count() === 0)
+    assert(lsc.columns.toSeq ===
+      Seq("doc_id", "n_segs", "n_dropped", "clean_text"))
+
+    // empty corpus → zero merges, right schema; encode joins nothing
+    val bpe = operators.TextAnalysis.bpeLearn(docs, 10)
+    assert(bpe.count() === 0)
+    assert(bpe.columns.toSeq === Seq("rnk", "lhs", "rhs", "freq"))
+    val enc = operators.TextAnalysis.bpeEncode(docs, 10)
+    assert(enc.count() === 0)
+    assert(enc.columns.toSeq === Seq("doc_id", "n_words", "n_chars",
+      "n_bpe_tokens", "chars_per_token"))
+
+    val dcard = operators.Curation.corpusDataCard(fullDocs)
+    assert(dcard.count() === 0)
+    assert(dcard.columns.toSeq === Seq("source", "n_docs", "n_tokens",
+      "avg_chars", "p50_chars", "n_langs", "dup_rate", "top_lang"))
+
+    val bt = operators.Similarity.bitextMarginMine(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 4, 1.05)
+    assert(bt.count() === 0)
+    assert(bt.columns.toSeq === Seq("x_id", "y_id", "margin", "mined"))
+
+    val cal = operators.Quality.qualityCalibration(fullDocs)
+    assert(cal.count() === 0)
+    assert(cal.columns.toSeq === Seq("doc_id", "source", "score",
+      "pct_src", "pct_global", "keep_cal", "keep_raw"))
+
+    val drift = operators.Quality.corpusDrift(fullDocs, 100L)
+    assert(drift.count() === 0)
+    assert(drift.columns.toSeq === Seq("source", "n_a", "n_b", "tv_dist"))
   }
 }
