@@ -1755,7 +1755,70 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Ranker agreement via truncated Rank-Biased Overlap (Webber et al.
+  // TOIS'10) — the eval diagnostic for a retrieval stack: how much do
+  // the tfidf and BM25 rankers agree per query, weighting agreement at
+  // the top of the list? RBO@k = Σ_{d≤k} (1−p)·p^{d−1} · |A_d ∩ B_d|/d
+  // with p = 1/2, so every weight is exact dyadic (0.5, 0.25, 0.125)
+  // and the score is engine-exact from integer overlaps — the
+  // time-decay-attribution determinism trick applied to rank weights.
+  //
+  // Scale shape: one (query, doc)-keyed join of two k-row-per-query
+  // rank lists (both WindowGroupLimit-bounded upstream) + a per-query
+  // aggregation — cost is queries × k, corpus size never enters.
+  // ---------------------------------------------------------------------
+  def rankerAgreement(a: DataFrame, b: DataFrame): DataFrame = {
+    val ar = a.select(col("query_id"), col("neighbor_id"),
+      col("rnk").as("ra"))
+    val br = b.select(col("query_id"), col("neighbor_id"),
+      col("rnk").as("rb"))
+    val o = ar.join(br, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("mr"))
+      .groupBy("query_id").agg(
+        sum(when(col("mr") <= 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("mr") <= 2, 1L).otherwise(0L)).as("o2"),
+        sum(when(col("mr") <= 3, 1L).otherwise(0L)).as("o3"))
+    a.select("query_id").distinct()
+      .join(o, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"),
+        coalesce(col("o3"), lit(0L)).as("o3"))
+      .withColumn("rbo", round(
+        lit(0.5) * col("o1") / 1.0 +
+          lit(0.25) * col("o2") / 2.0 +
+          lit(0.125) * col("o3") / 3.0, 4))
+      .orderBy("query_id")
+  }
+
+  val qRankerAgreement: Q = (s, d) =>
+    rankerAgreement(qTfidfRetrieval(s, d), qBm25Retrieval(s, d))
+
+  val qRankerAgreementSql: String =
+    s"""WITH ra AS (SELECT query_id, rnk AS r_a, neighbor_id
+      |  FROM ($qTfidfRetrievalSql)),
+      |rb AS (SELECT query_id, rnk AS r_b, neighbor_id
+      |  FROM ($qBm25RetrievalSql)),
+      |j AS (SELECT query_id, greatest(r_a, r_b) AS mr
+      |      FROM ra JOIN rb USING (query_id, neighbor_id)),
+      |o AS (SELECT query_id,
+      |    CAST(count(*) FILTER (WHERE mr <= 1) AS BIGINT) AS o1,
+      |    CAST(count(*) FILTER (WHERE mr <= 2) AS BIGINT) AS o2,
+      |    CAST(count(*) FILTER (WHERE mr <= 3) AS BIGINT) AS o3
+      |  FROM j GROUP BY 1),
+      |q AS (SELECT DISTINCT query_id FROM ra)
+      |SELECT q.query_id,
+      |  COALESCE(o1, 0) AS o1, COALESCE(o2, 0) AS o2,
+      |  COALESCE(o3, 0) AS o3,
+      |  round(0.5 * COALESCE(o1, 0) / 1.0 +
+      |        0.25 * COALESCE(o2, 0) / 2.0 +
+      |        0.125 * COALESCE(o3, 0) / 3.0, 4) AS rbo
+      |FROM q LEFT JOIN o USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ranker_agreement" -> qRankerAgreement,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_encode_served" -> qBpeEncodeServed,
@@ -1780,6 +1843,7 @@ object TextAnalysis {
     "q_lm_buckets" -> qLmBuckets)
 
   val oracles: Map[String, String] = Map(
+    "q_ranker_agreement" -> qRankerAgreementSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     // served-from-artifact form: ordered merge application ≡ the

@@ -940,6 +940,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"candidate-pruned mining recall $recall vs ${exact.size} exact pairs")
   }
 
+  test("ranker agreement equals a driver-side RBO recount") {
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._3 -> t._2).toMap).toMap
+    val a = ranks(TextAnalysis.qTfidfRetrieval(spark, dir)
+      .select("query_id", "rnk", "neighbor_id"))
+    val b = ranks(TextAnalysis.qBm25Retrieval(spark, dir)
+      .select("query_id", "rnk", "neighbor_id"))
+    val want = a.keys.map { q =>
+      def ov(d: Int) = a(q).keys.count(doc =>
+        a(q)(doc) <= d && b.getOrElse(q, Map.empty).getOrElse(doc, 99) <= d)
+      val rbo = 0.5 * ov(1) / 1.0 + 0.25 * ov(2) / 2.0 + 0.125 * ov(3) / 3.0
+      q -> ((ov(1).toLong, ov(2).toLong, ov(3).toLong,
+        BigDecimal(rbo).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }.toMap
+    val got = TextAnalysis.qRankerAgreement(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === want)
+    // non-degenerate: the two lexical rankers agree somewhere and
+    // disagree somewhere on this corpus
+    assert(got.values.exists(_._4 > 0.0))
+    assert(got.values.exists(_._4 < 0.875), "0.875 = full agreement at k=3")
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
