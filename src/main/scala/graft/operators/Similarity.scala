@@ -663,6 +663,66 @@ object Similarity {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // Semantic decontamination — the embedding sibling of the n-gram
+  // decontaminate gate (Quality.contamination): n-gram overlap misses
+  // paraphrased benchmark leakage, so production stacks ALSO score every
+  // training doc's nearest eval-set neighbor in embedding space and
+  // review/drop the top of that list. Output is the per-doc nearest
+  // eval id + similarity + flag, not just the flagged subset — the
+  // score distribution is the artifact reviewers actually read.
+  //
+  // Scale shape: the eval set is benchmark-sized (broadcast); the
+  // corpus streams through one map-side join + a per-doc top-1 window
+  // (WindowGroupLimit-bounded). Sims round to 4 dp before ranking with
+  // eval-id tie-break — rank order engine-exact, the house regime.
+  // ---------------------------------------------------------------------
+  def semanticContamination(
+      emb: DataFrame, evalFilter: Column, threshold: Double): DataFrame = {
+    val cos = cosineCol(emb.sparkSession)
+    val eval = emb.filter(evalFilter)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val corpus = emb.filter(!evalFilter)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("sim").desc, col("eval_id"))
+    corpus.join(broadcast(eval))
+      .withColumn("sim", round(cos(col("cv"), col("ev")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("eval_id").as("nearest_eval_id"),
+        col("sim"), (col("sim") >= threshold).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** Flag threshold; shared with the oracle (natural max-to-eval sim on
+    * this fixture is ~0.49 with p99 ≈ 0.44, so 0.40 flags a real
+    * minority instead of nobody).
+    */
+  val SemanticContamThreshold = 0.40
+
+  val qDecontaminateSemantic: Q = (s, d) =>
+    semanticContamination(
+      embeddings(s, d), col("vec_id") % 10 === 0, SemanticContamThreshold)
+
+  val qDecontaminateSemanticSql: String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+      |           FROM embeddings WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id AS doc_id, embedding AS v
+      |      FROM embeddings WHERE vec_id % 10 <> 0),
+      |s AS (SELECT doc_id, eval_id,
+      |    round(list_cosine_similarity(
+      |      CAST(v AS DOUBLE[]), CAST(e AS DOUBLE[])), 4) AS sim
+      |  FROM c CROSS JOIN ev),
+      |r AS (SELECT doc_id, eval_id, sim,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY sim DESC, eval_id) AS rnk
+      |  FROM s)
+      |SELECT doc_id, eval_id AS nearest_eval_id, sim,
+      |  CAST(sim >= $SemanticContamThreshold AS INT) AS flagged
+      |FROM r WHERE rnk = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Neighborhood size / acceptance margin; shared with the oracle. */
   val BitextK = 4
   val BitextMargin = 1.05
@@ -676,7 +736,8 @@ object Similarity {
       |y AS (SELECT vec_id AS y_id, embedding AS yv
       |      FROM embeddings WHERE vec_id % 2 = 1),
       |pairs AS (SELECT x_id, y_id,
-      |    round(list_cosine_similarity(xv, yv), 6) AS sim
+      |    round(list_cosine_similarity(
+      |      CAST(xv AS DOUBLE[]), CAST(yv AS DOUBLE[])), 6) AS sim
       |  FROM x CROSS JOIN y),
       |ranked AS (SELECT x_id, y_id, sim,
       |    row_number() OVER (PARTITION BY x_id
@@ -698,6 +759,7 @@ object Similarity {
       |ORDER BY x_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_decontaminate_semantic" -> qDecontaminateSemantic,
     "q_bitext_margin" -> qBitextMargin,
     "q_cluster_sample" -> qClusterSample,
     "q_knn_bruteforce" -> qKnnBruteForce,
@@ -709,6 +771,7 @@ object Similarity {
     "q_embedding_outliers" -> qEmbeddingOutliers)
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_bitext_margin" -> qBitextMarginSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,

@@ -966,6 +966,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 < 0.875), "0.875 = full agreement at k=3")
   }
 
+  test("semantic decontamination matches a driver-side nearest-eval scan") {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(u: Array[Float], v: Array[Float]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) {
+        d += u(i).toDouble * v(i); nu += u(i).toDouble * u(i)
+        nv += v(i).toDouble * v(i); i += 1
+      }
+      d / (math.sqrt(nu) * math.sqrt(nv))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evals = emb.keys.filter(_ % 10 == 0).toSeq.sorted
+    val want = emb.keys.filter(_ % 10 != 0).map { d =>
+      val (eid, s) = evals.map(e => e -> r4(cos(emb(d), emb(e))))
+        .minBy { case (e, s) => (-s, e) }
+      d -> ((eid, s,
+        if (s >= Similarity.SemanticContamThreshold) 1 else 0))
+    }.toMap
+    val got = Similarity.qDecontaminateSemantic(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(got === want)
+    // the threshold separates a real minority — both classes present
+    val flags = got.values.map(_._3).toSeq
+    assert(flags.contains(1) && flags.contains(0))
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
