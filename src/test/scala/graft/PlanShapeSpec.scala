@@ -128,4 +128,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"FK check must not sort-merge the fact table:\n$p")
   }
+
+  test("bpe encode: the vocab side broadcasts into the word stream") {
+    val p = plan("q_bpe_encode")
+    // the corpus-scale join (exploded words × segmentation vocab) must
+    // be map-side; the exploded words may NOT be hash-exchanged before
+    // reaching it. The later doc_id-keyed agg + empty-doc recovery join
+    // are the only hash exchanges (doc-keyed, AQE-planned — fine).
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized segmentation table must broadcast:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning\\(w#".r.findFirstIn(p).isEmpty,
+      s"exploded corpus words must stream through the broadcast join, " +
+        s"not shuffle on the word key:\n${p.take(3000)}")
+  }
+
+  test("line dedup: keep-first is an aggregation, not a sorted window") {
+    val p = plan("q_line_dedup")
+    // min(struct) + join back: exchanges are the seg-key agg/join and
+    // the per-doc rebuild agg (plus the presentation sort) — no Window
+    // operator may appear (a global first-occurrence window would
+    // single-task the corpus)
+    assert(!p.contains("Window"),
+      s"keep-first must stay an order-insensitive aggregation:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected the min-struct keeper aggregation:\n${p.take(3000)}")
+  }
+
+  test("semantic decontamination: eval side broadcasts; top-1 is " +
+    "group-limited") {
+    val p = plan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"benchmark-sized eval side must broadcast:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-1 must prune under WindowGroupLimit before the " +
+        s"full window:\n${p.take(3000)}")
+  }
 }
