@@ -504,7 +504,84 @@ object Sampling {
       |  FROM corpus c LEFT JOIN labels l USING (doc_id)) c
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Packing manifest — the boundary metadata the trainer consumes
+  // alongside packed sequences: per packed sequence, the ordered spans
+  // (which doc, which token range of it, where it sits in the
+  // sequence). This is what attention-boundary resets and loss masks
+  // key on; a doc straddling a sequence boundary appears once per
+  // sequence it touches, with complementary doc ranges.
+  //
+  // Scale shape: inherits the two-level prefix sum (no single-task
+  // window), then a per-doc explode over the 1–2 sequences a doc
+  // touches and a per-sequence slot rank (window partitioned by seq_id
+  // — parallel across sequences, each bounded by budget/min_doc_len
+  // slots). Pure integer arithmetic end to end — hash-exact by
+  // construction.
+  // ---------------------------------------------------------------------
+  def packManifest(toks: DataFrame, budget: Long): DataFrame = {
+    val cum = exclusivePrefixSum(toks, "doc_id", "n_tokens", 32, "cum")
+      .filter(col("n_tokens") > 0)
+    val spans = cum
+      .withColumn("seq_id",
+        // div, not / — Column./ on longs is double division
+        explode(sequence(expr(s"cum div $budget"),
+          expr(s"(cum + n_tokens - 1) div $budget"))))
+      .withColumn("doc_from",
+        greatest(col("seq_id") * budget - col("cum"), lit(0L)))
+      .withColumn("doc_to",
+        least((col("seq_id") + 1) * budget - col("cum"), col("n_tokens")))
+      .withColumn("start_in_seq",
+        col("cum") + col("doc_from") - col("seq_id") * budget)
+    val w = Window.partitionBy("seq_id").orderBy("start_in_seq")
+    spans
+      .withColumn("slot", row_number().over(w))
+      .select(col("seq_id"), col("slot"), col("doc_id"),
+        col("start_in_seq"), col("doc_from"), col("doc_to"),
+        (col("doc_to") - col("doc_from")).as("span_len"))
+      .orderBy("seq_id", "slot")
+  }
+
+  val qPackManifest: Q = (s, d) =>
+    packManifest(
+      documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      SeqBudget)
+
+  val qPackManifestSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |             x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS cum
+      |  FROM t WHERE n_tokens > 0),
+      |sp AS (
+      |  SELECT doc_id, n_tokens, cum, CAST(s.seq_id AS BIGINT) AS seq_id,
+      |    greatest(CAST(s.seq_id AS BIGINT) * $SeqBudget - cum, 0)
+      |      AS doc_from,
+      |    least((CAST(s.seq_id AS BIGINT) + 1) * $SeqBudget - cum,
+      |      n_tokens) AS doc_to
+      |  FROM c CROSS JOIN
+      |    unnest(range(cum // $SeqBudget,
+      |      (cum + n_tokens - 1) // $SeqBudget + 1)) AS s(seq_id))
+      |SELECT seq_id,
+      |  CAST(row_number() OVER (PARTITION BY seq_id
+      |    ORDER BY cum + doc_from - seq_id * $SeqBudget) AS INT) AS slot,
+      |  doc_id,
+      |  cum + doc_from - seq_id * $SeqBudget AS start_in_seq,
+      |  doc_from, doc_to,
+      |  doc_to - doc_from AS span_len
+      |FROM sp
+      |ORDER BY seq_id, slot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_pack_manifest" -> qPackManifest,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_seq_packing" -> qSeqPacking,
     "q_doc_chunks" -> qDocChunks,
@@ -515,6 +592,7 @@ object Sampling {
     "q_weighted_sample" -> qWeightedSample)
 
   val oracles: Map[String, String] = Map(
+    "q_pack_manifest" -> qPackManifestSql,
     "q_split_leakage_safe" -> qSplitLeakageSafeSql,
     "q_seq_packing" -> qSeqPackingSql,
     "q_doc_chunks" -> qDocChunksSql,

@@ -309,4 +309,47 @@ class SamplingSpec extends AnyFunSuite {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("pack manifest: spans tile sequences exactly and conserve docs") {
+    val rows = Sampling.qPackManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // per doc: spans cover [0, n_tokens) without gap or overlap
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._3).foreach { case (doc, sp) =>
+      val sorted = sp.sortBy(_._5)
+      assert(sorted.head._5 === 0L, s"doc $doc must start at 0")
+      assert(sorted.last._6 === toks(doc), s"doc $doc must end at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 === b._5,
+          s"doc $doc spans must be contiguous")
+        case _ =>
+      }
+    }
+    // per sequence: slots tile [0, budget) contiguously; every sequence
+    // except the last is exactly full
+    val bySeq = rows.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, sp) =>
+      val sorted = sp.sortBy(_._2)
+      assert(sorted.head._4 === 0L, s"seq $seq slot 1 must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._7 === b._4,
+          s"seq $seq spans must tile with no gap")
+        case _ =>
+      }
+      val filled = sorted.map(_._7).sum
+      if (seq != lastSeq)
+        assert(filled === Sampling.SeqBudget, s"seq $seq must be full")
+      else assert(filled <= Sampling.SeqBudget)
+    }
+    // split docs exist on this fixture (the case the manifest is for)
+    assert(rows.groupBy(_._3).values.exists(_.size > 1),
+      "at least one doc must straddle a sequence boundary")
+  }
 }
