@@ -124,6 +124,41 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // Lang-ID confusion matrix — the classifier-evaluation cross-tab over
+  // the fixture's labeled langs: (true lang, predicted lang, count,
+  // row-normalized fraction). The diagonal fractions are per-language
+  // recall; off-diagonal cells say WHICH confusions the marker
+  // heuristic makes — the artifact you read before trusting a lang
+  // filter's budget math. State is langs² cells however large the
+  // corpus; the prediction is the per-row map of qLangId.
+  // ---------------------------------------------------------------------
+  val qLangIdConfusion: Q = (s, d) => {
+    val pred = qLangId(s, d)
+    val cells = documents(s, d).select("doc_id", "lang")
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_lang"), 4).as("frac"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val qLangIdConfusionSql: String =
+    s"""WITH p AS ($qLangIdSql),
+      |cells AS (SELECT d.lang, p.pred_lang,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents d JOIN p USING (doc_id)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+      |        FROM cells GROUP BY 1)
+      |SELECT lang, pred_lang, n,
+      |  round(CAST(n AS DOUBLE) / n_lang, 4) AS frac
+      |FROM cells JOIN tot USING (lang)
+      |ORDER BY lang, pred_lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Token counting with a BPE-ish lexer regex: words / numbers / symbol
   // tokens counted separately, aggregated per source.
   // ---------------------------------------------------------------------
@@ -1829,6 +1864,7 @@ object TextAnalysis {
     "q_text_stats" -> qTextStats,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_lang_id" -> qLangId,
+    "q_langid_confusion" -> qLangIdConfusion,
     "q_token_classes" -> qTokenClasses,
     "q_doc_fingerprint" -> qFingerprint,
     "q_source_overlap" -> qSourceOverlap,
@@ -1856,6 +1892,7 @@ object TextAnalysis {
     "q_text_stats" -> qTextStatsSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_lang_id" -> qLangIdSql,
+    "q_langid_confusion" -> qLangIdConfusionSql,
     "q_token_classes" -> qTokenClassesSql,
     "q_doc_fingerprint" -> qFingerprintSql,
     "q_source_overlap_exact" -> qSourceOverlapExactSql,

@@ -995,6 +995,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flags.contains(1) && flags.contains(0))
   }
 
+  test("langid confusion: fractions row-normalize; counts conserve docs") {
+    val got = TextAnalysis.qLangIdConfusion(spark, dir).cache()
+    assert(got.agg(sum("n")).head.getLong(0) === 500L)
+    // per true lang, fractions sum to ~1 (rounding jitter ≤ cells×5e-5)
+    got.groupBy("lang").agg(sum("frac").as("s")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.getString(0))
+    }
+    // the cross-tab must agree with joining the prediction row-wise
+    val viaJoin = graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang")
+      .join(TextAnalysis.qLangId(spark, dir), "doc_id")
+      .groupBy("lang", "pred_lang").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cells = got.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === viaJoin)
+    got.unpersist()
+  }
+
   test("data card totals reconcile with direct corpus aggregates") {
     val docs = graft.Tables.documents(spark, dir).cache()
     val card = graft.operators.Curation.corpusDataCard(docs).cache()
