@@ -124,6 +124,36 @@ object DocStreams {
       .select(col("window.start").as("window_start"),
         col("source"), col("n_docs"), col("n_tokens"))
 
+  /** Windowed per-source token accounting in REAL tokenizer tokens —
+    * budget, mixing, and packing math all run in BPE tokens, and the
+    * whitespace word counts [[ingestStats]] reports can drift from them
+    * by the corpus's chars-per-token ratio. Tokens come from the FROZEN
+    * [[graft.plans.BpeStore]] artifact per micro-batch (foreachBatch —
+    * the encode derives a per-batch distinct-word vocab and broadcasts
+    * it, which is not expressible as a streaming aggregation), then one
+    * per-(window, source) sum. Unseen words count correctly — ordered
+    * merge application has no OOV path, so the accounting never
+    * undercounts novel vocabulary.
+    */
+  def bpeTokenAccounting(
+      docs: DataFrame, table: String, window: String = "10 minutes")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val enc = graft.plans.BpeStore.encode(
+        batch.sparkSession, batch.select("doc_id", "text"), table)
+      val out = batch.select("doc_id", "source", "ingest_ts")
+        .join(enc, "doc_id")
+        .groupBy(
+          org.apache.spark.sql.functions.window(col("ingest_ts"), window),
+          col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe_tokens").as("n_bpe_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("window.start").as("window_start"), col("source"),
+          col("n_docs"), col("n_bpe_tokens"), col("n_chars"))
+      sink(out, batchId)
+    }
+
   /** Streaming incremental admission: every arriving micro-batch is
     * near-dup-checked against the STATIC existing corpus — the
     * continual-pretraining ingest gate, streamed. The jaccard match

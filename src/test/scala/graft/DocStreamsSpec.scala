@@ -337,6 +337,47 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batchGot === got.toMap)
   }
 
+  test("bpe token accounting streams frozen-tokenizer counts per source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe-acct").toString
+    graft.plans.BpeStore.build(corpus, 10, "acct_bpe", path)
+    // two sources, one batch with an unseen word — counts must come
+    // from the frozen merges, not a whitespace split
+    val d1 = Doc(1, "the quick spark engine merges tokens", "web", ts(0))
+    val d2 = Doc(2, "unseeenword zzq", "web", ts(1))
+    val d3 = Doc(3, "another document entirely", "books", ts(2))
+    val got = scala.collection.mutable.Map[(String), (Long, Long, Long)]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.bpeTokenAccounting(input.toDF(), "acct_bpe") {
+      (out, _) =>
+        got.synchronized {
+          out.collect().foreach(r => got(r.getString(1)) =
+            (r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+    }.start()
+    try {
+      input.addData(d1, d2, d3)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: the served encode on the same rows
+    val batchEnc = graft.plans.BpeStore.encode(spark,
+      Seq((1L, d1.text), (2L, d2.text), (3L, d3.text))
+        .toDF("doc_id", "text"), "acct_bpe")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(2)))
+      .toMap
+    assert(got("web") === ((2L,
+      batchEnc(1L)._1 + batchEnc(2L)._1,
+      batchEnc(1L)._2 + batchEnc(2L)._2)))
+    assert(got("books") === ((1L, batchEnc(3L)._1, batchEnc(3L)._2)))
+    // the merges genuinely compressed: fewer BPE tokens than chars
+    assert(got("web")._2 < got("web")._3)
+  }
+
   test("gopher gate streams: admitted ids equal the battery's keep=1 set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
