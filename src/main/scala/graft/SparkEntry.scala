@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.jobs.SanefQueries
 import graft.multimodal.Multimodal
-import graft.operators.{Clustering, Curation, Dedup, Quality, Relational, Reshape, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Clustering, Curation, Dedup, Quality, Relational, Reshape, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
     Relational.queries ++ Reshape.queries ++ SanefQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Curation.queries ++ Quality.queries ++
-      Clustering.queries ++ Sampling.queries
+      Clustering.queries ++ Sampling.queries ++ Classifier.queries
 
   /** The SPARK_GRAFT_ONLY name filter shared by Bench and Verify (one
     * definition so the two mains can't interpret the env var
@@ -45,5 +45,5 @@ object SparkEntry {
     Relational.oracles ++ Reshape.oracles ++ SanefQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Curation.oracles ++ Quality.oracles ++
-      Clustering.oracles ++ Sampling.oracles
+      Clustering.oracles ++ Sampling.oracles ++ Classifier.oracles
 }

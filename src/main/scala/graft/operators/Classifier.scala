@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import Relational.Q
+
+/** Model-based quality scoring — the distilled-classifier move every
+  * production pretraining pipeline makes (FineWeb-Edu, DCLM, Llama-3's
+  * quality filters): take a cheap rule battery as the TEACHER, train a
+  * smooth linear STUDENT on its labels, and score every document with a
+  * graded probability instead of a hard boolean. The graded score is
+  * what downstream mixing/thresholding actually consumes — it ranks
+  * borderline documents the boolean collapses.
+  *
+  * Teacher: the Gopher rule battery ([[Quality.gopherRules]] — Rae et
+  * al. arXiv 2112.11446 §A1.1). Student: logistic regression on six
+  * engine-portable features derived from the SAME signal expressions
+  * (single-definition discipline: both label and features come from
+  * [[Quality.gopherSignalCols]], so teacher and student can't drift).
+  * Features are per-rule VIOLATION MAGNITUDES (hinge distances outside
+  * each rule's band) rather than the raw signals: the keep label is a
+  * conjunction of interval tests, which no linear function of the raw
+  * signals can express, while "keep ⇔ all violations zero" is linearly
+  * separable by construction — the standard rule→soft-score
+  * featurization.
+  *
+  * Training is full-batch gradient descent, the distributed form:
+  * per-iteration ONE aggregation over the cached feature projection
+  * (map-side partial sums, O(#features) state per partition), weights
+  * ride back to the driver as 6 scalars and re-enter the next plan as
+  * literals. At 100 TB the feature pass is computed once and persisted
+  * (7 narrow doubles per row); each of the 16 iterations is one scan of
+  * that projection — the same full-batch shape MLlib's
+  * LogisticRegression uses per LBFGS step, without the dependency.
+  *
+  * Engine parity (the reason this is oracle-checkable at all): the
+  * per-row gradient contribution is rounded to 8dp and lifted to an
+  * INTEGER (×1e8, round-to-unit, cast long), so the cross-row SUM is
+  * associative and order-free — float summation order is the one thing
+  * Spark and DuckDB cannot be made to agree on, integers are. The
+  * weight step is scalar arithmetic on (eta, g, n) with the weight
+  * re-rounded to 8dp each iteration; per-row exp() may differ by 1 ulp
+  * between engines, which the 8dp contribution rounding absorbs
+  * (measure-zero boundary risk, same regime as the suite's 4dp score
+  * rounding). The DuckDB oracle replays all 16 iterations as unrolled
+  * MATERIALIZED CTEs (the [[TextAnalysis]] BPE-oracle pattern) and must
+  * land on bit-identical weights, scores, and predictions.
+  */
+object Classifier {
+
+  /** Violation features scale ×5: lifts near-band violations off the
+    * numeric floor so the logistic step separates them from the
+    * all-zero (compliant) mass point without needing a huge rate.
+    */
+  val ClsScale = 5.0
+  /** Full-batch learning rate; swept jointly with ClsIters on all three
+    * fixture SFs (accuracy 0.94-0.96 everywhere, bias solidly positive
+    * so the compliant mass point sits clear of the 0.5 boundary).
+    */
+  val ClsEta = 16.0
+  /** GD iterations — also the unroll depth of the DuckDB oracle. */
+  val ClsIters = 16
+  val NumFeatures = 6
+
+  /** Per-document (y, x0..x5): teacher label + bias + five per-rule
+    * violation magnitudes, all from the shared gopher signal
+    * expressions. Every arithmetic step here is mirrored verbatim in
+    * [[featuresSqlPrelude]] — int→double IEEE divisions and
+    * fixed-shape expression trees, no rounding needed.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val sig = Quality.gopherSignalCols(col("text"), toksC)
+    val keep = Quality.gopherPredicates(col("text"), toksC).reduce(_ && _)
+    val Seq(n, meanLen, symRatio, nStop, dupFrac) = sig
+    val nD = n.cast("double")
+    docs.select(
+      col("doc_id"),
+      keep.cast("int").as("y"),
+      lit(1.0).as("x0"),
+      (lit(ClsScale) * (greatest(lit(0.0), (lit(20.0) - nD) / lit(20.0)) +
+        greatest(lit(0.0), (nD - lit(1000.0)) / lit(1000.0)))).as("x1"),
+      (lit(ClsScale) * (greatest(lit(0.0), (lit(3.0) - meanLen) / lit(3.0)) +
+        greatest(lit(0.0), (meanLen - lit(10.0)) / lit(10.0)))).as("x2"),
+      (lit(ClsScale) * greatest(lit(0.0), (symRatio - lit(0.1)) / lit(0.1)))
+        .as("x3"),
+      (lit(ClsScale) * greatest(lit(0.0),
+        (lit(2.0) - nStop.cast("double")) / lit(2.0))).as("x4"),
+      (lit(ClsScale) * greatest(lit(0.0), (dupFrac - lit(0.6)) / lit(0.6)))
+        .as("x5"))
+  }
+
+  /** Matches Spark's round(col, 8) semantics (shortest-decimal-repr
+    * HALF_UP) for the driver-side weight update.
+    */
+  private def round8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The linear predictor x·w as one left-associated expression tree —
+    * the association must match the oracle's `x0*w0 + x1*w1 + ...`
+    * exactly (IEEE addition is not associative).
+    */
+  private def zCol(w: Array[Double]): Column =
+    (0 until NumFeatures).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+
+  /** Full-batch logistic GD over a feature frame; returns the learned
+    * weights. One aggregation job per iteration over the persisted
+    * projection; gradient components cross the wire as exact integers.
+    */
+  def train(feats: DataFrame,
+            eta: Double = ClsEta, iters: Int = ClsIters): Array[Double] = {
+    val cached = feats.persist()
+    val n = cached.count().toDouble
+    var w = Array.fill(NumFeatures)(0.0)
+    if (n > 0) {
+      for (_ <- 1 to iters) {
+        val sig = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
+        val err = sig - col("y")
+        val gs = (0 until NumFeatures).map(j =>
+          sum(round(err * col(s"x$j") * lit(1e8), 0).cast("long")).as(s"g$j"))
+        val row = cached.agg(gs.head, gs.tail: _*).head()
+        w = Array.tabulate(NumFeatures)(j =>
+          round8(w(j) - eta * row.getLong(j) / (n * 1e8)))
+      }
+    }
+    cached.unpersist()
+    w
+  }
+
+  /** Train on the corpus, then score every document: (doc_id, teacher
+    * label, 6dp student probability, thresholded prediction).
+    */
+  def scoreCorpus(docs: DataFrame): DataFrame = {
+    val f = features(docs)
+    val w = train(f)
+    f.select(col("doc_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-zCol(w))), 6).as("score"))
+      .withColumn("pred", (col("score") >= lit(0.5)).cast("int"))
+  }
+
+  val qQualityClassifier: Q = (s, d) =>
+    scoreCorpus(documents(s, d)).orderBy("doc_id")
+
+  /** Threshold sweep over the trained scores: confusion counts +
+    * precision/recall at τ = 0.1 … 0.9 — the calibration table that
+    * picks the production cut-off for a target kept-fraction. The sweep
+    * is a 9-way cross of the scored frame (scores computed ONCE), one
+    * grouped aggregation.
+    */
+  def calibrationSweep(scored: DataFrame): DataFrame = {
+    val taus = (1 to 9).map(i => lit(i / 10.0))
+    val tauFrame = scored.sparkSession.range(1)
+      .select(explode(array(taus: _*)).as("tau"))
+    scored.crossJoin(broadcast(tauFrame))
+      .groupBy("tau")
+      .agg(
+        sum(when(col("score") >= col("tau") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("tau") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("tau") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("tau") && col("y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)))
+  }
+
+  val qClassifierCalibration: Q = (s, d) =>
+    calibrationSweep(scoreCorpus(documents(s, d))).orderBy("tau")
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: features + 16 unrolled GD iterations. Every CTE is
+  // MATERIALIZED — w_k is referenced by both g_{k+1} and w_{k+1}, so
+  // plain CTE inlining would double the tree per iteration (the BPE
+  // oracle's exponential-reference lesson).
+  // ---------------------------------------------------------------------
+
+  private val stopList =
+    Quality.GopherStopwords.map(w => s"'$w'").mkString(",")
+
+  /** Shared prelude: tokenize → signals → label+features → n. Signal
+    * expressions mirror [[Quality.qGopherRulesSql]]; feature arithmetic
+    * mirrors [[features]] term for term.
+    */
+  private def featuresSqlPrelude: String =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l,
+      |    text
+      |  FROM documents),
+      |st AS MATERIALIZED (SELECT doc_id,
+      |    len(l) AS n_tokens,
+      |    CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE) / len(l)
+      |      AS mean_len,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |      / len(l) AS sym_ratio,
+      |    len(list_filter(l, x -> x IN ($stopList))) AS n_stop,
+      |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_frac
+      |  FROM st_src),
+      |f AS MATERIALIZED (SELECT doc_id,
+      |    CAST(n_tokens BETWEEN 20 AND 1000
+      |      AND mean_len BETWEEN 3.0 AND 10.0
+      |      AND sym_ratio <= 0.1 AND n_stop >= 2
+      |      AND dup_frac <= 0.6 AS INT) AS y,
+      |    CAST(1.0 AS DOUBLE) AS x0,
+      |    $ClsScale*(greatest(0.0, (20.0 - CAST(n_tokens AS DOUBLE))/20.0)
+      |      + greatest(0.0, (CAST(n_tokens AS DOUBLE) - 1000.0)/1000.0))
+      |      AS x1,
+      |    $ClsScale*(greatest(0.0, (3.0 - mean_len)/3.0)
+      |      + greatest(0.0, (mean_len - 10.0)/10.0)) AS x2,
+      |    $ClsScale*greatest(0.0, (sym_ratio - 0.1)/0.1) AS x3,
+      |    $ClsScale*greatest(0.0,
+      |      (2.0 - CAST(n_stop AS DOUBLE))/2.0) AS x4,
+      |    $ClsScale*greatest(0.0, (dup_frac - 0.6)/0.6) AS x5
+      |  FROM st),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      |w_0 AS MATERIALIZED (SELECT ${(0 until NumFeatures)
+           .map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")})"""
+      .stripMargin
+      .replace("FROM st_src", "FROM t")
+
+  /** z over frame alias `f` against weight alias `w` — the same
+    * left-associated sum as [[zCol]].
+    */
+  private def zSql: String =
+    (0 until NumFeatures).map(j => s"f.x$j*w.w$j").mkString(" + ")
+
+  private def iterSql(k: Int): String = {
+    val gs = (0 until NumFeatures).map(j =>
+      s"""sum(CAST(round((1.0/(1.0+exp(-($zSql))) - f.y)*f.x$j*100000000.0,
+         | 0) AS BIGINT)) AS g$j""".stripMargin.replace("\n", ""))
+      .mkString(",\n|    ")
+    val ws = (0 until NumFeatures).map(j =>
+      s"round(w.w$j - $ClsEta*g.g$j/(nn.n*100000000.0), 8) AS w$j")
+      .mkString(",\n|    ")
+    s"""g_$k AS MATERIALIZED (SELECT
+      |    $gs
+      |  FROM f CROSS JOIN w_${k - 1} w),
+      |w_$k AS MATERIALIZED (SELECT
+      |    $ws
+      |  FROM w_${k - 1} w CROSS JOIN g_$k g CROSS JOIN nn)""".stripMargin
+  }
+
+  private def scoredSql: String =
+    s"""$featuresSqlPrelude,
+      |${(1 to ClsIters).map(iterSql).mkString(",\n")},
+      |scored AS MATERIALIZED (SELECT f.doc_id, f.y,
+      |    round(1.0/(1.0+exp(-($zSql))), 6) AS score
+      |  FROM f CROSS JOIN w_$ClsIters w)""".stripMargin
+
+  val qQualityClassifierSql: String =
+    s"""$scoredSql
+      |SELECT doc_id, y, score, CAST(score >= 0.5 AS INT) AS pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  val qClassifierCalibrationSql: String =
+    s"""$scoredSql,
+      |taus AS (SELECT CAST(unnest([${(1 to 9)
+           .map(i => s"0.$i").mkString(",")}]) AS DOUBLE) AS tau),
+      |cm AS (SELECT tau,
+      |    CAST(sum(CASE WHEN score >= tau AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN score >= tau AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN score < tau AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN score < tau AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM scored CROSS JOIN taus GROUP BY tau)
+      |SELECT tau, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp > 0
+      |    THEN round(CAST(tp AS DOUBLE)/(tp + fp), 4) END AS precision,
+      |  CASE WHEN tp + fn > 0
+      |    THEN round(CAST(tp AS DOUBLE)/(tp + fn), 4) END AS recall
+      |FROM cm ORDER BY tau""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_quality_classifier" -> qQualityClassifier,
+    "q_classifier_calibration" -> qClassifierCalibration)
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_classifier_calibration" -> qClassifierCalibrationSql)
+}

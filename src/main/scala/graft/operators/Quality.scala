@@ -632,7 +632,7 @@ object Quality {
     * the fixture contract (min n_chars 48) — divisions stay unguarded for
     * exact engine parity.
     */
-  private def gopherSignalCols(
+  private[operators] def gopherSignalCols(
       text: Column, toks: Column): Seq[Column] = {
     val n = size(toks)
     Seq(
@@ -645,7 +645,7 @@ object Quality {
   }
 
   /** The five per-rule pass predicates over the same signal list. */
-  private def gopherPredicates(
+  private[operators] def gopherPredicates(
       text: Column, toks: Column): Seq[Column] = {
     val Seq(n, meanLen, symRatio, nStop, dupFrac) =
       gopherSignalCols(text, toks)
