@@ -130,19 +130,41 @@ object Classifier {
     w
   }
 
-  /** Train on the corpus, then score every document: (doc_id, teacher
-    * label, 6dp student probability, thresholded prediction).
+  /** Score a feature frame under FROZEN weights: (doc_id, teacher
+    * label, 6dp student probability, thresholded prediction). The
+    * serving half — [[graft.plans.ClsStore]] feeds it saved weights.
     */
-  def scoreCorpus(docs: DataFrame): DataFrame = {
-    val f = features(docs)
-    val w = train(f)
-    f.select(col("doc_id"), col("y"),
+  def scoreWith(feats: DataFrame, w: Array[Double]): DataFrame =
+    feats.select(col("doc_id"), col("y"),
         round(lit(1.0) / (lit(1.0) + exp(-zCol(w))), 6).as("score"))
       .withColumn("pred", (col("score") >= lit(0.5)).cast("int"))
+
+  /** Train on the corpus, then score every document. */
+  def scoreCorpus(docs: DataFrame): DataFrame = {
+    val f = features(docs)
+    scoreWith(f, train(f))
   }
 
   val qQualityClassifier: Q = (s, d) =>
     scoreCorpus(documents(s, d)).orderBy("doc_id")
+
+  /** The same scoring served from the PERSISTED weight artifact
+    * ([[graft.plans.ClsStore]]): train+save once, score the batch under
+    * frozen weights — identical output to [[qQualityClassifier]] by
+    * construction (same features, same weights read back from
+    * parquet), so it carries the same oracle. The production split this
+    * demonstrates: the 16-pass gradient loop lives in `build`
+    * (recurring ingests pay it once), scoring is a stateless per-row
+    * map.
+    */
+  val qClassifierServed: Q = (s, d) => {
+    val id = java.lang.Integer.toHexString(d.hashCode)
+    val table = s"graft_cls_$id"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_cls_$id"
+    val docs = documents(s, d)
+    graft.plans.ClsStore.build(docs, table, path)
+    graft.plans.ClsStore.score(s, docs, table).orderBy("doc_id")
+  }
 
   /** Threshold sweep over the trained scores: confusion counts +
     * precision/recall at τ = 0.1 … 0.9 — the calibration table that
@@ -284,9 +306,13 @@ object Classifier {
 
   val queries: Map[String, Q] = Map(
     "q_quality_classifier" -> qQualityClassifier,
+    "q_classifier_served" -> qClassifierServed,
     "q_classifier_calibration" -> qClassifierCalibration)
 
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qQualityClassifierSql,
+    // served scoring ≡ in-plan training by construction (frozen weights
+    // round-trip through parquet bit-exactly); carries the same oracle
+    "q_classifier_served" -> qQualityClassifierSql,
     "q_classifier_calibration" -> qClassifierCalibrationSql)
 }

@@ -269,6 +269,53 @@ object Clustering {
       |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Soft dedup — down-WEIGHT near-duplicate clusters instead of dropping
+  // them (the D4 observation, Tirumala et al. arXiv 2308.12284: cluster-
+  // aware reweighting beats hard removal because borderline duplicates
+  // still carry signal). Every document gets sampling weight
+  // 1/cluster_size over the SAME near-dup clusters the hard-dedup query
+  // uses — unclustered docs weigh 1.0, a 4-copy cluster's members weigh
+  // 0.25 each, so each near-dup equivalence class contributes one
+  // document's worth of expected mass to the training mixture. The
+  // output feeds the weighted sampler ([[Sampling]]) directly.
+  //
+  // Scale shape: inherits [[nearDupClusterLabels]]'s subquadratic pair
+  // stage (MinHash banding + exact verify) and log-round components; the
+  // weighting itself is one #clusters-sized agg + a LEFT join back to
+  // the corpus spine. Parity: weight = 1.0/bigint is one IEEE division,
+  // rounded 6dp; the cluster labels carry the recursive-CTE oracle.
+  // ---------------------------------------------------------------------
+  val qSoftDedupWeights: Q = (s, d) => {
+    val corpus = Dedup.corpusNear(s, d)
+    val cc = nearDupClusterLabels(s, d)
+    val csize = cc.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    corpus.select("doc_id")
+      .join(cc.join(csize, "cluster_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6)
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val qSoftDedupWeightsSql: String =
+    clusterLabelsCtes +
+      """,
+      |csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+      |            AS cluster_size
+      |          FROM labels GROUP BY 1),
+      |lw AS (SELECT doc_id, cluster_size
+      |       FROM labels JOIN csize USING (cluster_id))
+      |SELECT c.doc_id,
+      |  coalesce(lw.cluster_size, 1) AS cluster_size,
+      |  round(CAST(1.0 AS DOUBLE) / coalesce(lw.cluster_size, 1), 6)
+      |    AS weight
+      |FROM corpus c LEFT JOIN lw USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PageRank — the canonical iterative-fixpoint graph operator (Page et
   // al. 1999, "The PageRank Citation Ranking"), here over the page-
   // transition graph mined from the event stream: per-user consecutive
@@ -657,6 +704,7 @@ object Clustering {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters" -> qDedupClusters,
+    "q_softdedup_weights" -> qSoftDedupWeights,
     "q_pagerank" -> qPageRank,
     "q_kcore" -> qKCore,
     "q_communities_lpa" -> qCommunitiesLpa,
@@ -664,6 +712,7 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_softdedup_weights" -> qSoftDedupWeightsSql,
     "q_pagerank" -> qPageRankSql,
     "q_kcore" -> qKCoreSql,
     "q_communities_lpa" -> qCommunitiesLpaSql,

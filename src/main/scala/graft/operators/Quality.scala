@@ -720,6 +720,96 @@ object Quality {
       |FROM st ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PII detection report — the per-source incidence dashboard that runs
+  // BEFORE the scrubber: how much of each ingest stream carries each PII
+  // type, the number a data-governance review asks for first (scrub
+  // handles remediation; this is measurement). The fixture corpus is
+  // PII-free, so the query plants each type on a doc_id-derived SUBSET
+  // (emails on ≡0 mod 3, phones mod 5, IPs mod 7, account ids mod 11 —
+  // distinct small primes so the per-source mix genuinely varies),
+  // then detects with the same patterns the scrubber redacts — the
+  // planted-evidence discipline qPiiScrub established.
+  //
+  // Scale shape: per-row regexp_count chain (codegen'd) + one
+  // partial+final groupBy(source) — a #sources-row result, no joins.
+  // Parity: integer match counts, one int/int IEEE division rounded 4dp.
+  // ---------------------------------------------------------------------
+  val qPiiReport: Q = (s, d) => {
+    val enriched = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" tel +27-555-"),
+        lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") * 3 % 256).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(
+        lit(" acct "),
+        lpad((col("doc_id") * 37 % 1000000000).cast("string"), 9, "0")))
+        .otherwise(lit("")))
+    val counts = piiPatterns.map { case (pat, tag) =>
+      regexp_count(col("enriched"), lit(pat)).cast("long")
+        .as("n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase)
+    }
+    documents(s, d)
+      .select(col("source"), enriched.as("enriched"))
+      .select(col("source") +: counts: _*)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_email").as("n_email"),
+        sum("n_phone").as("n_phone"),
+        sum("n_ip").as("n_ip"),
+        sum("n_id").as("n_id"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ip") +
+          col("n_id") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+      .withColumn("pii_rate",
+        round(col("n_docs_with_pii").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  val qPiiReportSql: String = {
+    val enriched =
+      """text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' tel +27-555-' ||
+        |    lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' acct ' ||
+        |    lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0')
+        |    ELSE '' END""".stripMargin
+    val cnt = piiPatterns.map { case (pat, tag) =>
+      val nm = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"len(regexp_extract_all(enriched, '$pat')) AS $nm"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT source, ($enriched) AS enriched FROM documents),
+       |c AS (SELECT source,
+       |    $cnt
+       |  FROM e)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       |  CAST(sum(n_id) AS BIGINT) AS n_id,
+       |  CAST(sum(CASE WHEN n_email + n_phone + n_ip + n_id > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       |  round(CAST(sum(CASE WHEN n_email + n_phone + n_ip + n_id > 0
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pii_rate
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Filter-funnel report: per-source survival counts through the staged
   // gate chain (length → repetition → stopwords) — the attrition
   // dashboard every corpus-curation run publishes. Stages are CUMULATIVE
@@ -930,6 +1020,7 @@ object Quality {
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_pii_scrub" -> qPiiScrub,
+    "q_pii_report" -> qPiiReport,
     "q_corpus_mix" -> qCorpusMix,
     "q_token_budget" -> qTokenBudget,
     "q_token_budget_classes" -> qTokenBudgetClasses,
@@ -948,6 +1039,7 @@ object Quality {
     // identical output to the exact form (see contaminationBloom doc)
     "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_pii_scrub" -> qPiiScrubSql,
+    "q_pii_report" -> qPiiReportSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_token_budget_classes" -> qTokenBudgetClassesSql,

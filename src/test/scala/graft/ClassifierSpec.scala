@@ -74,6 +74,12 @@ class ClassifierSpec extends AnyFunSuite {
     assert(at05.getLong(1) + at05.getLong(2) == predOnes)
   }
 
+  test("served scoring under the frozen artifact equals in-plan training") {
+    val served = Classifier.qClassifierServed(spark, dir)
+    val inPlan = Classifier.qQualityClassifier(spark, dir)
+    assert(served.collect().toSeq == inPlan.collect().toSeq)
+  }
+
   test("empty corpus trains to zero weights and scores no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -125,6 +125,35 @@ class ClusteringSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q_softdedup_weights: clusters weigh one doc, singletons weigh 1.0") {
+    val w = Clustering.qSoftDedupWeights(spark, dir).collect()
+    val info = Clustering.qDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val clusters = info.view.mapValues(_._2).toMap
+    // full corpus spine: every doc appears exactly once
+    assert(w.map(_.getLong(0)).distinct.length === w.length)
+    w.foreach { r =>
+      val (id, size, weight) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      clusters.get(id) match {
+        case Some(cs) =>
+          assert(size === cs, s"doc $id size mismatch")
+          assert(math.abs(weight - 1.0 / cs) < 5e-7, s"doc $id weight")
+        case None =>
+          assert(size === 1L && weight === 1.0,
+            s"unclustered doc $id must weigh 1.0")
+      }
+    }
+    // each near-dup equivalence class contributes ~one doc of mass
+    val byCluster = w.filter(r => info.contains(r.getLong(0)))
+      .groupBy(r => info(r.getLong(0))._1)
+    byCluster.foreach { case (_, ms) =>
+      val mass = ms.map(_.getDouble(2)).sum
+      assert(math.abs(mass - ms.head.getLong(1).toDouble *
+        ms.head.getDouble(2)) < 1e-4)
+      assert(math.abs(mass - 1.0) < 1e-3, s"cluster mass $mass")
+    }
+  }
+
   /** Driver-side reference PageRank (same formula and rounding). */
   private def brutePageRank(
       edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {

@@ -294,4 +294,22 @@ class QualitySpec extends AnyFunSuite {
     assert(got === want)
     assert(got.values.forall { case (_, _, tv) => tv >= 0.0 && tv <= 1.0 })
   }
+
+  test("pii report counts exactly the planted per-type subsets") {
+    val ids = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ids.groupBy(_._2).map { case (src, rows) =>
+      val d = rows.map(_._1)
+      src -> ((d.length.toLong,
+        d.count(_ % 3 == 0).toLong, d.count(_ % 5 == 0).toLong,
+        d.count(_ % 7 == 0).toLong, d.count(_ % 11 == 0).toLong,
+        d.count(i => i % 3 == 0 || i % 5 == 0 || i % 7 == 0 ||
+          i % 11 == 0).toLong))
+    }
+    val got = Quality.qPiiReport(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === want)
+  }
 }
