@@ -71,26 +71,45 @@ object Classifier {
     * [[featuresSqlPrelude]] — int→double IEEE divisions and
     * fixed-shape expression trees, no rounding needed.
     */
+  /** The six feature expressions over a text column — per-row, zero
+    * state, so they compose into batch projections and structured
+    * streams alike (the streaming gate uses them inline).
+    */
+  def featureCols(text: Column): Seq[Column] = {
+    val toksC = tokens(text)
+    val Seq(n, meanLen, symRatio, nStop, dupFrac) =
+      Quality.gopherSignalCols(text, toksC)
+    val nD = n.cast("double")
+    Seq(
+      lit(1.0),
+      lit(ClsScale) * (greatest(lit(0.0), (lit(20.0) - nD) / lit(20.0)) +
+        greatest(lit(0.0), (nD - lit(1000.0)) / lit(1000.0))),
+      lit(ClsScale) * (greatest(lit(0.0), (lit(3.0) - meanLen) / lit(3.0)) +
+        greatest(lit(0.0), (meanLen - lit(10.0)) / lit(10.0))),
+      lit(ClsScale) * greatest(lit(0.0), (symRatio - lit(0.1)) / lit(0.1)),
+      lit(ClsScale) * greatest(lit(0.0),
+        (lit(2.0) - nStop.cast("double")) / lit(2.0)),
+      lit(ClsScale) * greatest(lit(0.0), (dupFrac - lit(0.6)) / lit(0.6)))
+  }
+
+  /** The 6dp probability under FROZEN weights as one inline per-row
+    * expression — the serving/streaming form (no feature frame, no
+    * training): identical arithmetic to [[scoreWith]], so a gate built
+    * on it admits exactly the docs the batch query scores ≥ τ.
+    */
+  def scoreCol(text: Column, w: Array[Double]): Column = {
+    val z = featureCols(text).zip(w.toSeq)
+      .map { case (x, wj) => x * lit(wj) }.reduce(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   def features(docs: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
-    val sig = Quality.gopherSignalCols(col("text"), toksC)
     val keep = Quality.gopherPredicates(col("text"), toksC).reduce(_ && _)
-    val Seq(n, meanLen, symRatio, nStop, dupFrac) = sig
-    val nD = n.cast("double")
+    val xs = featureCols(col("text"))
     docs.select(
-      col("doc_id"),
-      keep.cast("int").as("y"),
-      lit(1.0).as("x0"),
-      (lit(ClsScale) * (greatest(lit(0.0), (lit(20.0) - nD) / lit(20.0)) +
-        greatest(lit(0.0), (nD - lit(1000.0)) / lit(1000.0)))).as("x1"),
-      (lit(ClsScale) * (greatest(lit(0.0), (lit(3.0) - meanLen) / lit(3.0)) +
-        greatest(lit(0.0), (meanLen - lit(10.0)) / lit(10.0)))).as("x2"),
-      (lit(ClsScale) * greatest(lit(0.0), (symRatio - lit(0.1)) / lit(0.1)))
-        .as("x3"),
-      (lit(ClsScale) * greatest(lit(0.0),
-        (lit(2.0) - nStop.cast("double")) / lit(2.0))).as("x4"),
-      (lit(ClsScale) * greatest(lit(0.0), (dupFrac - lit(0.6)) / lit(0.6)))
-        .as("x5"))
+      col("doc_id") +: keep.cast("int").as("y") +:
+        xs.zipWithIndex.map { case (x, j) => x.as(s"x$j") }: _*)
   }
 
   /** Matches Spark's round(col, 8) semantics (shortest-decimal-repr
@@ -199,6 +218,35 @@ object Classifier {
     calibrationSweep(scoreCorpus(documents(s, d))).orderBy("tau")
 
   // ---------------------------------------------------------------------
+  // Quality curriculum — the downstream consumer of the graded score
+  // that a boolean filter can't express: order the corpus into training
+  // position by quality TIER (score quartiles, best first — the
+  // anneal-from-clean curriculum), shuffled content-free WITHIN each
+  // tier (md5 priority, the stratified sampler's discipline) so
+  // position carries no accidental source/id ordering. Output is the
+  // epoch plan: (doc_id, tier, pos, score).
+  //
+  // Scale shape: scoring is the per-row map over frozen weights; the
+  // global ntile/position windows are presentation-exact here and would
+  // be replaced by broadcast quantile thresholds + per-partition rank
+  // offsets at 100 TB (the two-level prefix-sum pattern Sampling's
+  // packing already implements) — the curriculum SEMANTICS (tier by
+  // score, hash-shuffled within tier) are what this query pins.
+  // ---------------------------------------------------------------------
+  val qCurriculumOrder: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoreCorpus(documents(s, d))
+    val tierW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val posW = Window.orderBy(col("tier").asc,
+      md5(col("doc_id").cast("string")), col("doc_id").asc)
+    scored
+      .withColumn("tier", ntile(4).over(tierW))
+      .withColumn("pos", row_number().over(posW).cast("long"))
+      .select("doc_id", "tier", "pos", "score")
+      .orderBy("pos")
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB oracle: features + 16 unrolled GD iterations. Every CTE is
   // MATERIALIZED — w_k is referenced by both g_{k+1} and w_{k+1}, so
   // plain CTE inlining would double the tree per iteration (the BPE
@@ -283,6 +331,17 @@ object Classifier {
       |SELECT doc_id, y, score, CAST(score >= 0.5 AS INT) AS pred
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  val qCurriculumOrderSql: String =
+    s"""$scoredSql,
+      |tiers AS (SELECT doc_id, score,
+      |    ntile(4) OVER (ORDER BY score DESC, doc_id ASC) AS tier
+      |  FROM scored)
+      |SELECT doc_id, tier,
+      |  CAST(row_number() OVER (ORDER BY tier ASC,
+      |    md5(CAST(doc_id AS VARCHAR)), doc_id ASC) AS BIGINT) AS pos,
+      |  score
+      |FROM tiers ORDER BY pos""".stripMargin
+
   val qClassifierCalibrationSql: String =
     s"""$scoredSql,
       |taus AS (SELECT CAST(unnest([${(1 to 9)
@@ -307,12 +366,14 @@ object Classifier {
   val queries: Map[String, Q] = Map(
     "q_quality_classifier" -> qQualityClassifier,
     "q_classifier_served" -> qClassifierServed,
-    "q_classifier_calibration" -> qClassifierCalibration)
+    "q_classifier_calibration" -> qClassifierCalibration,
+    "q_curriculum_order" -> qCurriculumOrder)
 
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qQualityClassifierSql,
     // served scoring ≡ in-plan training by construction (frozen weights
     // round-trip through parquet bit-exactly); carries the same oracle
     "q_classifier_served" -> qQualityClassifierSql,
-    "q_classifier_calibration" -> qClassifierCalibrationSql)
+    "q_classifier_calibration" -> qClassifierCalibrationSql,
+    "q_curriculum_order" -> qCurriculumOrderSql)
 }

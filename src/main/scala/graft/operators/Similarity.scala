@@ -481,6 +481,80 @@ object Similarity {
 
   val qEmbeddingOutliers: Q = (s, d) => embeddingOutliers(embeddings(s, d), 5)
 
+  // ---------------------------------------------------------------------
+  // Embedding-space drift — the representation-level counterpart of
+  // [[graft.operators.Quality.corpusDrift]]'s character-level TV
+  // distance: split each label's vectors into the same content-free md5
+  // halves, compute a per-half centroid, and report 1 − cos(centroid_a,
+  // centroid_b). Zero drift means the halves agree on where the label
+  // lives in embedding space; a drifting ingest (new topics, new
+  // encoder version) moves the fresh half's centroid first — this is
+  // the monitor that says "re-train the IVF quantizer / classifier"
+  // before recall quietly decays.
+  //
+  // Scale shape: one posexplode + two-level agg (per-dim partial means
+  // combine map-side; state is labels × dim × 2 cells however large the
+  // corpus), then a labels-sized join. Parity: per-dim means round 6dp
+  // (the [[embeddingOutliers]] regime), cosine rounds 4dp.
+  // ---------------------------------------------------------------------
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val inA = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val halves = emb.select(col("label"), inA.as("in_a"), col("embedding"))
+    val cents = halves
+      .select(col("label"), col("in_a"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "in_a", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy("label", "in_a")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), col("in_a"), col("ps.m").as("centroid"))
+    val counts = halves.groupBy("label").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    def fsum(x: Column): Column =
+      aggregate(x, lit(0.0d), (acc, v) => acc + v)
+    val dot = fsum(zip_with(col("cent_a"), col("cent_b"), (x, y) => x * y))
+    val na = sqrt(fsum(zip_with(col("cent_a"), col("cent_a"),
+      (x, y) => x * y)))
+    val nb = sqrt(fsum(zip_with(col("cent_b"), col("cent_b"),
+      (x, y) => x * y)))
+    cents.filter(col("in_a"))
+      .select(col("label"), col("centroid").as("cent_a"))
+      .join(cents.filter(!col("in_a"))
+        .select(col("label"), col("centroid").as("cent_b")), "label")
+      .join(counts, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(lit(1.0) - dot / (na * nb), 4).as("drift"))
+      .orderBy("label")
+  }
+
+  val qEmbeddingDrift: Q = (s, d) => embeddingDrift(embeddings(s, d))
+
+  val qEmbeddingDriftSql: String =
+    """WITH mx AS (SELECT max(len(embedding)) AS m FROM embeddings),
+      |h AS (SELECT label, vec_id, embedding,
+      |        substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS in_a
+      |      FROM embeddings),
+      |comp AS (SELECT label, in_a, CAST(i AS INT) AS pos,
+      |           round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+      |             AS mval
+      |         FROM h CROSS JOIN
+      |           (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) r
+      |         GROUP BY 1, 2, 3),
+      |cent AS (SELECT label, in_a, list(mval ORDER BY pos) AS centroid
+      |         FROM comp GROUP BY 1, 2),
+      |counts AS (SELECT label,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM h GROUP BY 1)
+      |SELECT a.label, c.n_a, c.n_b,
+      |  round(1.0 - list_cosine_similarity(a.centroid, b.centroid), 4)
+      |    AS drift
+      |FROM cent a
+      |JOIN cent b ON a.label = b.label AND a.in_a AND NOT b.in_a
+      |JOIN counts c ON c.label = a.label
+      |ORDER BY a.label""".stripMargin
+
   val qEmbeddingOutliersSql: String =
     """WITH mx AS (SELECT max(len(embedding)) AS m FROM embeddings),
       |comp AS (SELECT label, CAST(i AS INT) AS pos,
@@ -768,7 +842,8 @@ object Similarity {
     "q_knn_recall" -> qKnnRecall,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
-    "q_embedding_outliers" -> qEmbeddingOutliers)
+    "q_embedding_outliers" -> qEmbeddingOutliers,
+    "q_embedding_drift" -> qEmbeddingDrift)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
@@ -781,5 +856,6 @@ object Similarity {
     // only verbatim copies clear 0.9 and copies share a cell (see
     // qDedupSemantic doc) — same oracle as the exact form
     "q_dedup_semantic" -> qDedupEmbeddingSql,
-    "q_embedding_outliers" -> qEmbeddingOutliersSql)
+    "q_embedding_outliers" -> qEmbeddingOutliersSql,
+    "q_embedding_drift" -> qEmbeddingDriftSql)
 }

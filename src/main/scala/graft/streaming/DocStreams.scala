@@ -228,6 +228,27 @@ object DocStreams {
     * documents don't update the model; rebuild it periodically as the
     * corpus (or the target domain) drifts.
     */
+  /** Model-based quality gate under FROZEN classifier weights
+    * ([[graft.plans.ClsStore]]-served or passed directly): admit
+    * documents whose graded quality score clears τ. The score is one
+    * stateless per-row expression ([[graft.operators.Classifier
+    * .scoreCol]] — the same arithmetic the batch query hash-checks), so
+    * unlike the rule battery's boolean gate this one is TUNABLE at
+    * deploy time (raise τ when the budget tightens) without touching
+    * the model — and it composes into a structured stream as a plain
+    * filter: zero state, zero shuffle, watermark-agnostic.
+    *
+    * Frozen-model discipline as everywhere: training happens in the
+    * batch `build`, the stream only scores, and
+    * [[graft.operators.Quality.corpusDrift]] /
+    * [[graft.operators.Similarity.embeddingDrift]] monitor when to
+    * rebuild.
+    */
+  def admitByQuality(
+      docs: DataFrame, weights: Array[Double], tau: Double): DataFrame =
+    docs.filter(
+      graft.operators.Classifier.scoreCol(col("text"), weights) >= tau)
+
   def admitByImportance(
       docs: DataFrame, weights: DataFrame, defaultLr: Double,
       minScore: Double = 0.0)(

@@ -255,6 +255,42 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.contains(999999L) === (default > 0))
   }
 
+  test("streaming quality gate under frozen weights equals the batch cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, dir)
+    // frozen weights trained once in "batch land"
+    val w = graft.operators.Classifier.train(
+      graft.operators.Classifier.features(corpus))
+    val tau = 0.5
+    val streamed = corpus.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), "c", ts(0)))
+    val admitted = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admitByQuality(input.toDF(), w, tau)
+      .writeStream.foreachBatch { (out: org.apache.spark.sql.DataFrame,
+        _: Long) =>
+        admitted.synchronized {
+          admitted ++= out.select("doc_id").collect().map(_.getLong(0))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(streamed.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: the scored corpus restricted to the streamed slice
+    val expect = graft.operators.Classifier
+      .scoreWith(graft.operators.Classifier.features(corpus), w)
+      .filter(col("doc_id") % 5 === 0 && col("score") >= tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet === expect)
+    assert(admitted.nonEmpty && admitted.size < streamed.length,
+      "gate must admit some and reject some")
+  }
+
   test("streaming span scrub strips corpus-duplicated spans per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
