@@ -477,6 +477,32 @@ object ScaleProbe {
         replicate(Tables.documents(spark, d), 10, Seq("doc_id"),
           10000000L))
         .agg(sum("n_tokens"), sum("n_docs")).first)
+    // classifier: 16 full-batch GD passes over the persisted 7-double
+    // feature projection + one scoring pass — train cost is iters x one
+    // agg with O(#features) partial state; the replicated corpus 10x's
+    // each pass but the iteration count, weight state, and driver
+    // traffic (6 longs per pass) stay constant
+    t("quality classifier 50k docs (16 GD passes + score)")(
+      operators.Classifier.scoreCorpus(docs)
+        .agg(sum("score"), sum("pred"), sum("y")).first)
+    // serving split: scoring under frozen weights is ONE stateless pass
+    // — the recurring-ingest cost after build pays the 16 passes once
+    t("classifier frozen-weights scoring 50k docs (1 pass)") {
+      val w = operators.Classifier.train(
+        operators.Classifier.features(
+          Tables.documents(spark, d).select("doc_id", "text")))
+      operators.Classifier.scoreWith(operators.Classifier.features(docs), w)
+        .agg(sum("score"), sum("pred")).first
+    }
+    // tokenizer fertility: the grouped report over the encode — state is
+    // sources x langs cells; the encode's broadcast vocab join dominates
+    // (same plan shape as qTokenizerFertility, over the replicas)
+    t("tokenizer fertility 50k docs (encode + sources x langs agg)")(
+      operators.TextAnalysis.bpeEncode(docsSrc, 10)
+        .join(docsSrc.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)), sum("n_bpe_tokens"), sum("n_words"))
+        .count())
     spark.stop()
   }
 }

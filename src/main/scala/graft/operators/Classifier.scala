@@ -247,13 +247,48 @@ object Classifier {
   }
 
   // ---------------------------------------------------------------------
+  // Quality-weighted sampling — inclusion probability EQUALS the graded
+  // quality score (the soft form of threshold filtering: a 0.9-scoring
+  // doc keeps 90% of its mass in expectation, a 0.2 doc 20%, nothing is
+  // cliff-edged). The uniform draw is the house content-free hash
+  // (md5 → first 8 hex chars → /2³²), so the sample is reproducible
+  // across runs and engines with no RNG state — the corpus-mix
+  // discipline with a LEARNED admission rate. Stateless per-row, so it
+  // composes into the ingest stream like the τ-gate.
+  // ---------------------------------------------------------------------
+  val qQualityWeightedSample: Q = (s, d) => {
+    val scored = scoreCorpus(documents(s, d))
+    val u = (conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":qws"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)).as("u")
+    scored.select(col("doc_id"), col("score"), u)
+      .withColumn("kept", (col("u") < col("score")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityWeightedSampleSql: String =
+    s"""$scoredSql
+      |SELECT doc_id, score,
+      |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':qws'),
+      |    1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+      |  CAST(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |    || ':qws'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 < score
+      |    AS INT) AS kept
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // DuckDB oracle: features + 16 unrolled GD iterations. Every CTE is
   // MATERIALIZED — w_k is referenced by both g_{k+1} and w_{k+1}, so
   // plain CTE inlining would double the tree per iteration (the BPE
   // oracle's exponential-reference lesson).
   // ---------------------------------------------------------------------
 
-  private val stopList =
+  // def, not val: the oracle strings above this section initialize
+  // first and reach it through the scoredSql def — a val here would
+  // still be null at that point (object init order) and interpolate as
+  // the literal "null", silently zeroing the stopword feature in
+  // exactly one oracle (caught by the weighted-sample parity check)
+  private def stopList: String =
     Quality.GopherStopwords.map(w => s"'$w'").mkString(",")
 
   /** Shared prelude: tokenize → signals → label+features → n. Signal
@@ -367,7 +402,8 @@ object Classifier {
     "q_quality_classifier" -> qQualityClassifier,
     "q_classifier_served" -> qClassifierServed,
     "q_classifier_calibration" -> qClassifierCalibration,
-    "q_curriculum_order" -> qCurriculumOrder)
+    "q_curriculum_order" -> qCurriculumOrder,
+    "q_quality_weighted_sample" -> qQualityWeightedSample)
 
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qQualityClassifierSql,
@@ -375,5 +411,6 @@ object Classifier {
     // round-trip through parquet bit-exactly); carries the same oracle
     "q_classifier_served" -> qQualityClassifierSql,
     "q_classifier_calibration" -> qClassifierCalibrationSql,
-    "q_curriculum_order" -> qCurriculumOrderSql)
+    "q_curriculum_order" -> qCurriculumOrderSql,
+    "q_quality_weighted_sample" -> qQualityWeightedSampleSql)
 }

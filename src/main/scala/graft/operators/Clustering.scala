@@ -316,6 +316,56 @@ object Clustering {
       |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Cluster-size histogram — the dedup dashboard's headline figure: how
+  // much of the corpus sits in near-dup clusters of which size (size 1
+  // = unique docs). The size distribution decides the dedup POLICY:
+  // a heavy tail of large clusters argues for hard removal (or
+  // 1/size down-weighting — [[qSoftDedupWeights]]), a thin one says
+  // dedup will barely move token counts. State is O(max cluster size)
+  // rows after two aggs over the shared labels.
+  // ---------------------------------------------------------------------
+  val qClusterHistogram: Q = (s, d) => {
+    val corpus = Dedup.corpusNear(s, d)
+    val nTotal = corpus.count().toDouble
+    val cc = nearDupClusterLabels(s, d)
+    val csize = cc.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val clustered = csize.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val nClustered = cc.count()
+    val singleton = corpus.sparkSession.range(1).select(
+      lit(1L).as("cluster_size"),
+      lit(nTotal.toLong - nClustered).as("n_clusters"),
+      lit(nTotal.toLong - nClustered).as("n_docs"))
+    clustered.unionByName(singleton)
+      .withColumn("frac_docs",
+        round(col("n_docs").cast("double") / lit(nTotal), 4))
+      .orderBy("cluster_size")
+  }
+
+  val qClusterHistogramSql: String =
+    clusterLabelsCtes +
+      """,
+      |csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+      |            AS cluster_size
+      |          FROM labels GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM corpus),
+      |ncl AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered FROM labels),
+      |hist AS (
+      |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      |  FROM csize GROUP BY 1
+      |  UNION ALL
+      |  SELECT 1, n_total - n_clustered, n_total - n_clustered
+      |  FROM tot CROSS JOIN ncl)
+      |SELECT cluster_size, n_clusters, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / (SELECT n_total FROM tot), 4)
+      |    AS frac_docs
+      |FROM hist
+      |ORDER BY cluster_size""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PageRank — the canonical iterative-fixpoint graph operator (Page et
   // al. 1999, "The PageRank Citation Ranking"), here over the page-
   // transition graph mined from the event stream: per-user consecutive
@@ -705,6 +755,7 @@ object Clustering {
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters" -> qDedupClusters,
     "q_softdedup_weights" -> qSoftDedupWeights,
+    "q_cluster_histogram" -> qClusterHistogram,
     "q_pagerank" -> qPageRank,
     "q_kcore" -> qKCore,
     "q_communities_lpa" -> qCommunitiesLpa,
@@ -713,6 +764,7 @@ object Clustering {
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_softdedup_weights" -> qSoftDedupWeightsSql,
+    "q_cluster_histogram" -> qClusterHistogramSql,
     "q_pagerank" -> qPageRankSql,
     "q_kcore" -> qKCoreSql,
     "q_communities_lpa" -> qCommunitiesLpaSql,

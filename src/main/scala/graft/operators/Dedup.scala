@@ -1197,7 +1197,131 @@ object Dedup {
       |FROM base b LEFT JOIN kept USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Corpus duplication-factor curve — redundancy as a function of gram
+  // length (the diagnostic the dedup papers plot before choosing n):
+  // occurrences / distinct types per n. High dup factor at long n =
+  // literal copy mass (span/near-dup dedup will bite); high only at
+  // short n = natural token reuse (dedup won't move token counts).
+  // Totals are pure arithmetic off token counts (no materialized grams);
+  // distinct types is one two-level agg per n over the fingerprint
+  // explode — the only corpus-sized exchanges, one per curve point.
+  // 64-bit fingerprint distinct stands in for string distinct
+  // (collision-free at any plausible corpus scale; the suite-wide
+  // shingle-fingerprint contract).
+  // ---------------------------------------------------------------------
+  val DupCurveNs: Seq[Int] = Seq(1, 2, 3, 5, 8)
+
+  def dupFactorCurve(corpus: DataFrame, ns: Seq[Int]): DataFrame =
+    ns.map { n =>
+      val tot = corpus
+        .select(tokens(col("text")).as("toks"))
+        .select(greatest(lit(0L),
+          (size(col("toks")) - lit(n) + 1).cast("long")).as("cnt"))
+        .agg(sum("cnt").as("n_grams"))
+      val dis = shingleIndex(corpus, n)
+        .agg(countDistinct(col("g")).as("n_distinct"))
+      tot.crossJoin(dis).select(
+        lit(n).as("n"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_distinct"),
+        when(col("n_distinct") > 0,
+          round(col("n_grams").cast("double") / col("n_distinct"), 4))
+          .as("dup_factor"),
+        when(col("n_grams") > 0,
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams"), 4))
+          .as("dup_frac"))
+    }.reduce(_ unionByName _).orderBy("n")
+
+  val qDupFactorCurve: Q = (s, d) =>
+    dupFactorCurve(documents(s, d), DupCurveNs)
+
+  val qDupFactorCurveSql: String = {
+    def gramExpr(n: Int): String =
+      if (n == 1) "l[CAST(i AS INT)]"
+      else (0 until n).map(j =>
+        if (j == 0) "l[CAST(i AS INT)]"
+        else s"l[CAST(i AS INT)+$j]").mkString(" || ' ' || ")
+    val rows = DupCurveNs.map { n =>
+      s"""SELECT $n AS n,
+         |  (SELECT CAST(sum(greatest(0, len(l) - $n + 1)) AS BIGINT)
+         |   FROM toks) AS n_grams,
+         |  (SELECT CAST(count(DISTINCT ${gramExpr(n)}) AS BIGINT)
+         |   FROM toks CROSS JOIN
+         |     (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+         |   WHERE CAST(i AS INT) + $n - 1 <= len(l)) AS n_distinct"""
+        .stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                t -> t <> '') AS l
+      |  FROM documents),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
+      |curve AS (
+      |$rows)
+      |SELECT n, COALESCE(n_grams, 0) AS n_grams, n_distinct,
+      |  CASE WHEN n_distinct > 0
+      |    THEN round(CAST(COALESCE(n_grams, 0) AS DOUBLE) / n_distinct, 4)
+      |  END AS dup_factor,
+      |  CASE WHEN COALESCE(n_grams, 0) > 0
+      |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4)
+      |  END AS dup_frac
+      |FROM curve
+      |ORDER BY n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Top boilerplate lines — the inspection report behind the line-dedup
+  // and boilerplate-fraction numbers: WHICH segments repeat, across how
+  // many documents and how many total occurrences. This is the artifact
+  // a curation run eyeballs before trusting automated line scrubbing
+  // (license headers and nav chrome should dominate; topical sentences
+  // at the top of this list mean the segmenting is too coarse). Same
+  // segment definition as [[lineDedup]]; one seg-keyed agg; top-k by
+  // document frequency with a total-order tie-break.
+  // ---------------------------------------------------------------------
+  val BoilerplateTopN = 20
+
+  val qBoilerplateLines: Q = (s, d) =>
+    lineSegments(corpusExact(s, d), LineSegTokens)
+      .filter(col("seg") =!= "")
+      .groupBy("seg")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("seg"))
+      .limit(BoilerplateTopN)
+
+  val qBoilerplateLinesSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> x <> '') AS l
+      |  FROM base),
+      |mx AS (SELECT CAST(ceil(max(len(l)) / $LineSegTokens.0) AS INT) AS m
+      |       FROM toks),
+      |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(
+      |      l[(CAST(i AS INT) * $LineSegTokens + 1):
+      |        (CAST(i AS INT) * $LineSegTokens + $LineSegTokens)],
+      |      ' ') AS seg
+      |  FROM toks CROSS JOIN
+      |    (SELECT unnest(range(0, (SELECT m FROM mx))) AS i) r
+      |  WHERE CAST(i AS INT) * $LineSegTokens < len(l))
+      |SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM segs WHERE seg <> ''
+      |GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, seg
+      |LIMIT $BoilerplateTopN""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dup_factor_curve" -> qDupFactorCurve,
+    "q_boilerplate_lines" -> qBoilerplateLines,
     "q_line_dedup" -> qLineDedup,
     "q_dedup_editdist" -> qDedupEditDistance,
     "q_dedup_incremental" -> qIncrementalDedup,
@@ -1213,6 +1337,8 @@ object Dedup {
     "q_dedup_simhash_md5" -> qDedupSimhashMd5)
 
   val oracles: Map[String, String] = Map(
+    "q_dup_factor_curve" -> qDupFactorCurveSql,
+    "q_boilerplate_lines" -> qBoilerplateLinesSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_editdist" -> qDedupEditDistanceSql,
     "q_dedup_incremental" -> qIncrementalDedupSql,

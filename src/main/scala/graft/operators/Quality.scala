@@ -198,6 +198,82 @@ object Quality {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Normalization-robust decontamination — the evasion-hardened form of
+  // [[contamination]]: exact n-gram matching is defeated by trivial
+  // surface edits (case flips, punctuation injection — exactly how
+  // benchmark text ends up in crawled corpora after forum quoting or
+  // PDF re-extraction), so production decontamination matches over
+  // NORMALIZED text (lowercase, punctuation → space). The fixture
+  // corpus is already clean, so the query PLANTS obfuscated copies of
+  // eval documents (uppercased + punctuation tail, ids offset +1M) into
+  // the train side — the planted-evidence discipline the PII scrubber
+  // established — and the normalized matcher must flag every one of
+  // them; QualitySpec additionally pins that the EXACT matcher misses
+  // all of them (the vulnerability this query closes). Same broadcast
+  // benchmark-index shape as the exact form.
+  // ---------------------------------------------------------------------
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9\\s]", " ")
+
+  /** The planted-contamination corpus: every 40th doc re-enters
+    * obfuscated (upper case + punctuation, id +1M). Shared by the
+    * normalized query and the spec's exact-matcher counterexample.
+    */
+  def obfuscatedCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+  }
+
+  /** Eval membership on the planted corpus: the ORIGINAL benchmark
+    * docs only — planted copies are train-side contamination.
+    */
+  def obfuscatedIsEval: Column =
+    col("doc_id") % 10 === 0 && col("doc_id") < 1000000L
+
+  val qDecontaminateNormalized: Q = (s, d) => {
+    val corpus = obfuscatedCorpus(documents(s, d))
+    contamination(
+      corpus.select(col("doc_id"), normalizeText(col("text")).as("text")),
+      obfuscatedIsEval, 5)
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateNormalizedSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents
+      |  WHERE doc_id % 40 = 0),
+      |norm AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g') AS text
+      |  FROM corpus),
+      |t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> x <> '') AS l
+      |  FROM norm),
+      |mx AS (SELECT max(len(l)) AS m FROM t),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |         l[CAST(i AS INT)+2] || ' ' || l[CAST(i AS INT)+3] || ' ' ||
+      |         l[CAST(i AS INT)+4] AS g
+      |       FROM t CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 4 <= len(l)),
+      |ev AS (SELECT doc_id AS eval_id, g FROM sh
+      |       WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+      |tr AS (SELECT doc_id, g FROM sh
+      |       WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000))
+      |SELECT tr.doc_id,
+      |  count(DISTINCT tr.g) AS n_shared_grams,
+      |  count(DISTINCT ev.eval_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PII redaction: sequential regexp_replace chain — emails, then
   // phone numbers, then IPv4 addresses, then long digit runs (ids).
   // The fixture corpus carries no PII, so the query first enriches each
@@ -1019,6 +1095,7 @@ object Quality {
     "q_quality_repetition" -> qQualityRepetition,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_decontaminate_normalized" -> qDecontaminateNormalized,
     "q_pii_scrub" -> qPiiScrub,
     "q_pii_report" -> qPiiReport,
     "q_corpus_mix" -> qCorpusMix,
@@ -1038,6 +1115,7 @@ object Quality {
     // bloom gate + exact verify: no false negatives, fps exact-killed —
     // identical output to the exact form (see contaminationBloom doc)
     "q_decontaminate_bloom" -> qDecontaminateSql,
+    "q_decontaminate_normalized" -> qDecontaminateNormalizedSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_pii_report" -> qPiiReportSql,
     "q_corpus_mix" -> qCorpusMixSql,

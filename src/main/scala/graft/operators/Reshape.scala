@@ -1205,7 +1205,120 @@ object Reshape {
       |  OR v0.sum_v IS DISTINCT FROM v1.sum_v
       |ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Co-visitation mining — item-item co-occurrence over the event
+  // stream (the Amazon-style "users who viewed X also viewed Y"
+  // counting kernel, Linden et al. IEEE IC'03): distinct (user, page)
+  // visits, self-joined per user into unordered page pairs, counted and
+  // ranked. The per-user page cap is the df-cap discipline applied to
+  // users: a power user with P pages fans out P²/2 pairs, so the cap
+  // bounds the join's output at cap²/2 per user and drops the
+  // bot-shaped tail that co-visitation counts are meaningless for
+  // anyway (every pair co-occurs for a user who visits everything —
+  // pure noise in an item-CF signal).
+  //
+  // Scale shape: distinct + per-user count are partial+final aggs; the
+  // pair join shuffles on user_id (co-partitioned self-join), group key
+  // is the pair. Parity: exact integer counts, total order with pair
+  // tie-break, LIMIT after it.
+  // ---------------------------------------------------------------------
+  val CovisitMaxPagesPerUser = 50
+  val CovisitMinUsers = 2
+  val CovisitTopN = 50
+
+  val qCovisitation: Q = (s, d) => {
+    val up = events(s, d)
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long").as("page"))
+      .filter(col("page").isNotNull)
+      .distinct()
+    val okUsers = up.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pages"))
+      .filter(col("n_pages") <= CovisitMaxPagesPerUser)
+      .select("user_id")
+    val kept = up.join(okUsers, Seq("user_id"), "left_semi")
+    kept.withColumnRenamed("page", "page_a")
+      .join(kept.withColumnRenamed("page", "page_b"), "user_id")
+      .filter(col("page_a") < col("page_b"))
+      .groupBy("page_a", "page_b")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= CovisitMinUsers)
+      .orderBy(col("n_users").desc, col("page_a"), col("page_b"))
+      .limit(CovisitTopN)
+  }
+
+  val qCovisitationSql: String =
+    s"""WITH up AS (SELECT DISTINCT user_id,
+      |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+      |      AS page
+      |  FROM events
+      |  WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''),
+      |ok AS (SELECT user_id FROM up GROUP BY 1
+      |       HAVING count(*) <= $CovisitMaxPagesPerUser),
+      |kept AS (SELECT up.user_id, up.page FROM up JOIN ok USING (user_id))
+      |SELECT a.page AS page_a, b.page AS page_b,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM kept a JOIN kept b
+      |  ON a.user_id = b.user_id AND a.page < b.page
+      |GROUP BY 1, 2 HAVING count(*) >= $CovisitMinUsers
+      |ORDER BY n_users DESC, page_a, page_b
+      |LIMIT $CovisitTopN""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A/B experiment readout — the uplift report every event pipeline
+  // ships: users assigned to variants by content-free md5 parity (the
+  // drift monitors' split discipline — deterministic, engine-neutral,
+  // no RNG state, and crucially INDEPENDENT of behavior, the property a
+  // valid experiment split needs), then per-variant conversion rate
+  // (any 'purchase' event) and ARPU over per-user revenue.
+  //
+  // Scale shape: two partial+final aggs (user grain, then variant
+  // grain) — the user-grain agg co-partitions with the event shuffle,
+  // variant grain is 2 rows. Parity: per-user revenue rounds 2dp (sums
+  // of few doubles), variant ARPU rounds 4dp over the rounded per-user
+  // values; conversion is exact ints.
+  // ---------------------------------------------------------------------
+  val qAbExperiment: Q = (s, d) =>
+    events(s, d)
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+      .groupBy("user_id", "variant")
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 2).as("revenue"))
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("converted").cast("long").as("n_converted"),
+        round(sum("converted").cast("double") / count(lit(1)), 4)
+          .as("conv_rate"),
+        round(avg("revenue"), 4).as("arpu"))
+      .orderBy("variant")
+
+  val qAbExperimentSql: String =
+    """WITH per_user AS (SELECT user_id,
+      |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |         THEN 'A' ELSE 'B' END AS variant,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted,
+      |    round(sum(CASE WHEN event_type = 'purchase' THEN value
+      |                   ELSE 0.0 END), 2) AS revenue
+      |  FROM events GROUP BY 1, 2)
+      |SELECT variant,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate,
+      |  round(avg(revenue), 4) AS arpu
+      |FROM per_user GROUP BY variant
+      |ORDER BY variant""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ab_experiment" -> qAbExperiment,
+    "q_covisitation" -> qCovisitation,
     "q_full_outer" -> qFullOuter,
     "q_gap_fill" -> qGapFill,
     "q_rollup_cdc" -> qRollupCdc,
@@ -1234,6 +1347,8 @@ object Reshape {
     "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
+    "q_ab_experiment" -> qAbExperimentSql,
+    "q_covisitation" -> qCovisitationSql,
     "q_full_outer" -> qFullOuterSql,
     "q_gap_fill" -> qGapFillSql,
     "q_scd2" -> qScd2Sql,

@@ -1704,6 +1704,38 @@ object TextAnalysis {
   /** Learned merge count; shared with the oracle generator. */
   val BpeMerges = 10
 
+  // ---------------------------------------------------------------------
+  // Tokenizer fertility report — the per-(source, lang) efficiency
+  // audit every tokenizer change ships with: fertility (BPE tokens per
+  // word) and compression (chars per BPE token), weighted by token
+  // mass, over the per-doc encode. Fertility inequity across languages
+  // is the standard argument for re-training or extending a tokenizer
+  // (high-fertility languages pay more sequence budget per word), and
+  // per-source fertility shifts are a drift signal on the token-budget
+  // arithmetic. Group sums are exact integers; the two ratios are one
+  // IEEE division each, rounded 4dp — so the report inherits the BPE
+  // encode oracle wholesale (composed as a derived table, the
+  // rankerAgreement pattern).
+  // ---------------------------------------------------------------------
+  val qTokenizerFertility: Q = (s, d) => {
+    val enc = bpeEncode(documents(s, d), BpeMerges)
+    documents(s, d).select("doc_id", "source", "lang")
+      .join(enc, "doc_id")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)))
+      .orderBy("source", "lang")
+  }
+
   val qBpeMerges: Q = (s, d) => bpeLearn(documents(s, d), BpeMerges)
 
   /** Machine-generated unrolled oracle: seg_0 is the paren-wrapped char
@@ -1790,6 +1822,28 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Fertility oracle: the full per-doc encode oracle as a derived
+    * table (the rankerAgreement composition pattern), then the grouped
+    * integer sums and the two rounded ratios.
+    */
+  val qTokenizerFertilitySql: String =
+    s"""SELECT d.source, d.lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+      |  CASE WHEN sum(e.n_words) > 0
+      |       THEN round(CAST(sum(e.n_bpe_tokens) AS DOUBLE)
+      |                  / sum(e.n_words), 4)
+      |  END AS fertility,
+      |  CASE WHEN sum(e.n_bpe_tokens) > 0
+      |       THEN round(CAST(sum(e.n_chars) AS DOUBLE)
+      |                  / sum(e.n_bpe_tokens), 4)
+      |  END AS chars_per_token
+      |FROM ($qBpeEncodeSql) e JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Ranker agreement via truncated Rank-Biased Overlap (Webber et al.
   // TOIS'10) — the eval diagnostic for a retrieval stack: how much do
@@ -1856,6 +1910,7 @@ object TextAnalysis {
     "q_ranker_agreement" -> qRankerAgreement,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_bpe_encode_served" -> qBpeEncodeServed,
     "q_token_pmi" -> qTokenPmi,
     "q_dsir_weights" -> qDsirWeights,
@@ -1882,6 +1937,7 @@ object TextAnalysis {
     "q_ranker_agreement" -> qRankerAgreementSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     // served-from-artifact form: ordered merge application ≡ the
     // training segmentation on trained words, so the oracle carries over
     "q_bpe_encode_served" -> qBpeEncodeSql,

@@ -56,8 +56,8 @@ object ClsStore {
   /** Score `docs` (doc_id, text) under the frozen artifact. Output
     * shape equals [[Classifier.scoreCorpus]], and on the training
     * corpus the results are identical (same features, same weights —
-    * IndexStoreSpec pins it), so the served query carries the same
-    * oracle.
+    * ClassifierSpec pins served ≡ in-plan), so the served query
+    * carries the same oracle.
     */
   def score(
       spark: SparkSession, docs: DataFrame, table: String): DataFrame =

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Classifier
@@ -11,7 +12,7 @@ import graft.operators.Classifier
   * differential (which replays the identical arithmetic) can't judge,
   * like "did the model actually learn anything".
   */
-class ClassifierSpec extends AnyFunSuite {
+class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -25,6 +26,13 @@ class ClassifierSpec extends AnyFunSuite {
 
   private lazy val scored =
     Classifier.qQualityClassifier(spark, dir).cache()
+
+  // shared-JVM hygiene: SamplingSpec's cache-hygiene test asserts no
+  // plain persist outlives its owning suite
+  override def afterAll(): Unit = {
+    scored.unpersist()
+    super.afterAll()
+  }
 
   test("student beats the majority class against the teacher labels") {
     val n = scored.count().toDouble
@@ -78,6 +86,21 @@ class ClassifierSpec extends AnyFunSuite {
     val served = Classifier.qClassifierServed(spark, dir)
     val inPlan = Classifier.qQualityClassifier(spark, dir)
     assert(served.collect().toSeq == inPlan.collect().toSeq)
+  }
+
+  test("weighted sample admits at the score rate in expectation") {
+    val w = Classifier.qQualityWeightedSample(spark, dir).collect()
+    w.foreach { r =>
+      val (score, u, kept) = (r.getDouble(1), r.getDouble(2), r.getInt(3))
+      assert(u >= 0.0 && u < 1.0)
+      assert((u < score) === (kept == 1))
+    }
+    // law of large numbers at corpus size: admitted fraction tracks the
+    // mean score (hash draws are uniform; 500 draws → ~±3σ ≈ 0.07)
+    val meanScore = w.map(_.getDouble(1)).sum / w.length
+    val keptFrac = w.count(_.getInt(3) == 1).toDouble / w.length
+    assert(math.abs(keptFrac - meanScore) < 0.08,
+      s"kept $keptFrac vs mean score $meanScore")
   }
 
   test("empty corpus trains to zero weights and scores no rows") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Clustering
+import graft.operators.{Clustering, Dedup}
 
 /** Connected-components clustering: equality with a driver-side
   * union-find on small graphs (including shapes that stress the
@@ -152,6 +152,26 @@ class ClusteringSpec extends AnyFunSuite {
         ms.head.getDouble(2)) < 1e-4)
       assert(math.abs(mass - 1.0) < 1e-3, s"cluster mass $mass")
     }
+  }
+
+  test("cluster histogram conserves the corpus and matches the clusters") {
+    val hist = Clustering.qClusterHistogram(spark, dir).collect()
+    val nTotal = Dedup.corpusNear(spark, dir).count()
+    // every doc lands in exactly one size bucket
+    assert(hist.map(_.getLong(2)).sum === nTotal)
+    assert(math.abs(hist.map(_.getDouble(3)).sum - 1.0) < 5e-3)
+    // the non-singleton buckets recount qDedupClusters' sizes
+    val sizes = Clustering.qDedupClusters(spark, dir).collect()
+      .groupBy(_.getLong(1)).map(_._2.head.getLong(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hist.filter(_.getLong(0) >= 2).foreach { r =>
+      assert(sizes(r.getLong(0)) === r.getLong(1),
+        s"size ${r.getLong(0)} cluster count")
+    }
+    // size-1 bucket = docs in no cluster
+    val clustered = Clustering.qDedupClusters(spark, dir).count()
+    val s1 = hist.find(_.getLong(0) == 1L).get
+    assert(s1.getLong(2) === nTotal - clustered)
   }
 
   /** Driver-side reference PageRank (same formula and rounding). */

@@ -312,4 +312,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(drift.count() === 0)
     assert(drift.columns.toSeq === Seq("source", "n_a", "n_b", "tv_dist"))
   }
+
+  test("classifier/monitor newcomers survive empty inputs") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    val scored = operators.Classifier.scoreCorpus(docs)
+    assert(scored.count() === 0)
+    assert(scored.columns.toSeq === Seq("doc_id", "y", "score", "pred"))
+
+    val cal = operators.Classifier.calibrationSweep(scored)
+    // empty corpus → no (row × threshold) pairs → empty sweep
+    assert(cal.count() === 0)
+    assert(cal.columns.toSeq === Seq("tau", "tp", "fp", "fn", "tn",
+      "precision", "recall"))
+
+    val ed = operators.Similarity.embeddingDrift(
+      Seq.empty[(Long, Array[Float], Int)]
+        .toDF("vec_id", "embedding", "label"))
+    assert(ed.count() === 0)
+    assert(ed.columns.toSeq === Seq("label", "n_a", "n_b", "drift"))
+  }
 }

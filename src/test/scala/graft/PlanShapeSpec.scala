@@ -63,6 +63,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen-weights classifier scoring is a pure scan-side map") {
+    // serving/streaming form: features + sigmoid under literal weights
+    // must stay one projection — no exchange of any kind, no aggregate
+    val w = Array(1.5, -0.5, -0.5, -0.5, -3.0, -2.0)
+    val p = operators.Classifier.scoreWith(
+      operators.Classifier.features(Tables.documents(spark, dir)), w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"frozen-weights scoring gained an exchange:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"frozen-weights scoring gained an aggregate:\n$p")
+  }
+
+  test("pii report is one partial+final aggregate — a single hash exchange") {
+    val p = plan("q_pii_report")
+    // one hash exchange for groupBy(source); the sort is presentation
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(exchanges === 1, s"pii report must shuffle once, got $exchanges:\n$p")
+  }
+
   test("funnel is one partial+final aggregate — a single hash exchange") {
     // per-row predicates then groupBy(source): partial HashAggregate on
     // the scan side, exactly one hash exchange, final aggregate after it

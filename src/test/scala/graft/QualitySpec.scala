@@ -295,6 +295,29 @@ class QualitySpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, tv) => tv >= 0.0 && tv <= 1.0 })
   }
 
+  test("normalized decontamination catches what exact matching misses") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .collect().map(_.getLong(0) + 1000000L).toSet
+    assert(planted.nonEmpty)
+    // the exact matcher on the obfuscated corpus: planted docs invisible
+    // (case flip changes every 5-gram)
+    val exactHits = Quality.contamination(
+      Quality.obfuscatedCorpus(docs), Quality.obfuscatedIsEval, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.intersect(exactHits).isEmpty,
+      "upper-cased copies must evade exact n-gram matching")
+    // the normalized matcher: every planted copy flagged, with enough
+    // shared grams to be unambiguous
+    val norm = Quality.qDecontaminateNormalized(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach { id =>
+      assert(norm.contains(id), s"planted doc $id must be flagged")
+      assert(norm(id) >= 5L, s"planted doc $id shared-gram count")
+    }
+  }
+
   test("pii report counts exactly the planted per-type subsets") {
     val ids = graft.Tables.documents(spark, dir)
       .select("doc_id", "source")
