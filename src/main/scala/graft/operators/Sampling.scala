@@ -580,7 +580,51 @@ object Sampling {
       |FROM sp
       |ORDER BY seq_id, slot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+  // IEEE ToN'98, the consistent-assignment rule behind cache rings and
+  // shard routers: every doc hashes against EVERY shard id and lands on
+  // the max-weight shard. The property that matters for a growing
+  // corpus: when a shard is ADDED, a doc either keeps its shard or
+  // moves to the NEW one (its old max is still its max among the
+  // survivors) — so re-sharding from k to k+1 moves ~1/(k+1) of docs
+  // and nothing shuffles between existing shards (spec-pinned).
+  // Mod-hashing (doc_id % k) remaps ~(k-1)/k of everything.
+  //
+  // Scale shape: pure per-row compute — k md5s + an array_max over a
+  // k-struct array, zero shuffle, zero state (PlanShapeSpec regime);
+  // the only exchange is the presentation sort. Parity: struct max ≡
+  // argmax by (hash, shard) — md5 inputs are all distinct strings, so
+  // ties don't arise and DuckDB's arg_max matches.
+  // ---------------------------------------------------------------------
+  val RendezvousShards = 10
+
+  def rendezvousShard(id: Column, nShards: Int): Column =
+    array_max(array((0 until nShards).map(i =>
+      struct(
+        md5(concat(id.cast("string"), lit(s":shard$i"))).as("hw"),
+        lit(i).as("shard"))): _*))
+      .getField("shard")
+
+  val qRendezvousShards: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        rendezvousShard(col("doc_id"), RendezvousShards).as("shard"))
+      .orderBy("doc_id")
+
+  val qRendezvousShardsSql: String =
+    s"""WITH sh AS (SELECT CAST(unnest(range(0, $RendezvousShards)) AS INT)
+      |              AS shard),
+      |h AS (SELECT doc_id, shard,
+      |        md5(CAST(doc_id AS VARCHAR) || ':shard' ||
+      |            CAST(shard AS VARCHAR)) AS hw
+      |      FROM documents CROSS JOIN sh)
+      |SELECT doc_id, arg_max(shard, hw) AS shard
+      |FROM h GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rendezvous_shards" -> qRendezvousShards,
     "q_pack_manifest" -> qPackManifest,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_seq_packing" -> qSeqPacking,
@@ -592,6 +636,7 @@ object Sampling {
     "q_weighted_sample" -> qWeightedSample)
 
   val oracles: Map[String, String] = Map(
+    "q_rendezvous_shards" -> qRendezvousShardsSql,
     "q_pack_manifest" -> qPackManifestSql,
     "q_split_leakage_safe" -> qSplitLeakageSafeSql,
     "q_seq_packing" -> qSeqPackingSql,

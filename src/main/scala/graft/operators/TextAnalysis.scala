@@ -1881,8 +1881,25 @@ object TextAnalysis {
       .orderBy("query_id")
   }
 
-  val qRankerAgreement: Q = (s, d) =>
-    rankerAgreement(qTfidfRetrieval(s, d), qBm25Retrieval(s, d))
+  /** Shared-tokenize form ([[hybridRrf]]'s discipline): both rankers
+    * derive from ONE persisted tf frame — identical outputs to the
+    * standalone queries (tfidfVectors ≡ tfidfVectorsFromTf∘termFreq by
+    * definition), so the composed oracle carries over unchanged; at
+    * 100 TB the corpus-sized tokenize pass is the dominant cost and
+    * this pays it once instead of once per ranker.
+    */
+  val qRankerAgreement: Q = (s, d) => {
+    val docs = documents(s, d)
+    val tf = termFreq(docs).persist()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val queryIds = docs.filter(col("doc_id") % 25 === 0).select("doc_id")
+    val a = tfidfRetrievalFromVecs(
+      tfidfVectorsFromTf(tf, nDocs, 10), queryIds, 3)
+    val b = bm25RetrievalFromTf(tf, queryIds, 3, 1.2, 0.75)
+    val out = rankerAgreement(a, b).localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
 
   val qRankerAgreementSql: String =
     s"""WITH ra AS (SELECT query_id, rnk AS r_a, neighbor_id

@@ -352,4 +352,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.groupBy(_._3).values.exists(_.size > 1),
       "at least one doc must straddle a sequence boundary")
   }
+
+  test("rendezvous sharding: adding a shard only moves docs to it") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir).select("doc_id")
+    def assign(k: Int): Map[Long, Int] = docs
+      .select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), k).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at10 = assign(10)
+    val at11 = assign(11)
+    assert(at10.values.toSet.size === 10, "all shards populated")
+    val moved = at10.keys.filter(id => at10(id) != at11(id)).toSeq
+    // the HRW property: every reassigned doc lands on the NEW shard
+    moved.foreach(id => assert(at11(id) === 10,
+      s"doc $id moved ${at10(id)}→${at11(id)}, not to the new shard"))
+    // expected movement 1/11 ≈ 0.091 of 500 docs; 3σ band
+    val frac = moved.size.toDouble / at10.size
+    assert(frac > 0.03 && frac < 0.17, s"moved fraction $frac")
+    // balance sanity: no shard holds more than 3x its fair share
+    val maxLoad = at10.values.groupBy(identity).values.map(_.size).max
+    assert(maxLoad <= 3 * at10.size / 10, s"max shard load $maxLoad")
+  }
 }
