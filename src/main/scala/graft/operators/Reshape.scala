@@ -1316,7 +1316,67 @@ object Reshape {
       |FROM per_user GROUP BY variant
       |ORDER BY variant""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // IQR-fence value outliers (Tukey's rule) — the value-level anomaly
+  // monitor beside [[qRateAnomaly]]'s rate-level control chart: per
+  // event type, observations outside [p25 − 1.5·IQR, p75 + 1.5·IQR].
+  // Fences come from the EXACT percentile aggregate (the q_quantiles
+  // parity regime — Spark `percentile` ≡ DuckDB `quantile_cont`
+  // bit-identically), so the comparisons are engine-exact without any
+  // pre-comparison rounding; only the REPORTED fence columns round.
+  //
+  // Scale shape: one grouped percentile agg (#types rows) broadcast
+  // back into a second scan — two passes, no corpus-sized shuffle
+  // beyond the group-by. At 100 TB the exact percentile's value map is
+  // the cost knob; approx_percentile is the documented fallback when
+  // value cardinality per group explodes.
+  // ---------------------------------------------------------------------
+  val qValueOutliers: Q = (s, d) => {
+    val ev = events(s, d)
+    val fences = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.75))").as("ps"))
+      .select(col("event_type"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p75"))
+      .withColumn("lo",
+        col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi",
+        col("p75") + lit(1.5) * (col("p75") - col("p25")))
+    ev.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"),
+          1L).otherwise(0L)).as("n_outliers"),
+        round(min(col("lo")), 4).as("lo"),
+        round(min(col("hi")), 4).as("hi"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n_events"), 4))
+      .orderBy("event_type")
+  }
+
+  val qValueOutliersSql: String =
+    """WITH f AS (SELECT event_type,
+      |    quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM events GROUP BY 1),
+      |fx AS (SELECT event_type,
+      |    p25 - 1.5*(p75 - p25) AS lo,
+      |    p75 + 1.5*(p75 - p25) AS hi
+      |  FROM f)
+      |SELECT e.event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN e.value < lo OR e.value > hi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(min(lo), 4) AS lo,
+      |  round(min(hi), 4) AS hi,
+      |  round(CAST(sum(CASE WHEN e.value < lo OR e.value > hi
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
+      |FROM events e JOIN fx USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_value_outliers" -> qValueOutliers,
     "q_ab_experiment" -> qAbExperiment,
     "q_covisitation" -> qCovisitation,
     "q_full_outer" -> qFullOuter,
@@ -1347,6 +1407,7 @@ object Reshape {
     "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
+    "q_value_outliers" -> qValueOutliersSql,
     "q_ab_experiment" -> qAbExperimentSql,
     "q_covisitation" -> qCovisitationSql,
     "q_full_outer" -> qFullOuterSql,

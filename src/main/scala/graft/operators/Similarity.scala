@@ -530,6 +530,78 @@ object Similarity {
 
   val qEmbeddingDrift: Q = (s, d) => embeddingDrift(embeddings(s, d))
 
+  // ---------------------------------------------------------------------
+  // Embedding dispersion — per-label semantic diversity from ONE
+  // aggregate, via the centroid-norm identity: for unit vectors,
+  // ‖mean‖² = (n + Σ_{i≠j} cos_ij)/n², so the mean pairwise cosine is
+  // (n²‖m‖² − n)/(n(n−1)) WITHOUT the n² pair join — the diversity
+  // audit (are a label's documents collapsing to near-copies?) at
+  // aggregation cost. dispersion = 1 − mean pairwise cos: 0 = all
+  // identical directions, →1 = spread. Complements [[embeddingDrift]]
+  // (drift = the centroid moved; dispersion = the cloud tightened).
+  //
+  // Scale shape: per-row normalize (map-side), one labels × dim agg,
+  // then labels-sized arithmetic. Parity: per-dim means round 6dp (the
+  // house centroid regime); the identity is exact arithmetic on (n,
+  // ‖m‖²) written as the same expression tree both sides.
+  // ---------------------------------------------------------------------
+  def embeddingDispersion(emb: DataFrame): DataFrame = {
+    val a = col("embedding").cast("array<double>")
+    def fsum(x: Column): Column =
+      aggregate(x, lit(0.0d), (acc, v) => acc + v)
+    val norm = sqrt(fsum(zip_with(a, a, (x, y) => x * y)))
+    val unit = transform(a, x => x / norm)
+    val cents = emb
+      .select(col("label"), posexplode(unit).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 6).as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), col("ps.m").as("mv"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val msq = fsum(zip_with(col("mv"), col("mv"), (x, y) => x * y))
+    val meanCos =
+      ((col("n") * col("n")).cast("double") * msq -
+        col("n").cast("double")) /
+        (col("n") * (col("n") - lit(1L))).cast("double")
+    cents.join(counts, "label")
+      .filter(col("n") > 1)
+      .select(col("label"), col("n"),
+        round(meanCos, 4).as("mean_pair_cos"),
+        round(lit(1.0) - meanCos, 4).as("dispersion"))
+      .orderBy("label")
+  }
+
+  val qEmbeddingDispersion: Q = (s, d) =>
+    embeddingDispersion(embeddings(s, d))
+
+  val qEmbeddingDispersionSql: String =
+    """WITH mx AS (SELECT max(len(embedding)) AS mdim FROM embeddings),
+      |e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings),
+      |nrm AS (SELECT label, list_transform(v,
+      |          x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+      |          AS u
+      |        FROM e),
+      |comp AS (SELECT label, CAST(i AS INT) AS pos,
+      |           round(avg(u[CAST(i AS INT)]), 6) AS m
+      |         FROM nrm CROSS JOIN
+      |           (SELECT unnest(range(1, (SELECT mdim FROM mx) + 1)) AS i) r
+      |         GROUP BY 1, 2),
+      |cent AS (SELECT label, list(m ORDER BY pos) AS mv
+      |         FROM comp GROUP BY 1),
+      |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |        FROM embeddings GROUP BY 1),
+      |j AS (SELECT c.label, n,
+      |        list_sum(list_transform(mv, x -> x*x)) AS msq
+      |      FROM cent c JOIN cnt USING (label) WHERE n > 1)
+      |SELECT label, n,
+      |  round((CAST(n*n AS DOUBLE) * msq - CAST(n AS DOUBLE))
+      |        / CAST(n*(n-1) AS DOUBLE), 4) AS mean_pair_cos,
+      |  round(1.0 - (CAST(n*n AS DOUBLE) * msq - CAST(n AS DOUBLE))
+      |        / CAST(n*(n-1) AS DOUBLE), 4) AS dispersion
+      |FROM j ORDER BY label""".stripMargin
+
   val qEmbeddingDriftSql: String =
     """WITH mx AS (SELECT max(len(embedding)) AS m FROM embeddings),
       |h AS (SELECT label, vec_id, embedding,
@@ -843,7 +915,8 @@ object Similarity {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_embedding_outliers" -> qEmbeddingOutliers,
-    "q_embedding_drift" -> qEmbeddingDrift)
+    "q_embedding_drift" -> qEmbeddingDrift,
+    "q_embedding_dispersion" -> qEmbeddingDispersion)
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
@@ -857,5 +930,6 @@ object Similarity {
     // qDedupSemantic doc) — same oracle as the exact form
     "q_dedup_semantic" -> qDedupEmbeddingSql,
     "q_embedding_outliers" -> qEmbeddingOutliersSql,
-    "q_embedding_drift" -> qEmbeddingDriftSql)
+    "q_embedding_drift" -> qEmbeddingDriftSql,
+    "q_embedding_dispersion" -> qEmbeddingDispersionSql)
 }

@@ -87,4 +87,37 @@ class CosineSimilaritySpec extends AnyFunSuite {
     p.unpersist()
     // no hard assert — local[4] timing noise; the plan shape is the claim
   }
+
+  test("dispersion identity equals the brute-force mean pairwise cosine") {
+    val out = graft.operators.Similarity
+      .embeddingDispersion(Tables.embeddings(spark, dir))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def unitize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    vecs.groupBy(_._1).foreach { case (label, rows) =>
+      val us = rows.map(r => unitize(r._2))
+      val n = us.length
+      if (n > 1) {
+        var s = 0.0; var cnt = 0
+        for (i <- us.indices; j <- us.indices if i < j) {
+          s += us(i).zip(us(j)).map { case (a, b) => a * b }.sum; cnt += 1
+        }
+        val brute = s / cnt
+        val (gn, meanCos, disp) = out(label)
+        assert(gn === n.toLong)
+        // the identity goes through a 6dp-rounded centroid; tolerance
+        // covers that quantization, not the n² pair sum it replaces
+        assert(math.abs(meanCos - brute) < 5e-3,
+          s"label $label: identity $meanCos vs brute $brute")
+        assert(math.abs(disp - (1.0 - meanCos)) < 1e-9)
+      }
+    }
+    assert(out.nonEmpty)
+  }
 }
