@@ -494,6 +494,15 @@ object ScaleProbe {
       operators.Classifier.scoreWith(operators.Classifier.features(docs), w)
         .agg(sum("score"), sum("pred")).first
     }
+    // dispersion: one labels x dim x 2-level agg over the normalized
+    // posexplode — state is labels x dim cells regardless of corpus size
+    t("embedding dispersion 20k vectors (labels x dim agg)") {
+      val embL = replicate(
+        Tables.embeddings(spark, d).select("vec_id", "embedding", "label"),
+        10, Seq("vec_id"), 10000000L)
+      operators.Similarity.embeddingDispersion(embL)
+        .agg(sum("dispersion"), sum("n")).first
+    }
     // tokenizer fertility: the grouped report over the encode — state is
     // sources x langs cells; the encode's broadcast vocab join dominates
     // (same plan shape as qTokenizerFertility, over the replicas)

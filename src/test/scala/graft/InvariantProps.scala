@@ -508,4 +508,26 @@ object InvariantProps extends Properties("graft.invariants") {
       got == expect
     }
 
+  // --- rendezvous law: assignment equals the driver-side HRW argmax,
+  // and growing k → k+1 moves docs ONLY to the new shard ---
+  property("rendezvous shard == driver argmax; growth moves only to new") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct),
+      Gen.choose(2, 8)) { (ids, k) =>
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def ref(id: Long, shards: Int): Int =
+        (0 until shards).maxBy(i => md5hex(s"$id:shard$i"))
+      val df = ids.toDF("doc_id")
+      def got(shards: Int): Map[Long, Int] = df.select(col("doc_id"),
+          operators.Sampling.rendezvousShard(col("doc_id"), shards)
+            .as("shard"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val atK = got(k)
+      val atK1 = got(k + 1)
+      ids.forall(id => atK(id) == ref(id, k)) &&
+        ids.forall(id => atK1(id) == atK(id) || atK1(id) == k)
+    }
+
 }

@@ -76,6 +76,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"frozen-weights scoring gained an aggregate:\n$p")
   }
 
+  test("rendezvous assignment is a pure scan-side map") {
+    // k-hash argmax per row: the only exchange is the presentation sort
+    val p = plan("q_rendezvous_shards")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rendezvous gained a hash shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"rendezvous gained an aggregate:\n$p")
+  }
+
   test("pii report is one partial+final aggregate — a single hash exchange") {
     val p = plan("q_pii_report")
     // one hash exchange for groupBy(source); the sort is presentation
