@@ -316,6 +316,62 @@ object Clustering {
       |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Incremental connected components — extend SAVED labels with a new
+  // batch instead of re-clustering the corpus (the recurring-ingest
+  // form, completing the incremental family beside ShingleIndexStore's
+  // index extension): the old labels collapse to STAR edges
+  // (member → component root), which preserve base connectivity
+  // exactly, so CC over (star ∪ new edges) partitions the nodes
+  // identically to CC over the full edge set — and since the node sets
+  // per component are identical, the min-id labels are too. Work per
+  // batch is the batch's own pair discovery (within-batch self-join +
+  // batch-vs-corpus cross matches, both broadcast-batch-sized) plus a
+  // log-round CC over (components + new edges) — the corpus pair stage
+  // never re-runs.
+  // ---------------------------------------------------------------------
+  def extendComponents(
+      labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val star = labels.select(
+      col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    connectedComponents(
+      star.unionByName(newEdges.select("id_a", "id_b")), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+  }
+
+  /** Driver row: the injected near-copies (ids ≥ 1M) arrive as the
+    * batch AFTER the original docs were clustered — labels must equal
+    * the from-scratch closure over the whole corpus, which is exactly
+    * what the recursive-CTE oracle computes. Pair discovery here is the
+    * uncapped exact form on both stages so the decomposition
+    * pairs(full) = pairs(base) ∪ pairs(batch) ∪ cross(base, batch)
+    * is literal; the subquadratic swap-ins (minhash banding for the
+    * self-joins, [[graft.operators.Dedup.crossMinhashMatches]] for the
+    * cross stage) are the documented scale path.
+    */
+  val qComponentsIncremental: Q = (s, d) => {
+    val corpus = Dedup.corpusNear(s, d)
+    val base = corpus.filter(col("doc_id") < 1000000L)
+    val batch = corpus.filter(col("doc_id") >= 1000000L)
+    val shBase = Dedup.shingleIndex(base, 3).localCheckpoint(true)
+    val shBatch = Dedup.shingleIndex(batch, 3).localCheckpoint(true)
+    val labels0 = connectedComponents(
+      Dedup.jaccardPairs(shBase, 0.5).select("id_a", "id_b"),
+      "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val newEdges = Dedup.jaccardPairs(shBatch, 0.5)
+      .select("id_a", "id_b")
+      .unionByName(Dedup.crossJaccardMatches(shBatch, shBase, 0.5)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+    extendComponents(labels0, newEdges).orderBy("doc_id")
+  }
+
+  val qComponentsIncrementalSql: String =
+    clusterLabelsCtes +
+      """
+      |SELECT doc_id, cluster_id FROM labels
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Cluster-size histogram — the dedup dashboard's headline figure: how
   // much of the corpus sits in near-dup clusters of which size (size 1
   // = unique docs). The size distribution decides the dedup POLICY:
@@ -756,6 +812,7 @@ object Clustering {
     "q_dedup_clusters" -> qDedupClusters,
     "q_softdedup_weights" -> qSoftDedupWeights,
     "q_cluster_histogram" -> qClusterHistogram,
+    "q_components_incremental" -> qComponentsIncremental,
     "q_pagerank" -> qPageRank,
     "q_kcore" -> qKCore,
     "q_communities_lpa" -> qCommunitiesLpa,
@@ -765,6 +822,7 @@ object Clustering {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_softdedup_weights" -> qSoftDedupWeightsSql,
     "q_cluster_histogram" -> qClusterHistogramSql,
+    "q_components_incremental" -> qComponentsIncrementalSql,
     "q_pagerank" -> qPageRankSql,
     "q_kcore" -> qKCoreSql,
     "q_communities_lpa" -> qCommunitiesLpaSql,

@@ -339,6 +339,19 @@ object InvariantProps extends Properties("graft.invariants") {
       run(0L) == brute && run(1000000L) == brute
     }
 
+  property("incremental components: extend(labels(E0), E1) == labels(E0∪E1)") =
+    Prop.forAll(genEdges, genEdges) { (e0, e1) =>
+      def labels(edges: List[(Long, Long)]): Map[Long, Long] =
+        graft.operators.Clustering
+          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l0 = labels(e0).toList.toDF("doc_id", "cluster_id")
+      val extended = graft.operators.Clustering
+        .extendComponents(l0, e1.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      extended == labels(e0 ++ e1)
+    }
+
   private val genQualityDocs: Gen[List[(Long, String)]] =
     Gen.nonEmptyListOf(Gen.zip(
       Gen.choose(1L, 30L),
