@@ -735,6 +735,71 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Approx-percentile error gate — the quantile-sketch twin of
+  // q_approx_distinct_err, SELF-contained: the output carries the
+  // engine-specific sketch values (approx_percentile, Greenwald-Khanna
+  // family, accuracy 1000), and the oracle reads those back from THIS
+  // query's own dump, recomputes exact percentiles independently, and
+  // must reproduce the error columns and the gate — so the sketch
+  // family's engine-neutral claim (within its advertised error of
+  // ground truth) is hash-checked without a rows-only companion.
+  // Accuracy 1000 bounds rank error at 0.1%; observed value error on
+  // this distribution is ≤26 bp, so the 100 bp gate is ~4× headroom.
+  // ---------------------------------------------------------------------
+  val qQuantilesApproxErr: Q = (s, d) => {
+    val ap = lineitem(s, d).groupBy("l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+        .as("aps"))
+      .select(col("l_returnflag"),
+        round(col("aps")(0), 4).as("a25"),
+        round(col("aps")(1), 4).as("a50"),
+        round(col("aps")(2), 4).as("a75"))
+    val ex = lineitem(s, d).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("e25"),
+        round(col("ps")(1), 4).as("e50"),
+        round(col("ps")(2), 4).as("e75"))
+    def bp(a: Column, e: Column): Column =
+      floor(abs(a - e) * lit(10000.0) / e).cast("long")
+    ap.join(ex, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("a25"), col("a50"), col("a75"),
+        col("e25"), col("e50"), col("e75"),
+        bp(col("a25"), col("e25")).as("err25_bp"),
+        bp(col("a50"), col("e50")).as("err50_bp"),
+        bp(col("a75"), col("e75")).as("err75_bp"))
+      .withColumn("within_gate",
+        col("err25_bp") <= 100 && col("err50_bp") <= 100 &&
+          col("err75_bp") <= 100)
+      .orderBy("l_returnflag")
+  }
+
+  val qQuantilesApproxErrSql: String =
+    """WITH exact AS (
+      |  SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.25), 4) AS e25,
+      |    round(quantile_cont(l_extendedprice, 0.50), 4) AS e50,
+      |    round(quantile_cont(l_extendedprice, 0.75), 4) AS e75
+      |  FROM lineitem GROUP BY 1),
+      |approx AS (
+      |  SELECT l_returnflag, a25, a50, a75
+      |  FROM read_parquet(
+      |    '{GRAFT_OUT_DIR}/q_quantiles_approx_err/*.parquet'))
+      |SELECT l_returnflag, a25, a50, a75, e25, e50, e75,
+      |  CAST(floor(abs(a25 - e25) * 10000.0 / e25) AS BIGINT) AS err25_bp,
+      |  CAST(floor(abs(a50 - e50) * 10000.0 / e50) AS BIGINT) AS err50_bp,
+      |  CAST(floor(abs(a75 - e75) * 10000.0 / e75) AS BIGINT) AS err75_bp,
+      |  (CAST(floor(abs(a25 - e25) * 10000.0 / e25) AS BIGINT) <= 100
+      |   AND CAST(floor(abs(a50 - e50) * 10000.0 / e50) AS BIGINT) <= 100
+      |   AND CAST(floor(abs(a75 - e75) * 10000.0 / e75) AS BIGINT) <= 100)
+      |    AS within_gate
+      |FROM approx JOIN exact USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-key top-k with BOUNDED aggregation state (the sort-free form of
   // q_window_rank): TopKAgg keeps at most k rows per group with map-side
   // combine. Spark 4's WindowGroupLimit already bounds the window form's
@@ -985,6 +1050,7 @@ object Relational {
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_distinct_err" -> qApproxDistinctErr,
+    "q_quantiles_approx_err" -> qQuantilesApproxErr,
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -1022,6 +1088,7 @@ object Relational {
     // q_approx_distinct itself is rows-only by design (engine-specific
     // sketch); the err twin is the family's hash gate
     "q_approx_distinct_err" -> qApproxDistinctErrSql,
+    "q_quantiles_approx_err" -> qQuantilesApproxErrSql,
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
