@@ -215,6 +215,29 @@ object Multimodal {
     }
   }
 
+  /** Audio resample kernel — the WAV rows decode, nearest-neighbor
+    * resample to `targetRate` ([[WavCodec.resample]]), and re-encode as
+    * valid PCM; rows the codec doesn't claim pass through untouched
+    * (the [[resize]] contract, applied to the audio modality).
+    */
+  def resampleAudio(
+      media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(clip) if clip.sampleRate != targetRate =>
+            val res = WavCodec.resample(clip, targetRate)
+            r.copy(
+              payload = WavCodec.encode(res),
+              meta = r.meta.copy(sampleRate = targetRate,
+                durationMs = res.durationMs.toInt))
+          case _ => r
+        }
+      }
+    }
+  }
+
   /** Frame-sample plan for video rows: every `everyMs` milliseconds from
     * the metadata duration — pure Column math (no kernel needed), the
     * relational side of a multimodal pipeline.

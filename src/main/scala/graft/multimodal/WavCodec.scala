@@ -99,6 +99,35 @@ object WavCodec {
     out
   }
 
+  /** Nearest-neighbor resample on frame index — the audio analog of
+    * [[PpmCodec.resize]]: output frame f copies source frame
+    * floor(f·srcRate/targetRate), all channels; duration is preserved
+    * to within one frame. Nearest-neighbor (not interpolation) keeps
+    * the kernel integer-exact and byte-deterministic — the property the
+    * pipeline specs pin; production would swap in a windowed-sinc
+    * kernel behind the same signature.
+    */
+  def resample(clip: Clip, targetRate: Int): Clip = {
+    require(targetRate > 0, "targetRate must be positive")
+    if (targetRate == clip.sampleRate || clip.nFrames == 0)
+      return clip.copy(sampleRate = targetRate)
+    val nOut = math.max(1,
+      (clip.nFrames.toLong * targetRate / clip.sampleRate).toInt)
+    val out = new Array[Short](nOut * clip.channels)
+    var f = 0
+    while (f < nOut) {
+      val src = math.min(
+        (f.toLong * clip.sampleRate / targetRate).toInt, clip.nFrames - 1)
+      var c = 0
+      while (c < clip.channels) {
+        out(f * clip.channels + c) = clip.samples(src * clip.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    Clip(targetRate, clip.channels, out)
+  }
+
   /** Amplitude histogram over the samples' high bytes (256 bins) — the
     * audio analog of the image luminance histogram: feeds the same
     * entropy/support features.

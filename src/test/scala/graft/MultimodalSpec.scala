@@ -267,6 +267,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audio(2L).getInt(1) === 0, "undecodable row stays zeroed")
   }
 
+  test("audio resample: nearest-neighbor halving, duration preserved") {
+    import spark.implicits._
+    import graft.multimodal.WavCodec
+    // 16 kHz stereo ramp: frame f carries (2f, 2f+1) so the source frame
+    // of every output sample is recoverable from its value
+    val frames = 16
+    val samples = Array.tabulate[Short](frames * 2)(i => i.toShort)
+    val clip = WavCodec.Clip(16000, 2, samples)
+    val down = WavCodec.resample(clip, 8000)
+    assert(down.sampleRate === 8000 && down.channels === 2)
+    assert(down.nFrames === frames / 2)
+    assert(down.durationMs === clip.durationMs)
+    // output frame f == source frame 2f, both channels
+    (0 until down.nFrames).foreach { f =>
+      assert(down.samples(2 * f) === (4 * f).toShort)
+      assert(down.samples(2 * f + 1) === (4 * f + 1).toShort)
+    }
+    // same-rate resample is the identity on samples
+    val same = WavCodec.resample(clip, 16000)
+    assert(same.samples.toSeq === clip.samples.toSeq)
+    // kernel end-to-end: WAV rows re-encode at the target rate with
+    // consistent meta; unclaimed rows pass through untouched
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", WavCodec.encode(clip),
+        Multimodal.MediaMeta(0, 0, 16000, 1, "wav")),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta(0, 0, 0, 0, "bin")))
+    val out = Multimodal.resampleAudio(spark.createDataset(rows), 8000)
+      .collect().map(r => r.media_id -> r).toMap
+    val dec = WavCodec.decode(out(1L).payload).getOrElse(fail("re-decode"))
+    assert(dec.sampleRate === 8000 && dec.nFrames === frames / 2)
+    assert(out(1L).meta.sampleRate === 8000)
+    assert(out(2L).payload.toSeq === Seq[Byte](9, 9, 9))
+  }
+
   test("frame sample plan emits offsets within duration") {
     val media = Multimodal.mediaTable(spark, dir).toDF()
     val frames = Multimodal.frameSamplePlan(media, everyMs = 10000).cache()
