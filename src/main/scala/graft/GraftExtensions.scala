@@ -55,7 +55,9 @@ object GraftExtensions {
       (e => JaroSimilarity(e(0), e(1))),
     DeletionNeighborhood.functionName ->
       (e => DeletionNeighborhood(e(0), literalInt(e(1),
-        "deletion_neighborhood k"))))
+        "deletion_neighborhood k"))),
+    NormalizeNfc.functionName ->
+      (e => NormalizeNfc(e(0))))
 
   /** Register every function on an existing session (temp-function
     * registry — what the Column APIs do lazily per call).

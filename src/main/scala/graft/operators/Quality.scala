@@ -198,6 +198,123 @@ object Quality {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Unicode canonicalization — the parse/normalize stage every crawled
+  // corpus passes through before ANY hash-based op: NFC (UAX #15) plus
+  // control-character strip. Visually-identical strings with different
+  // codepoint sequences (é precomposed vs e + U+0301) hash differently,
+  // so exact dedup, n-gram decontamination, and blocklist joins all
+  // silently miss on denormalized input. The fixture is ASCII, so the
+  // query PLANTS both defect classes deterministically (combining-mark
+  // tails on ≡0 mod 3, a BEL control on ≡0 mod 5 — the planted-evidence
+  // discipline), scrubs controls with one codegen'd regexp, normalizes
+  // with the [[graft.functions.NormalizeNfc]] kernel, and reports the
+  // per-doc codepoint deltas. Oracle: DuckDB's utf8proc nfc_normalize
+  // implements the same UAX #15 — which is what makes a DIFFERENTIAL
+  // check of a unicode kernel possible at all.
+  //
+  // Scale shape: pure per-row kernels, zero shuffle; the already-NFC
+  // fast path returns the input string unallocated.
+  // ---------------------------------------------------------------------
+  val qUnicodeNormalize: Q = (s, d) => {
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit(" café")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("")).otherwise(lit("")))
+    val noCtl = regexp_replace(col("raw"), "[\\x00-\\x08\\x0E-\\x1F]", "")
+    documents(s, d)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        graft.functions.NormalizeNfc.normalize(s, noCtl).as("clean"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        length(col("clean")).as("len_clean"),
+        (col("clean") =!= col("raw")).cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val qUnicodeNormalizeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END AS raw
+      |  FROM documents),
+      |c AS (SELECT doc_id, raw,
+      |    nfc_normalize(regexp_replace(raw,
+      |      '[\x00-\x08\x0E-\x1F]', '', 'g')) AS clean
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(length(raw) AS INTEGER) AS len_raw,
+      |  CAST(length(clean) AS INTEGER) AS len_clean,
+      |  CAST(clean <> raw AS INT) AS changed
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // HTML stripping — the extraction step upstream of every text-quality
+  // op when the source is crawl data: drop script blocks, strip tags,
+  // decode the common entities, collapse whitespace. The fixture is
+  // plain text, so the query WRAPS each doc in a deterministic HTML
+  // shell (tags + a script payload + encoded entities) and the stripper
+  // must recover exactly `text` plus the decoded entity tail — the
+  // whole transform is a codegen'd regexp_replace chain (zero shuffle),
+  // and the entity pass decodes &amp; LAST so encoded entities don't
+  // double-decode (the order both engines must share).
+  // ---------------------------------------------------------------------
+  def htmlStrip(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      regexp_replace(acc, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  val qHtmlStrip: Q = (s, d) => {
+    val wrapped = concat(
+      lit("<html><body><p class=\"doc\">"), col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+      lit("<div>Tom &amp; Jerry &lt;3</div></body></html>"))
+    documents(s, d)
+      .select(col("doc_id"), wrapped.as("html"))
+      .select(col("doc_id"),
+        htmlStrip(col("html")).as("clean_text"),
+        regexp_count(col("html"), lit("<[^>]+>")).cast("long")
+          .as("n_tags"))
+      .orderBy("doc_id")
+  }
+
+  val qHtmlStripSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    '<html><body><p class="doc">' || text ||
+      |    '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+      |    '<div>Tom &amp; Jerry &lt;3</div></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&lt;', '<', 'g'),
+      |      '&gt;', '>', 'g'),
+      |      '&quot;', '"', 'g'),
+      |      '&#39;', CAST(chr(39) AS VARCHAR), 'g'),
+      |      '&amp;', '&', 'g'),
+      |      '\s+', ' ', 'g')) AS clean_text,
+      |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Normalization-robust decontamination — the evasion-hardened form of
   // [[contamination]]: exact n-gram matching is defeated by trivial
   // surface edits (case flips, punctuation injection — exactly how
@@ -1096,6 +1213,8 @@ object Quality {
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_normalized" -> qDecontaminateNormalized,
+    "q_unicode_normalize" -> qUnicodeNormalize,
+    "q_html_strip" -> qHtmlStrip,
     "q_pii_scrub" -> qPiiScrub,
     "q_pii_report" -> qPiiReport,
     "q_corpus_mix" -> qCorpusMix,
@@ -1116,6 +1235,8 @@ object Quality {
     // identical output to the exact form (see contaminationBloom doc)
     "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_decontaminate_normalized" -> qDecontaminateNormalizedSql,
+    "q_unicode_normalize" -> qUnicodeNormalizeSql,
+    "q_html_strip" -> qHtmlStripSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_pii_report" -> qPiiReportSql,
     "q_corpus_mix" -> qCorpusMixSql,

@@ -191,5 +191,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // occurring once (ppm 1e6)
     assert(spark.sql("SELECT repetition_stats(array('a', 'a'))")
       .head.getSeq[Long](0) === Seq(2L, 1L, 1L, 0L, 1L, 1000000L))
+    // NFC: decomposed e + U+0301 collapses to one codepoint; already-NFC
+    // input is the identity. Literal codepoints, not chr(): Spark's chr
+    // is mod-256 ASCII, unlike DuckDB's full-unicode chr
+    assert(spark.sql("SELECT length(graft_nfc('é'))")
+      .head.getInt(0) === 1)
+    assert(spark.sql("SELECT graft_nfc('plain') = 'plain'")
+      .head.getBoolean(0))
+    assert(spark.sql("SELECT graft_nfc('é') = 'é'")
+      .head.getBoolean(0), "must produce the precomposed form")
   }
 }
