@@ -477,6 +477,50 @@ object Dedup {
       |FROM corpus GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Canonicalized exact dedup — exact dedup keyed on NORMALIZED text
+  // (case fold + NFC + whitespace collapse) instead of raw bytes: the
+  // composition that makes the parse/normalize stage pay off in the
+  // dedup stage. Raw exact dedup misses case-variant and
+  // denormalized-unicode copies entirely (one flipped letter = a
+  // different hash key); canonicalized keys merge them. The fixture
+  // plants UPPERCASED copies (ids +2M) beside corpusExact's verbatim
+  // ones — DedupSpec-style evidence lives in the query itself: the
+  // verbatim family collapses under BOTH keys, the uppercased family
+  // only under the canonical key (n_copies grows vs qDedupExact).
+  // Same one-hash-agg scale shape; the key function is a per-row
+  // codegen'd chain ending in the NFC kernel.
+  // ---------------------------------------------------------------------
+  def canonicalKey(s: SparkSession, text: Column): Column =
+    graft.functions.NormalizeNfc.normalize(s,
+      regexp_replace(lower(text), "\\s+", " "))
+
+  val qDedupExactCanonical: Q = (s, d) => {
+    val corpus = corpusExact(s, d).unionByName(
+      documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+    corpus
+      .groupBy(canonicalKey(s, col("text")).as("ckey"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactCanonicalSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, upper(text) FROM documents
+      |  WHERE doc_id % 5 = 0)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM corpus
+      |GROUP BY nfc_normalize(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact word-trigram Jaccard near-dup pairs (threshold 0.5). The
     * persisted shingle index is consumed by three branches; at cluster
     * scale the same persist keeps the exploded index off the scan path
@@ -1327,6 +1371,7 @@ object Dedup {
     "q_dedup_incremental" -> qIncrementalDedup,
     "q_dedup_incremental_minhash" -> qIncrementalDedupMinhash,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_exact_canonical" -> qDedupExactCanonical,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
@@ -1346,6 +1391,7 @@ object Dedup {
     // postings-join form (see qIncrementalDedupMinhash doc)
     "q_dedup_incremental_minhash" -> qIncrementalDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_exact_canonical" -> qDedupExactCanonicalSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_containment" -> qDedupContainmentSql,
