@@ -34,6 +34,26 @@ object DocStreams {
       doc_id: Long, text: String, source: String,
       ingest_ts: java.sql.Timestamp)
 
+  /** Stateless parse/normalize stage ahead of [[prepare]]'s gate: HTML
+    * strip ([[Quality.htmlStrip]] — crawl payloads arrive wrapped) →
+    * control-char scrub → NFC canonicalization
+    * ([[graft.functions.NormalizeNfc]]). Every step is a per-row
+    * codegen'd expression, so the stage composes into a structured
+    * stream unchanged — and running it BEFORE the gate is load-bearing:
+    * the gate's token/length signals and every downstream hash key
+    * (dedup, decontamination n-grams) must see canonical text, or
+    * case-variant and denormalized duplicates slip every exact matcher
+    * (the q_dedup_exact_canonical / q_decontaminate_normalized
+    * evidence, applied at ingest).
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.withColumn("text",
+      graft.functions.NormalizeNfc.normalize(spark,
+        regexp_replace(Quality.htmlStrip(col("text")),
+          "[\\x00-\\x08\\x0E-\\x1F]", "")))
+  }
+
   /** Stateless preparation: quality gate (length band, token floor,
     * repetition ceiling) → PII scrub → content fingerprint. Gate
     * thresholds are the Gopher-style knobs; the repetition ceiling uses

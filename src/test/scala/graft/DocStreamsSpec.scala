@@ -255,6 +255,37 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.contains(999999L) === (default > 0))
   }
 
+  test("normalize stage strips markup and canonicalizes, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // html shell + encoded entity + decomposed é + a BEL control
+    val dirty =
+      "<p>the quick brown fox</p><script>x=1</script>" +
+        " Tom &amp; Jerry cafe\u0301\u0007"
+    val docs = Seq(Doc(1L, dirty, "crawl", ts(0)))
+    val batch = DocStreams.normalize(docs.toDF())
+      .select("text").head.getString(0)
+    assert(batch === "the quick brown fox Tom & Jerry caf\u00e9")
+    // canonical: the combining mark collapsed into the precomposed form
+    assert(!batch.contains('\u0301') && batch.contains('\u00e9'))
+    // stateless → stream output is byte-identical
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val input = MemoryStream[Doc]
+    val q = DocStreams.normalize(input.toDF())
+      .writeStream.foreachBatch { (out: org.apache.spark.sql.DataFrame,
+        _: Long) =>
+        got.synchronized {
+          got ++= out.select("text").collect().map(_.getString(0))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq === Seq(batch))
+  }
+
   test("streaming quality gate under frozen weights equals the batch cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
