@@ -1217,9 +1217,15 @@ object TextAnalysis {
       .groupBy("w2").agg(count(lit(1)).as("c_u")))
 
   /** Score every doc in `docToks` (doc_id, toks) against a frozen model
-    * given as its two count tables. Derives prefix counts and (N, V)
-    * from the tables (vocab-sized aggs), then runs the three LEFT joins
-    * + per-doc mean. Unsorted; callers order/materialize.
+    * given as its two count tables. The model is pre-merged into ONE
+    * w2-keyed frame — c_u plus a w1 → (c_bg, c_w1) map over the model
+    * bigrams ending in w2 — so scoring is a single broadcast hash join
+    * against the exploded corpus-bigram frame plus an O(1) `element_at`
+    * per row, instead of three separate corpus-keyed left joins (the
+    * r6-bench regression shape: each join re-materialized the full
+    * exploded frame). Merged-frame size equals the bigram table, i.e.
+    * exactly what a g-keyed broadcast join would ship anyway; all the
+    * merge aggs are vocab-bounded. Unsorted; callers order/materialize.
     */
   def backoffScore(
       docToks: DataFrame, cbg: DataFrame, cu: DataFrame): DataFrame = {
@@ -1229,25 +1235,36 @@ object TextAnalysis {
     val totals = cu.agg(
       coalesce(sum("c_u"), lit(0L)).as("n"),
       count(lit(1)).as("v"))
-    val docBg = docToks
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+    val bgByW2 = cbg
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(cw1, "w1")
+      .groupBy("w2")
+      .agg(map_from_entries(collect_list(
+        struct(col("w1"), struct(col("c_bg"), col("c_w1"))))).as("preds"))
+    // outer, not left: callers may pass count tables that don't share a
+    // corpus (LmStore merges), so a bigram-w2 absent from cu must still
+    // carry its preds map rather than silently score as unseen
+    val model = cu.join(bgByW2, Seq("w2"), "outer")
+    val docBg = docToks
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
     docBg
-      .join(cbg, Seq("g"), "left")
-      .join(cw1, Seq("w1"), "left")
-      .join(cu, Seq("w2"), "left")
+      .join(broadcast(model), Seq("w2"), "left")
       .crossJoin(broadcast(totals))
+      .withColumn("e", // try_: a missing w1 key IS the backoff signal,
+        // not an ANSI error
+        try_element_at(col("preds"), substring_index(col("g"), " ", 1)))
       .withColumn("lp",
-        when(col("c_bg").isNotNull,
-          log(col("c_bg").cast("double") / col("c_w1")))
+        when(col("e").isNotNull,
+          log(col("e.c_bg").cast("double") / col("e.c_w1")))
           .otherwise(log(lit(BackoffAlpha) *
             (coalesce(col("c_u"), lit(0L)) + 1L).cast("double") /
             (col("n") + col("v")))))
       .groupBy("doc_id")
       .agg(
         round(avg("lp"), 4).as("mean_backoff_logprob"),
-        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"))
+        sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_backoff"))
   }
 
   val qBackoffLogprob: Q = (s, d) => {
