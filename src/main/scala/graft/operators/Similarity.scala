@@ -731,31 +731,42 @@ object Similarity {
   /** The margin/mutual-best tail over a scored pair frame
     * (x_id, y_id, sim) — shared by the exact all-pairs form and the
     * LSH-candidate form; bounded by the pair count either way.
+    *
+    * Shape: two bounded-state top-k aggregations ([[TopKAgg]]: a k-slot
+    * insertion buffer inside hash agg) replace the former
+    * `row_number()` windows — no Sort over the pair frame on either
+    * side of the exchange, and the shuffle carries only
+    * (side-key, k-slot partials), not every scored pair. Each side's
+    * k-list yields BOTH the best partner (slot 0 — same sim-desc,
+    * id-asc tie order as the windows) and the k-neighborhood mean (the
+    * margin denominator), so mutual-best is a join of two
+    * side-key-sized frames. The pair frame is persisted for its two
+    * consumers, then dropped once the (tiny) result is checkpointed.
     */
   private def bitextMarginTail(
       pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val wx = Window.partitionBy("x_id")
-      .orderBy(col("sim").desc, col("y_id"))
-    val wy = Window.partitionBy("y_id")
-      .orderBy(col("sim").desc, col("x_id"))
-    val ranked = pairs
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
-      .persist()
-    val meanX = ranked.filter(col("rx") <= k)
-      .groupBy("x_id").agg(avg("sim").as("mx"))
-    val meanY = ranked.filter(col("ry") <= k)
-      .groupBy("y_id").agg(avg("sim").as("my"))
-    val out = ranked.filter(col("rx") === 1 && col("ry") === 1)
-      .join(meanX, Seq("x_id"))
-      .join(meanY, Seq("y_id"))
+    val scored = pairs.persist()
+    def side(key: String, partner: String): DataFrame =
+      scored.groupBy(key)
+        .agg(graft.functions.TopKAgg.topK(
+          k, col("sim"), col(partner)).as("top"))
+        .select(col(key),
+          col("top").getItem(0).getField("_2").as(s"best_$partner"),
+          col("top").getItem(0).getField("_1").as(s"sim_$key"),
+          (aggregate(col("top"), lit(0.0), (acc, e) =>
+            acc + e.getField("_1")) / size(col("top"))).as(s"m_$key"))
+    val xs = side("x_id", "y_id")
+    val ys = side("y_id", "x_id")
+    val out = xs
+      .join(ys, xs("best_y_id") === ys("y_id") &&
+        ys("best_x_id") === xs("x_id"))
       .withColumn("margin",
-        round(col("sim") / ((col("mx") + col("my")) / 2.0), 4))
+        round(col("sim_x_id") / ((col("m_x_id") + col("m_y_id")) / 2.0), 4))
       .select(col("x_id"), col("y_id"), col("margin"),
         (col("margin") >= threshold).cast("int").as("mined"))
       .orderBy("x_id")
       .localCheckpoint(true)
-    ranked.unpersist()
+    scored.unpersist()
     out
   }
 
@@ -876,6 +887,94 @@ object Similarity {
   val qBitextMargin: Q = (s, d) =>
     bitextMarginMine(embeddings(s, d), BitextK, BitextMargin)
 
+  /** The scale row: LSH-candidate bitext mining (the |X|×|Y|-free form
+    * that survives 100 TB). Bucket collisions are xxhash64-seeded →
+    * Spark-specific lists, so this row is rows-only; its correctness
+    * ledger is [[qBitextRecall]] (the q_knn_recall pattern), which
+    * DuckDB-checks the recall arithmetic of THIS row's materialized
+    * output against an exact form the oracle recomputes from base
+    * tables. The exact quadratic form stays registered as the oracle
+    * twin (`q_bitext_margin`).
+    */
+  val qBitextMarginAnn: Q = (s, d) =>
+    bitextMarginMineAnn(embeddings(s, d), BitextK, BitextMargin)
+
+  /** Recall of the ANN-candidate mining against the exact form, both
+    * over the mutual-best pair set and over the mined (margin ≥ τ)
+    * subset. Engine-neutral arithmetic: DuckDB recomputes the exact
+    * side from the base `embeddings` table and reads the ANN pairs
+    * Verify just materialized, so every count and ratio is
+    * hash-checked end to end.
+    */
+  val qBitextRecall: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val exact = bitextMarginMine(emb, BitextK, BitextMargin)
+      .select(col("x_id"), col("y_id"), col("mined").as("e_mined"))
+    val ann = bitextMarginMineAnn(emb, BitextK, BitextMargin)
+      .select(col("x_id"), col("y_id"), col("mined").as("a_mined"))
+    exact.join(ann, Seq("x_id", "y_id"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        coalesce(sum(when(col("a_mined").isNotNull, 1L)), lit(0L))
+          .as("n_common"),
+        coalesce(sum(when(col("e_mined") === 1, 1L)), lit(0L))
+          .as("n_exact_mined"),
+        coalesce(sum(when(col("e_mined") === 1 && col("a_mined") === 1, 1L)),
+          lit(0L)).as("n_common_mined"))
+      .select(col("n_exact"), col("n_common"),
+        col("n_exact_mined"), col("n_common_mined"),
+        round(col("n_common").cast("double") /
+          nullif(col("n_exact"), lit(0L)), 4).as("pair_recall"),
+        round(col("n_common_mined").cast("double") /
+          nullif(col("n_exact_mined"), lit(0L)), 4).as("mined_recall"))
+  }
+
+  val qBitextRecallSql: String =
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv
+      |      FROM embeddings WHERE vec_id % 2 = 1),
+      |pairs AS (SELECT x_id, y_id,
+      |    round(list_cosine_similarity(
+      |      CAST(xv AS DOUBLE[]), CAST(yv AS DOUBLE[])), 6) AS sim
+      |  FROM x CROSS JOIN y),
+      |ranked AS (SELECT x_id, y_id, sim,
+      |    row_number() OVER (PARTITION BY x_id
+      |      ORDER BY sim DESC, y_id) AS rx,
+      |    row_number() OVER (PARTITION BY y_id
+      |      ORDER BY sim DESC, x_id) AS ry
+      |  FROM pairs),
+      |mx AS (SELECT x_id, avg(sim) AS m FROM ranked
+      |       WHERE rx <= $BitextK GROUP BY 1),
+      |my AS (SELECT y_id, avg(sim) AS m FROM ranked
+      |       WHERE ry <= $BitextK GROUP BY 1),
+      |exact AS (SELECT r.x_id, r.y_id,
+      |    CAST(round(r.sim / ((mx.m + my.m) / 2), 4) >= $BitextMargin
+      |         AS INT) AS e_mined
+      |  FROM ranked r
+      |  JOIN mx USING (x_id) JOIN my USING (y_id)
+      |  WHERE rx = 1 AND ry = 1),
+      |ann AS (SELECT x_id, y_id, mined AS a_mined FROM read_parquet(
+      |  '{GRAFT_OUT_DIR}/q_bitext_margin_ann/*.parquet')),
+      |j AS (SELECT e.e_mined, a.a_mined
+      |  FROM exact e LEFT JOIN ann a USING (x_id, y_id))
+      |SELECT
+      |  count(*) AS n_exact,
+      |  CAST(coalesce(sum(CASE WHEN a_mined IS NOT NULL
+      |    THEN 1 END), 0) AS BIGINT) AS n_common,
+      |  CAST(coalesce(sum(CASE WHEN e_mined = 1
+      |    THEN 1 END), 0) AS BIGINT) AS n_exact_mined,
+      |  CAST(coalesce(sum(CASE WHEN e_mined = 1 AND a_mined = 1
+      |    THEN 1 END), 0) AS BIGINT) AS n_common_mined,
+      |  round(CAST(coalesce(sum(CASE WHEN a_mined IS NOT NULL
+      |      THEN 1 END), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) AS pair_recall,
+      |  round(CAST(coalesce(sum(CASE WHEN e_mined = 1 AND a_mined = 1
+      |      THEN 1 END), 0) AS DOUBLE)
+      |    / nullif(coalesce(sum(CASE WHEN e_mined = 1 THEN 1 END), 0), 0),
+      |    4) AS mined_recall
+      |FROM j""".stripMargin
+
   val qBitextMarginSql: String =
     s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv
       |           FROM embeddings WHERE vec_id % 2 = 0),
@@ -907,6 +1006,8 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_decontaminate_semantic" -> qDecontaminateSemantic,
     "q_bitext_margin" -> qBitextMargin,
+    "q_bitext_margin_ann" -> qBitextMarginAnn,
+    "q_bitext_recall" -> qBitextRecall,
     "q_cluster_sample" -> qClusterSample,
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
@@ -921,6 +1022,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_bitext_margin" -> qBitextMarginSql,
+    "q_bitext_recall" -> qBitextRecallSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_knn_recall" -> qKnnRecallSql,
