@@ -396,8 +396,17 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   def tfidfCosinePairs(
       docs: DataFrame, k: Int, minShared: Int,
-      threshold: Double): DataFrame = {
-    val v = tfidfTopTerms(docs, k).select("doc_id", "term", "score")
+      threshold: Double): DataFrame =
+    tfidfCosinePairsFromTops(
+      tfidfTopTerms(docs, k).select("doc_id", "term", "score"),
+      minShared, threshold)
+
+  /** The inverted-index join body over a prebuilt (doc_id, term, score)
+    * top-terms frame — split out so the regime selector can feed both
+    * forms from ONE tokenize→tf→top-k pass.
+    */
+  def tfidfCosinePairsFromTops(
+      v: DataFrame, minShared: Int, threshold: Double): DataFrame = {
     val norms = v.groupBy("doc_id")
       .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
     val dots = v.toDF("id_a", "term", "w_a")
@@ -454,10 +463,19 @@ object TextAnalysis {
     * 8-byte keys).
     */
   def tfidfVectorsFromTf(tf: DataFrame, nDocs: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Double], Double)] =
+    tfidfVectorsFromTops(
+      tfidfTopTermsFromTf(tf, nDocs, k).select("doc_id", "term", "score"))
+
+  /** Vector build from a prebuilt (doc_id, term, score) top-terms
+    * frame — the [[tfidfCosinePairsFromTops]] twin for the broadcast
+    * regime.
+    */
+  def tfidfVectorsFromTops(tops: DataFrame)
       : org.apache.spark.sql.Dataset[(Long, Array[Long], Array[Double], Double)] = {
-    val spark = tf.sparkSession
+    val spark = tops.sparkSession
     import spark.implicits._
-    tfidfTopTermsFromTf(tf, nDocs, k).select("doc_id", "term", "score")
+    tops
       .withColumn("tkey", xxhash64(col("term")))
       .groupBy("doc_id")
       .agg(
@@ -494,10 +512,16 @@ object TextAnalysis {
 
   def tfidfCosinePairsBroadcast(
       docs: DataFrame, k: Int, minShared: Int,
-      threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
+      threshold: Double): DataFrame =
+    tfidfCosinePairsBroadcastFromVecs(
+      tfidfVectors(docs, k), minShared, threshold)
+
+  def tfidfCosinePairsBroadcastFromVecs(
+      vecs: org.apache.spark.sql.Dataset[
+        (Long, Array[Long], Array[Double], Double)],
+      minShared: Int, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val vecs = tfidfVectors(docs, k)
     // ONE corpus pass: the vector build runs once (collect), and the
     // distributed side is just indices into the broadcast array — reusing
     // `vecs` for both sides would re-run the tokenize→tf→df→top-k
@@ -533,18 +557,91 @@ object TextAnalysis {
       round(col("cos"), 4).as("cosine"))
   }
 
+  /** Driver-memory bound for the broadcast regime: above this many
+    * docs the collected vector table (k·~24 B per doc — ~240 MB at 10M
+    * docs with k=10) stops being a safe broadcast, so the selector
+    * falls back to the inverted-index form regardless of df shape.
+    */
+  val TfidfBroadcastDocCap = 10000000L
+
+  /** The pure regime rule, unit-testable without a corpus: prefer the
+    * broadcast merge-join form iff (a) the corpus fits the driver
+    * bound and (b) the inverted-index join would emit MORE candidate
+    * pairs than brute force — Σ_term df² ≥ n², i.e. the vocabulary is
+    * (near-)closed and term-keyed joining buys nothing. Both sides of
+    * the inequality are upper bounds of the same kind (each pair
+    * counted once per shared term vs once outright), and on the
+    * regimes that matter they differ by orders of magnitude, so the
+    * rule is insensitive to the constant.
+    */
+  def tfidfRegimePrefersBroadcast(
+      nDocs: Long, sumDfSq: Double,
+      cap: Long = TfidfBroadcastDocCap): Boolean =
+    nDocs <= cap && sumDfSq >= nDocs.toDouble * nDocs
+
+  /** Data-driven regime selection for all-pairs TF-IDF cosine — the
+    * entry point users should call. Builds the top-k term frame ONCE
+    * (both regimes consume it), reads two vocabulary statistics off it
+    * (doc count, Σ df² over the selected postings — one small
+    * aggregation each, the planning-statistic move AQE makes at
+    * runtime), and picks:
+    *  - inverted-index join ([[tfidfCosinePairsFromTops]]) when the
+    *    vocabulary obeys Heaps' law — postings stay short, the join
+    *    is subquadratic, and nothing is collected anywhere;
+    *  - broadcast merge-join ([[tfidfCosinePairsBroadcastFromVecs]])
+    *    when the vocabulary is near-closed (Σ df² ≥ n²: the join
+    *    would emit MORE pairs than brute force — the measured 130M-pair
+    *    blowup on the sf0.1 fixture, 80.8 s vs 2.1 s) AND the vector
+    *    table fits the driver bound.
+    * Both forms are byte-identical on the same corpus (TextAnalysisSpec
+    * pins it), so the choice is invisible in results.
+    */
+  /** The selector's corpus statistics off a top-terms frame:
+    * (nDocs, Σ df²). Exposed so specs can assert which regime a given
+    * corpus maps to.
+    */
+  def tfidfRegimeStats(tops: DataFrame): (Long, Long) = {
+    val sumDfSq = tops.groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("sum_df2"))
+      .head().getLong(0)
+    val nDocs = tops.select("doc_id").distinct().count()
+    (nDocs, sumDfSq)
+  }
+
+  def tfidfCosinePairsAuto(
+      docs: DataFrame, k: Int, minShared: Int,
+      threshold: Double): DataFrame = {
+    val tops = tfidfTopTerms(docs, k)
+      .select("doc_id", "term", "score").persist()
+    val (nDocs, sumDfSq) = tfidfRegimeStats(tops)
+    if (tfidfRegimePrefersBroadcast(nDocs, sumDfSq.toDouble)) {
+      val out = tfidfCosinePairsBroadcastFromVecs(
+        tfidfVectorsFromTops(tops), minShared, threshold)
+      // the distributed pair stage reads only the broadcast array —
+      // tops' last consumer was the (eager) vector collect above
+      tops.unpersist()
+      out
+    } else {
+      val out = tfidfCosinePairsFromTops(tops, minShared, threshold)
+        .localCheckpoint(true)
+      tops.unpersist()
+      out
+    }
+  }
+
   /** Top-10-term TF-IDF cosine over the near-dup fixture: truncated
     * copies keep their original's salient terms, so they surface at
     * cosine ≈ 1 — the IR-weighted view of the same near-dup structure
-    * the shingle family detects set-wise. Runs the broadcast all-pairs
-    * shape because the fixture's vocabulary is near-closed (see
-    * [[tfidfCosinePairsBroadcast]] — the inverted-index form measured
-    * 80 s at sf0.1 on a 130M-pair intermediate); the sparse form stays
-    * the general-corpus default, and TextAnalysisSpec pins the two
-    * byte-equal on the same corpus.
+    * the shingle family detects set-wise. Runs through the regime
+    * selector, which on this fixture's near-closed vocabulary (~114
+    * distinct terms over 6,250 docs → Σ df² ≫ n²) picks the broadcast
+    * all-pairs shape — the measured 80.8 s → 2.1 s swap of round 6,
+    * now made from data statistics instead of hand-pinning; a
+    * Heaps-law corpus takes the inverted-index branch (TextAnalysisSpec
+    * exercises both).
     */
   val qTfidfCosine: Q = (s, d) =>
-    tfidfCosinePairsBroadcast(Dedup.corpusNear(s, d), 10, 2, 0.7)
+    tfidfCosinePairsAuto(Dedup.corpusNear(s, d), 10, 2, 0.7)
       .orderBy("id_a", "id_b")
 
   val qTfidfCosineSql: String =

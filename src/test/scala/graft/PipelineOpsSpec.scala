@@ -214,6 +214,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dense === sparse)
   }
 
+  test("tfidf cosine regime selector: rule maps each vocabulary shape " +
+    "to the right form, and Auto matches both direct forms") {
+    import spark.implicits._
+    val T = operators.TextAnalysis
+    // pure rule: near-closed vocab (df² blowup) → broadcast; Heaps-law
+    // vocab → inverted index; over the driver cap → inverted index
+    // regardless of df shape
+    assert(T.tfidfRegimePrefersBroadcast(6250L, 3.4e8))
+    assert(!T.tfidfRegimePrefersBroadcast(50L, 500.0))
+    assert(!T.tfidfRegimePrefersBroadcast(
+      T.TfidfBroadcastDocCap + 1, Double.MaxValue))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // the fixture's near-closed vocabulary maps to the broadcast branch
+    val closed = Dedup.corpusNear(spark, dir)
+    val closedStats = T.tfidfRegimeStats(
+      T.tfidfTopTerms(closed, 10).select("doc_id", "term", "score"))
+    assert(T.tfidfRegimePrefersBroadcast(
+      closedStats._1, closedStats._2.toDouble))
+    assert(rows(T.tfidfCosinePairsAuto(closed, 10, 2, 0.7)) ===
+      rows(T.tfidfCosinePairsBroadcast(closed, 10, 2, 0.7)))
+    // a Heaps-law corpus (per-doc-unique vocab + a few shared salient
+    // terms) maps to the inverted-index branch
+    val open = (0L until 60L).map { i =>
+      // consecutive docs are near-twins: 8 shared salient terms (df=2)
+      // + 2 per-doc unique (df=1) → pair cosine ≈ 0.73, everything
+      // else disjoint; Σ df² = 30·8·4 + 120 = 1080 < 60² = 3600
+      val shared = (0 until 8).map(j => s"s${i / 2}x$j").mkString(" ")
+      val unique = s"u${i}a u${i}b"
+      (i, s"$shared $unique")
+    }.toDF("doc_id", "text")
+    val openStats = T.tfidfRegimeStats(
+      T.tfidfTopTerms(open, 10).select("doc_id", "term", "score"))
+    assert(!T.tfidfRegimePrefersBroadcast(
+      openStats._1, openStats._2.toDouble))
+    val autoOpen = rows(T.tfidfCosinePairsAuto(open, 10, 2, 0.7))
+    assert(autoOpen.nonEmpty)
+    assert(autoOpen === rows(T.tfidfCosinePairs(open, 10, 2, 0.7)))
+  }
+
   test("prefix filtering is complete: candidates cover every exact pair " +
     "from a strictly smaller index") {
     val sh = Dedup.capDocFrequency(
