@@ -1708,15 +1708,8 @@ object TextAnalysis {
       case (syms, (a, b)) => bpeApplyMerge(syms, a, b)
     }
 
-  private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val emptyPairs = array().cast("array<struct<a:string,b:string>>")
-    def adjacentPairs(syms: Column): Column =
-      when(size(syms) < 2, emptyPairs)
-        .otherwise(transform(sequence(lit(1), size(syms) - 1),
-          i => struct(element_at(syms, i).as("a"),
-            element_at(syms, i + 1).as("b"))))
-    var vocab = docs
+  private def bpeWordVocab(docs: DataFrame): DataFrame =
+    docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       // java's split(regex, -1) appends a trailing "" on zero-width
@@ -1724,13 +1717,28 @@ object TextAnalysis {
       .select(col("w"), col("freq"),
         filter(split(col("w"), ""), x => x =!= "").as("syms"))
       .localCheckpoint(true)
+
+  private def bpeAdjacentPairs(syms: Column): Column = {
+    val emptyPairs = array().cast("array<struct<a:string,b:string>>")
+    when(size(syms) < 2, emptyPairs)
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"),
+          element_at(syms, i + 1).as("b"))))
+  }
+
+  /** The reference one-merge-per-job loop — kept as the semantic
+    * baseline the batched trainer is spec-pinned against.
+    */
+  private[graft] def bpeVocabLoopSequential(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeWordVocab(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
       val top = vocab
-        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .select(col("freq"), explode(bpeAdjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
@@ -1749,6 +1757,112 @@ object TextAnalysis {
     }
     (merges.toSeq, vocab)
   }
+
+  /** Batch size cap per corpus pass for the batched trainer. */
+  val BpeBatchLimit = 32
+
+  /** Batched merge learning — EXACTLY the sequential merge sequence, in
+    * ~#merges/m corpus-vocab passes instead of #merges. Per pass it
+    * aggregates pair counts ONCE (the same explode the sequential pass
+    * runs), derives per-pair new-pair bounds from that same table, and
+    * keeps the longest sorted prefix in which each candidate p_i:
+    *  (1) shares no symbol with any earlier-accepted pair — old-pair
+    *      counts only decrease under a merge and p_i's own (overlapping)
+    *      count is invariant when its symbols are untouched, so p_i
+    *      still dominates every old pair at its sub-step, with the
+    *      original sort's lexicographic order deciding intact ties;
+    *  (2) has count STRICTLY above every earlier-accepted pair's
+    *      new-pair bound — a merge of (a,b) can only create pairs
+    *      (·,[ab]) / ([ab],·), and every occurrence of those maps to a
+    *      pre-merge (x,a) or (b,y) adjacency (([ab],[ab]) maps to
+    *      (b,a), a (b,·) pair), so newbound(a,b) =
+    *      max(max_x c(x,a), max_y c(b,y)) — two GROUP-BYs over the
+    *      pair table itself, no second corpus-vocab pass — bounds any
+    *      created pair's count: nothing a prefix merge creates can
+    *      reach p_i's count, let alone win its tie-break.
+    * Together (1)+(2) make p_i the sequential argmax at its own
+    * sub-step, so the prefix replays the sequential sequence verbatim;
+    * selection stops at the FIRST rejected candidate because everything
+    * after it would be chosen against counts the prefix may have
+    * changed. A pass always accepts ≥ 1 merge (conditions are vacuous
+    * for the top candidate), so progress dominates the sequential
+    * trainer's, at per-pass cost equal to it plus pair-table-sized
+    * (vocab-bounded) joins. 50k merges land in ~50k/m jobs; an
+    * interaction-heavy vocab batches smaller, the Heaps-law regime
+    * batches near the cap (PipelineOpsSpec exercises both).
+    */
+  private[graft] def bpeVocabLoopBatched(
+      docs: DataFrame, numMerges: Int, batchLimit: Int = BpeBatchLimit)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeWordVocab(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), explode(bpeAdjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("c"))
+        .persist()
+      val endMax = pairs.groupBy(col("b").as("a"))
+        .agg(max("c").as("em"))
+      val startMax = pairs.groupBy(col("a").as("b"))
+        .agg(max("c").as("sm"))
+      val top = pairs
+        .join(endMax, Seq("a"), "left")
+        .join(startMax, Seq("b"), "left")
+        .withColumn("newbound", greatest(
+          coalesce(col("em"), lit(0L)), coalesce(col("sm"), lit(0L))))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(batchLimit)
+        .select("a", "b", "c", "newbound")
+        .collect()
+      pairs.unpersist()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var selBound = Long.MinValue
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        val room = numMerges - rank + 1
+        for (r <- top if !stop && sel.size < room) {
+          val (a, b, c, nb) =
+            (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+          if (sel.isEmpty || (!used(a) && !used(b) && c > selBound)) {
+            sel += ((a, b, c))
+            used += a; used += b
+            selBound = math.max(selBound, nb)
+          } else stop = true
+        }
+        for (((a, b, c), i) <- sel.zipWithIndex)
+          merges += ((rank + i, a, b, c))
+        vocab = vocab.select(col("w"), col("freq"),
+          sel.foldLeft(col("syms")) { case (syms, (a, b, _)) =>
+            bpeApplyMerge(syms, a, b)
+          }.as("syms"))
+          .localCheckpoint(true)
+        rank += sel.size
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** Trainer regime pick: a small merge budget (≤ [[BpeBatchLimit]])
+    * runs the plain sequential loop — its job count is bounded by the
+    * budget itself, and the batched pass's candidate-bound joins buy
+    * nothing to amortize (Zipf-headed natural text batches near 1 at
+    * the top of the count distribution anyway). Production-scale
+    * budgets (the 50k-merge tokenizer) take the batched loop, whose
+    * pass count tracks #merges/batch instead of #merges. Both produce
+    * the identical merge sequence by construction (spec-pinned), so
+    * the switch is invisible in results.
+    */
+  private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    if (numMerges <= BpeBatchLimit) bpeVocabLoopSequential(docs, numMerges)
+    else bpeVocabLoopBatched(docs, numMerges)
 
   def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
     val s = docs.sparkSession

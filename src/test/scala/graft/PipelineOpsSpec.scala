@@ -931,6 +931,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists { case (_, a, b, c) => a == "aa" && b == "aa" && c == 3L })
   }
 
+  test("batched bpe trainer replays the sequential merge sequence " +
+    "exactly, on interaction-heavy and batch-friendly corpora") {
+    import spark.implicits._
+    def compare(docs: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(docs, n)
+      val (mb, vb) = TextAnalysis.bpeVocabLoopBatched(docs, n)
+      assert(mb === ms)
+      def segs(v: org.apache.spark.sql.DataFrame) =
+        v.select("w", "syms").as[(String, Seq[String])].collect().toMap
+      assert(segs(vb) === segs(vs))
+    }
+    // interaction-heavy: overlapping pairs + created-pair dominance
+    // ((aa,aa) is born mid-sequence) — batching must stop early and
+    // still replay the exact sequence
+    compare(Seq((1L, "aaaa abab cd"), (2L, "aaaa abab cd"), (3L, "aaaa"))
+      .toDF("doc_id", "text"), 6)
+    // batch-friendly: 13 equal-count symbol-disjoint pairs with no
+    // trigrams (newbound 0) — one pass takes them all, then exhaustion
+    compare(Seq.tabulate(40)(i =>
+      (i.toLong, "ab cd ef gh ij kl mn op qr st uv wx yz"))
+      .toDF("doc_id", "text"), 20)
+  }
+
   test("bpe merges on the fixture equal the driver-side reference") {
     import spark.implicits._
     val words = graft.Tables.documents(spark, dir)
