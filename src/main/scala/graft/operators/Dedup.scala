@@ -536,6 +536,72 @@ object Dedup {
     out
   }
 
+  /** Recall of the native 64-bit SimHash banding gate against the
+    * exact trigram-Jaccard near-dup truth — the engine-neutral ledger
+    * for the xxhash64-fingerprint family (the q_knn_recall move): the
+    * fingerprints and hence the pair LIST are Spark-specific, but
+    * recall against a ground truth DuckDB recomputes from the base
+    * tables is pure arithmetic. The oracle re-derives the Jaccard≥0.5
+    * pair set itself and reads the simhash pairs Verify just
+    * materialized, so every count and the recall ratio are
+    * hash-checked end to end.
+    */
+  val qSimhashRecall: Q = (s, d) => {
+    val truth = qDedupNgramJaccard(s, d).select("id_a", "id_b")
+    val sh = qDedupSimhash(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nSh = sh.agg(count(lit(1)).as("n_simhash"))
+    truth.join(sh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nSh))
+      .select(col("n_truth"), col("n_simhash"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_truth"), lit(0L)), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_simhash"), lit(0L)), 4).as("precision"))
+  }
+
+  val qSimhashRecallSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31) FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |toks AS (SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       t -> t <> '') AS l
+      |         FROM corpus),
+      |mx AS (SELECT max(len(l)) + 1 AS m FROM toks),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] || ' ' ||
+      |           l[CAST(i AS INT)+2] AS g
+      |       FROM toks CROSS JOIN
+      |         (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) r
+      |       WHERE CAST(i AS INT) + 2 <= len(l)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |truth AS (SELECT id_a, id_b FROM inter
+      |  JOIN sizes na ON id_a = na.doc_id
+      |  JOIN sizes nb ON id_b = nb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+      |simp AS (SELECT id_a, id_b FROM read_parquet(
+      |  '{GRAFT_OUT_DIR}/q_dedup_simhash/*.parquet')),
+      |j AS (SELECT CASE WHEN s.id_a IS NOT NULL THEN 1 END AS hit
+      |      FROM truth t LEFT JOIN simp s USING (id_a, id_b))
+      |SELECT
+      |  count(*) AS n_truth,
+      |  (SELECT count(*) FROM simp) AS n_simhash,
+      |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) AS recall,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif((SELECT count(*) FROM simp), 0), 4) AS precision
+      |FROM j""".stripMargin
+
   /** Both the df-cap (hot-key aggregation + anti-join) and the pair
     * stages consume the shingle index; the RAW index is persisted before
     * capping so the expensive tokenize/shingle/explode subtree runs ONCE
@@ -1379,7 +1445,8 @@ object Dedup {
     "q_dedup_prefix_filter" -> qDedupPrefixFilter,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_simhash_md5" -> qDedupSimhashMd5)
+    "q_dedup_simhash_md5" -> qDedupSimhashMd5,
+    "q_simhash_recall" -> qSimhashRecall)
 
   val oracles: Map[String, String] = Map(
     "q_dup_factor_curve" -> qDupFactorCurveSql,
@@ -1403,5 +1470,6 @@ object Dedup {
     // exact-verified candidates at recall 1 on this fixture ⇒ identical
     // output to the exact jaccard query (see qDedupMinhash doc)
     "q_dedup_minhash" -> qDedupNgramJaccardSql,
-    "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql)
+    "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql,
+    "q_simhash_recall" -> qSimhashRecallSql)
 }
