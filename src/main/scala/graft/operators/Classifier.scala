@@ -177,7 +177,7 @@ object Classifier {
     * map.
     */
   val qClassifierServed: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val table = s"graft_cls_$id"
     val path = s"${sys.props("java.io.tmpdir")}/graft_cls_$id"
     val docs = documents(s, d)

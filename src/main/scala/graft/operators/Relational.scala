@@ -138,7 +138,7 @@ object Relational {
   // physically different route).
   // ---------------------------------------------------------------------
   val qJoinBucketed: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val oT = s"graft_bkt_orders_$id"
     val cT = s"graft_bkt_customer_$id"
     graft.plans.Layout.dropHard(s, oT)
@@ -1023,7 +1023,7 @@ object Relational {
   // ---------------------------------------------------------------------
   val qOrcRoundtrip: Q = (s, d) => {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      graft.plans.AggStore.artifactId(d)
     customer(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("c_mktsegment")

@@ -261,7 +261,7 @@ object Reshape {
   // breaks the hash.
   // ---------------------------------------------------------------------
   val qRollupIncremental: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val table = s"graft_rollup_inc_$id"
     val path = s"${sys.props("java.io.tmpdir")}/graft_aggstore_$id"
     // money quantized to integer cents: long sums are exactly
@@ -1153,7 +1153,7 @@ object Reshape {
   // diff hash-exact.
   // ---------------------------------------------------------------------
   val qRollupCdc: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val table = s"graft_rollup_cdc_$id"
     val path = s"${sys.props("java.io.tmpdir")}/graft_aggstore_cdc_$id"
     val ev = events(s, d).select(col("event_type"),

@@ -882,7 +882,7 @@ object TextAnalysis {
     * only the query batch plus bucket-pruned postings.
     */
   val qBm25IndexSearch: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val table = s"graft_bm25_$id"
     val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_$id"
     val docs = documents(s, d)
@@ -1921,7 +1921,7 @@ object TextAnalysis {
     * row carries [[qBpeEncodeSql]] unchanged.
     */
   val qBpeEncodeServed: Q = (s, d) => {
-    val id = java.lang.Integer.toHexString(d.hashCode)
+    val id = graft.plans.AggStore.artifactId(d)
     val table = s"graft_bpe_$id"
     val path = s"${sys.props("java.io.tmpdir")}/graft_bpe_$id"
     val docs = documents(s, d)
@@ -2129,6 +2129,55 @@ object TextAnalysis {
     out
   }
 
+  /** Lazily-built shared retrieval artifacts for the `_served` fusion
+    * twins: one BM25 index (the same catalog name [[qBm25IndexSearch]]
+    * builds, so whichever runs first pays the build) and one tf-idf
+    * index. Build-if-absent is what demonstrates the production
+    * amortization — within a session every served retrieval query
+    * after the first touches only query batches and bucket-pruned
+    * postings; the stores' versioned-dir saves keep an unconditional
+    * rebuild (q_bm25_index_search's by-design per-run build) safe to
+    * interleave.
+    */
+  private def retrievalStores(
+      s: SparkSession, d: String): (String, String) = {
+    val id = graft.plans.AggStore.artifactId(d)
+    val tmp = sys.props("java.io.tmpdir")
+    val bm = s"graft_bm25_$id"
+    val tfx = s"graft_tfidfx_$id"
+    if (!s.catalog.tableExists(bm))
+      graft.plans.Bm25IndexStore.build(
+        documents(s, d), bm, s"$tmp/graft_bm25_$id", buckets = 8)
+    if (!s.catalog.tableExists(tfx))
+      graft.plans.TfidfIndexStore.build(
+        documents(s, d), 10, tfx, s"$tmp/graft_tfidfx_$id", buckets = 8)
+    (tfx, bm)
+  }
+
+  /** [[qRankerAgreement]] served from the persisted tf-idf + BM25
+    * artifacts — identical output by the stores' parity arguments, so
+    * it carries the same composed oracle; the corpus-sized tokenize +
+    * weigh cost lives in the (shared, build-once) artifacts.
+    */
+  val qRankerAgreementServed: Q = (s, d) => {
+    val (tfx, bm) = retrievalStores(s, d)
+    val queryDocs = documents(s, d).filter(col("doc_id") % 25 === 0)
+    rankerAgreement(
+      graft.plans.TfidfIndexStore.search(
+        s, tfx, queryDocs.select("doc_id"), 3),
+      graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 3))
+  }
+
+  /** [[qRrfFusion]] served from the same persisted artifacts. */
+  val qRrfFusionServed: Q = (s, d) => {
+    val (tfx, bm) = retrievalStores(s, d)
+    val queryDocs = documents(s, d).filter(col("doc_id") % 25 === 0)
+    rrfFusion(Seq(
+      graft.plans.TfidfIndexStore.search(
+        s, tfx, queryDocs.select("doc_id"), 10),
+      graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 10)), 5)
+  }
+
   val qRankerAgreementSql: String =
     s"""WITH ra AS (SELECT query_id, rnk AS r_a, neighbor_id
       |  FROM ($qTfidfRetrievalSql)),
@@ -2153,6 +2202,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q_ranker_agreement" -> qRankerAgreement,
+    "q_ranker_agreement_served" -> qRankerAgreementServed,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
     "q_tokenizer_fertility" -> qTokenizerFertility,
@@ -2175,11 +2225,13 @@ object TextAnalysis {
     "q_bm25_retrieval" -> qBm25Retrieval,
     "q_bm25_index_search" -> qBm25IndexSearch,
     "q_rrf_fusion" -> qRrfFusion,
+    "q_rrf_fusion_served" -> qRrfFusionServed,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
   val oracles: Map[String, String] = Map(
     "q_ranker_agreement" -> qRankerAgreementSql,
+    "q_ranker_agreement_served" -> qRankerAgreementSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
@@ -2204,6 +2256,7 @@ object TextAnalysis {
     // served-from-artifact form: identical output by construction
     "q_bm25_index_search" -> qBm25RetrievalSql,
     "q_rrf_fusion" -> qRrfFusionSql,
+    "q_rrf_fusion_served" -> qRrfFusionSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

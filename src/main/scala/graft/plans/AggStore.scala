@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object AggStore {
 
+  /** Identifier-safe key for a dataset directory, shared by every
+    * `_served` query that derives a catalog table + artifact path from
+    * its input dir: 64 bits of md5 over the path — `String.hashCode`
+    * (32 bits, weak mixing) can collide two different dirs onto one
+    * artifact, silently serving one dataset's index to the other.
+    * Stable across runs BY DESIGN: the stores' versioned-dir saves
+    * make rebuilds safe, and a stable key is what lets a later query
+    * in the same session reuse an already-built artifact (the
+    * build-once/serve-many amortization the `_served` family
+    * demonstrates).
+    */
+  def artifactId(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** Mergeable state columns; everything else in the saved schema is a
     * grouping dimension — `extend`/`read` re-derive the dims from the
     * schema so callers can't desync them from what was built.

@@ -193,6 +193,37 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(viaStore === inSession)
   }
 
+  test("tf-idf index search equals the in-session retrieval and never " +
+    "re-reads the corpus") {
+    import graft.plans.TfidfIndexStore
+    val table = "tfx_search"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_norms")
+    val path = Files.createTempDirectory("graft-tfx").toString + "/tfx"
+    TfidfIndexStore.build(base, 10, table, path, buckets = 8)
+    val queryIds = base.filter(col("doc_id") % 25 === 0).select("doc_id")
+    val served = TfidfIndexStore.search(spark, table, queryIds, 3)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val inSession = graft.operators.TextAnalysis
+      .tfidfRetrieval(base, col("doc_id") % 25 === 0, 10, 3)
+    assert(rows(served) === rows(inSession))
+    assert(rows(served).nonEmpty)
+    // serving scans only the artifact: queryIds comes from the corpus
+    // frame here, so ONE documents scan (the id filter) is expected,
+    // but the postings/norms sides must come from the saved tables
+    val leaves = served.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      }
+    assert(leaves.count(_.contains(path)) >= 2,
+      s"postings+norms must come from the artifact:\n${leaves.mkString("\n")}")
+  }
+
   test("LM extension is counter-linear: build+extend == build on union") {
     import graft.plans.LmStore
     val a = base.filter(col("doc_id") % 2 === 0)
