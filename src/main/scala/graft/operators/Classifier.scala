@@ -80,17 +80,47 @@ object Classifier {
     val Seq(n, meanLen, symRatio, nStop, dupFrac) =
       Quality.gopherSignalCols(text, toksC)
     val nD = n.cast("double")
+    // thresholds come from the SAME Quality constants gopherPredicates
+    // (the teacher label) reads — a threshold change can't desync the
+    // teacher from the hinge features (or from the SQL oracle, which
+    // interpolates the same values)
+    val (minT, maxT) =
+      (Quality.GopherMinTokens.toDouble, Quality.GopherMaxTokens.toDouble)
+    val (minL, maxL) = (Quality.GopherMinMeanLen, Quality.GopherMaxMeanLen)
+    val maxSym = Quality.GopherMaxSymbolRatio
+    val minStop = Quality.GopherMinStopwords.toDouble
+    val maxDup = Quality.GopherMaxDupFrac
     Seq(
       lit(1.0),
-      lit(ClsScale) * (greatest(lit(0.0), (lit(20.0) - nD) / lit(20.0)) +
-        greatest(lit(0.0), (nD - lit(1000.0)) / lit(1000.0))),
-      lit(ClsScale) * (greatest(lit(0.0), (lit(3.0) - meanLen) / lit(3.0)) +
-        greatest(lit(0.0), (meanLen - lit(10.0)) / lit(10.0))),
-      lit(ClsScale) * greatest(lit(0.0), (symRatio - lit(0.1)) / lit(0.1)),
-      lit(ClsScale) * greatest(lit(0.0),
-        (lit(2.0) - nStop.cast("double")) / lit(2.0)),
-      lit(ClsScale) * greatest(lit(0.0), (dupFrac - lit(0.6)) / lit(0.6)))
+      capped(lit(ClsScale) *
+        (greatest(lit(0.0), (lit(minT) - nD) / lit(minT)) +
+          greatest(lit(0.0), (nD - lit(maxT)) / lit(maxT)))),
+      capped(lit(ClsScale) *
+        (greatest(lit(0.0), (lit(minL) - meanLen) / lit(minL)) +
+          greatest(lit(0.0), (meanLen - lit(maxL)) / lit(maxL)))),
+      capped(lit(ClsScale) *
+        greatest(lit(0.0), (symRatio - lit(maxSym)) / lit(maxSym))),
+      capped(lit(ClsScale) * greatest(lit(0.0),
+        (lit(minStop) - nStop.cast("double")) / lit(minStop))),
+      capped(lit(ClsScale) *
+        greatest(lit(0.0), (dupFrac - lit(maxDup)) / lit(maxDup))))
   }
+
+  /** Violation-feature magnitude cap, mirrored in the SQL prelude.
+    * Why: gradient components cross the wire as round(err·x·1e8)
+    * int64s; |err| < 1, so each row contributes < [[ClsFeatureCap]]·1e8
+    * = 1e14 — the sum stays within int64 to ~9·10¹³ rows. UNCAPPED,
+    * x1 grows with n_tokens/GopherMaxTokens: one 10⁹-token document
+    * puts a single row's contribution at ~5·10¹⁴ and a large corpus of
+    * long docs can silently wrap the non-ANSI long sum, corrupting the
+    * learned weights with no error. The cap never binds on sane data
+    * (it corresponds to a ~2·10⁸-token document on the x1 axis; the
+    * other features are bounded ratios) and a violation of 10⁶ is as
+    * separable as one of 10⁹ for the hinge teacher.
+    */
+  val ClsFeatureCap = 1e6
+
+  private def capped(x: Column): Column = least(x, lit(ClsFeatureCap))
 
   /** The 6dp probability under FROZEN weights as one inline per-row
     * expression — the serving/streaming form (no feature frame, no
@@ -311,20 +341,34 @@ object Classifier {
       |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_frac
       |  FROM st_src),
       |f AS MATERIALIZED (SELECT doc_id,
-      |    CAST(n_tokens BETWEEN 20 AND 1000
-      |      AND mean_len BETWEEN 3.0 AND 10.0
-      |      AND sym_ratio <= 0.1 AND n_stop >= 2
-      |      AND dup_frac <= 0.6 AS INT) AS y,
+      |    CAST(n_tokens BETWEEN ${Quality.GopherMinTokens}
+      |        AND ${Quality.GopherMaxTokens}
+      |      AND mean_len BETWEEN ${Quality.GopherMinMeanLen}
+      |        AND ${Quality.GopherMaxMeanLen}
+      |      AND sym_ratio <= ${Quality.GopherMaxSymbolRatio}
+      |      AND n_stop >= ${Quality.GopherMinStopwords}
+      |      AND dup_frac <= ${Quality.GopherMaxDupFrac} AS INT) AS y,
       |    CAST(1.0 AS DOUBLE) AS x0,
-      |    $ClsScale*(greatest(0.0, (20.0 - CAST(n_tokens AS DOUBLE))/20.0)
-      |      + greatest(0.0, (CAST(n_tokens AS DOUBLE) - 1000.0)/1000.0))
-      |      AS x1,
-      |    $ClsScale*(greatest(0.0, (3.0 - mean_len)/3.0)
-      |      + greatest(0.0, (mean_len - 10.0)/10.0)) AS x2,
-      |    $ClsScale*greatest(0.0, (sym_ratio - 0.1)/0.1) AS x3,
-      |    $ClsScale*greatest(0.0,
-      |      (2.0 - CAST(n_stop AS DOUBLE))/2.0) AS x4,
-      |    $ClsScale*greatest(0.0, (dup_frac - 0.6)/0.6) AS x5
+      |    least($ClsScale*(greatest(0.0,
+      |        (${Quality.GopherMinTokens}.0 - CAST(n_tokens AS DOUBLE))
+      |          /${Quality.GopherMinTokens}.0)
+      |      + greatest(0.0,
+      |        (CAST(n_tokens AS DOUBLE) - ${Quality.GopherMaxTokens}.0)
+      |          /${Quality.GopherMaxTokens}.0)), $ClsFeatureCap) AS x1,
+      |    least($ClsScale*(greatest(0.0,
+      |        (${Quality.GopherMinMeanLen} - mean_len)
+      |          /${Quality.GopherMinMeanLen})
+      |      + greatest(0.0, (mean_len - ${Quality.GopherMaxMeanLen})
+      |          /${Quality.GopherMaxMeanLen})), $ClsFeatureCap) AS x2,
+      |    least($ClsScale*greatest(0.0,
+      |      (sym_ratio - ${Quality.GopherMaxSymbolRatio})
+      |        /${Quality.GopherMaxSymbolRatio}), $ClsFeatureCap) AS x3,
+      |    least($ClsScale*greatest(0.0,
+      |      (${Quality.GopherMinStopwords}.0 - CAST(n_stop AS DOUBLE))
+      |        /${Quality.GopherMinStopwords}.0), $ClsFeatureCap) AS x4,
+      |    least($ClsScale*greatest(0.0,
+      |      (dup_frac - ${Quality.GopherMaxDupFrac})
+      |        /${Quality.GopherMaxDupFrac}), $ClsFeatureCap) AS x5
       |  FROM st),
       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
       |w_0 AS MATERIALIZED (SELECT ${(0 until NumFeatures)

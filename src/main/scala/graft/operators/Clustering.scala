@@ -383,7 +383,11 @@ object Clustering {
   val qClusterHistogram: Q = (s, d) => {
     val corpus = Dedup.corpusNear(s, d)
     val nTotal = corpus.count().toDouble
-    val cc = nearDupClusterLabels(s, d)
+    // the labels frame is tiny (clustered docs only) but its lineage is
+    // the whole MinHash→CC iteration — materialize once for its two
+    // consumers (the size histogram and the clustered-doc count)
+    // instead of re-running the pipeline per action
+    val cc = nearDupClusterLabels(s, d).localCheckpoint(true)
     val csize = cc.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     val clustered = csize.groupBy("cluster_size")
