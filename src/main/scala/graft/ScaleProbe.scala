@@ -264,6 +264,57 @@ object ScaleProbe {
       "worst case — see comment)")(
       graft.plans.Bm25IndexStore.search(spark, "probe_bm25",
         docs.filter(col("doc_id") % 100 === 0), 5).count())
+    // round-7: the fused retrieval pipelines (tf-idf + BM25 → RRF /
+    // RBO) at 50k docs — in-plan (shared-tokenize broadcast kernels:
+    // query side broadcasts, corpus streams ONCE through both rankers,
+    // TopKAgg bounds reduction state) vs served from the persisted
+    // artifacts. The served searches inherit the closed-vocab postings
+    // caveat above (every query shares terms with ~every doc), so they
+    // run a 50-query batch — per-query serving cost is the number the
+    // build-vs-serve split is about, and it must track the batch, not
+    // the corpus.
+    t("hybrid rrf 50k docs, 500 queries (in-plan, shared tf)")(
+      operators.TextAnalysis.hybridRrf(
+        docs, col("doc_id") % 100 === 0, 10, 10, 5).count())
+    t("ranker agreement 50k docs, 500 queries (in-plan, shared tf)") {
+      val tf = operators.TextAnalysis.termFreq(docs).persist()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val qids = docs.filter(col("doc_id") % 100 === 0).select("doc_id")
+      val a = operators.TextAnalysis.tfidfRetrievalFromVecs(
+        operators.TextAnalysis.tfidfVectorsFromTf(tf, nDocs, 10), qids, 3)
+      val b = operators.TextAnalysis
+        .bm25RetrievalFromTf(tf, qids, 3, 1.2, 0.75)
+      val n = operators.TextAnalysis.rankerAgreement(a, b).count()
+      tf.unpersist(); n
+    }
+    t("tfidf index: build 50k docs (tokenize+weigh+save)") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-tfx").toString
+      spark.sql("DROP TABLE IF EXISTS probe_tfx")
+      spark.sql("DROP TABLE IF EXISTS probe_tfx_norms")
+      graft.plans.TfidfIndexStore.build(
+        docs, 10, "probe_tfx", s"$wh/tfx", buckets = 32)
+      spark.table("probe_tfx").count()
+    }
+    // the bm25 artifact may be absent when this chunk runs alone
+    // (substring-filtered probe runs) — ensure it outside the timer
+    if (!spark.catalog.tableExists("probe_bm25")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+      graft.plans.Bm25IndexStore.build(
+        docs, "probe_bm25", s"$wh/bm25", buckets = 32)
+    }
+    t("rrf fusion served: 50-query batch vs saved 50k (search only)")(
+      operators.TextAnalysis.rrfFusion(Seq(
+        graft.plans.TfidfIndexStore.search(spark, "probe_tfx",
+          docs.filter(col("doc_id") % 1000 === 0).select("doc_id"), 10),
+        graft.plans.Bm25IndexStore.search(spark, "probe_bm25",
+          docs.filter(col("doc_id") % 1000 === 0), 10)), 5).count())
+    t("ranker agreement served: 50-query batch vs saved 50k " +
+      "(search only)")(
+      operators.TextAnalysis.rankerAgreement(
+        graft.plans.TfidfIndexStore.search(spark, "probe_tfx",
+          docs.filter(col("doc_id") % 1000 === 0).select("doc_id"), 3),
+        graft.plans.Bm25IndexStore.search(spark, "probe_bm25",
+          docs.filter(col("doc_id") % 1000 === 0), 3)).count())
     // hot-shingle skew: one gram planted in HALF of the natural 5k docs
     // (df 2,500 — 5x over the 500 cap, yet its ~6M join rows ≈ 150 MB
     // sit UNDER AQE's 256 MB skewedPartitionThreshold, so AQE will NOT
