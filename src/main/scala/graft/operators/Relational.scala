@@ -1041,7 +1041,49 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Snapshot-table time travel ([[graft.plans.SnapshotStore]]): three
+  // commits — append (c_nationkey < 10), append (the rest), overwrite
+  // (the BUILDING segment) — then ONE query aggregates the table AS OF
+  // each version. Time-travel semantics are oracle-expressible because
+  // every commit's content is a pure slice of the base table: version 0
+  // ≡ WHERE c_nationkey < 10, version 1 ≡ the whole table (the two
+  // appends tile it), version 2 ≡ WHERE c_mktsegment = 'BUILDING'.
+  // The store's fresh-root-per-run build keeps versions deterministic
+  // (0/1/2); commit atomicity/CAS/vacuum are spec territory
+  // (SnapshotStoreSpec), the oracle checks the REPLAY arithmetic.
+  // ---------------------------------------------------------------------
+  val qSnapshotTimeTravel: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString
+    val c = customer(s, d)
+    val vs = Seq(
+      SnapshotStore.append(c.filter(col("c_nationkey") < 10), root),
+      SnapshotStore.append(c.filter(col("c_nationkey") >= 10), root),
+      SnapshotStore.overwrite(
+        c.filter(col("c_mktsegment") === "BUILDING"), root))
+    vs.map { v =>
+      SnapshotStore.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+        .select(lit(v).as("version"), col("n"), col("total_bal"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val qSnapshotTimeTravelSql: String =
+    """SELECT 0 AS version, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer WHERE c_nationkey < 10
+      |UNION ALL
+      |SELECT 1, count(*), round(sum(c_acctbal), 2) FROM customer
+      |UNION ALL
+      |SELECT 2, count(*), round(sum(c_acctbal), 2) FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_snapshot_time_travel" -> qSnapshotTimeTravel,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
     "q_dq_constraints" -> qDqConstraints,
@@ -1078,6 +1120,7 @@ object Relational {
     "q_date_agg" -> qDateAgg)
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_time_travel" -> qSnapshotTimeTravelSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
     "q_dq_constraints" -> qDqConstraintsSql,

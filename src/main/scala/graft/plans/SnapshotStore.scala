@@ -1,0 +1,189 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal table-format layer over raw parquet — the missing piece
+  * between the artifact stores and a lakehouse, extending the
+  * [[AggStore]] write-new-then-repoint discipline from "latest version
+  * wins" to a full COMMIT LOG with time travel and concurrent-writer
+  * safety (the Delta/Iceberg core, reduced to its load-bearing bones):
+  *
+  *   <root>/data/<uuid>/part-*.parquet   immutable data file groups
+  *   <root>/_commits/<v>.json            one record per commit
+  *
+  * A commit record is `{version, action, adds, removes}` where `adds` /
+  * `removes` are data-group directories. The LIVE file set at version v
+  * is the log replay: start empty; `append` adds its groups;
+  * `overwrite` removes all prior live groups and adds its own. Readers
+  * never list data directories — the log IS the table (the key
+  * object-store lesson: listings are neither atomic nor consistent;
+  * a log replay is both).
+  *
+  * Atomicity + isolation: data files are written FIRST (invisible until
+  * committed — an abandoned write leaves garbage, never corruption),
+  * then the record is published by hard-linking a fully-written temp
+  * file to `<v>.json`. Link creation is atomic and EXCLUSIVE, so two
+  * writers racing for version v cannot both win — the loser re-reads
+  * the log and retries at v+1 with its (version-agnostic) data groups
+  * unchanged: optimistic concurrency, the Delta protocol's
+  * put-if-absent reduced to POSIX. Readers see either v-1 or v, never
+  * a torn state.
+  *
+  * Time travel: `read(spark, root, asOf = Some(v))` replays the log
+  * prefix ≤ v. `vacuum` deletes data groups unreferenced by the
+  * retained log suffix — after which older versions are explicitly
+  * unreadable (their records remain as history, the standard trade).
+  *
+  * Scale shape: the log is one tiny JSON per commit (replay cost is
+  * #commits, independent of data volume); data moves only through
+  * ordinary distributed parquet writes/reads — nothing funnels through
+  * the driver but the file-group names. What this deliberately leaves
+  * out of scope vs a production format: file-level statistics pruning,
+  * schema evolution, and multi-table transactions.
+  */
+object SnapshotStore {
+
+  private def commitsDir(root: String): Path = Paths.get(root, "_commits")
+
+  private case class Commit(
+      version: Int, action: String, adds: Seq[String], removes: Seq[String])
+
+  // hand-rolled (de)serialization: the record grammar is three fixed
+  // fields; a JSON library dependency is not available offline
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"action":"${c.action}",""" +
+      s""""adds":${arr(c.adds)},"removes":${arr(c.removes)}}"""
+  }
+
+  private def parse(s: String): Commit = {
+    def field(name: String): String = {
+      val i = s.indexOf("\"" + name + "\":")
+      require(i >= 0, s"commit record missing $name: $s")
+      s.drop(i + name.length + 3)
+    }
+    def arr(body: String): Seq[String] = {
+      val inner = body.drop(body.indexOf('[') + 1)
+        .takeWhile(_ != ']')
+      if (inner.trim.isEmpty) Nil
+      else inner.split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\""))
+    }
+    Commit(
+      field("version").takeWhile(c => c.isDigit).toInt,
+      field("action").drop(1).takeWhile(_ != '"'),
+      arr(field("adds")), arr(field("removes")))
+  }
+
+  private def log(root: String): Seq[Commit] = {
+    val dir = commitsDir(root)
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(p => parse(Files.readString(p)))
+  }
+
+  /** The live data-group set after replaying commits ≤ `asOf`
+    * (entire log when None).
+    */
+  private def liveGroups(
+      commits: Seq[Commit], asOf: Option[Int]): Seq[String] =
+    commits.filter(c => asOf.forall(c.version <= _))
+      .foldLeft(Vector.empty[String]) { (live, c) =>
+        (if (c.action == "overwrite") Vector.empty
+         else live.filterNot(c.removes.contains)) ++ c.adds
+      }
+
+  /** Atomic exclusive publish of version `v`; false = lost the race. */
+  private def publish(root: String, v: Int, json: String): Boolean = {
+    val dir = commitsDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    try { Files.createLink(dir.resolve(f"$v%08d.json"), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Write `df` as a new immutable data group, return its name. */
+  private def writeGroup(df: DataFrame, root: String): String = {
+    val group = s"data/${UUID.randomUUID()}"
+    df.write.mode("error").parquet(s"$root/$group")
+    group
+  }
+
+  private def commitLoop(root: String, action: String,
+      adds: Seq[String]): Int = {
+    var done = false
+    var v = -1
+    while (!done) {
+      val commits = log(root)
+      v = commits.lastOption.map(_.version + 1).getOrElse(0)
+      val removes =
+        if (action == "overwrite") liveGroups(commits, None) else Nil
+      done = publish(root, v, render(Commit(v, action, adds, removes)))
+      // on a lost race the data group is already safely invisible-
+      // or-added; only the log position moves — re-read and retry
+    }
+    v
+  }
+
+  /** Append `df` as a new commit; returns the committed version. */
+  def append(df: DataFrame, root: String): Int =
+    commitLoop(root, "append", Seq(writeGroup(df, root)))
+
+  /** Replace the table contents with `df`; returns the version. */
+  def overwrite(df: DataFrame, root: String): Int =
+    commitLoop(root, "overwrite", Seq(writeGroup(df, root)))
+
+  /** Snapshot read at `asOf` (latest when None). An empty live set
+    * (no commits yet, or time travel to before the first append) is an
+    * error — there is no schema to produce an empty frame with.
+    */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val groups = liveGroups(log(root), asOf)
+    require(groups.nonEmpty,
+      s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
+    groups.foreach { g =>
+      require(Files.isDirectory(Paths.get(root, g)),
+        s"data group $g was vacuumed; version is no longer readable")
+    }
+    spark.read.parquet(groups.map(g => s"$root/$g"): _*)
+  }
+
+  /** (version, action) history, oldest first. */
+  def history(root: String): Seq[(Int, String)] =
+    log(root).map(c => (c.version, c.action))
+
+  /** Delete data groups unreferenced by the last `keep` versions'
+    * live sets; returns the number of groups removed. Commit records
+    * are never deleted (history stays enumerable; vacuumed versions
+    * fail at read with an explicit error).
+    */
+  def vacuum(root: String, keep: Int = 2): Int = {
+    val commits = log(root)
+    val retained = commits.takeRight(keep).map(_.version)
+    val referenced = retained
+      .flatMap(v => liveGroups(commits, Some(v))).toSet
+    val all = {
+      val dataDir = Paths.get(root, "data")
+      if (!Files.isDirectory(dataDir)) Nil
+      else Files.list(dataDir).iterator.asScala.toSeq
+        .map(p => s"data/${p.getFileName}")
+    }
+    val doomed = all.filterNot(referenced.contains)
+    doomed.foreach { g =>
+      val dir = Paths.get(root, g)
+      Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    doomed.size
+  }
+}

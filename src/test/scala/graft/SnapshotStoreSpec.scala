@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SnapshotStore
+
+/** The snapshot-table commit protocol: append/overwrite log replay,
+  * time-travel reads, optimistic-concurrency CAS on the version slot,
+  * and vacuum semantics (unreferenced groups die, history survives,
+  * vacuumed versions fail loudly).
+  */
+class SnapshotStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-snapshot-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap-spec").toString
+
+  private def df(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"r$i")).toDF("id", "tag")
+  }
+
+  private def idSet(d: DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append accumulates, overwrite replaces, time travel replays " +
+    "the log prefix") {
+    val root = freshRoot()
+    assert(SnapshotStore.append(df(1, 2), root) === 0)
+    assert(SnapshotStore.append(df(3), root) === 1)
+    assert(SnapshotStore.overwrite(df(9), root) === 2)
+    assert(SnapshotStore.append(df(10), root) === 3)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(9L, 10L))
+    assert(idSet(SnapshotStore.read(spark, root, Some(0))) === Set(1L, 2L))
+    assert(idSet(SnapshotStore.read(spark, root, Some(1))) ===
+      Set(1L, 2L, 3L))
+    assert(idSet(SnapshotStore.read(spark, root, Some(2))) === Set(9L))
+    assert(SnapshotStore.history(root) === Seq(
+      (0, "append"), (1, "append"), (2, "overwrite"), (3, "append")))
+  }
+
+  test("reading an empty table or a pre-first-commit version fails " +
+    "with an explicit error") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException](SnapshotStore.read(spark, root))
+    SnapshotStore.append(df(1), root)
+    // version numbers below the first commit have no live set either
+    intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root, Some(-1)))
+  }
+
+  test("version-slot CAS: a committed version cannot be overwritten, " +
+    "and a racing writer lands on the next slot") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)
+    // simulate a rival writer that claimed version 1 out from under us:
+    // plant its commit record directly
+    val rival = Paths.get(root, "_commits", f"${1}%08d.json")
+    Files.writeString(rival,
+      """{"version":1,"action":"append","adds":[],"removes":[]}""")
+    val before = Files.readString(rival)
+    // our append must NOT clobber slot 1 — it retries and wins slot 2
+    assert(SnapshotStore.append(df(2), root) === 2)
+    assert(Files.readString(rival) === before,
+      "a published commit record must be immutable")
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L))
+  }
+
+  test("vacuum deletes only unreferenced groups; history survives and " +
+    "vacuumed versions fail loudly") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)   // v0 group becomes garbage at v2
+    SnapshotStore.append(df(2), root)   // v1 group too
+    SnapshotStore.overwrite(df(3), root) // v2
+    SnapshotStore.append(df(4), root)   // v3
+    // keep the last 2 versions: live sets of v2/v3 reference only the
+    // overwrite + last-append groups → the two pre-overwrite groups die
+    assert(SnapshotStore.vacuum(root, keep = 2) === 2)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(3L, 4L))
+    assert(idSet(SnapshotStore.read(spark, root, Some(2))) === Set(3L))
+    assert(SnapshotStore.history(root).map(_._1) === Seq(0, 1, 2, 3))
+    intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root, Some(1)))
+    // idempotent: nothing left to collect
+    assert(SnapshotStore.vacuum(root, keep = 2) === 0)
+  }
+
+  test("the registered time-travel query matches a direct recompute " +
+    "of its three versions") {
+    val dir = "/root/testdata/sf0.001"
+    val got = operators.Relational.qSnapshotTimeTravel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val c = Tables.customer(spark, dir)
+    def aggOf(d: DataFrame): (Long, Double) = {
+      val r = d.agg(count(lit(1)), round(sum("c_acctbal"), 2)).head
+      (r.getLong(0), r.getDouble(1))
+    }
+    val all = aggOf(c)
+    assert(got.toSeq === Seq(
+      (0, aggOf(c.filter(col("c_nationkey") < 10))._1,
+        aggOf(c.filter(col("c_nationkey") < 10))._2),
+      (1, all._1, all._2),
+      (2, aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._1,
+        aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._2)))
+  }
+}
