@@ -1082,8 +1082,41 @@ object Relational {
       |WHERE c_mktsegment = 'BUILDING'
       |ORDER BY version""".stripMargin
 
+  /** Change feed across the overwrite boundary of the same 3-commit
+    * build: v0 (the c_nationkey < 10 append) → v2 (the BUILDING
+    * overwrite). Inserts are BUILDING rows v0 didn't have; deletes are
+    * v0 rows the overwrite dropped — both pure base-table slices, so
+    * the derived CDF is fully oracle-expressible.
+    */
+  val qSnapshotCdc: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_cdc").toString
+    val c = customer(s, d)
+    SnapshotStore.append(c.filter(col("c_nationkey") < 10), root)
+    SnapshotStore.append(c.filter(col("c_nationkey") >= 10), root)
+    SnapshotStore.overwrite(
+      c.filter(col("c_mktsegment") === "BUILDING"), root)
+    SnapshotStore.changes(s, root, 0, 2)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"), col("_change"))
+      .orderBy("_change", "c_custkey")
+  }
+
+  val qSnapshotCdcSql: String =
+    """SELECT c_custkey, c_nationkey, c_mktsegment,
+      |  'delete' AS _change
+      |FROM customer
+      |WHERE c_nationkey < 10 AND c_mktsegment <> 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey, c_nationkey, c_mktsegment, 'insert'
+      |FROM customer
+      |WHERE c_nationkey >= 10 AND c_mktsegment = 'BUILDING'
+      |ORDER BY _change, c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravel,
+    "q_snapshot_cdc" -> qSnapshotCdc,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
     "q_dq_constraints" -> qDqConstraints,
@@ -1121,6 +1154,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravelSql,
+    "q_snapshot_cdc" -> qSnapshotCdcSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
     "q_dq_constraints" -> qDqConstraintsSql,

@@ -162,6 +162,26 @@ object SnapshotStore {
   def history(root: String): Seq[(Int, String)] =
     log(root).map(c => (c.version, c.action))
 
+  /** Row-level change feed between two versions (the Delta CDF
+    * analog, derived rather than stored): rows in `to` but not `from`
+    * marked `insert`, rows in `from` but not `to` marked `delete` —
+    * set semantics over whole rows via two anti-joins. Scale shape:
+    * for append-only histories the GROUP lists already tell which
+    * files are new, so the insert side could scan only added groups
+    * (the log makes that optimization available); the general
+    * overwrite-crossing diff is what this computes, and it shuffles
+    * only the two snapshots being compared.
+    */
+  def changes(spark: SparkSession, root: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = read(spark, root, Some(fromV))
+    val after = read(spark, root, Some(toV))
+    after.exceptAll(before).withColumn("_change", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change", lit("delete")))
+  }
+
   /** Delete data groups unreferenced by the last `keep` versions'
     * live sets; returns the number of groups removed. Commit records
     * are never deleted (history stays enumerable; vacuumed versions

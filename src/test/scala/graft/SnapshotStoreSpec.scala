@@ -95,6 +95,23 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.vacuum(root, keep = 2) === 0)
   }
 
+  test("changes() derives insert/delete rows across an overwrite " +
+    "boundary and is empty between identical versions") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1, 2), root)  // v0
+    SnapshotStore.append(df(3), root)     // v1
+    SnapshotStore.overwrite(df(2, 9), root) // v2: keeps 2, drops 1&3, adds 9
+    def feed(from: Int, to: Int): Set[(Long, String)] =
+      SnapshotStore.changes(spark, root, from, to)
+        .select("id", "_change").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed(0, 1) === Set((3L, "insert")))
+    assert(feed(1, 2) === Set((1L, "delete"), (3L, "delete"),
+      (9L, "insert")))
+    assert(feed(0, 2) === Set((1L, "delete"), (9L, "insert")))
+    assert(feed(2, 2) === Set.empty)
+  }
+
   test("the registered time-travel query matches a direct recompute " +
     "of its three versions") {
     val dir = "/root/testdata/sf0.001"
