@@ -333,4 +333,38 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(ed.count() === 0)
     assert(ed.columns.toSeq === Seq("label", "n_a", "n_b", "drift"))
   }
+
+  test("round-7 newcomers survive empty inputs") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // ANN bitext on an empty collection: empty buckets, empty
+    // candidates, empty tail — right schema throughout
+    val ann = operators.Similarity.bitextMarginMineAnn(emb, 4, 1.05)
+    assert(ann.count() === 0)
+    assert(ann.columns.toSeq === Seq("x_id", "y_id", "margin", "mined"))
+
+    // the regime selector on an empty corpus: stats are (0, 0), the
+    // rule picks the broadcast side vacuously (0 ≥ 0 under the cap) and
+    // the kernel emits nothing
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val auto = operators.TextAnalysis.tfidfCosinePairsAuto(docs, 10, 2, 0.7)
+    assert(auto.count() === 0)
+    assert(auto.columns.toSeq ===
+      Seq("id_a", "id_b", "shared_terms", "cosine"))
+
+    // batched BPE trainer: zero words → exhaustion on the first pass
+    val (merges, vocab) =
+      operators.TextAnalysis.bpeVocabLoopBatched(docs, 10)
+    assert(merges.isEmpty)
+    assert(vocab.count() === 0)
+
+    // snapshot CDC between identical versions of a 1-row table
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap-empty").toString
+    graft.plans.SnapshotStore.append(
+      Seq((1L, "x")).toDF("id", "tag"), root)
+    val feed = graft.plans.SnapshotStore.changes(spark, root, 0, 0)
+    assert(feed.count() === 0)
+    assert(feed.columns.toSeq === Seq("id", "tag", "_change"))
+  }
 }
