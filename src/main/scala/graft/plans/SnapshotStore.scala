@@ -51,14 +51,16 @@ object SnapshotStore {
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
   private case class Commit(
-      version: Int, action: String, adds: Seq[String], removes: Seq[String])
+      version: Int, action: String, adds: Seq[String],
+      removes: Seq[String], tag: String = "")
 
-  // hand-rolled (de)serialization: the record grammar is three fixed
+  // hand-rolled (de)serialization: the record grammar is four fixed
   // fields; a JSON library dependency is not available offline
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
-      s""""adds":${arr(c.adds)},"removes":${arr(c.removes)}}"""
+      s""""adds":${arr(c.adds)},"removes":${arr(c.removes)},""" +
+      s""""tag":"${c.tag}"}"""
   }
 
   private def parse(s: String): Commit = {
@@ -66,6 +68,10 @@ object SnapshotStore {
       val i = s.indexOf("\"" + name + "\":")
       require(i >= 0, s"commit record missing $name: $s")
       s.drop(i + name.length + 3)
+    }
+    def opt(name: String): String = {
+      val i = s.indexOf("\"" + name + "\":")
+      if (i < 0) "" else field(name).drop(1).takeWhile(_ != '"')
     }
     def arr(body: String): Seq[String] = {
       val inner = body.drop(body.indexOf('[') + 1)
@@ -77,7 +83,7 @@ object SnapshotStore {
     Commit(
       field("version").takeWhile(c => c.isDigit).toInt,
       field("action").drop(1).takeWhile(_ != '"'),
-      arr(field("adds")), arr(field("removes")))
+      arr(field("adds")), arr(field("removes")), opt("tag"))
   }
 
   private def log(root: String): Seq[Commit] = {
@@ -119,7 +125,7 @@ object SnapshotStore {
   }
 
   private def commitLoop(root: String, action: String,
-      adds: Seq[String]): Int = {
+      adds: Seq[String], tag: String = ""): Int = {
     var done = false
     var v = -1
     while (!done) {
@@ -127,7 +133,7 @@ object SnapshotStore {
       v = commits.lastOption.map(_.version + 1).getOrElse(0)
       val removes =
         if (action == "overwrite") liveGroups(commits, None) else Nil
-      done = publish(root, v, render(Commit(v, action, adds, removes)))
+      done = publish(root, v, render(Commit(v, action, adds, removes, tag)))
       // on a lost race the data group is already safely invisible-
       // or-added; only the log position moves — re-read and retry
     }
@@ -141,6 +147,21 @@ object SnapshotStore {
   /** Replace the table contents with `df`; returns the version. */
   def overwrite(df: DataFrame, root: String): Int =
     commitLoop(root, "overwrite", Seq(writeGroup(df, root)))
+
+  /** Idempotent tagged append — the exactly-once sink primitive for
+    * streaming ingest: a micro-batch commits under its batchId tag,
+    * and a restart-replayed batch (same tag already in the log) is a
+    * no-op, so the table holds each batch's rows exactly once however
+    * often the engine re-delivers it. Returns the committed version,
+    * None when the tag had already landed. Single-writer-per-tag is
+    * the streaming contract (one query owns the checkpoint); the
+    * version-slot CAS still serializes cross-writer commits.
+    */
+  def appendOnce(df: DataFrame, root: String, tag: String): Option[Int] = {
+    require(tag.nonEmpty, "appendOnce needs a non-empty tag")
+    if (log(root).exists(_.tag == tag)) None
+    else Some(commitLoop(root, "append", Seq(writeGroup(df, root)), tag))
+  }
 
   /** Snapshot read at `asOf` (latest when None). An empty live set
     * (no commits yet, or time travel to before the first append) is an

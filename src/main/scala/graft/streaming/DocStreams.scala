@@ -269,6 +269,22 @@ object DocStreams {
     docs.filter(
       graft.operators.Classifier.scoreCol(col("text"), weights) >= tau)
 
+  /** Exactly-once lakehouse tail for the foreachBatch admit family:
+    * commits each admitted micro-batch to a
+    * [[graft.plans.SnapshotStore]] table under its batchId tag, so a
+    * restart-replayed batch (Structured Streaming's at-least-once
+    * re-delivery) lands exactly once — the stream-to-table ending
+    * every ingest pipeline needs. Pass as the `sink` argument of
+    * [[admitAgainstCorpus]] / [[admitAgainstSignatureIndex]] /
+    * [[admitByImportance]]; downstream batch consumers read (or
+    * time-travel) the snapshot table while ingest keeps committing.
+    */
+  def snapshotSink(root: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.plans.SnapshotStore.appendOnce(batch, root, s"batch-$batchId")
+      ()
+    }
+
   def admitByImportance(
       docs: DataFrame, weights: DataFrame, defaultLr: Double,
       minScore: Double = 0.0)(

@@ -166,6 +166,46 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(admitted.nonEmpty)
   }
 
+  test("admission stream lands in a snapshot table: one commit per " +
+    "micro-batch, content equals the admitted union, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val newDocs = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+      .collect().map(r =>
+        Doc(r.getLong(0), r.getString(1), "crawl", ts(0)))
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val corpusSh = graft.operators.Dedup.shingleIndex(base, 3).persist()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap-stream").toString
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admitAgainstCorpus(input.toDF(), corpusSh)(
+      DocStreams.snapshotSink(root)).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    corpusSh.unpersist()
+    val landed = graft.plans.SnapshotStore.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = graft.operators.Dedup.qIncrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(landed === expect,
+      "the snapshot table must hold exactly the admitted docs")
+    assert(graft.plans.SnapshotStore.history(root).size === 2,
+      "one commit per micro-batch")
+    // a replayed micro-batch (same batchId tag) must not double-land
+    graft.plans.SnapshotStore.appendOnce(
+      Seq(Doc(999L, "replay", "crawl", ts(0))).toDF(), root, "batch-0")
+    assert(graft.plans.SnapshotStore.history(root).size === 2)
+  }
+
   test("streamed signature-index admission equals the batch matcher") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

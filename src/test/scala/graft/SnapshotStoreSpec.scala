@@ -95,6 +95,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.vacuum(root, keep = 2) === 0)
   }
 
+  test("appendOnce lands a tag exactly once: replays are no-ops and " +
+    "the table never double-counts a batch") {
+    val root = freshRoot()
+    assert(SnapshotStore.appendOnce(df(1, 2), root, "batch-0") === Some(0))
+    assert(SnapshotStore.appendOnce(df(3), root, "batch-1") === Some(1))
+    // restart replay: same tag, even with different (late, corrected)
+    // content — the first commit wins, nothing lands twice
+    assert(SnapshotStore.appendOnce(df(99), root, "batch-1") === None)
+    assert(SnapshotStore.appendOnce(df(1, 2), root, "batch-0") === None)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
+    assert(SnapshotStore.history(root).map(_._1) === Seq(0, 1))
+    // untagged appends coexist (they can never collide with a tag)
+    SnapshotStore.append(df(7), root)
+    assert(SnapshotStore.appendOnce(df(8), root, "batch-2") === Some(3))
+    assert(idSet(SnapshotStore.read(spark, root)) ===
+      Set(1L, 2L, 3L, 7L, 8L))
+  }
+
   test("changes() derives insert/delete rows across an overwrite " +
     "boundary and is empty between identical versions") {
     val root = freshRoot()
