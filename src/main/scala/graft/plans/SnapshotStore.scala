@@ -140,9 +140,33 @@ object SnapshotStore {
     v
   }
 
+  /** An append whose schema differs from the live table's would
+    * corrupt every subsequent read (parquet schema union nulls the
+    * missing columns SILENTLY, or fails on type conflicts file-by-
+    * file), so it is rejected up front by comparing (name, type)
+    * sequences against one live group's footer — overwrite is the
+    * sanctioned schema-change path, exactly as in the production
+    * formats. The check reads one footer (cheap) and is advisory
+    * under races (it runs before the CAS); single-writer-per-table
+    * appends — the common case — are fully protected.
+    */
+  private def checkAppendSchema(df: DataFrame, root: String): Unit = {
+    val groups = liveGroups(log(root), None)
+    if (groups.nonEmpty) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.toSeq.map(f => (f.name, f.dataType))
+      val cur = df.sparkSession.read.parquet(s"$root/${groups.last}").schema
+      require(shape(cur) == shape(df.schema),
+        s"append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${cur.simpleString}; schema changes go through overwrite")
+    }
+  }
+
   /** Append `df` as a new commit; returns the committed version. */
-  def append(df: DataFrame, root: String): Int =
+  def append(df: DataFrame, root: String): Int = {
+    checkAppendSchema(df, root)
     commitLoop(root, "append", Seq(writeGroup(df, root)))
+  }
 
   /** Replace the table contents with `df`; returns the version. */
   def overwrite(df: DataFrame, root: String): Int =
@@ -160,7 +184,10 @@ object SnapshotStore {
   def appendOnce(df: DataFrame, root: String, tag: String): Option[Int] = {
     require(tag.nonEmpty, "appendOnce needs a non-empty tag")
     if (log(root).exists(_.tag == tag)) None
-    else Some(commitLoop(root, "append", Seq(writeGroup(df, root)), tag))
+    else {
+      checkAppendSchema(df, root)
+      Some(commitLoop(root, "append", Seq(writeGroup(df, root)), tag))
+    }
   }
 
   /** Snapshot read at `asOf` (latest when None). An empty live set

@@ -95,6 +95,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.vacuum(root, keep = 2) === 0)
   }
 
+  test("schema-drifting appends are rejected; overwrite is the " +
+    "schema-change path") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)
+    // extra column → reject (silent nulls on read otherwise)
+    intercept[IllegalArgumentException](SnapshotStore.append(
+      Seq((2L, "x", 0.5)).toDF("id", "tag", "score"), root))
+    // same names, different type → reject
+    intercept[IllegalArgumentException](SnapshotStore.append(
+      Seq((2, "x")).toDF("id", "tag"), root))
+    // overwrite may change the schema, and appends must then match it
+    SnapshotStore.overwrite(
+      Seq((9L, "y", 1.0)).toDF("id", "tag", "score"), root)
+    SnapshotStore.append(
+      Seq((10L, "z", 2.0)).toDF("id", "tag", "score"), root)
+    intercept[IllegalArgumentException](
+      SnapshotStore.append(df(11), root))
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(9L, 10L))
+  }
+
   test("appendOnce lands a tag exactly once: replays are no-ops and " +
     "the table never double-counts a batch") {
     val root = freshRoot()
