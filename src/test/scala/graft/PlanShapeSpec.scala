@@ -63,6 +63,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("served tf-idf search: query side broadcasts into the postings " +
+    "scan; the only hash exchanges are the candidate agg and top-k") {
+    val table = "plan_tfx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_norms")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-tfx").toString + "/tfx"
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    plans.TfidfIndexStore.build(base, 10, table, path, buckets = 4)
+    val out = plans.TfidfIndexStore.search(spark, table,
+      base.filter(org.apache.spark.sql.functions.col("doc_id") % 25 === 0)
+        .select("doc_id"), 3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"query vectors and norms must broadcast into the postings scan:\n" +
+        p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join side may sort-merge:\n${p.take(3000)}")
+    // the postings table is never hash-repartitioned for the probe
+    // joins; the remaining exchanges are the (query,doc) candidate agg,
+    // the per-query TopKAgg, and the output ordering
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"postings side gained a join exchange:\n${p.take(3000)}")
+  }
+
   test("frozen-weights classifier scoring is a pure scan-side map") {
     // serving/streaming form: features + sigmoid under literal weights
     // must stay one projection — no exchange of any kind, no aggregate
