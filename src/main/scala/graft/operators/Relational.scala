@@ -1114,9 +1114,42 @@ object Relational {
       |WHERE c_nationkey >= 10 AND c_mktsegment = 'BUILDING'
       |ORDER BY _change, c_custkey""".stripMargin
 
+  /** Group-pruned snapshot read: customers land in three commits
+    * clustered by c_custkey range, then ONE ranged read aggregates —
+    * the stats sidecars exclude two of the three groups before
+    * planning (SnapshotStoreSpec pins the single-group scan); the
+    * filter applies regardless, so the oracle is the plain WHERE.
+    */
+  val qSnapshotPrunedRead: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_prune").toString
+    val c = customer(s, d)
+    val cut = 500L
+    SnapshotStore.append(c.filter(col("c_custkey") <= cut), root)
+    SnapshotStore.append(
+      c.filter(col("c_custkey") > cut && col("c_custkey") <= 2 * cut), root)
+    SnapshotStore.append(c.filter(col("c_custkey") > 2 * cut), root)
+    SnapshotStore.readWhere(s, root, "c_custkey",
+      cut + 1.0, 2.0 * cut)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qSnapshotPrunedReadSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_custkey >= 501 AND c_custkey <= 1000
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravel,
     "q_snapshot_cdc" -> qSnapshotCdc,
+    "q_snapshot_pruned_read" -> qSnapshotPrunedRead,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
     "q_dq_constraints" -> qDqConstraints,
@@ -1155,6 +1188,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravelSql,
     "q_snapshot_cdc" -> qSnapshotCdcSql,
+    "q_snapshot_pruned_read" -> qSnapshotPrunedReadSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
     "q_dq_constraints" -> qDqConstraintsSql,

@@ -117,11 +117,77 @@ object SnapshotStore {
     finally { Files.deleteIfExists(tmp); () }
   }
 
-  /** Write `df` as a new immutable data group, return its name. */
+  /** Write `df` as a new immutable data group, return its name. A
+    * `_stats.json` sidecar records per-numeric-column [min, max] for
+    * group-level pruning ([[readWhere]]) — the underscore prefix keeps
+    * it invisible to the parquet reader, and sitting INSIDE the group
+    * it shares the group's immutability and vacuum lifetime. One small
+    * aggregation per commit buys scan skipping for every future read.
+    */
   private def writeGroup(df: DataFrame, root: String): String = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.types.NumericType
     val group = s"data/${UUID.randomUUID()}"
     df.write.mode("error").parquet(s"$root/$group")
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    if (numCols.nonEmpty) {
+      val aggs = numCols.flatMap(c => Seq(
+        min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      def num(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
+      val entries = numCols.zipWithIndex.flatMap { case (c, i) =>
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+        else Some(s""""$c":[${num(row.getDouble(2 * i))},""" +
+          s"${num(row.getDouble(2 * i + 1))}]")
+      }
+      Files.writeString(Paths.get(root, group, "_stats.json"),
+        entries.mkString("{", ",", "}"))
+    }
     group
+  }
+
+  /** [min, max] of `column` in `group` per its stats sidecar; None =
+    * no sidecar / column absent / all-null (reader must keep the
+    * group — stats only ever EXCLUDE).
+    */
+  private def groupRange(
+      root: String, group: String, column: String): Option[(Double, Double)] = {
+    val p = Paths.get(root, group, "_stats.json")
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val i = s.indexOf("\"" + column + "\":[")
+      if (i < 0) None
+      else {
+        val body = s.drop(i + column.length + 4).takeWhile(_ != ']')
+        val parts = body.split(",")
+        scala.util.Try((parts(0).toDouble, parts(1).toDouble)).toOption
+      }
+    }
+  }
+
+  /** Snapshot read with GROUP-LEVEL pruning on a numeric range
+    * predicate — the file-skipping half of a table format: groups
+    * whose [min, max] sidecar cannot intersect [lo, hi] are never
+    * listed in the scan, so a time-partitioned or key-clustered ingest
+    * pays only for the groups that can match. The predicate is ALSO
+    * applied as an ordinary filter (pruning is an optimization, never
+    * the correctness boundary — groups without stats always scan).
+    */
+  def readWhere(spark: SparkSession, root: String, column: String,
+      lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val groups = liveGroups(log(root), asOf)
+    require(groups.nonEmpty,
+      s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
+    val kept = groups.filter(g => groupRange(root, g, column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(g => s"$root/$g"): _*)
+      else spark.read.parquet(s"$root/${groups.head}")
+    base.where(col(column) >= lo && col(column) <= hi)
   }
 
   private def commitLoop(root: String, action: String,

@@ -151,6 +151,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(feed(2, 2) === Set.empty)
   }
 
+  test("readWhere prunes groups by the stats sidecar and still equals " +
+    "the unpruned filter") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = freshRoot()
+    SnapshotStore.append(df(1, 2, 3), root)
+    SnapshotStore.append(df(10, 11), root)
+    SnapshotStore.append(df(100, 101), root)
+    val pruned = SnapshotStore.readWhere(spark, root, "id", 10.0, 20.0)
+    assert(idSet(pruned) === Set(10L, 11L))
+    // the scan must list exactly ONE group directory — the other two
+    // are excluded by their [min,max] sidecars before planning
+    val leaves = pruned.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(leaves.size === 1,
+      s"expected a single pruned group, scanned:\n${leaves.mkString("\n")}")
+    // equality with the unpruned read under the same predicate
+    assert(idSet(SnapshotStore.read(spark, root)
+      .where(org.apache.spark.sql.functions.col("id").between(10, 20)))
+      === idSet(pruned))
+    // a range matching nothing: empty result, never an error
+    assert(SnapshotStore.readWhere(spark, root, "id", 50.0, 60.0)
+      .count() === 0)
+    val all = SnapshotStore.readWhere(spark, root, "id",
+      Double.MinValue, Double.MaxValue)
+    assert(idSet(all) === Set(1L, 2L, 3L, 10L, 11L, 100L, 101L))
+  }
+
   test("the registered time-travel query matches a direct recompute " +
     "of its three versions") {
     val dir = "/root/testdata/sf0.001"
