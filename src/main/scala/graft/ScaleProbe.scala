@@ -73,6 +73,33 @@ object ScaleProbe {
         .createTempDirectory("graft-probe-shards").toString
       plans.Layout.writeTrainingShards(docs, "doc_id", dir, 1024L).count()
     }
+    // snapshot table format: 25 commits of 2k docs each, then the three
+    // read paths — the log replay is driver-side (#commits tiny JSONs),
+    // so read cost tracks the GROUP COUNT until compaction resets it
+    t("snapshot store: 25 append commits of 2k docs (write + stats " +
+      "sidecar each)") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-snap").toString
+      (0 until 25).foreach(i => plans.SnapshotStore.append(
+        docs.filter(col("doc_id") % 25 === i), root))
+      root
+    }
+    val snapRoot = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-snap2").toString
+      (0 until 25).foreach(i => plans.SnapshotStore.append(
+        docs.filter(col("doc_id") % 25 === i), root))
+      root
+    }
+    t("snapshot store: latest read over 25 groups (log replay + scan)")(
+      plans.SnapshotStore.read(spark, snapRoot).count())
+    t("snapshot store: pruned ranged read (stats exclude 24/25 groups)")(
+      plans.SnapshotStore.readWhere(
+        spark, snapRoot, "doc_id", 0.0, 0.0).count())
+    t("snapshot store: compact 25 groups -> 1, then latest read") {
+      plans.SnapshotStore.compact(spark, snapRoot)
+      plans.SnapshotStore.read(spark, snapRoot).count()
+    }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()

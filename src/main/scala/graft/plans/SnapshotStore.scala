@@ -276,6 +276,36 @@ object SnapshotStore {
   def history(root: String): Seq[(Int, String)] =
     log(root).map(c => (c.version, c.action))
 
+  /** Compact the table: rewrite the version-v content as ONE data
+    * group and commit it as an overwrite AT SLOT v+1 ONLY — true
+    * optimistic concurrency with conflict detection, not the blind
+    * retry of the ordinary commit loop: a plain `overwrite(read(...))`
+    * would lose a concurrent append (its group lands in the remove set
+    * while its rows are absent from the rewritten content), so when
+    * the v+1 slot is taken the whole rewrite is discarded and redone
+    * against the moved table; the orphaned group is unreferenced by
+    * any commit and the next vacuum collects it. Content-identical at
+    * the committed version (CDC across it is empty); prior versions
+    * stay time-travelable until vacuum. The small-files answer for
+    * long append histories: read cost tracks group count, compaction
+    * resets it to 1.
+    */
+  def compact(spark: SparkSession, root: String): Int = {
+    var committed = -1
+    while (committed < 0) {
+      val commits = log(root)
+      val v = commits.lastOption.map(_.version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"nothing to compact in $root"))
+      val group = writeGroup(read(spark, root, Some(v)), root)
+      val removes = liveGroups(commits, Some(v))
+      if (publish(root, v + 1,
+          render(Commit(v + 1, "overwrite", Seq(group), removes))))
+        committed = v + 1
+    }
+    committed
+  }
+
   /** Row-level change feed between two versions (the Delta CDF
     * analog, derived rather than stored): rows in `to` but not `from`
     * marked `insert`, rows in `from` but not `to` marked `delete` —

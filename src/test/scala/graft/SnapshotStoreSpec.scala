@@ -151,6 +151,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(feed(2, 2) === Set.empty)
   }
 
+  test("compact rewrites to one group with identical content; a rival " +
+    "commit on the target slot forces a clean redo") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)
+    SnapshotStore.append(df(2), root)
+    SnapshotStore.append(df(3), root)
+    val v = SnapshotStore.compact(spark, root)
+    assert(v === 3)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
+    // content-identical: CDC across the compaction is empty
+    assert(SnapshotStore.changes(spark, root, 2, 3).count() === 0)
+    // one live group now; pre-compaction versions still readable
+    assert(idSet(SnapshotStore.read(spark, root, Some(1))) === Set(1L, 2L))
+    // vacuum reclaims the three small groups (compacted group survives)
+    assert(SnapshotStore.vacuum(root, keep = 1) === 3)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
+    // rival on the next slot: compaction must redo, not lose the rival
+    SnapshotStore.append(df(4), root)              // v4
+    val rival = Paths.get(root, "_commits", f"${5}%08d.json")
+    Files.writeString(rival,
+      """{"version":5,"action":"append","adds":[],"removes":[],"tag":""}""")
+    val v2 = SnapshotStore.compact(spark, root)
+    assert(v2 === 6, "compaction must land after the rival slot")
+    assert(idSet(SnapshotStore.read(spark, root)) ===
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("readWhere prunes groups by the stats sidecar and still equals " +
     "the unpruned filter") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
