@@ -76,29 +76,28 @@ object ScaleProbe {
     // snapshot table format: 25 commits of 2k docs each, then the three
     // read paths — the log replay is driver-side (#commits tiny JSONs),
     // so read cost tracks the GROUP COUNT until compaction resets it
+    // build ONCE (inside the timed probe), reuse for the read probes;
+    // a filtered run that skips the build also skips the reads
+    var snapRoot: Option[String] = None
     t("snapshot store: 25 append commits of 2k docs (write + stats " +
       "sidecar each)") {
       val root = java.nio.file.Files
         .createTempDirectory("graft-probe-snap").toString
       (0 until 25).foreach(i => plans.SnapshotStore.append(
         docs.filter(col("doc_id") % 25 === i), root))
+      snapRoot = Some(root)
       root
     }
-    val snapRoot = {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-probe-snap2").toString
-      (0 until 25).foreach(i => plans.SnapshotStore.append(
-        docs.filter(col("doc_id") % 25 === i), root))
-      root
-    }
-    t("snapshot store: latest read over 25 groups (log replay + scan)")(
-      plans.SnapshotStore.read(spark, snapRoot).count())
-    t("snapshot store: pruned ranged read (stats exclude 24/25 groups)")(
-      plans.SnapshotStore.readWhere(
-        spark, snapRoot, "doc_id", 0.0, 0.0).count())
-    t("snapshot store: compact 25 groups -> 1, then latest read") {
-      plans.SnapshotStore.compact(spark, snapRoot)
-      plans.SnapshotStore.read(spark, snapRoot).count()
+    snapRoot.foreach { root =>
+      t("snapshot store: latest read over 25 groups (log replay + scan)")(
+        plans.SnapshotStore.read(spark, root).count())
+      t("snapshot store: pruned ranged read (stats exclude 24/25 groups)")(
+        plans.SnapshotStore.readWhere(
+          spark, root, "doc_id", 0.0, 0.0).count())
+      t("snapshot store: compact 25 groups -> 1, then latest read") {
+        plans.SnapshotStore.compact(spark, root)
+        plans.SnapshotStore.read(spark, root).count()
+      }
     }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()

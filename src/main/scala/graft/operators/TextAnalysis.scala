@@ -1346,8 +1346,16 @@ object TextAnalysis {
     val docBg = docToks
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
       .withColumn("w2", substring_index(col("g"), " ", -1))
+    // NO broadcast hint on the model: its size tracks the model
+    // corpus's bigram-TYPE count, which a forced broadcast would ship
+    // unconditionally — past the driver/broadcast bound on a large
+    // training slice. AQE sees the aggregated model's runtime size and
+    // converts the join to broadcast exactly when it fits (it does on
+    // every fixture; measured identical to the hinted plan), and falls
+    // back to a single shuffled hash join — still one join, not the
+    // r6 three — when it doesn't.
     docBg
-      .join(broadcast(model), Seq("w2"), "left")
+      .join(model, Seq("w2"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("e", // try_: a missing w1 key IS the backoff signal,
         // not an ANSI error

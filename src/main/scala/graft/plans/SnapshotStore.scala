@@ -86,25 +86,43 @@ object SnapshotStore {
       arr(field("adds")), arr(field("removes")), opt("tag"))
   }
 
-  private def log(root: String): Seq[Commit] = {
-    val dir = commitsDir(root)
+  /** List a directory's entries, CLOSING the stream — Files.list leaks
+    * a directory fd until GC otherwise, and the log is re-read on
+    * every read/commit/retry (a streaming sink would exhaust fds).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map(p => parse(Files.readString(p)))
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala.toVector finally s.close()
+    }
   }
+
+  private def log(root: String): Seq[Commit] =
+    listDir(commitsDir(root))
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .map(p => parse(Files.readString(p)))
 
   /** The live data-group set after replaying commits ≤ `asOf`
     * (entire log when None).
     */
   private def liveGroups(
-      commits: Seq[Commit], asOf: Option[Int]): Seq[String] =
+      commits: Seq[Commit], asOf: Option[Int]): Seq[String] = {
+    // a nonexistent future version must fail, not silently alias
+    // latest — a typo'd time-travel target would otherwise read the
+    // wrong snapshot with no signal
+    asOf.foreach { v =>
+      val latest = commits.lastOption.map(_.version).getOrElse(-1)
+      require(v <= latest,
+        s"version $v does not exist (latest is $latest)")
+    }
     commits.filter(c => asOf.forall(c.version <= _))
       .foldLeft(Vector.empty[String]) { (live, c) =>
         (if (c.action == "overwrite") Vector.empty
          else live.filterNot(c.removes.contains)) ++ c.adds
       }
+  }
 
   /** Atomic exclusive publish of version `v`; false = lost the race. */
   private def publish(root: String, v: Int, json: String): Boolean = {
@@ -129,12 +147,19 @@ object SnapshotStore {
     import org.apache.spark.sql.types.NumericType
     val group = s"data/${UUID.randomUUID()}"
     df.write.mode("error").parquet(s"$root/$group")
-    val numCols = df.schema.fields
+    // stats come from the FILES JUST WRITTEN, never from re-running the
+    // input's lineage: a nondeterministic input (sample, rand,
+    // source-that-moved) would materialize one row set and stat
+    // another, and pruning on those stats silently drops rows. Reading
+    // the group back also costs footer-only column scans instead of a
+    // second full lineage execution (halves compact()'s read work).
+    val written = df.sparkSession.read.parquet(s"$root/$group")
+    val numCols = written.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     if (numCols.nonEmpty) {
       val aggs = numCols.flatMap(c => Seq(
         min(col(c)).cast("double"), max(col(c)).cast("double")))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = written.agg(aggs.head, aggs.tail: _*).head()
       def num(v: Double) =
         String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
       val entries = numCols.zipWithIndex.flatMap { case (c, i) =>
@@ -182,6 +207,12 @@ object SnapshotStore {
     val groups = liveGroups(log(root), asOf)
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
+    // same vacuumed-version contract as read(): the explicit error,
+    // not a raw path-does-not-exist from the scan
+    groups.foreach { g =>
+      require(Files.isDirectory(Paths.get(root, g)),
+        s"data group $g was vacuumed; version is no longer readable")
+    }
     val kept = groups.filter(g => groupRange(root, g, column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val base =
@@ -248,7 +279,12 @@ object SnapshotStore {
     * version-slot CAS still serializes cross-writer commits.
     */
   def appendOnce(df: DataFrame, root: String, tag: String): Option[Int] = {
-    require(tag.nonEmpty, "appendOnce needs a non-empty tag")
+    // the tag is interpolated into the hand-rolled commit JSON: a
+    // quote/comma/bracket would corrupt the record and break the
+    // exactly-once dedup (a mangled tag never matches its replay), so
+    // the grammar is a whitelist, not escaping
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._-]+"),
+      s"tag must be non-empty [A-Za-z0-9._-]+, got '$tag'")
     if (log(root).exists(_.tag == tag)) None
     else {
       checkAppendSchema(df, root)
@@ -331,22 +367,48 @@ object SnapshotStore {
     * are never deleted (history stays enumerable; vacuumed versions
     * fail at read with an explicit error).
     */
-  def vacuum(root: String, keep: Int = 2): Int = {
+  /** Default vacuum retention grace: an unreferenced group younger
+    * than this is SPARED, because it may belong to an in-flight commit
+    * — writeGroup finishes before publish, so a concurrent vacuum with
+    * no grace window would delete the group out from under the commit
+    * and the published version would reference a missing directory
+    * (the exact race Delta's retention window exists for). 10 minutes
+    * bounds any sane write-to-publish gap; tests pass `minAgeMs = 0`.
+    */
+  val VacuumGraceMs: Long = 10 * 60 * 1000L
+
+  def vacuum(root: String, keep: Int = 2,
+      minAgeMs: Long = VacuumGraceMs): Int = {
     val commits = log(root)
     val retained = commits.takeRight(keep).map(_.version)
     val referenced = retained
       .flatMap(v => liveGroups(commits, Some(v))).toSet
-    val all = {
-      val dataDir = Paths.get(root, "data")
-      if (!Files.isDirectory(dataDir)) Nil
-      else Files.list(dataDir).iterator.asScala.toSeq
-        .map(p => s"data/${p.getFileName}")
+    val dataDir = Paths.get(root, "data")
+    val entries = listDir(dataDir)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
+    // leftover .trash-* dirs are crashed prior vacuums — always doomed
+    val (trash, live) =
+      entries.partition(_.getFileName.toString.startsWith(".trash-"))
+    val doomed = live
+      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .filter(oldEnough)
+    // rename-then-delete: the rename is atomic, so a crash mid-delete
+    // can never leave a PARTIAL directory under a referenced group
+    // name (which read()'s isDirectory guard would wave through as
+    // silently truncated data) — it leaves a .trash-* dir the next
+    // vacuum finishes off, while reads of the vacuumed version fail
+    // loudly on the missing group
+    val renamed = doomed.map { p =>
+      val t = dataDir.resolve(s".trash-${UUID.randomUUID()}")
+      Files.move(p, t)
+      t
     }
-    val doomed = all.filterNot(referenced.contains)
-    doomed.foreach { g =>
-      val dir = Paths.get(root, g)
-      Files.walk(dir).iterator.asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+    (trash ++ renamed).foreach { dir =>
+      val w = Files.walk(dir)
+      val paths = try w.iterator.asScala.toVector finally w.close()
+      paths.reverse.foreach(Files.deleteIfExists(_))
     }
     doomed.size
   }

@@ -85,14 +85,14 @@ class SnapshotStoreSpec extends AnyFunSuite {
     SnapshotStore.append(df(4), root)   // v3
     // keep the last 2 versions: live sets of v2/v3 reference only the
     // overwrite + last-append groups → the two pre-overwrite groups die
-    assert(SnapshotStore.vacuum(root, keep = 2) === 2)
+    assert(SnapshotStore.vacuum(root, keep = 2, minAgeMs = 0) === 2)
     assert(idSet(SnapshotStore.read(spark, root)) === Set(3L, 4L))
     assert(idSet(SnapshotStore.read(spark, root, Some(2))) === Set(3L))
     assert(SnapshotStore.history(root).map(_._1) === Seq(0, 1, 2, 3))
     intercept[IllegalArgumentException](
       SnapshotStore.read(spark, root, Some(1)))
     // idempotent: nothing left to collect
-    assert(SnapshotStore.vacuum(root, keep = 2) === 0)
+    assert(SnapshotStore.vacuum(root, keep = 2, minAgeMs = 0) === 0)
   }
 
   test("schema-drifting appends are rejected; overwrite is the " +
@@ -165,7 +165,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // one live group now; pre-compaction versions still readable
     assert(idSet(SnapshotStore.read(spark, root, Some(1))) === Set(1L, 2L))
     // vacuum reclaims the three small groups (compacted group survives)
-    assert(SnapshotStore.vacuum(root, keep = 1) === 3)
+    assert(SnapshotStore.vacuum(root, keep = 1, minAgeMs = 0) === 3)
     assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
     // rival on the next slot: compaction must redo, not lose the rival
     SnapshotStore.append(df(4), root)              // v4
