@@ -543,4 +543,41 @@ object InvariantProps extends Properties("graft.invariants") {
         ids.forall(id => atK1(id) == atK(id) || atK1(id) == k)
     }
 
+  // --- snapshot-table law: for ANY sequence of append/overwrite
+  // commits, the table at every version equals a trivial driver-side
+  // fold (append = multiset union, overwrite = replace) — the log
+  // replay IS the semantics, with time travel checked at every
+  // intermediate version, not just latest ---
+  property("snapshot log replay == reference fold at every version") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("append", "overwrite"),
+      Gen.nonEmptyListOf(Gen.choose(1L, 30L))))) { ops0 =>
+      val ops = ops0.take(6) // each commit writes real parquet
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-prop").toString
+      val model = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var state = Seq.empty[Long]
+      ops.foreach { case (action, ids) =>
+        val df = ids.toDF("id")
+        if (action == "append") {
+          graft.plans.SnapshotStore.append(df, root)
+          state = state ++ ids
+        } else {
+          graft.plans.SnapshotStore.overwrite(df, root)
+          state = ids
+        }
+        model += state
+      }
+      def contents(asOf: Option[Int]): Map[Long, Long] =
+        graft.plans.SnapshotStore.read(spark, root, asOf)
+          .groupBy("id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def refCounts(s: Seq[Long]): Map[Long, Long] =
+        s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val everyVersion = model.zipWithIndex.forall { case (want, v) =>
+        contents(Some(v)) == refCounts(want)
+      }
+      everyVersion && contents(None) == refCounts(model.last)
+    }
+
 }
