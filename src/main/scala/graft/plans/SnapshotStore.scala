@@ -269,6 +269,32 @@ object SnapshotStore {
   def overwrite(df: DataFrame, root: String): Int =
     commitLoop(root, "overwrite", Seq(writeGroup(df, root)))
 
+  /** Append with the batch range-partitioned on `clusterCol` into
+    * `nGroups` SEPARATE data groups in one commit — the write-side
+    * half of stats pruning: [[readWhere]] skips whole groups only when
+    * their [min, max] ranges are TIGHT, and an unclustered append
+    * gives every group the full value range (prunes nothing). Range
+    * partitioning (the [[Layout]] z-order discipline applied at the
+    * commit boundary) makes the sidecar ranges disjoint by
+    * construction, so a point/range read later touches ~1/nGroups of
+    * the commit. One commit record — atomicity is unchanged.
+    */
+  def appendClustered(df: DataFrame, root: String, clusterCol: String,
+      nGroups: Int): Int = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    checkAppendSchema(df, root)
+    val parted = df.repartitionByRange(nGroups, col(clusterCol))
+      .withColumn("__grp", spark_partition_id())
+      .persist()
+    val nParts = parted.agg(
+      org.apache.spark.sql.functions.max("__grp")).head().getInt(0) + 1
+    val groups = (0 until nParts).map { g =>
+      writeGroup(parted.filter(col("__grp") === g).drop("__grp"), root)
+    }
+    parted.unpersist()
+    commitLoop(root, "append", groups)
+  }
+
   /** Idempotent tagged append — the exactly-once sink primitive for
     * streaming ingest: a micro-batch commits under its batchId tag,
     * and a restart-replayed batch (same tag already in the log) is a

@@ -151,6 +151,29 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(feed(2, 2) === Set.empty)
   }
 
+  test("appendClustered writes disjoint-range groups in one commit " +
+    "and a point read prunes to one of them") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = freshRoot()
+    val v = SnapshotStore.appendClustered(
+      df(1L to 100L: _*), root, "id", 4)
+    assert(v === 0)
+    assert(SnapshotStore.history(root) === Seq((0, "append")))
+    assert(idSet(SnapshotStore.read(spark, root)) === (1L to 100L).toSet)
+    val point = SnapshotStore.readWhere(spark, root, "id", 50.0, 50.0)
+    assert(idSet(point) === Set(50L))
+    val scanned = point.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(scanned.size === 1,
+      s"range clustering must let the point read prune to ONE group:\n" +
+        scanned.mkString("\n"))
+  }
+
   test("compact rewrites to one group with identical content; a rival " +
     "commit on the target slot forces a clean redo") {
     val root = freshRoot()
