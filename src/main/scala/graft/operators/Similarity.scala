@@ -233,6 +233,170 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI'11) — the compressed-
+  // domain ANN path: split the (L2-normalized) d-dim space into m
+  // subspaces, learn k codewords per subspace (seeded Lloyd, the
+  // [[ivfIndex]] discipline — deterministic seeds by xxhash64 order,
+  // means 6dp-rounded), store each vector as m small codes. Search is
+  // asymmetric distance computation (ADC): per query ONE m×k distance
+  // table, then every candidate costs m table lookups instead of d
+  // multiplies — and the index holds m bytes/vector instead of 4d, the
+  // memory factor that decides whether 10⁹ vectors fit an executor
+  // fleet at all. Codes/codebooks are engine-specific (seeded k-means)
+  // → rows-only row; the engine-neutral quality claim rides
+  // [[qKnnRecall]], which DuckDB-checks recall against exact top-k.
+  // ---------------------------------------------------------------------
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** PQ codebooks: Array(m)(k)(d/m). Lloyd runs ALL subspaces per
+    * corpus pass (one exploded aggregation per iteration — state is
+    * m·k·(d/m) = k·d doubles, corpus-size-independent).
+    */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 2)
+      : Array[Array[Array[Double]]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must split into $m subspaces")
+    val sub = d / m
+    val seeds = emb.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .select("embedding").collect()
+      .map(r => l2normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(books)
+      val means = emb.select("embedding").as[Array[Float]]
+        .mapPartitions { it =>
+          val bk = bc.value
+          it.flatMap { raw =>
+            val v = l2normalize(raw.map(_.toDouble))
+            (0 until m).iterator.flatMap { j =>
+              val c = nearestCode(v, j * sub, bk(j))
+              (0 until sub).map(p => (j, c, p, v(j * sub + p)))
+            }
+          }
+        }.toDF("j", "c", "p", "v")
+        .groupBy("j", "c", "p")
+        .agg(round(avg("v"), 6).as("mv"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getDouble(3))
+      books = next
+    }
+    books
+  }
+
+  /** Index of the L2-nearest codeword for subvector [off, off+sub). */
+  private def nearestCode(
+      v: Array[Double], off: Int, book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cw = book(c); var dist = 0.0; var p = 0
+      while (p < cw.length) {
+        val t = v(off + p) - cw(p); dist += t * t; p += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode each vector as its m nearest-codeword indices. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val bc = s.sparkContext.broadcast(books)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bc.value
+        it.map { case (id, raw) =>
+          val v = l2normalize(raw.map(_.toDouble))
+          (id, Array.tabulate(m)(j => nearestCode(v, j * sub, bk(j))))
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** PQ-ADC top-k with exact re-ranking — the production two-stage
+    * shape: queries precompute their m×k subspace distance tables
+    * (driver-side — queries × k·d doubles, batch-bounded), broadcast
+    * them, ONE pass over the code table shortlists `rerank·k`
+    * candidates per query at m lookups each (bounded-state TopKAgg),
+    * then ONLY the shortlist attaches real vectors for an exact cosine
+    * re-rank. Compressed-domain scan does the heavy pruning (m bytes +
+    * m adds per candidate), the exact stage touches queries × rerank·k
+    * rows — the split that lets 10⁹-vector indexes fit memory while
+    * keeping top-k quality. Ranking keys rounded (6dp ADC / 4dp
+    * cosine) with id tie-break, the house determinism regime.
+    */
+  def pqKnn(
+      emb: DataFrame, queryFilter: Column, k: Int,
+      m: Int = 8, codewords: Int = 64, iters: Int = 2,
+      rerank: Int = 8): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val books = pqTrain(emb, m, codewords, iters)
+    val sub = books(0)(0).length
+    val queries = emb.filter(queryFilter)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, raw) =>
+        val v = l2normalize(raw.map(_.toDouble))
+        val table = Array.tabulate(m, codewords) { (j, c) =>
+          var dist = 0.0; var p = 0
+          val cw = books(j)(c)
+          while (p < sub) {
+            val t = v(j * sub + p) - cw(p); dist += t * t; p += 1
+          }
+          dist
+        }
+        (id, table)
+      }
+    val bc = s.sparkContext.broadcast(queries)
+    val shortlist = pqEncode(emb, books)
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, codes) =>
+          qs.iterator.collect { case (qid, table) if qid != nid =>
+            var dist = 0.0; var j = 0
+            while (j < codes.length) { dist += table(j)(codes(j)); j += 1 }
+            val d6 = BigDecimal(-dist)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (qid, d6, nid)
+          }
+        }
+      }.toDF("query_id", "negdist", "neighbor_id")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .topK(rerank * k, col("negdist"), col("neighbor_id")).as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x._2)")).as("neighbor_id"))
+    val cos = cosineCol(s)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(emb.filter(queryFilter)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .withColumn("sim", round(cos(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id")
+  }
+
+  // ---------------------------------------------------------------------
   // Driver-facing queries
   // ---------------------------------------------------------------------
 
@@ -382,6 +546,16 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** PQ-ADC ANN for the same query set — the compressed-domain scale
+    * path (m bytes per vector + m-lookup scoring). Seeded-k-means
+    * codes are Spark-specific → rows-only; recall rides
+    * [[qKnnRecall]].
+    */
+  val qKnnAnnPq: Q = (s, d) =>
+    pqKnn(embeddings(s, d), col("vec_id") % 40 === 0, 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** Recall@k of each ANN method against the exact brute-force top-k —
     * the engine-neutral number behind the rows-only ANN family. The ANN
     * lists themselves are Spark-specific (xxhash64 hyperplanes / seeded
@@ -410,6 +584,7 @@ object Similarity {
           round(col("hits").cast("double") / col("tot"), 4).as("recall"))
     recallOf("ivf", qKnnAnnIvf(s, d))
       .unionByName(recallOf("lsh", qKnnAnnLsh(s, d)))
+      .unionByName(recallOf("pq", qKnnAnnPq(s, d)))
       .orderBy("method")
   }
 
@@ -428,7 +603,10 @@ object Similarity {
       |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_ivf/*.parquet')
       |  UNION ALL
       |  SELECT 'lsh' AS method, query_id, neighbor_id
-      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_lsh/*.parquet'))
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_lsh/*.parquet')
+      |  UNION ALL
+      |  SELECT 'pq' AS method, query_id, neighbor_id
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_pq/*.parquet'))
       |SELECT method, 5 AS k,
       |  round(CAST(count(*) FILTER (WHERE bf.query_id IS NOT NULL)
       |          AS DOUBLE) / (SELECT count(*) FROM bf), 4) AS recall
@@ -1012,6 +1190,7 @@ object Similarity {
     "q_knn_bruteforce" -> qKnnBruteForce,
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
+    "q_knn_ann_pq" -> qKnnAnnPq,
     "q_knn_recall" -> qKnnRecall,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,
