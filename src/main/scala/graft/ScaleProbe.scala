@@ -138,6 +138,12 @@ object ScaleProbe {
         .agg(sum(col("cell") + col("rnk") + col("kept"))).first)
     t("ann 20k vectors (ivf nlist=48)")(operators.Similarity.ivfKnn(
       emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
+    // the compressed-domain path: train+encode are the build cost; the
+    // ADC scan scores every candidate at m=8 lookups against 8-code
+    // rows (vs 64-float rows — the 32× memory factor is the point)
+    t("ann 20k vectors (pq m=8 k=64 + exact re-rank)")(
+      operators.Similarity.pqKnn(
+        emb, col("vec_id") % 997 === 0, 5).count())
     // sampled index build: Lloyd over the 4096 smallest-hash vectors
     // instead of all 20k. Full-corpus scans drop 3 -> 1 (seed+2 passes
     // vs one TakeOrdered); recall vs the exact top-5 must hold
