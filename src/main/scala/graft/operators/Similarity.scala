@@ -342,11 +342,27 @@ object Similarity {
       emb: DataFrame, queryFilter: Column, k: Int,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
       rerank: Int = 8): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
     val books = pqTrain(emb, m, codewords, iters)
+    pqSearchFromCodes(books, pqEncode(emb, books),
+      emb.filter(queryFilter), emb, k, rerank)
+  }
+
+  /** The two-stage search tail given FROZEN codebooks and a code
+    * table — shared by [[pqKnn]] (codes built in-plan) and the
+    * persisted artifact ([[graft.plans.PqStore]], codes from parquet):
+    * the ADC shortlist touches only the compressed codes; raw vectors
+    * are fetched for exactly queries × rerank·k shortlisted rows.
+    */
+  def pqSearchFromCodes(
+      books: Array[Array[Array[Double]]], codes: DataFrame,
+      queryVecs: DataFrame, corpusVecs: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val m = books.length
+    val codewords = books(0).length
     val sub = books(0)(0).length
-    val queries = emb.filter(queryFilter)
+    val queries = queryVecs
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, raw) =>
@@ -362,14 +378,15 @@ object Similarity {
         (id, table)
       }
     val bc = s.sparkContext.broadcast(queries)
-    val shortlist = pqEncode(emb, books)
+    val shortlist = codes
+      .select(col("vec_id"), col("codes"))
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
         val qs = bc.value
-        it.flatMap { case (nid, codes) =>
+        it.flatMap { case (nid, cds) =>
           qs.iterator.collect { case (qid, table) if qid != nid =>
             var dist = 0.0; var j = 0
-            while (j < codes.length) { dist += table(j)(codes(j)); j += 1 }
+            while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
             val d6 = BigDecimal(-dist)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             (qid, d6, nid)
@@ -385,10 +402,10 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     shortlist
-      .join(broadcast(emb.filter(queryFilter)
+      .join(broadcast(queryVecs
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
         "query_id")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
+      .join(corpusVecs.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv")), "neighbor_id")
       .withColumn("sim", round(cos(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))

@@ -224,6 +224,41 @@ class IndexStoreSpec extends AnyFunSuite {
       s"postings+norms must come from the artifact:\n${leaves.mkString("\n")}")
   }
 
+  test("pq store: served search equals the in-session two-stage knn; " +
+    "extend encodes verbatim copies to identical codes") {
+    import graft.plans.PqStore
+    import graft.operators.Similarity
+    val table = "pq_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_codes")
+    val path = Files.createTempDirectory("graft-pq").toString + "/pq"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    PqStore.build(emb, 8, 64, table, path)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val served = rows(PqStore.search(
+      spark, table, emb, col("vec_id") % 40 === 0, 5)
+      .orderBy("query_id", "rnk"))
+    val inSession = rows(Similarity.pqKnn(
+      emb, col("vec_id") % 40 === 0, 5).orderBy("query_id", "rnk"))
+    assert(served === inSession)
+    assert(served.nonEmpty)
+    // frozen-codebook extension: a verbatim copy encodes to EXACTLY
+    // its original's codes, so duplicate search quality survives
+    val copies = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    PqStore.extend(copies, table)
+    val codesByIdx = spark.table(s"${table}_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val originals = copies.select(col("vec_id") - 1000000L).collect()
+      .map(_.getLong(0))
+    assert(originals.nonEmpty)
+    originals.foreach { id =>
+      assert(codesByIdx(id + 1000000L) === codesByIdx(id),
+        s"copy of $id must encode identically under frozen books")
+    }
+  }
+
   test("LM extension is counter-linear: build+extend == build on union") {
     import graft.plans.LmStore
     val a = base.filter(col("doc_id") % 2 === 0)
