@@ -144,6 +144,9 @@ object ScaleProbe {
     t("ann 20k vectors (pq m=8 k=64 + exact re-rank)")(
       operators.Similarity.pqKnn(
         emb, col("vec_id") % 997 === 0, 5).count())
+    t("ann 20k vectors (ivf-pq nlist=48 nprobe=6, the composed path)")(
+      operators.Similarity.ivfPqKnn(
+        emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
     // sampled index build: Lloyd over the 4096 smallest-hash vectors
     // instead of all 20k. Full-corpus scans drop 3 -> 1 (seed+2 passes
     // vs one TakeOrdered); recall vs the exact top-5 must hold

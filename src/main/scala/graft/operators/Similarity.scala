@@ -413,6 +413,95 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
   }
 
+  /** IVF-PQ: the FAISS-style billion-scale composite — IVF's coarse
+    * quantizer prunes WHICH vectors get scored (nprobe/nlist of the
+    * corpus), PQ codes decide HOW CHEAPLY each survivor is scored
+    * (m lookups against m bytes), and the exact re-rank restores
+    * top-k quality on the shortlist. Against plain [[pqKnn]] the ADC
+    * scan shrinks by nlist/nprobe; against [[ivfKnn]] each candidate
+    * costs m adds instead of d multiplies and the scanned bytes drop
+    * ~4d/m-fold — multiplicative savings, which is why this composite
+    * IS the standard shape once indexes stop fitting memory raw.
+    */
+  def ivfPqKnn(
+      emb: DataFrame, queryFilter: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codewords: Int = 64, iters: Int = 2,
+      rerank: Int = 8): DataFrame = {
+    val s = emb.sparkSession
+    val base = emb.select("vec_id", "embedding")
+    val centroids = ivfIndex(base, nlist, iters)
+    val books = pqTrain(base, m, codewords, iters)
+    val codesWithCell = pqEncode(base, books)
+      .join(base.select(col("vec_id"),
+        element_at(graft.functions.IvfCells.cells(
+          s, col("embedding"), centroids, 1), 1).as("cell")), "vec_id")
+    val queryCells = emb.filter(queryFilter)
+      .select(col("vec_id"),
+        explode(graft.functions.IvfCells.cells(
+          s, col("embedding"), centroids, nprobe)).as("cell"))
+    // the ADC stage sees ONLY codes whose home cell one of this
+    // batch's queries probes — the per-query pruning then happens
+    // inside the kernel via the probed-cell map
+    val probedCells = queryCells.select("cell").distinct()
+    val prunedCodes = codesWithCell.join(broadcast(probedCells), "cell")
+    import s.implicits._
+    val queryProbes = queryCells
+      .groupBy("vec_id").agg(collect_set("cell").as("cells"))
+    val qv = emb.filter(queryFilter).select("vec_id", "embedding")
+      .join(queryProbes, "vec_id")
+    val sub = books(0)(0).length
+    val queries = qv.select(col("vec_id"), col("embedding"), col("cells"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+      .map { case (id, raw, cells) =>
+        val v = l2normalize(raw.map(_.toDouble))
+        val table = Array.tabulate(m, codewords) { (j, c) =>
+          var dist = 0.0; var p = 0
+          val cw = books(j)(c)
+          while (p < sub) {
+            val t = v(j * sub + p) - cw(p); dist += t * t; p += 1
+          }
+          dist
+        }
+        (id, table, cells.toSet)
+      }
+    val bc = s.sparkContext.broadcast(queries)
+    val shortlist = prunedCodes
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, cds, cell) =>
+          qs.iterator.collect {
+            case (qid, table, probed) if qid != nid && probed(cell) =>
+              var dist = 0.0; var j = 0
+              while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
+              val d6 = BigDecimal(-dist)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (qid, d6, nid)
+          }
+        }
+      }.toDF("query_id", "negdist", "neighbor_id")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .topK(rerank * k, col("negdist"), col("neighbor_id")).as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x._2)")).as("neighbor_id"))
+    val cos = cosineCol(s)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(emb.filter(queryFilter)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .withColumn("sim", round(cos(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id")
+  }
+
   // ---------------------------------------------------------------------
   // Driver-facing queries
   // ---------------------------------------------------------------------
@@ -573,6 +662,14 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 
+  /** IVF-PQ ANN for the same query set — the composed scale path.
+    * Rows-only like its components; recall rides [[qKnnRecall]].
+    */
+  val qKnnAnnIvfPq: Q = (s, d) =>
+    ivfPqKnn(embeddings(s, d), col("vec_id") % 40 === 0, 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** Recall@k of each ANN method against the exact brute-force top-k —
     * the engine-neutral number behind the rows-only ANN family. The ANN
     * lists themselves are Spark-specific (xxhash64 hyperplanes / seeded
@@ -600,6 +697,7 @@ object Similarity {
         .select(lit(method).as("method"), lit(5).as("k"),
           round(col("hits").cast("double") / col("tot"), 4).as("recall"))
     recallOf("ivf", qKnnAnnIvf(s, d))
+      .unionByName(recallOf("ivfpq", qKnnAnnIvfPq(s, d)))
       .unionByName(recallOf("lsh", qKnnAnnLsh(s, d)))
       .unionByName(recallOf("pq", qKnnAnnPq(s, d)))
       .orderBy("method")
@@ -623,7 +721,10 @@ object Similarity {
       |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_lsh/*.parquet')
       |  UNION ALL
       |  SELECT 'pq' AS method, query_id, neighbor_id
-      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_pq/*.parquet'))
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_pq/*.parquet')
+      |  UNION ALL
+      |  SELECT 'ivfpq' AS method, query_id, neighbor_id
+      |  FROM read_parquet('{GRAFT_OUT_DIR}/q_knn_ann_ivfpq/*.parquet'))
       |SELECT method, 5 AS k,
       |  round(CAST(count(*) FILTER (WHERE bf.query_id IS NOT NULL)
       |          AS DOUBLE) / (SELECT count(*) FROM bf), 4) AS recall
@@ -1208,6 +1309,7 @@ object Similarity {
     "q_knn_ann_lsh" -> qKnnAnnLsh,
     "q_knn_ann_ivf" -> qKnnAnnIvf,
     "q_knn_ann_pq" -> qKnnAnnPq,
+    "q_knn_ann_ivfpq" -> qKnnAnnIvfPq,
     "q_knn_recall" -> qKnnRecall,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_semantic" -> qDedupSemantic,

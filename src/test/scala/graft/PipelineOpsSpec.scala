@@ -610,6 +610,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       x >= 0 && x < 64)))
   }
 
+  test("ivf-pq composite: recall floor, and the PQ stage loses little " +
+    "over plain ivf's candidate set") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qf = col("vec_id") % 40 === 0
+    val brute = Similarity.bruteForceKnn(emb, emb.filter(qf), 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val rIvfPq = recallOf(Similarity.ivfPqKnn(emb, qf, 5))
+    val rIvf = recallOf(Similarity.ivfKnn(emb, qf, 5))
+    // measured 0.585 vs ivf's 0.600 on this fixture: cell pruning caps
+    // recall, ADC+re-rank inside the probed cells costs ~1-2 points
+    assert(rIvfPq >= 0.45, s"ivf-pq recall@5 $rIvfPq")
+    assert(rIvfPq >= rIvf - 0.1,
+      s"the PQ stage must track ivf's candidate-set recall: " +
+        s"$rIvfPq vs $rIvf")
+  }
+
   test("ivf sampled build holds recall at a fraction of the train set") {
     val emb = graft.Tables.embeddings(spark, dir)
     val qf = col("vec_id") % 40 === 0
