@@ -954,6 +954,95 @@ object Relational {
     ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
     ("o_orderdate", "date"), ("o_orderpriority", "str"))
 
+  // ---------------------------------------------------------------------
+  // Pairwise Pearson correlation matrix over the fact measures — the
+  // numeric-profiling companion of q_profile. ONE aggregation computes
+  // every pair's corr (partial+final hash agg, state = #pairs doubles,
+  // zero extra scans), then a literal stack unpivots to long form.
+  // Parity: corr is a ratio of co-moment sums whose engine-side
+  // accumulation-order jitter (~1e-13 relative) sits far under the 4dp
+  // rounding both engines report.
+  // ---------------------------------------------------------------------
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val qCorrMatrix: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val pairs = for {
+      i <- CorrCols.indices; j <- i until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr as (col_a, col_b, pearson_r)"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val qCorrMatrixSql: String = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- i until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(corr($a, $b), 4) AS pearson_r FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Grouped OLS (price ~ quantity per return flag) from raw moment
+  // sums — slope/intercept/r² computed with the IDENTICAL closed-form
+  // arithmetic in both engines (no regr_* built-ins, whose internal
+  // one-pass updates differ), so the only cross-engine delta is
+  // sum-accumulation order, absorbed by 4dp rounding. One partial+final
+  // aggregation; the regression algebra runs on the #groups-row result.
+  // ---------------------------------------------------------------------
+  val qRegression: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("l_quantity").as("sx"),
+        sum("l_extendedprice").as("sy"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 4).as("intercept"),
+        round(
+          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("r2"))
+      .orderBy("l_returnflag")
+
+  val qRegressionSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    sum(l_quantity) AS sx,
+      |    sum(l_extendedprice) AS sy,
+      |    sum(l_quantity * l_extendedprice) AS sxy,
+      |    sum(l_quantity * l_quantity) AS sxx,
+      |    sum(l_extendedprice * l_extendedprice) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+      |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+      |    AS intercept,
+      |  round(pow(n*sxy - sx*sy, 2)
+      |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin
+
   val qProfile: Q = (s, d) => {
     def fmt(c: Column, kind: String): Column = kind match {
       case "num"  => c.cast("string")
@@ -1150,6 +1239,8 @@ object Relational {
     "q_snapshot_time_travel" -> qSnapshotTimeTravel,
     "q_snapshot_cdc" -> qSnapshotCdc,
     "q_snapshot_pruned_read" -> qSnapshotPrunedRead,
+    "q_corr_matrix" -> qCorrMatrix,
+    "q_regression" -> qRegression,
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_profile" -> qProfile,
     "q_dq_constraints" -> qDqConstraints,
@@ -1189,6 +1280,8 @@ object Relational {
     "q_snapshot_time_travel" -> qSnapshotTimeTravelSql,
     "q_snapshot_cdc" -> qSnapshotCdcSql,
     "q_snapshot_pruned_read" -> qSnapshotPrunedReadSql,
+    "q_corr_matrix" -> qCorrMatrixSql,
+    "q_regression" -> qRegressionSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_profile" -> qProfileSql,
     "q_dq_constraints" -> qDqConstraintsSql,
