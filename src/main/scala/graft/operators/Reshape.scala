@@ -1317,6 +1317,81 @@ object Reshape {
       |ORDER BY variant""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Welch's t on the A/B revenue split — the significance arithmetic
+  // behind [[qAbExperiment]]'s point estimates: per-variant (n, mean,
+  // sample variance) over per-user revenue, then t = (m_A − m_B) /
+  // √(s²_A/n_A + s²_B/n_B) and the Welch–Satterthwaite dof, all as
+  // closed-form expressions over ONE 2-row aggregate (the same
+  // identical-arithmetic-both-engines discipline as q_regression —
+  // variance from raw moment sums, never var_samp built-ins). The
+  // verdict column (|t| ≥ 1.96) is what an experimentation dashboard
+  // actually gates on.
+  // ---------------------------------------------------------------------
+  val qAbTtest: Q = (s, d) => {
+    val perUser = events(s, d)
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+      .groupBy("user_id", "variant")
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 2).as("revenue"))
+    val m = perUser.groupBy("variant")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("revenue").as("sx"),
+        sum(col("revenue") * col("revenue")).as("sxx"))
+      .select(col("variant"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1.0)).as("s2"))
+    val a = m.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("mean").as("m_a"), col("s2").as("v_a"))
+    val b = m.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("mean").as("m_b"), col("s2").as("v_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round(col("m_a"), 4).as("mean_a"),
+        round(col("m_b"), 4).as("mean_b"),
+        round((col("m_a") - col("m_b")) / sqrt(col("se2")), 4).as("t"),
+        round(pow(col("se2"), 2) /
+          (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1.0) +
+            pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1.0)), 2)
+          .as("welch_dof"),
+        (abs((col("m_a") - col("m_b")) / sqrt(col("se2"))) >= 1.96)
+          .cast("int").as("significant_95"))
+  }
+
+  val qAbTtestSql: String =
+    """WITH per_user AS (SELECT user_id,
+      |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |         THEN 'A' ELSE 'B' END AS variant,
+      |    round(sum(CASE WHEN event_type = 'purchase' THEN value
+      |                   ELSE 0.0 END), 2) AS revenue
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+      |        sum(revenue) AS sx, sum(revenue * revenue) AS sxx
+      |      FROM per_user GROUP BY 1),
+      |mm AS (SELECT variant, n, sx / n AS mean,
+      |         (sxx - sx * sx / n) / (n - 1.0) AS s2
+      |       FROM m),
+      |j AS (SELECT a.n AS n_a, b.n AS n_b, a.mean AS m_a, b.mean AS m_b,
+      |        a.s2 / a.n + b.s2 / b.n AS se2,
+      |        a.s2 AS v_a, b.s2 AS v_b
+      |      FROM (SELECT * FROM mm WHERE variant = 'A') a
+      |      CROSS JOIN (SELECT * FROM mm WHERE variant = 'B') b)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+      |  round((m_a - m_b) / sqrt(se2), 4) AS t,
+      |  round(pow(se2, 2) / (pow(v_a / n_a, 2) / (n_a - 1.0)
+      |    + pow(v_b / n_b, 2) / (n_b - 1.0)), 2) AS welch_dof,
+      |  CAST(abs((m_a - m_b) / sqrt(se2)) >= 1.96 AS INT)
+      |    AS significant_95
+      |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------------
   // IQR-fence value outliers (Tukey's rule) — the value-level anomaly
   // monitor beside [[qRateAnomaly]]'s rate-level control chart: per
   // event type, observations outside [p25 − 1.5·IQR, p75 + 1.5·IQR].
@@ -1378,6 +1453,7 @@ object Reshape {
   val queries: Map[String, Q] = Map(
     "q_value_outliers" -> qValueOutliers,
     "q_ab_experiment" -> qAbExperiment,
+    "q_ab_ttest" -> qAbTtest,
     "q_covisitation" -> qCovisitation,
     "q_full_outer" -> qFullOuter,
     "q_gap_fill" -> qGapFill,
@@ -1409,6 +1485,7 @@ object Reshape {
   val oracles: Map[String, String] = Map(
     "q_value_outliers" -> qValueOutliersSql,
     "q_ab_experiment" -> qAbExperimentSql,
+    "q_ab_ttest" -> qAbTtestSql,
     "q_covisitation" -> qCovisitationSql,
     "q_full_outer" -> qFullOuterSql,
     "q_gap_fill" -> qGapFillSql,
