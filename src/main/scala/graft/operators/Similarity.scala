@@ -338,10 +338,19 @@ object Similarity {
     * keeping top-k quality. Ranking keys rounded (6dp ADC / 4dp
     * cosine) with id tie-break, the house determinism regime.
     */
+  /** Empty-corpus result in the knn output shape — the house
+    * empty-input discipline (no codebooks can be trained on nothing).
+    */
+  private def emptyKnnFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Int, Long)].toDF("query_id", "rnk", "neighbor_id")
+  }
+
   def pqKnn(
       emb: DataFrame, queryFilter: Column, k: Int,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
       rerank: Int = 8): DataFrame = {
+    if (emb.isEmpty) return emptyKnnFrame(emb.sparkSession)
     val books = pqTrain(emb, m, codewords, iters)
     pqSearchFromCodes(books, pqEncode(emb, books),
       emb.filter(queryFilter), emb, k, rerank)
@@ -429,6 +438,7 @@ object Similarity {
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
       rerank: Int = 8): DataFrame = {
     val s = emb.sparkSession
+    if (emb.isEmpty) return emptyKnnFrame(s)
     val base = emb.select("vec_id", "embedding")
     val centroids = ivfIndex(base, nlist, iters)
     val books = pqTrain(base, m, codewords, iters)

@@ -366,5 +366,16 @@ class EmptyInputSpec extends AnyFunSuite {
     val feed = graft.plans.SnapshotStore.changes(spark, root, 0, 0)
     assert(feed.count() === 0)
     assert(feed.columns.toSeq === Seq("id", "tag", "_change"))
+
+    // PQ / IVF-PQ on an empty collection: no codebooks can train —
+    // empty knn-shaped output, never an error
+    val pq = operators.Similarity.pqKnn(
+      emb, org.apache.spark.sql.functions.col("vec_id") % 2 === 0, 5)
+    assert(pq.count() === 0)
+    assert(pq.columns.toSeq === Seq("query_id", "rnk", "neighbor_id"))
+    val ipq = operators.Similarity.ivfPqKnn(
+      emb, org.apache.spark.sql.functions.col("vec_id") % 2 === 0, 5)
+    assert(ipq.count() === 0)
+    assert(ipq.columns.toSeq === Seq("query_id", "rnk", "neighbor_id"))
   }
 }
