@@ -76,11 +76,13 @@ object ScaleProbe {
     // snapshot table format: 25 commits of 2k docs each, then the three
     // read paths — the log replay is driver-side (#commits tiny JSONs),
     // so read cost tracks the GROUP COUNT until compaction resets it
-    // build ONCE (inside the timed probe), reuse for the read probes;
-    // a filtered run that skips the build also skips the reads
+    // the 25-commit fixture builds ONCE: inside the timed build probe
+    // when it runs, else on demand from whichever read probe needs it
+    // first (a filtered run naming only a read probe must still run
+    // it — its timed number then includes the one-time build, which
+    // the probe name can't hide, so prefer running the build probe too)
     var snapRoot: Option[String] = None
-    t("snapshot store: 25 append commits of 2k docs (write + stats " +
-      "sidecar each)") {
+    def snapFixture(): String = snapRoot.getOrElse {
       val root = java.nio.file.Files
         .createTempDirectory("graft-probe-snap").toString
       (0 until 25).foreach(i => plans.SnapshotStore.append(
@@ -88,16 +90,16 @@ object ScaleProbe {
       snapRoot = Some(root)
       root
     }
-    snapRoot.foreach { root =>
-      t("snapshot store: latest read over 25 groups (log replay + scan)")(
-        plans.SnapshotStore.read(spark, root).count())
-      t("snapshot store: pruned ranged read (stats exclude 24/25 groups)")(
-        plans.SnapshotStore.readWhere(
-          spark, root, "doc_id", 0.0, 0.0).count())
-      t("snapshot store: compact 25 groups -> 1, then latest read") {
-        plans.SnapshotStore.compact(spark, root)
-        plans.SnapshotStore.read(spark, root).count()
-      }
+    t("snapshot store: 25 append commits of 2k docs (write + stats " +
+      "sidecar each)")(snapFixture())
+    t("snapshot store: latest read over 25 groups (log replay + scan)")(
+      plans.SnapshotStore.read(spark, snapFixture()).count())
+    t("snapshot store: pruned ranged read (stats exclude 24/25 groups)")(
+      plans.SnapshotStore.readWhere(
+        spark, snapFixture(), "doc_id", 0.0, 0.0).count())
+    t("snapshot store: compact 25 groups -> 1, then latest read") {
+      plans.SnapshotStore.compact(spark, snapFixture())
+      plans.SnapshotStore.read(spark, snapFixture()).count()
     }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()

@@ -1279,7 +1279,12 @@ object Reshape {
   // of few doubles), variant ARPU rounds 4dp over the rounded per-user
   // values; conversion is exact ints.
   // ---------------------------------------------------------------------
-  val qAbExperiment: Q = (s, d) =>
+  /** The experiment's per-user grain — ONE definition of the variant
+    * split and revenue/conversion derivation, shared by the readout
+    * and the t-test so the significance row can never silently gate on
+    * a different population than the point estimates it backs.
+    */
+  private def abPerUser(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("variant",
         when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
@@ -1290,6 +1295,9 @@ object Reshape {
           .as("converted"),
         round(sum(when(col("event_type") === "purchase", col("value"))
           .otherwise(lit(0.0))), 2).as("revenue"))
+
+  val qAbExperiment: Q = (s, d) =>
+    abPerUser(s, d)
       .groupBy("variant")
       .agg(
         count(lit(1)).as("n_users"),
@@ -1328,13 +1336,7 @@ object Reshape {
   // actually gates on.
   // ---------------------------------------------------------------------
   val qAbTtest: Q = (s, d) => {
-    val perUser = events(s, d)
-      .withColumn("variant",
-        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
-          "A").otherwise("B"))
-      .groupBy("user_id", "variant")
-      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
-        .otherwise(lit(0.0))), 2).as("revenue"))
+    val perUser = abPerUser(s, d).select("user_id", "variant", "revenue")
     val m = perUser.groupBy("variant")
       .agg(
         count(lit(1)).cast("double").as("n"),

@@ -326,6 +326,14 @@ object Similarity {
       }.toDF("vec_id", "codes")
   }
 
+  /** Empty-corpus result in the knn output shape — the house
+    * empty-input discipline (no codebooks can be trained on nothing).
+    */
+  private def emptyKnnFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Int, Long)].toDF("query_id", "rnk", "neighbor_id")
+  }
+
   /** PQ-ADC top-k with exact re-ranking — the production two-stage
     * shape: queries precompute their m×k subspace distance tables
     * (driver-side — queries × k·d doubles, batch-bounded), broadcast
@@ -338,14 +346,6 @@ object Similarity {
     * keeping top-k quality. Ranking keys rounded (6dp ADC / 4dp
     * cosine) with id tie-break, the house determinism regime.
     */
-  /** Empty-corpus result in the knn output shape — the house
-    * empty-input discipline (no codebooks can be trained on nothing).
-    */
-  private def emptyKnnFrame(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq.empty[(Long, Int, Long)].toDF("query_id", "rnk", "neighbor_id")
-  }
-
   def pqKnn(
       emb: DataFrame, queryFilter: Column, k: Int,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
@@ -365,8 +365,23 @@ object Similarity {
   def pqSearchFromCodes(
       books: Array[Array[Array[Double]]], codes: DataFrame,
       queryVecs: DataFrame, corpusVecs: DataFrame,
-      k: Int, rerank: Int): DataFrame = {
-    val s = codes.sparkSession
+      k: Int, rerank: Int): DataFrame =
+    pqAdcSearch(books, codes.withColumn("cell", lit(0)),
+      queryVecs, corpusVecs, k, rerank, Map.empty)
+
+  /** The single-sourced ADC kernel + re-rank tail: `codesWithCell`
+    * carries (vec_id, codes, cell); `queryProbes` (query → probed
+    * cells) prunes candidates inside the kernel — empty map = score
+    * everything (the plain-PQ path, where `cell` is a constant). The
+    * codeword count is ALWAYS the trained books' actual size — a
+    * corpus smaller than the requested codebook trains fewer words,
+    * and sizing the table off the request would index past the end.
+    */
+  private def pqAdcSearch(
+      books: Array[Array[Array[Double]]], codesWithCell: DataFrame,
+      queryVecs: DataFrame, corpusVecs: DataFrame,
+      k: Int, rerank: Int, queryProbes: Map[Long, Set[Int]]): DataFrame = {
+    val s = codesWithCell.sparkSession
     import s.implicits._
     val m = books.length
     val codewords = books(0).length
@@ -384,21 +399,23 @@ object Similarity {
           }
           dist
         }
-        (id, table)
+        (id, table, queryProbes.get(id).orNull)
       }
     val bc = s.sparkContext.broadcast(queries)
-    val shortlist = codes
-      .select(col("vec_id"), col("codes"))
-      .as[(Long, Array[Int])]
+    val shortlist = codesWithCell
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
       .mapPartitions { it =>
         val qs = bc.value
-        it.flatMap { case (nid, cds) =>
-          qs.iterator.collect { case (qid, table) if qid != nid =>
-            var dist = 0.0; var j = 0
-            while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
-            val d6 = BigDecimal(-dist)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            (qid, d6, nid)
+        it.flatMap { case (nid, cds, cell) =>
+          qs.iterator.collect {
+            case (qid, table, probed)
+                if qid != nid && (probed == null || probed(cell)) =>
+              var dist = 0.0; var j = 0
+              while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
+              val d6 = BigDecimal(-dist)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (qid, d6, nid)
           }
         }
       }.toDF("query_id", "negdist", "neighbor_id")
@@ -439,6 +456,7 @@ object Similarity {
       rerank: Int = 8): DataFrame = {
     val s = emb.sparkSession
     if (emb.isEmpty) return emptyKnnFrame(s)
+    import s.implicits._
     val base = emb.select("vec_id", "embedding")
     val centroids = ivfIndex(base, nlist, iters)
     val books = pqTrain(base, m, codewords, iters)
@@ -446,70 +464,21 @@ object Similarity {
       .join(base.select(col("vec_id"),
         element_at(graft.functions.IvfCells.cells(
           s, col("embedding"), centroids, 1), 1).as("cell")), "vec_id")
-    val queryCells = emb.filter(queryFilter)
+    val queryProbes = emb.filter(queryFilter)
       .select(col("vec_id"),
-        explode(graft.functions.IvfCells.cells(
-          s, col("embedding"), centroids, nprobe)).as("cell"))
-    // the ADC stage sees ONLY codes whose home cell one of this
-    // batch's queries probes — the per-query pruning then happens
-    // inside the kernel via the probed-cell map
-    val probedCells = queryCells.select("cell").distinct()
+        graft.functions.IvfCells.cells(
+          s, col("embedding"), centroids, nprobe).as("cells"))
+      .as[(Long, Array[Int])].collect()
+      .map { case (id, cells) => id -> cells.toSet }.toMap
+    // the ADC stage sees ONLY codes whose home cell one of this batch's
+    // queries probes (batch-level file pruning); per-query pruning then
+    // happens inside the shared kernel via the probed-cell map
+    val probedCells = queryProbes.values.flatten.toSeq.distinct
+      .toDF("cell")
     val prunedCodes = codesWithCell.join(broadcast(probedCells), "cell")
-    import s.implicits._
-    val queryProbes = queryCells
-      .groupBy("vec_id").agg(collect_set("cell").as("cells"))
-    val qv = emb.filter(queryFilter).select("vec_id", "embedding")
-      .join(queryProbes, "vec_id")
-    val sub = books(0)(0).length
-    val queries = qv.select(col("vec_id"), col("embedding"), col("cells"))
-      .as[(Long, Array[Float], Array[Int])].collect()
-      .map { case (id, raw, cells) =>
-        val v = l2normalize(raw.map(_.toDouble))
-        val table = Array.tabulate(m, codewords) { (j, c) =>
-          var dist = 0.0; var p = 0
-          val cw = books(j)(c)
-          while (p < sub) {
-            val t = v(j * sub + p) - cw(p); dist += t * t; p += 1
-          }
-          dist
-        }
-        (id, table, cells.toSet)
-      }
-    val bc = s.sparkContext.broadcast(queries)
-    val shortlist = prunedCodes
-      .select(col("vec_id"), col("codes"), col("cell"))
-      .as[(Long, Array[Int], Int)]
-      .mapPartitions { it =>
-        val qs = bc.value
-        it.flatMap { case (nid, cds, cell) =>
-          qs.iterator.collect {
-            case (qid, table, probed) if qid != nid && probed(cell) =>
-              var dist = 0.0; var j = 0
-              while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
-              val d6 = BigDecimal(-dist)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              (qid, d6, nid)
-          }
-        }
-      }.toDF("query_id", "negdist", "neighbor_id")
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg
-        .topK(rerank * k, col("negdist"), col("neighbor_id")).as("top"))
-      .select(col("query_id"),
-        explode(expr("transform(top, x -> x._2)")).as("neighbor_id"))
-    val cos = cosineCol(s)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    shortlist
-      .join(broadcast(emb.filter(queryFilter)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
-        "query_id")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv")), "neighbor_id")
-      .withColumn("sim", round(cos(col("qv"), col("cv")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id")
+    pqAdcSearch(books, prunedCodes,
+      emb.filter(queryFilter).select("vec_id", "embedding"),
+      emb, k, rerank, queryProbes)
   }
 
   // ---------------------------------------------------------------------

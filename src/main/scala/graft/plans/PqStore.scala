@@ -67,11 +67,18 @@ object PqStore {
 
   /** Two-stage search served from the artifact: ADC over the saved
     * codes, exact re-rank joining `corpusVecs` for shortlist rows only.
+    * Codes with no row in `corpusVecs` (an extended index searched
+    * against a stale raw-vector frame) are semi-joined OUT before the
+    * shortlist — letting them through would burn bounded shortlist
+    * slots on candidates the re-rank can never return, silently
+    * costing recall instead of erroring or degrading gracefully.
     */
   def search(spark: SparkSession, table: String, corpusVecs: DataFrame,
       queryFilter: Column, k: Int, rerank: Int = 8): DataFrame =
     Similarity.pqSearchFromCodes(
-      loadBooks(spark, table), spark.table(codesTable(table)),
+      loadBooks(spark, table),
+      spark.table(codesTable(table))
+        .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi"),
       corpusVecs.filter(queryFilter).select("vec_id", "embedding"),
       corpusVecs, k, rerank)
 }

@@ -207,12 +207,7 @@ object SnapshotStore {
     val groups = liveGroups(log(root), asOf)
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
-    // same vacuumed-version contract as read(): the explicit error,
-    // not a raw path-does-not-exist from the scan
-    groups.foreach { g =>
-      require(Files.isDirectory(Paths.get(root, g)),
-        s"data group $g was vacuumed; version is no longer readable")
-    }
+    requirePresent(root, groups)
     val kept = groups.filter(g => groupRange(root, g, column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val base =
@@ -282,14 +277,20 @@ object SnapshotStore {
   def appendClustered(df: DataFrame, root: String, clusterCol: String,
       nGroups: Int): Int = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // an empty batch has nothing to cluster — the plain append path
+    // handles it (and max() over zero rows would NPE below)
+    if (df.isEmpty) return append(df, root)
     checkAppendSchema(df, root)
+    // collision-proof helper column: silently replacing a user column
+    // named like it would drop real data past the schema check
+    val grp = s"__grp_${UUID.randomUUID().toString.take(8)}"
     val parted = df.repartitionByRange(nGroups, col(clusterCol))
-      .withColumn("__grp", spark_partition_id())
+      .withColumn(grp, spark_partition_id())
       .persist()
     val nParts = parted.agg(
-      org.apache.spark.sql.functions.max("__grp")).head().getInt(0) + 1
+      org.apache.spark.sql.functions.max(grp)).head().getInt(0) + 1
     val groups = (0 until nParts).map { g =>
-      writeGroup(parted.filter(col("__grp") === g).drop("__grp"), root)
+      writeGroup(parted.filter(col(grp) === g).drop(grp), root)
     }
     parted.unpersist()
     commitLoop(root, "append", groups)
@@ -322,15 +323,21 @@ object SnapshotStore {
     * (no commits yet, or time travel to before the first append) is an
     * error — there is no schema to produce an empty frame with.
     */
+  /** The vacuumed-version contract, shared by both read paths: an
+    * explicit error, never a raw path-does-not-exist from the scan.
+    */
+  private def requirePresent(root: String, groups: Seq[String]): Unit =
+    groups.foreach { g =>
+      require(Files.isDirectory(Paths.get(root, g)),
+        s"data group $g was vacuumed; version is no longer readable")
+    }
+
   def read(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
     val groups = liveGroups(log(root), asOf)
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
-    groups.foreach { g =>
-      require(Files.isDirectory(Paths.get(root, g)),
-        s"data group $g was vacuumed; version is no longer readable")
-    }
+    requirePresent(root, groups)
     spark.read.parquet(groups.map(g => s"$root/$g"): _*)
   }
 
