@@ -543,6 +543,55 @@ object InvariantProps extends Properties("graft.invariants") {
         ids.forall(id => atK1(id) == atK(id) || atK1(id) == k)
     }
 
+  // --- pq law: the distributed encoder assigns every subvector to the
+  // argmin codeword of the trained books — kernel ≡ driver-side
+  // reference on arbitrary vector sets ---
+  property("pq encode == driver-side argmin over the trained books") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 500L),
+      Gen.listOfN(8, Gen.choose(-5, 5))))) { raw =>
+      val vecs = raw.toMap.toSeq.map { case (id, xs) =>
+        (id, xs.map(_.toFloat).toArray)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val books = operators.Similarity.pqTrain(df, m = 4, k = 4, iters = 1)
+      val got = operators.Similarity.pqEncode(df, books)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      def norm(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+      vecs.forall { case (id, fv) =>
+        val v = norm(fv.map(_.toDouble))
+        val want = (0 until 4).map { j =>
+          books(j).zipWithIndex.minBy { case (cw, _) =>
+            cw.zipWithIndex.map { case (c, p) =>
+              val t = v(j * 2 + p) - c; t * t
+            }.sum
+          }._2
+        }
+        got(id) == want
+      }
+    }
+
+  // --- snapshot pruning law: for ANY clustered/unclustered appends and
+  // ANY range, the stats-pruned read equals the unpruned filter ---
+  property("snapshot readWhere == unpruned filter on arbitrary appends") =
+    Prop.forAll(
+      Gen.listOfN(3, Gen.nonEmptyListOf(Gen.choose(0L, 100L))),
+      Gen.choose(0L, 100L), Gen.choose(0L, 100L)) { (batches, a, b) =>
+      val (lo, hi) = (math.min(a, b).toDouble, math.max(a, b).toDouble)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-prune-prop").toString
+      batches.foreach(ids =>
+        graft.plans.SnapshotStore.append(ids.toDF("id"), root))
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      ids(graft.plans.SnapshotStore.readWhere(spark, root, "id", lo, hi)) ==
+        ids(graft.plans.SnapshotStore.read(spark, root)
+          .filter(col("id") >= lo && col("id") <= hi))
+    }
+
   // --- snapshot-table law: for ANY sequence of append/overwrite
   // commits, the table at every version equals a trivial driver-side
   // fold (append = multiset union, overwrite = replace) — the log
