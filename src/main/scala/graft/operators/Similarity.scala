@@ -1133,6 +1133,53 @@ object Similarity {
     */
   val SemanticContamThreshold = 0.40
 
+  /** Embedding-side incremental admission against the PERSISTED IVF
+    * index ([[graft.plans.IvfIndexStore.admitAndExtend]]) — the
+    * continual-ingest step in SEMANTIC space, completing the text-side
+    * q_dedup_incremental symmetry: verbatim re-embeddings (batch =
+    * copies of the %7 slice) are rejected, genuinely new vectors
+    * (negated %5-slice embeddings — cosine ≤ 0 against everything) are
+    * admitted AND folded into the saved cells under the frozen
+    * quantizer. Oracle-expressible by the [[qDedupSemantic]] argument:
+    * at threshold 0.9 only verbatim copies qualify on this fixture
+    * (natural max cosine ~0.51), and a copy always lands in its
+    * original's cell — the query's own first probe — so the admitted
+    * set deterministically equals the exact batch-vs-corpus comparison
+    * DuckDB recomputes. A fresh artifact per run: admission EXTENDS
+    * the index, so reruns against an accumulated table would drift.
+    */
+  val qDedupEmbeddingIncremental: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val table = s"graft_ivfadm_$tag"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfadm_$tag"
+    val base = embeddings(s, d).select("vec_id", "embedding")
+    graft.plans.IvfIndexStore.build(base, 16, table, path, buckets = 8)
+    val batch = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    graft.plans.IvfIndexStore.admitAndExtend(batch, table, 8, 0.9)
+      .orderBy("vec_id")
+  }
+
+  val qDedupEmbeddingIncrementalSql: String =
+    """WITH batch AS (
+      |  SELECT vec_id + 1000000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000,
+      |    list_transform(embedding, x -> -x)
+      |  FROM embeddings WHERE vec_id % 5 = 1),
+      |dup AS (SELECT DISTINCT b.vec_id
+      |  FROM batch b JOIN embeddings c
+      |  ON list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+      |       CAST(c.embedding AS DOUBLE[])) >= 0.9)
+      |SELECT vec_id FROM batch
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+      |ORDER BY vec_id""".stripMargin
+
   val qDecontaminateSemantic: Q = (s, d) =>
     semanticContamination(
       embeddings(s, d), col("vec_id") % 10 === 0, SemanticContamThreshold)
@@ -1291,6 +1338,7 @@ object Similarity {
     "q_knn_ann_ivfpq" -> qKnnAnnIvfPq,
     "q_knn_recall" -> qKnnRecall,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_embedding_incremental" -> qDedupEmbeddingIncremental,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_embedding_outliers" -> qEmbeddingOutliers,
     "q_embedding_drift" -> qEmbeddingDrift,
@@ -1304,6 +1352,7 @@ object Similarity {
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_dedup_embedding_incremental" -> qDedupEmbeddingIncrementalSql,
     // cluster-local compare finds exactly the all-pairs output here:
     // only verbatim copies clear 0.9 and copies share a cell (see
     // qDedupSemantic doc) — same oracle as the exact form

@@ -97,6 +97,30 @@ object IvfIndexStore {
     * neighbor_id tie-break — and identical output when the quantizer
     * parameters match (IndexStoreSpec pins it).
     */
+  /** One production ingest step in EMBEDDING space — the
+    * [[ShingleIndexStore.admitAndExtend]] symmetry for the semantic
+    * side: batch vectors whose nearest saved neighbor (within the
+    * probed cells) clears `threshold` are rejected as semantic
+    * near-dups; the rest are admitted AND assigned into the cells
+    * table under the frozen quantizer. Returns the admitted (vec_id)
+    * frame, materialized BEFORE the extend write so the admission read
+    * of the cells table never races its own append. The standard
+    * SemDedup-style caveat applies: a near-dup straddling un-probed
+    * cells is missed — `nprobe` is the recall dial, and verbatim
+    * copies (identical assignment) are always caught.
+    */
+  def admitAndExtend(
+      batch: DataFrame, table: String, buckets: Int,
+      threshold: Double, nprobe: Int = 4): DataFrame = {
+    val dup = knn(batch.select("vec_id", "embedding"), 1, nprobe, table)
+      .filter(col("sim") >= threshold)
+      .select(col("query_id").as("vec_id")).distinct()
+    val admitted = batch.join(dup, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    extend(admitted, table, buckets)
+    admitted.select("vec_id")
+  }
+
   def knn(
       queries: DataFrame, k: Int, nprobe: Int, table: String): DataFrame = {
     val spark = queries.sparkSession

@@ -224,6 +224,33 @@ class IndexStoreSpec extends AnyFunSuite {
       s"postings+norms must come from the artifact:\n${leaves.mkString("\n")}")
   }
 
+  test("ivf admitAndExtend rejects verbatim copies, admits the rest, " +
+    "and grows the cells table by exactly the admitted vectors") {
+    import graft.plans.IvfIndexStore
+    val table = "ivf_admit"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cells")
+    val path = Files.createTempDirectory("graft-ivfadm").toString + "/ivf"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IvfIndexStore.build(emb, 16, table, path, buckets = 8)
+    val pre = spark.table(s"${table}_cells").count()
+    val copies = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val fresh = emb.filter(col("vec_id") % 5 === 1)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => -x).as("embedding"))
+    val admitted = IvfIndexStore
+      .admitAndExtend(copies.unionByName(fresh), table, 8, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val wantFresh = fresh.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted === wantFresh,
+      "copies must be rejected, negated vectors admitted")
+    assert(admitted.nonEmpty)
+    assert(spark.table(s"${table}_cells").count() === pre + admitted.size)
+  }
+
   test("pq store: served search equals the in-session two-stage knn; " +
     "extend encodes verbatim copies to identical codes") {
     import graft.plans.PqStore
