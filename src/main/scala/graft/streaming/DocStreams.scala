@@ -269,6 +269,29 @@ object DocStreams {
     docs.filter(
       graft.operators.Classifier.scoreCol(col("text"), weights) >= tau)
 
+  /** Streaming SEMANTIC admission against the persisted IVF cells —
+    * the embedding sibling of [[admitAgainstSignatureIndex]]: each
+    * micro-batch of (vec_id, embedding) rows probes the saved index
+    * ([[graft.plans.IvfIndexStore.knn]], frozen quantizer, nprobe
+    * recall dial) and only vectors whose nearest saved neighbor sits
+    * BELOW `threshold` reach the sink. Same staleness contract as the
+    * text side: admitted vectors do NOT extend the index mid-run (a
+    * foreachBatch write to the table the same query reads would race
+    * its own scans) — fold admitted batches in between runs via
+    * `IvfIndexStore.admitAndExtend`/`extend`.
+    */
+  def admitBySimilarity(
+      vecs: DataFrame, table: String, threshold: Double,
+      nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dup = graft.plans.IvfIndexStore
+        .knn(batch.select("vec_id", "embedding"), 1, nprobe, table)
+        .filter(col("sim") >= threshold)
+        .select(col("query_id").as("vec_id")).distinct()
+      sink(batch.join(dup, Seq("vec_id"), "left_anti"), batchId)
+    }
+
   /** Exactly-once lakehouse tail for the foreachBatch admit family:
     * commits each admitted micro-batch to a
     * [[graft.plans.SnapshotStore]] table under its batchId tag, so a

@@ -206,6 +206,48 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(graft.plans.SnapshotStore.history(root).size === 2)
   }
 
+  test("streamed semantic admission against the saved IVF index " +
+    "equals the batch admit set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val table = "ivf_stream_admit"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cells")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString + "/ivf"
+    graft.plans.IvfIndexStore.build(emb, 16, table, path, buckets = 4)
+    // batch = verbatim copies (rejected) + negated vectors (admitted)
+    val rows = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), x => -x).as("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = DocStreams.admitBySimilarity(
+      input.toDF().toDF("vec_id", "embedding"), table, 0.9) {
+      (out, _) =>
+        admitted.synchronized {
+          admitted ++= out.select("vec_id").collect().map(_.getLong(0))
+        }
+    }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = rows.map(_._1).filter(_ >= 2000000L).toSet
+    assert(admitted.toSet === want,
+      "copies rejected, negated vectors admitted — micro-batched ≡ batch")
+    assert(admitted.nonEmpty)
+  }
+
   test("streamed signature-index admission equals the batch matcher") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
