@@ -259,7 +259,11 @@ object Similarity {
       : Array[Array[Array[Double]]] = {
     val s = emb.sparkSession
     import s.implicits._
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val probe = emb.select(size(col("embedding"))).take(1)
+    require(probe.nonEmpty,
+      "cannot train PQ codebooks on an empty corpus — there is no " +
+        "dimensionality to subspace and no vectors to seed from")
+    val d = probe.head.getInt(0)
     require(d % m == 0, s"dim $d must split into $m subspaces")
     val sub = d / m
     val seeds = emb.withColumn("h", xxhash64(col("vec_id")))

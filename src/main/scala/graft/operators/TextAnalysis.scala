@@ -601,11 +601,16 @@ object TextAnalysis {
     * corpus maps to.
     */
   def tfidfRegimeStats(tops: DataFrame): (Long, Long) = {
-    val sumDfSq = tops.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE action for both statistics: the two single-row aggregates are
+    // cross-joined so the planner executes them as one job over the
+    // persisted tops frame (previously two separate actions — the
+    // selector's overhead doubled for no reason). n_docs is a plain
+    // countDistinct because (doc_id, term) is unique in a top-k frame.
+    val row = tops.groupBy("term").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("sum_df2"))
-      .head().getLong(0)
-    val nDocs = tops.select("doc_id").distinct().count()
-    (nDocs, sumDfSq)
+      .crossJoin(tops.agg(count_distinct(col("doc_id")).as("n_docs")))
+      .head()
+    (row.getLong(1), row.getLong(0))
   }
 
   def tfidfCosinePairsAuto(

@@ -107,7 +107,16 @@ object IvfIndexStore {
     * of the cells table never races its own append. The standard
     * SemDedup-style caveat applies: a near-dup straddling un-probed
     * cells is missed — `nprobe` is the recall dial, and verbatim
-    * copies (identical assignment) are always caught.
+    * copies (identical assignment) are always caught. Second caveat,
+    * shared with the text-side [[ShingleIndexStore.admitAndExtend]] by
+    * design: the batch is deduped only against the SAVED index, not
+    * against itself — two near-duplicate vectors arriving in the same
+    * batch are both admitted (they only gate each other once one of
+    * them is in the index, i.e. from the next batch on). Callers
+    * needing intra-batch semantic dedup run a pairwise pass
+    * ([[Similarity]] LSH near-dup) over the batch first; building it
+    * in here would double every admission's cost for a window the
+    * micro-batch cadence already makes small.
     */
   def admitAndExtend(
       batch: DataFrame, table: String, buckets: Int,

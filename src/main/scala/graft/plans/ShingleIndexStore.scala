@@ -168,6 +168,12 @@ object ShingleIndexStore {
     * saved index are admitted AND indexed; rejected docs leave no trace.
     * Returns the admitted (doc_id) frame, materialized (the extend
     * write must not race the admission read of the same table).
+    * Deliberate blind spot, shared with the embedding-side
+    * [[IvfIndexStore.admitAndExtend]]: the batch is deduped against the
+    * SAVED index only, not against itself — two near-dup docs in ONE
+    * batch are both admitted and gate each other only from the next
+    * batch on. Run a pairwise pass over the batch first when that
+    * window matters.
     */
   def admitAndExtend(
       batch: DataFrame, n: Int, table: String, buckets: Int,

@@ -57,6 +57,16 @@ object SnapshotStore {
   // hand-rolled (de)serialization: the record grammar is four fixed
   // fields; a JSON library dependency is not available offline
   private def render(c: Commit): String = {
+    // the group names are interpolated unescaped into the record, so
+    // their grammar is asserted here (mirroring the appendOnce tag
+    // whitelist): every group is self-generated `data/<uuid>`, and a
+    // future caller sneaking a quote/comma/bracket through would
+    // corrupt the log record parse() later splits on — fail at write
+    // time, not at the next read
+    (c.adds ++ c.removes).foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"data group name '$g' violates the data/<uuid> grammar")
+    }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""adds":${arr(c.adds)},"removes":${arr(c.removes)},""" +
@@ -154,24 +164,60 @@ object SnapshotStore {
     // the group back also costs footer-only column scans instead of a
     // second full lineage execution (halves compact()'s read work).
     val written = df.sparkSession.read.parquet(s"$root/$group")
-    val numCols = written.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    if (numCols.nonEmpty) {
-      val aggs = numCols.flatMap(c => Seq(
-        min(col(c)).cast("double"), max(col(c)).cast("double")))
-      val row = written.agg(aggs.head, aggs.tail: _*).head()
-      def num(v: Double) =
-        String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
-      val entries = numCols.zipWithIndex.flatMap { case (c, i) =>
-        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-        else Some(s""""$c":[${num(row.getDouble(2 * i))},""" +
-          s"${num(row.getDouble(2 * i + 1))}]")
-      }
-      Files.writeString(Paths.get(root, group, "_stats.json"),
-        entries.mkString("{", ",", "}"))
+    statColumns(written.schema) match {
+      case Seq() => ()
+      case cols =>
+        val aggs = cols.flatMap { case (c, integral) =>
+          val t = if (integral) "long" else "double"
+          Seq(min(col(c)).cast(t), max(col(c)).cast(t))
+        }
+        val row = written.agg(aggs.head, aggs.tail: _*).head()
+        val entries = cols.zipWithIndex.flatMap { case ((c, integral), i) =>
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else {
+            val (lo, hi) =
+              if (integral)
+                (widenLo(row.getLong(2 * i)), widenHi(row.getLong(2 * i + 1)))
+              else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+            Some(s""""$c":[${statNum(lo)},${statNum(hi)}]""")
+          }
+        }
+        Files.writeString(Paths.get(root, group, "_stats.json"),
+          entries.mkString("{", ",", "}"))
     }
     group
   }
+
+  private def statNum(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
+
+  /** The stats-eligible columns as (name, isIntegral). Integral columns
+    * aggregate as LONG, not double: a blind double cast rounds
+    * |values| > 2^53 to nearest, so the sidecar min could round UP past
+    * the true value and pruning would exclude a group that contains
+    * matching rows — silent row loss, violating "stats only ever
+    * EXCLUDE". [[widenLo]]/[[widenHi]] round the stored bound OUTWARD
+    * to the adjacent representable double instead.
+    */
+  private def statColumns(
+      s: org.apache.spark.sql.types.StructType): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.types._
+    s.fields.collect {
+      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType) => (f.name, true)
+      case f if f.dataType.isInstanceOf[NumericType] => (f.name, false)
+    }.toSeq
+  }
+
+  private val ExactLongBound = 1L << 53
+
+  private def widenLo(v: Long): Double =
+    if (math.abs(v) <= ExactLongBound) v.toDouble
+    else Math.nextDown(v.toDouble)
+
+  private def widenHi(v: Long): Double =
+    if (math.abs(v) <= ExactLongBound) v.toDouble
+    else Math.nextUp(v.toDouble)
 
   /** [min, max] of `column` in `group` per its stats sidecar; None =
     * no sidecar / column absent / all-null (reader must keep the
@@ -217,19 +263,33 @@ object SnapshotStore {
   }
 
   private def commitLoop(root: String, action: String,
-      adds: Seq[String], tag: String = ""): Int = {
-    var done = false
-    var v = -1
-    while (!done) {
+      adds: Seq[String], tag: String = ""): Int =
+    commitLoopDedup(root, action, adds, tag, dedupOnTag = false).get
+
+  /** The CAS retry loop. With `dedupOnTag` the tag is re-checked
+    * against the FRESHLY READ log inside every iteration — atomic with
+    * the version-slot CAS, so two concurrent commits under one tag
+    * (a zombie streaming driver replaying a micro-batch during
+    * failover) cannot both land: whichever loses the version race
+    * re-reads the log, finds the winner's tag, and returns None
+    * instead of retrying at v+1. Without this the dedup would rest
+    * solely on the documented single-writer-per-tag contract — exactly
+    * the contract a failover zombie violates.
+    */
+  private def commitLoopDedup(root: String, action: String,
+      adds: Seq[String], tag: String, dedupOnTag: Boolean): Option[Int] = {
+    while (true) {
       val commits = log(root)
-      v = commits.lastOption.map(_.version + 1).getOrElse(0)
+      if (dedupOnTag && commits.exists(_.tag == tag)) return None
+      val v = commits.lastOption.map(_.version + 1).getOrElse(0)
       val removes =
         if (action == "overwrite") liveGroups(commits, None) else Nil
-      done = publish(root, v, render(Commit(v, action, adds, removes, tag)))
+      if (publish(root, v, render(Commit(v, action, adds, removes, tag))))
+        return Some(v)
       // on a lost race the data group is already safely invisible-
       // or-added; only the log position moves — re-read and retry
     }
-    v
+    None // unreachable
   }
 
   /** An append whose schema differs from the live table's would
@@ -312,10 +372,15 @@ object SnapshotStore {
     // the grammar is a whitelist, not escaping
     require(tag.nonEmpty && tag.matches("[A-Za-z0-9._-]+"),
       s"tag must be non-empty [A-Za-z0-9._-]+, got '$tag'")
+    // fast path: a replayed tag skips the data write entirely. The
+    // AUTHORITATIVE check is the in-loop one (dedupOnTag) — a racing
+    // duplicate that passes here merely writes an orphaned group
+    // (vacuum's job) and still lands exactly once.
     if (log(root).exists(_.tag == tag)) None
     else {
       checkAppendSchema(df, root)
-      Some(commitLoop(root, "append", Seq(writeGroup(df, root)), tag))
+      commitLoopDedup(root, "append", Seq(writeGroup(df, root)), tag,
+        dedupOnTag = true)
     }
   }
 

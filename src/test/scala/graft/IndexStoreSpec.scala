@@ -286,6 +286,16 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("pq training on an empty corpus fails with an explicit error, " +
+    "not a bare head() NoSuchElement") {
+    import graft.operators.Similarity
+    val empty = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").filter(col("vec_id") < 0)
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqTrain(empty, 8, 64))
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("LM extension is counter-linear: build+extend == build on union") {
     import graft.plans.LmStore
     val a = base.filter(col("doc_id") % 2 === 0)

@@ -251,4 +251,54 @@ class SnapshotStoreSpec extends AnyFunSuite {
       (2, aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._1,
         aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._2)))
   }
+
+  test("concurrent appendOnce under one tag lands exactly one batch " +
+    "(the zombie-replay race: dedup is atomic with the version CAS)") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (0 until 10).foreach { round =>
+        val gate = new CountDownLatch(1)
+        val racers = (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+            def call(): Option[Int] = {
+              val d = df(100L + round * 10 + i)
+              gate.await()
+              SnapshotStore.appendOnce(d, root, s"batch-$round")
+            }
+          })
+        }
+        gate.countDown()
+        val results = racers.map(_.get())
+        assert(results.count(_.isDefined) === 1,
+          s"round $round: expected exactly one winner, got $results")
+      }
+      // one row per round landed, however the races resolved
+      assert(SnapshotStore.read(spark, root).count() === 11)
+    } finally pool.shutdown()
+  }
+
+  test("stats sidecar bounds CONTAIN long values beyond double " +
+    "precision (widened outward, never rounded past the true value)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 2^53+3 and 2^53+5 both round to the double 2^53+4 — a blind
+    // double-cast sidecar would store min ABOVE the true min and max
+    // BELOW the true max, so pruning could exclude a group that holds
+    // matching rows under exact comparison semantics
+    val lo = (1L << 53) + 3
+    val hi = (1L << 53) + 5
+    SnapshotStore.append(Seq((lo, "a"), (hi, "b")).toDF("id", "tag"), root)
+    val groupDir = Files.list(Paths.get(root, "data")).iterator()
+      .next()
+    val stats = Files.readString(groupDir.resolve("_stats.json"))
+    val bounds = stats.drop(stats.indexOf("\"id\":[") + 6)
+      .takeWhile(_ != ']').split(",").map(_.trim.toDouble)
+    assert(BigDecimal(bounds(0)) <= BigDecimal(lo),
+      s"sidecar min ${bounds(0)} rounded past true min $lo")
+    assert(BigDecimal(bounds(1)) >= BigDecimal(hi),
+      s"sidecar max ${bounds(1)} rounded past true max $hi")
+  }
 }
