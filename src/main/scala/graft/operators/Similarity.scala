@@ -338,6 +338,38 @@ object Similarity {
     Seq.empty[(Long, Int, Long)].toDF("query_id", "rnk", "neighbor_id")
   }
 
+  /** Driver-state bound for batch ANN serving: the serving paths
+    * collect (PQ distance tables, probe maps) or broadcast (IVF probe
+    * frames) the QUERY side, which is bounded by the query batch — but
+    * nothing used to bound the batch itself, so a caller passing a
+    * corpus-sized queryFilter silently built a corpus-sized driver
+    * broadcast. 4096 queries × an m×k=512-double table is ~16 MB of
+    * driver state — comfortably broadcastable; beyond the cap the batch
+    * is served in hash-disjoint chunks instead.
+    */
+  val AnnQueryBatchCap = 4096
+
+  /** Serve an ANN query batch in chunks of at most `cap` queries:
+    * per-query results are independent (every scoring stage groups or
+    * windows by query_id), so a hash-partition of the batch unioned
+    * back is RESULT-IDENTICAL to one pass (PipelineOpsSpec pins it) —
+    * only the driver/broadcast state shrinks to cap-bounded. The trade
+    * is explicit: each chunk re-scans the candidate side, so an
+    * over-cap batch pays ceil(n/cap) scans — the price of bounded
+    * memory, same shape as any batched serving loop.
+    */
+  def chunkedByQuery(queries: DataFrame, cap: Int)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    require(cap > 0, s"query batch cap must be positive, got $cap")
+    val n = queries.count()
+    val parts = ((n + cap - 1) / cap).toInt
+    if (parts <= 1) serve(queries)
+    else (0 until parts).map { i =>
+      serve(queries.filter(
+        pmod(xxhash64(col("vec_id")), lit(parts)) === i))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PQ-ADC top-k with exact re-ranking — the production two-stage
     * shape: queries precompute their m×k subspace distance tables
     * (driver-side — queries × k·d doubles, batch-bounded), broadcast
@@ -353,11 +385,11 @@ object Similarity {
   def pqKnn(
       emb: DataFrame, queryFilter: Column, k: Int,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
-      rerank: Int = 8): DataFrame = {
+      rerank: Int = 8, queryBatchCap: Int = AnnQueryBatchCap): DataFrame = {
     if (emb.isEmpty) return emptyKnnFrame(emb.sparkSession)
     val books = pqTrain(emb, m, codewords, iters)
     pqSearchFromCodes(books, pqEncode(emb, books),
-      emb.filter(queryFilter), emb, k, rerank)
+      emb.filter(queryFilter), emb, k, rerank, queryBatchCap)
   }
 
   /** The two-stage search tail given FROZEN codebooks and a code
@@ -369,9 +401,12 @@ object Similarity {
   def pqSearchFromCodes(
       books: Array[Array[Array[Double]]], codes: DataFrame,
       queryVecs: DataFrame, corpusVecs: DataFrame,
-      k: Int, rerank: Int): DataFrame =
-    pqAdcSearch(books, codes.withColumn("cell", lit(0)),
-      queryVecs, corpusVecs, k, rerank, Map.empty)
+      k: Int, rerank: Int,
+      queryBatchCap: Int = AnnQueryBatchCap): DataFrame =
+    chunkedByQuery(queryVecs, queryBatchCap) { qchunk =>
+      pqAdcSearch(books, codes.withColumn("cell", lit(0)),
+        qchunk, corpusVecs, k, rerank, Map.empty)
+    }
 
   /** The single-sourced ADC kernel + re-rank tail: `codesWithCell`
     * carries (vec_id, codes, cell); `queryProbes` (query → probed
@@ -457,7 +492,7 @@ object Similarity {
       emb: DataFrame, queryFilter: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
-      rerank: Int = 8): DataFrame = {
+      rerank: Int = 8, queryBatchCap: Int = AnnQueryBatchCap): DataFrame = {
     val s = emb.sparkSession
     if (emb.isEmpty) return emptyKnnFrame(s)
     import s.implicits._
@@ -468,21 +503,27 @@ object Similarity {
       .join(base.select(col("vec_id"),
         element_at(graft.functions.IvfCells.cells(
           s, col("embedding"), centroids, 1), 1).as("cell")), "vec_id")
-    val queryProbes = emb.filter(queryFilter)
-      .select(col("vec_id"),
-        graft.functions.IvfCells.cells(
-          s, col("embedding"), centroids, nprobe).as("cells"))
-      .as[(Long, Array[Int])].collect()
-      .map { case (id, cells) => id -> cells.toSet }.toMap
-    // the ADC stage sees ONLY codes whose home cell one of this batch's
-    // queries probes (batch-level file pruning); per-query pruning then
-    // happens inside the shared kernel via the probed-cell map
-    val probedCells = queryProbes.values.flatten.toSeq.distinct
-      .toDF("cell")
-    val prunedCodes = codesWithCell.join(broadcast(probedCells), "cell")
-    pqAdcSearch(books, prunedCodes,
+    // index build (centroids, books, codes) is query-independent and
+    // sits OUTSIDE the chunk loop; only query-sided driver state (probe
+    // map, distance tables) is rebuilt per cap-bounded chunk
+    chunkedByQuery(
       emb.filter(queryFilter).select("vec_id", "embedding"),
-      emb, k, rerank, queryProbes)
+      queryBatchCap) { qchunk =>
+      val queryProbes = qchunk
+        .select(col("vec_id"),
+          graft.functions.IvfCells.cells(
+            s, col("embedding"), centroids, nprobe).as("cells"))
+        .as[(Long, Array[Int])].collect()
+        .map { case (id, cells) => id -> cells.toSet }.toMap
+      // the ADC stage sees ONLY codes whose home cell one of this
+      // chunk's queries probes (batch-level file pruning); per-query
+      // pruning then happens inside the shared kernel via the
+      // probed-cell map
+      val probedCells = queryProbes.values.flatten.toSeq.distinct
+        .toDF("cell")
+      val prunedCodes = codesWithCell.join(broadcast(probedCells), "cell")
+      pqAdcSearch(books, prunedCodes, qchunk, emb, k, rerank, queryProbes)
+    }
   }
 
   // ---------------------------------------------------------------------

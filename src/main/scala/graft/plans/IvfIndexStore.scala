@@ -130,26 +130,35 @@ object IvfIndexStore {
     admitted.select("vec_id")
   }
 
+  /** `queryBatchCap` bounds the broadcast query side: an over-cap
+    * batch (e.g. a caller probing a corpus-sized frame) is served in
+    * hash-disjoint chunks and unioned — result-identical, since every
+    * ranking stage partitions by query_id.
+    */
   def knn(
-      queries: DataFrame, k: Int, nprobe: Int, table: String): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int, table: String,
+      queryBatchCap: Int = Similarity.AnnQueryBatchCap): DataFrame = {
     val spark = queries.sparkSession
     val centroids = loadCentroids(spark, table)
     val cos: (Column, Column) => Column =
       (a, b) => graft.functions.CosineSimilarity.cosineNative(spark, a, b)
-    val queryCells = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("qv"),
-      explode(IvfCells.cells(
-        spark, col("embedding"), centroids, nprobe)).as("cell"))
     val corpusCells = spark.table(cellsTable(table)).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       col("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(queryCells).join(corpusCells, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cos(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "sim")
+    Similarity.chunkedByQuery(
+      queries.select("vec_id", "embedding"), queryBatchCap) { qchunk =>
+      val queryCells = qchunk.select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(IvfCells.cells(
+          spark, col("embedding"), centroids, nprobe)).as("cell"))
+      broadcast(queryCells).join(corpusCells, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cos(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "sim")
+    }
   }
 }

@@ -125,6 +125,12 @@ class IndexStoreSpec extends AnyFunSuite {
       emb, col("vec_id") % 40 === 0, 5, nlist = 8, nprobe = 2)
     assert(tripleSet(fromStore) === tripleSet(direct))
     assert(tripleSet(fromStore).nonEmpty)
+    // an over-cap query batch serves in hash-disjoint chunks and must
+    // be result-identical (the driver-broadcast bound costs scans, not
+    // answers); cap=3 forces many chunks on this fixture's query set
+    val chunked = IvfIndexStore.knn(
+      queries, k = 5, nprobe = 2, "ivf_t", queryBatchCap = 3)
+    assert(tripleSet(chunked) === tripleSet(fromStore))
   }
 
   test("ivf store: extension under the frozen quantizer keeps copy " +

@@ -632,6 +632,26 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$rIvfPq vs $rIvf")
   }
 
+  test("over-cap ANN query batches serve in chunks with results " +
+    "identical to one pass (pq and ivf-pq)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val qf = col("vec_id") % 40 === 0
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // cap=3 forces ~n/120 chunks; per-query independence makes the
+    // union bit-identical to the single-broadcast pass
+    val pqOne = triples(Similarity.pqKnn(emb, qf, 5))
+    val pqChunked = triples(Similarity.pqKnn(emb, qf, 5, queryBatchCap = 3))
+    assert(pqOne.nonEmpty)
+    assert(pqChunked === pqOne)
+    val ivfpqOne = triples(Similarity.ivfPqKnn(emb, qf, 5))
+    val ivfpqChunked = triples(
+      Similarity.ivfPqKnn(emb, qf, 5, queryBatchCap = 3))
+    assert(ivfpqChunked === ivfpqOne)
+  }
+
   test("ivf sampled build holds recall at a fraction of the train set") {
     val emb = graft.Tables.embeddings(spark, dir)
     val qf = col("vec_id") % 40 === 0
