@@ -1235,10 +1235,49 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Time travel ACROSS an add-column boundary: v0 appends the narrow
+    * (custkey, nationkey) slice, v1 appends the rest WITH c_acctbal —
+    * the lakehouse add-column evolution. One query reads the widened
+    * table: pre-boundary rows carry a null-filled c_acctbal (so
+    * count(c_acctbal) counts only post-boundary rows), and the whole
+    * readout is a pure base-table derivation — fully oracled. Schema
+    * rejection (drops/retypes) is spec territory (SnapshotStoreSpec).
+    */
+  val qSnapshotEvolution: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_evo").toString
+    val c = customer(s, d)
+    SnapshotStore.append(
+      c.filter(col("c_nationkey") < 10)
+        .select("c_custkey", "c_nationkey"), root)
+    SnapshotStore.append(
+      c.filter(col("c_nationkey") >= 10)
+        .select("c_custkey", "c_nationkey", "c_acctbal"), root)
+    SnapshotStore.read(s, root)
+      .groupBy((col("c_nationkey") >= 10).as("post_evolution"))
+      .agg(count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_with_bal"),
+        round(sum(coalesce(col("c_acctbal"), lit(0.0))), 2)
+          .as("total_bal"))
+      .orderBy("post_evolution")
+  }
+
+  val qSnapshotEvolutionSql: String =
+    """SELECT c_nationkey >= 10 AS post_evolution, count(*) AS n,
+      |  CAST(sum(CASE WHEN c_nationkey >= 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_with_bal,
+      |  round(sum(CASE WHEN c_nationkey >= 10 THEN c_acctbal
+      |    ELSE 0 END), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravel,
     "q_snapshot_cdc" -> qSnapshotCdc,
     "q_snapshot_pruned_read" -> qSnapshotPrunedRead,
+    "q_snapshot_evolution" -> qSnapshotEvolution,
     "q_corr_matrix" -> qCorrMatrix,
     "q_regression" -> qRegression,
     "q_orc_roundtrip" -> qOrcRoundtrip,
@@ -1280,6 +1319,7 @@ object Relational {
     "q_snapshot_time_travel" -> qSnapshotTimeTravelSql,
     "q_snapshot_cdc" -> qSnapshotCdcSql,
     "q_snapshot_pruned_read" -> qSnapshotPrunedReadSql,
+    "q_snapshot_evolution" -> qSnapshotEvolutionSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regression" -> qRegressionSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,

@@ -42,9 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale shape: the log is one tiny JSON per commit (replay cost is
   * #commits, independent of data volume); data moves only through
   * ordinary distributed parquet writes/reads — nothing funnels through
-  * the driver but the file-group names. What this deliberately leaves
-  * out of scope vs a production format: file-level statistics pruning,
-  * schema evolution, and multi-table transactions.
+  * the driver but the file-group names. Schema evolution follows the
+  * lakehouse add-column rule ([[SnapshotStore.checkAppendSchema]]):
+  * appends may add columns (old groups read back null-filled), drops
+  * and type changes go through overwrite. Deliberately out of scope vs
+  * a production format: multi-table transactions.
   */
 object SnapshotStore {
 
@@ -257,8 +259,10 @@ object SnapshotStore {
     val kept = groups.filter(g => groupRange(root, g, column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(g => s"$root/$g"): _*)
-      else spark.read.parquet(s"$root/${groups.head}")
+      if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(g => s"$root/$g"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(s"$root/${groups.head}")
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
@@ -292,27 +296,40 @@ object SnapshotStore {
     None // unreachable
   }
 
-  /** An append whose schema differs from the live table's would
-    * corrupt every subsequent read (parquet schema union nulls the
-    * missing columns SILENTLY, or fails on type conflicts file-by-
-    * file), so it is rejected up front by comparing (name, type)
-    * sequences against one live group's footer — overwrite is the
-    * sanctioned schema-change path, exactly as in the production
-    * formats. The check reads one footer (cheap) and is advisory
-    * under races (it runs before the CAS); single-writer-per-table
-    * appends — the common case — are fully protected.
+  /** Append-time schema control — the lakehouse add-column rule:
+    * an append may ADD columns (they read back null-filled for groups
+    * written before the addition), but every existing table column
+    * must arrive with its (name, type) intact — a missing column is a
+    * DROP and a retyped column would make the parquet schema union
+    * fail or corrupt file-by-file, so both are rejected up front;
+    * destructive schema changes go through overwrite, exactly as in
+    * the production formats. The table schema is the mergeSchema union
+    * of the LIVE groups' footers (footer-only reads, log-sized cost).
+    * The check is advisory under races (it runs before the CAS);
+    * single-writer-per-table appends — the common case — are fully
+    * protected.
     */
-  private def checkAppendSchema(df: DataFrame, root: String): Unit = {
+  private def tableSchema(
+      spark: SparkSession, root: String): Option[
+      org.apache.spark.sql.types.StructType] = {
     val groups = liveGroups(log(root), None)
-    if (groups.nonEmpty) {
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.toSeq.map(f => (f.name, f.dataType))
-      val cur = df.sparkSession.read.parquet(s"$root/${groups.last}").schema
-      require(shape(cur) == shape(df.schema),
-        s"append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${cur.simpleString}; schema changes go through overwrite")
-    }
+    if (groups.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(groups.map(g => s"$root/$g"): _*).schema)
   }
+
+  private def checkAppendSchema(df: DataFrame, root: String): Unit =
+    tableSchema(df.sparkSession, root).foreach { cur =>
+      val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      cur.fields.foreach { f =>
+        require(incoming.contains(f.name),
+          s"append drops column ${f.name}; dropping columns goes " +
+            "through overwrite")
+        require(incoming(f.name) == f.dataType,
+          s"append retypes column ${f.name} from ${f.dataType} to " +
+            s"${incoming(f.name)}; type changes go through overwrite")
+      }
+    }
 
   /** Append `df` as a new commit; returns the committed version. */
   def append(df: DataFrame, root: String): Int = {
@@ -403,7 +420,12 @@ object SnapshotStore {
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
     requirePresent(root, groups)
-    spark.read.parquet(groups.map(g => s"$root/$g"): _*)
+    // mergeSchema: live groups may straddle an add-column boundary;
+    // the union schema null-fills the column for pre-evolution groups.
+    // A time travel BEFORE the boundary reads only old groups and so
+    // sees the old schema — evolution is invisible to history.
+    spark.read.option("mergeSchema", "true")
+      .parquet(groups.map(g => s"$root/$g"): _*)
   }
 
   /** (version, action) history, oldest first. */
@@ -455,9 +477,29 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.lit
     val before = read(spark, root, Some(fromV))
     val after = read(spark, root, Some(toV))
-    after.exceptAll(before).withColumn("_change", lit("insert"))
+    // across an add-column boundary the two snapshots have different
+    // widths; align them by null-filling the missing columns (the same
+    // shape the post-boundary read gives old rows), so the whole-row
+    // set semantics keep working and an unchanged old row does NOT
+    // show up as delete+insert merely because the schema grew
+    val allCols = (before.schema.fields ++ after.schema.fields)
+      .map(f => f.name -> f.dataType).distinct
+    // a retype across an OVERWRITE boundary leaves one name with two
+    // types — whole-row diff semantics are undefined there; fail loudly
+    require(allCols.map(_._1).distinct.size == allCols.size,
+      s"cannot diff across a column retype: ${allCols.mkString(", ")}")
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(allCols.map { case (c, t) =>
+        if (have(c)) org.apache.spark.sql.functions.col(c)
+        else lit(null).cast(t).as(c)
+      }: _*)
+    }
+    val b = align(before)
+    val a = align(after)
+    a.exceptAll(b).withColumn("_change", lit("insert"))
       .unionByName(
-        before.exceptAll(after).withColumn("_change", lit("delete")))
+        b.exceptAll(a).withColumn("_change", lit("delete")))
   }
 
   /** Delete data groups unreferenced by the last `keep` versions'

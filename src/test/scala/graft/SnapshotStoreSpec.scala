@@ -95,18 +95,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.vacuum(root, keep = 2, minAgeMs = 0) === 0)
   }
 
-  test("schema-drifting appends are rejected; overwrite is the " +
-    "schema-change path") {
+  test("destructive schema drift is rejected; overwrite is the " +
+    "destructive-change path (adds are the evolution lane)") {
     import spark.implicits._
     val root = freshRoot()
     SnapshotStore.append(df(1), root)
-    // extra column → reject (silent nulls on read otherwise)
-    intercept[IllegalArgumentException](SnapshotStore.append(
-      Seq((2L, "x", 0.5)).toDF("id", "tag", "score"), root))
     // same names, different type → reject
     intercept[IllegalArgumentException](SnapshotStore.append(
       Seq((2, "x")).toDF("id", "tag"), root))
-    // overwrite may change the schema, and appends must then match it
+    // overwrite may change the schema destructively, and appends must
+    // then carry the new columns (dropping one is rejected)
     SnapshotStore.overwrite(
       Seq((9L, "y", 1.0)).toDF("id", "tag", "score"), root)
     SnapshotStore.append(
@@ -250,6 +248,44 @@ class SnapshotStoreSpec extends AnyFunSuite {
       (1, all._1, all._2),
       (2, aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._1,
         aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._2)))
+  }
+
+  test("add-column evolution: appends may add columns (old groups " +
+    "read null-filled), drops and retypes are rejected") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.append(df(1, 2), root)
+    SnapshotStore.append(
+      Seq((3L, "r3", 30.0)).toDF("id", "tag", "score"), root)
+    val latest = SnapshotStore.read(spark, root)
+    assert(latest.columns.toSet === Set("id", "tag", "score"))
+    val byId = latest.collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("score")).map(_.doubleValue))
+      .toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(30.0)))
+    // time travel BEFORE the boundary reads only old groups — the old
+    // schema, untouched by the later evolution
+    assert(SnapshotStore.read(spark, root, Some(0)).columns.toSet ===
+      Set("id", "tag"))
+    // a drop and a retype are both rejected (overwrite is the path)
+    intercept[IllegalArgumentException](
+      SnapshotStore.append(Seq(4L).toDF("id"), root))
+    intercept[IllegalArgumentException](
+      SnapshotStore.append(
+        Seq((5L, "r5", "oops")).toDF("id", "tag", "score"), root))
+    // the widened table accepts further appends in the NEW shape
+    SnapshotStore.append(
+      Seq((6L, "r6", 60.0)).toDF("id", "tag", "score"), root)
+    // CDC across the boundary: an unchanged old row must NOT surface
+    // as delete+insert merely because the schema grew
+    val ch = SnapshotStore.changes(spark, root, 0, 1).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[String]("_change") === "insert")
+    assert(ch.head.getAs[Long]("id") === 3L)
+    // readWhere prunes/filters across the boundary too
+    assert(SnapshotStore.readWhere(spark, root, "id", 3.0, 6.0)
+      .count() === 2)
   }
 
   test("concurrent appendOnce under one tag lands exactly one batch " +
