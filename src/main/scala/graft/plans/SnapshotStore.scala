@@ -136,23 +136,75 @@ object SnapshotStore {
       }
   }
 
+  /** The ONE primitive the commit protocol demands of storage:
+    * put-if-absent of a fully-written record under a name — publish
+    * succeeds iff the name did not exist, and a record is never
+    * visible partially written. Everything else in the protocol
+    * (optimistic retry, tag dedup, compaction conflict detection) is
+    * layered on this seam, so porting the table format to an object
+    * store means implementing exactly this trait over the store's
+    * conditional put (S3 `If-None-Match: *`, GCS
+    * `ifGenerationMatch=0`, ABFS ETag preconditions) — the commit
+    * arithmetic above it does not change.
+    */
+  trait CommitPublisher {
+    /** Atomically create `dir/name` with `json` iff absent; false =
+      * the name exists (the slot race was lost).
+      */
+    def putIfAbsent(dir: Path, name: String, json: String): Boolean
+  }
+
+  /** POSIX publisher: write the record to a temp file, then hard-link
+    * it to the final name — link(2) is atomic AND exclusive, and the
+    * record is complete before it becomes visible. The default for
+    * local/NFS-free filesystems.
+    */
+  object HardLinkPublisher extends CommitPublisher {
+    def putIfAbsent(dir: Path, name: String, json: String): Boolean = {
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, json)
+      try { Files.createLink(dir.resolve(name), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp); () }
+    }
+  }
+
+  /** Conditional-put publisher in the OBJECT-STORE shape: one
+    * create-exclusive write of the complete record — the local-FS
+    * analog of a conditional PUT, which on a real object store is
+    * content-atomic by construction (an object never exists half
+    * uploaded). On a local FS the creation is exclusive
+    * (CREATE_NEW) while content atomicity rests on the single
+    * small write; production local tables therefore default to
+    * [[HardLinkPublisher]], and this impl exists to pin the protocol
+    * against the conditional-put contract an object-store binding
+    * must honor (SnapshotStoreSpec runs the protocol suite over both).
+    */
+  object CreateNewPublisher extends CommitPublisher {
+    def putIfAbsent(dir: Path, name: String, json: String): Boolean =
+      try {
+        Files.write(dir.resolve(name),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+  }
+
   /** Atomic exclusive publish of version `v`; false = lost the race. */
-  private def publish(root: String, v: Int, json: String): Boolean = {
+  private def publish(root: String, v: Int, json: String,
+      publisher: CommitPublisher): Boolean = {
     val dir = commitsDir(root)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    try { Files.createLink(dir.resolve(f"$v%08d.json"), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp); () }
+    publisher.putIfAbsent(dir, f"$v%08d.json", json)
   }
 
   /** Write `df` as a new immutable data group, return its name. A
-    * `_stats.json` sidecar records per-numeric-column [min, max] for
-    * group-level pruning ([[readWhere]]) — the underscore prefix keeps
-    * it invisible to the parquet reader, and sitting INSIDE the group
-    * it shares the group's immutability and vacuum lifetime. One small
-    * aggregation per commit buys scan skipping for every future read.
+    * `_stats.json` sidecar records per-FILE per-numeric-column
+    * [min, max] plus the group's file manifest for file-level pruning
+    * ([[readWhere]]) — the underscore prefix keeps it invisible to the
+    * parquet reader, and sitting INSIDE the group it shares the
+    * group's immutability and vacuum lifetime. One small aggregation
+    * per commit buys scan skipping for every future read.
     */
   private def writeGroup(df: DataFrame, root: String): String = {
     import org.apache.spark.sql.functions.{col, min, max}
@@ -166,27 +218,45 @@ object SnapshotStore {
     // the group back also costs footer-only column scans instead of a
     // second full lineage execution (halves compact()'s read work).
     val written = df.sparkSession.read.parquet(s"$root/$group")
-    statColumns(written.schema) match {
-      case Seq() => ()
-      case cols =>
+    val cols = statColumns(written.schema)
+    import org.apache.spark.sql.functions.input_file_name
+    // ONE aggregation keyed by file: the sidecar records PER-FILE
+    // [min, max] (not per-group), so pruning keeps working after
+    // compaction folds many groups into one — a clustered rewrite's
+    // files carry disjoint ranges and a point read touches ~1 file.
+    // The file list doubles as the group's MANIFEST: [[readWhere]]
+    // addresses kept files directly from it and never lists the data
+    // directory (the object-store consistency rule the commit log
+    // already enforces for groups, extended to files).
+    val rows =
+      if (cols.isEmpty)
+        written.select(input_file_name().as("_f")).distinct().collect()
+      else {
         val aggs = cols.flatMap { case (c, integral) =>
           val t = if (integral) "long" else "double"
           Seq(min(col(c)).cast(t), max(col(c)).cast(t))
         }
-        val row = written.agg(aggs.head, aggs.tail: _*).head()
-        val entries = cols.zipWithIndex.flatMap { case ((c, integral), i) =>
-          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-          else {
-            val (lo, hi) =
-              if (integral)
-                (widenLo(row.getLong(2 * i)), widenHi(row.getLong(2 * i + 1)))
-              else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-            Some(s""""$c":[${statNum(lo)},${statNum(hi)}]""")
-          }
+        written.groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+      }
+    def fileNameOf(uri: String): String = uri.drop(uri.lastIndexOf('/') + 1)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = rows.map(r => fileNameOf(r.getString(0))).sorted
+    entries += s""""_files":[${files.map("\"" + _ + "\"").mkString(",")}]"""
+    rows.foreach { r =>
+      val f = fileNameOf(r.getString(0))
+      cols.zipWithIndex.foreach { case ((c, integral), i) =>
+        if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i)) {
+          val (lo, hi) =
+            if (integral)
+              (widenLo(r.getLong(1 + 2 * i)), widenHi(r.getLong(2 + 2 * i)))
+            else (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+          entries += s""""$f|$c":[${statNum(lo)},${statNum(hi)}]"""
         }
-        Files.writeString(Paths.get(root, group, "_stats.json"),
-          entries.mkString("{", ",", "}"))
+      }
     }
+    Files.writeString(Paths.get(root, group, "_stats.json"),
+      entries.mkString("{", ",", "}"))
     group
   }
 
@@ -221,33 +291,48 @@ object SnapshotStore {
     if (math.abs(v) <= ExactLongBound) v.toDouble
     else Math.nextUp(v.toDouble)
 
-  /** [min, max] of `column` in `group` per its stats sidecar; None =
-    * no sidecar / column absent / all-null (reader must keep the
-    * group — stats only ever EXCLUDE).
+  /** A group's parsed stats sidecar: (file manifest when the sidecar
+    * is the per-file format, ranges keyed `file|col` — or legacy bare
+    * `col` for group-granular sidecars). Missing sidecar / column /
+    * all-null file ⇒ no entry, and the reader must KEEP the file
+    * (stats only ever EXCLUDE).
     */
-  private def groupRange(
-      root: String, group: String, column: String): Option[(Double, Double)] = {
+  private def readSidecar(root: String, group: String)
+      : (Option[Seq[String]], Map[String, (Double, Double)]) = {
     val p = Paths.get(root, group, "_stats.json")
-    if (!Files.exists(p)) None
+    if (!Files.exists(p)) (None, Map.empty)
     else {
       val s = Files.readString(p)
-      val i = s.indexOf("\"" + column + "\":[")
-      if (i < 0) None
-      else {
-        val body = s.drop(i + column.length + 4).takeWhile(_ != ']')
-        val parts = body.split(",")
-        scala.util.Try((parts(0).toDouble, parts(1).toDouble)).toOption
+      val manifest = {
+        val i = s.indexOf("\"_files\":[")
+        if (i < 0) None
+        else Some(s.drop(i + 10).takeWhile(_ != ']').split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty))
       }
+      val re = "\"([^\"]+)\":\\[([^\\]]*)\\]".r
+      val ranges = re.findAllMatchIn(s).flatMap { m =>
+        if (m.group(1) == "_files") None
+        else {
+          val parts = m.group(2).split(",")
+          scala.util.Try(
+            (m.group(1), (parts(0).toDouble, parts(1).toDouble))).toOption
+        }
+      }.toMap
+      (manifest, ranges)
     }
   }
 
-  /** Snapshot read with GROUP-LEVEL pruning on a numeric range
-    * predicate — the file-skipping half of a table format: groups
-    * whose [min, max] sidecar cannot intersect [lo, hi] are never
-    * listed in the scan, so a time-partitioned or key-clustered ingest
-    * pays only for the groups that can match. The predicate is ALSO
-    * applied as an ordinary filter (pruning is an optimization, never
-    * the correctness boundary — groups without stats always scan).
+  /** Snapshot read with FILE-LEVEL pruning on a numeric range
+    * predicate — the file-skipping half of a table format: data files
+    * whose [min, max] sidecar range cannot intersect [lo, hi] are
+    * never listed in the scan, so a time-partitioned, key-clustered,
+    * or clustered-compacted table pays only for the files that can
+    * match. Kept files are addressed through the sidecar MANIFEST
+    * (no data-directory listing); a group with a legacy group-granular
+    * or missing sidecar scans whole. The predicate is ALSO applied as
+    * an ordinary filter (pruning is an optimization, never the
+    * correctness boundary — files without stats always scan).
     */
   def readWhere(spark: SparkSession, root: String, column: String,
       lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
@@ -256,19 +341,33 @@ object SnapshotStore {
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
     requirePresent(root, groups)
-    val kept = groups.filter(g => groupRange(root, g, column)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val scanPaths = groups.flatMap { g =>
+      val (manifest, ranges) = readSidecar(root, g)
+      manifest match {
+        case Some(files) =>
+          files.filter { f =>
+            ranges.get(s"$f|$column")
+              .forall { case (mn, mx) => mx >= lo && mn <= hi }
+          }.map(f => s"$root/$g/$f")
+        case None =>
+          val keep = ranges.get(column)
+            .forall { case (mn, mx) => mx >= lo && mn <= hi }
+          if (keep) Seq(s"$root/$g") else Nil
+      }
+    }
     val base =
-      if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(g => s"$root/$g"): _*)
+      if (scanPaths.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(scanPaths: _*)
       else spark.read.option("mergeSchema", "true")
         .parquet(s"$root/${groups.head}")
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
   private def commitLoop(root: String, action: String,
-      adds: Seq[String], tag: String = ""): Int =
-    commitLoopDedup(root, action, adds, tag, dedupOnTag = false).get
+      adds: Seq[String], publisher: CommitPublisher,
+      tag: String = ""): Int =
+    commitLoopDedup(root, action, adds, tag, dedupOnTag = false,
+      publisher).get
 
   /** The CAS retry loop. With `dedupOnTag` the tag is re-checked
     * against the FRESHLY READ log inside every iteration — atomic with
@@ -281,14 +380,16 @@ object SnapshotStore {
     * the contract a failover zombie violates.
     */
   private def commitLoopDedup(root: String, action: String,
-      adds: Seq[String], tag: String, dedupOnTag: Boolean): Option[Int] = {
+      adds: Seq[String], tag: String, dedupOnTag: Boolean,
+      publisher: CommitPublisher): Option[Int] = {
     while (true) {
       val commits = log(root)
       if (dedupOnTag && commits.exists(_.tag == tag)) return None
       val v = commits.lastOption.map(_.version + 1).getOrElse(0)
       val removes =
         if (action == "overwrite") liveGroups(commits, None) else Nil
-      if (publish(root, v, render(Commit(v, action, adds, removes, tag))))
+      if (publish(root, v, render(Commit(v, action, adds, removes, tag)),
+          publisher))
         return Some(v)
       // on a lost race the data group is already safely invisible-
       // or-added; only the log position moves — re-read and retry
@@ -332,14 +433,16 @@ object SnapshotStore {
     }
 
   /** Append `df` as a new commit; returns the committed version. */
-  def append(df: DataFrame, root: String): Int = {
+  def append(df: DataFrame, root: String,
+      publisher: CommitPublisher = HardLinkPublisher): Int = {
     checkAppendSchema(df, root)
-    commitLoop(root, "append", Seq(writeGroup(df, root)))
+    commitLoop(root, "append", Seq(writeGroup(df, root)), publisher)
   }
 
   /** Replace the table contents with `df`; returns the version. */
-  def overwrite(df: DataFrame, root: String): Int =
-    commitLoop(root, "overwrite", Seq(writeGroup(df, root)))
+  def overwrite(df: DataFrame, root: String,
+      publisher: CommitPublisher = HardLinkPublisher): Int =
+    commitLoop(root, "overwrite", Seq(writeGroup(df, root)), publisher)
 
   /** Append with the batch range-partitioned on `clusterCol` into
     * `nGroups` SEPARATE data groups in one commit — the write-side
@@ -352,11 +455,12 @@ object SnapshotStore {
     * the commit. One commit record — atomicity is unchanged.
     */
   def appendClustered(df: DataFrame, root: String, clusterCol: String,
-      nGroups: Int): Int = {
+      nGroups: Int,
+      publisher: CommitPublisher = HardLinkPublisher): Int = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     // an empty batch has nothing to cluster — the plain append path
     // handles it (and max() over zero rows would NPE below)
-    if (df.isEmpty) return append(df, root)
+    if (df.isEmpty) return append(df, root, publisher)
     checkAppendSchema(df, root)
     // collision-proof helper column: silently replacing a user column
     // named like it would drop real data past the schema check
@@ -370,7 +474,7 @@ object SnapshotStore {
       writeGroup(parted.filter(col(grp) === g).drop(grp), root)
     }
     parted.unpersist()
-    commitLoop(root, "append", groups)
+    commitLoop(root, "append", groups, publisher)
   }
 
   /** Idempotent tagged append — the exactly-once sink primitive for
@@ -382,7 +486,8 @@ object SnapshotStore {
     * the streaming contract (one query owns the checkpoint); the
     * version-slot CAS still serializes cross-writer commits.
     */
-  def appendOnce(df: DataFrame, root: String, tag: String): Option[Int] = {
+  def appendOnce(df: DataFrame, root: String, tag: String,
+      publisher: CommitPublisher = HardLinkPublisher): Option[Int] = {
     // the tag is interpolated into the hand-rolled commit JSON: a
     // quote/comma/bracket would corrupt the record and break the
     // exactly-once dedup (a mangled tag never matches its replay), so
@@ -397,7 +502,7 @@ object SnapshotStore {
     else {
       checkAppendSchema(df, root)
       commitLoopDedup(root, "append", Seq(writeGroup(df, root)), tag,
-        dedupOnTag = true)
+        dedupOnTag = true, publisher)
     }
   }
 
@@ -446,17 +551,30 @@ object SnapshotStore {
     * long append histories: read cost tracks group count, compaction
     * resets it to 1.
     */
-  def compact(spark: SparkSession, root: String): Int = {
+  def compact(spark: SparkSession, root: String,
+      publisher: CommitPublisher = HardLinkPublisher,
+      clusterCol: String = null, nFiles: Int = 0): Int = {
     var committed = -1
     while (committed < 0) {
       val commits = log(root)
       val v = commits.lastOption.map(_.version)
         .getOrElse(throw new IllegalArgumentException(
           s"nothing to compact in $root"))
-      val group = writeGroup(read(spark, root, Some(v)), root)
+      // clustered compaction: range-partition the rewrite so the ONE
+      // resulting group's FILES carry disjoint [min,max] sidecar
+      // ranges — per-file pruning then survives compaction (an
+      // unclustered rewrite gives every file the full range and a
+      // compacted table would prune nothing)
+      val content = read(spark, root, Some(v))
+      val rewrite =
+        if (clusterCol == null) content
+        else content.repartitionByRange(math.max(nFiles, 1),
+          org.apache.spark.sql.functions.col(clusterCol))
+      val group = writeGroup(rewrite, root)
       val removes = liveGroups(commits, Some(v))
       if (publish(root, v + 1,
-          render(Commit(v + 1, "overwrite", Seq(group), removes))))
+          render(Commit(v + 1, "overwrite", Seq(group), removes)),
+          publisher))
         committed = v + 1
     }
     committed

@@ -208,8 +208,8 @@ class SnapshotStoreSpec extends AnyFunSuite {
     SnapshotStore.append(df(100, 101), root)
     val pruned = SnapshotStore.readWhere(spark, root, "id", 10.0, 20.0)
     assert(idSet(pruned) === Set(10L, 11L))
-    // the scan must list exactly ONE group directory — the other two
-    // are excluded by their [min,max] sidecars before planning
+    // the scan must address files of exactly ONE group — the other two
+    // are excluded by their per-file [min,max] sidecars before planning
     val leaves = pruned.queryExecution.optimizedPlan.collectLeaves()
       .collect {
         case l: LogicalRelation => l.relation match {
@@ -217,8 +217,12 @@ class SnapshotStoreSpec extends AnyFunSuite {
           case _ => Seq.empty
         }
       }.flatten
-    assert(leaves.size === 1,
-      s"expected a single pruned group, scanned:\n${leaves.mkString("\n")}")
+    assert(leaves.nonEmpty)
+    val groupsScanned = leaves
+      .map(p => p.split("/data/").last.split("/").head).distinct
+    assert(groupsScanned.size === 1,
+      s"expected files of a single pruned group, scanned:\n" +
+        leaves.mkString("\n"))
     // equality with the unpruned read under the same predicate
     assert(idSet(SnapshotStore.read(spark, root)
       .where(org.apache.spark.sql.functions.col("id").between(10, 20)))
@@ -248,6 +252,54 @@ class SnapshotStoreSpec extends AnyFunSuite {
       (1, all._1, all._2),
       (2, aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._1,
         aggOf(c.filter(col("c_mktsegment") === "BUILDING"))._2)))
+  }
+
+  test("clustered compaction keeps FILE-level pruning: one group, " +
+    "disjoint per-file ranges, a point read touches a strict subset") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = freshRoot()
+    SnapshotStore.append(df(1L to 40L: _*), root)
+    SnapshotStore.append(df(41L to 80L: _*), root)
+    SnapshotStore.compact(spark, root, clusterCol = "id", nFiles = 4)
+    // one live group now; the range read must scan FEWER files than
+    // the group holds (group-granular stats would scan all of them)
+    val pruned = SnapshotStore.readWhere(spark, root, "id", 5.0, 15.0)
+    assert(idSet(pruned) === (5L to 15L).toSet)
+    val scanned = pruned.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    val groupDir = Paths.get(root, "data").toFile.listFiles()
+      .filter(_.isDirectory).head
+    val totalFiles = groupDir.listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(totalFiles >= 3, s"compaction should write several files")
+    assert(scanned.size < totalFiles,
+      s"expected a strict file subset: ${scanned.size} of $totalFiles")
+    // protocol equality: pruned == unpruned filter
+    assert(idSet(SnapshotStore.read(spark, root)
+      .where(col("id").between(5, 15))) === idSet(pruned))
+  }
+
+  test("the commit protocol holds under both publishers " +
+    "(hard-link and conditional-put): CAS, tag dedup, compaction") {
+    for (pub <- Seq(SnapshotStore.HardLinkPublisher,
+        SnapshotStore.CreateNewPublisher)) {
+      val root = freshRoot()
+      assert(SnapshotStore.append(df(1, 2), root, pub) === 0)
+      assert(SnapshotStore.appendOnce(df(3), root, "b1", pub) === Some(1))
+      assert(SnapshotStore.appendOnce(df(99), root, "b1", pub) === None)
+      assert(SnapshotStore.overwrite(df(9), root, pub) === 2)
+      assert(SnapshotStore.append(df(10), root, pub) === 3)
+      assert(SnapshotStore.compact(spark, root, pub) === 4)
+      assert(idSet(SnapshotStore.read(spark, root)) === Set(9L, 10L))
+      assert(idSet(SnapshotStore.read(spark, root, Some(1))) ===
+        Set(1L, 2L, 3L))
+      assert(SnapshotStore.history(root).map(_._1) === (0 to 4))
+    }
   }
 
   test("add-column evolution: appends may add columns (old groups " +
@@ -330,11 +382,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val groupDir = Files.list(Paths.get(root, "data")).iterator()
       .next()
     val stats = Files.readString(groupDir.resolve("_stats.json"))
-    val bounds = stats.drop(stats.indexOf("\"id\":[") + 6)
-      .takeWhile(_ != ']').split(",").map(_.trim.toDouble)
-    assert(BigDecimal(bounds(0)) <= BigDecimal(lo),
-      s"sidecar min ${bounds(0)} rounded past true min $lo")
-    assert(BigDecimal(bounds(1)) >= BigDecimal(hi),
-      s"sidecar max ${bounds(1)} rounded past true max $hi")
+    // per-file format: collect every file's [min,max] entry for id
+    val entries = "\\|id\":\\[([^\\]]*)\\]".r
+      .findAllMatchIn(stats)
+      .map(_.group(1).split(",").map(_.trim.toDouble)).toSeq
+    assert(entries.nonEmpty, s"no id stats in sidecar: $stats")
+    val mn = entries.map(_(0)).min
+    val mx = entries.map(_(1)).max
+    assert(BigDecimal(mn) <= BigDecimal(lo),
+      s"sidecar min $mn rounded past true min $lo")
+    assert(BigDecimal(mx) >= BigDecimal(hi),
+      s"sidecar max $mx rounded past true max $hi")
   }
 }
