@@ -70,7 +70,17 @@ object Bm25IndexStore {
   }
 
   /** Build the index from `docs` and save postings + df + stats under
-    * `path`, registered as external tables.
+    * `path`, registered as external tables. Postings carry `rnk_w` —
+    * the IMPACT RANK within the term (1 = highest BM25 weight, doc_id
+    * tie-break), the index-side half of [[wandSearch]]'s MaxScore
+    * pruning: rank-prefix scans read the top of every list with a
+    * pushed `rnk_w <= P` predicate (files are sorted by (tkey, rnk_w),
+    * so parquet row-group stats skip the tails), and the P-th impact
+    * per term upper-bounds every doc outside the prefix. The ranking
+    * window sorts each term's postings inside its term partition —
+    * at extreme scale the df cap / stopword-pruning discipline used
+    * elsewhere in the repo bounds the worst list; the fixture corpora
+    * sort in-task.
     */
   def build(docs: DataFrame, table: String, path: String, buckets: Int,
       k1: Double = 1.2, b: Double = 0.75): Unit = {
@@ -100,7 +110,10 @@ object Bm25IndexStore {
       .format("parquet").saveAsTable(statsTable(table))
     weigh(tf, spark.table(dfTable(table)),
         spark.table(statsTable(table)), k1, b)
-      .write.bucketBy(buckets, "tkey").sortBy("tkey")
+      .withColumn("rnk_w", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tkey")
+          .orderBy(col("w").desc, col("doc_id"))))
+      .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .option("path", s"$vdir/postings").mode("overwrite")
       .format("parquet").saveAsTable(table)
     tf.unpersist()
@@ -138,7 +151,14 @@ object Bm25IndexStore {
 
   /** Fold a new document batch in under the FROZEN stats: weight ONLY
     * the batch (one tokenize pass over the batch), append per-bucket
-    * files — existing postings are untouched.
+    * files — existing postings are untouched. Extended rows carry
+    * `rnk_w = 0`: merging true impact ranks would rewrite existing
+    * buckets, so instead rank 0 puts every extended posting INSIDE the
+    * [[wandSearch]] prefix — extended docs are always exact-scored
+    * candidates and the per-term caps (computed over ranks 1..P only)
+    * stay sound, at the cost of the candidate set growing with the
+    * extension volume. Periodic rebuild (the family's standing
+    * staleness contract) restores tight ranks.
     */
   def extend(batch: DataFrame, table: String, buckets: Int,
       k1: Double = 1.2, b: Double = 0.75): Unit = {
@@ -149,9 +169,291 @@ object Bm25IndexStore {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     weigh(tf, spark.table(dfTable(table)),
         spark.table(statsTable(table)), k1, b)
+      .withColumn("rnk_w", lit(0))
       .localCheckpoint(true)
-      .write.bucketBy(buckets, "tkey").sortBy("tkey")
+      .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .mode("append").format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Exact score of every candidate (query_id, doc_id) pair — the
+    * SAME per-pair arithmetic as [[search]] (sum of the pair's shared
+    * postings weights, 4dp-rounded), restricted to candidates by a
+    * broadcast hash join on the COMPOSITE (tkey, doc_id) key: the
+    * probe side is candidates × their query's terms, so a posting row
+    * emits only when its (term, doc) is one a candidate pair actually
+    * needs. Joining postings to query TERMS first and pair-filtering
+    * after would re-emit the full Σ-postings volume (a stopword term
+    * shared by hundreds of batch queries multiplies its whole list)
+    * — the measured difference between WAND serving winning and
+    * tying. Broadcast state is candidates × terms-per-query —
+    * [[wandSearch]] keeps it bounded by routing dense queries to the
+    * naive kernel and hash-chunking what remains under
+    * [[BroadcastRows]].
+    */
+  private def scoreCandidates(
+      post: DataFrame, q: DataFrame, cand: DataFrame): DataFrame =
+    post
+      .join(broadcast(cand.join(q, "query_id")), Seq("tkey", "doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("w"), 4).as("score"))
+
+  /** One 4dp rounding quantum: candidate thresholds step down by this
+    * so a doc whose RAW score sits just under θ but ROUNDS to θ is
+    * still captured — rounding can then never flip a miss into a
+    * should-have-been tie.
+    */
+  private val RoundEps = 1e-4
+
+  /** Hard row budget for ONE scoring-broadcast chunk (candidate pairs
+    * × their query's terms; tens of bytes per hashed-relation row, so
+    * 4M rows is a couple hundred MB of executor state — far under the
+    * default broadcast and driver-result limits the unchunked form
+    * was measured to blow through on dense corpora).
+    */
+  private[plans] val BroadcastRows = 4000000L
+
+  /** Top-`topN` BM25 matches served with MaxScore-style impact-ordered
+    * pruning — identical output to [[search]] (same scores, same
+    * tie-breaks; spec-pinned and same DuckDB oracle), at a fraction of
+    * its join volume on dense-overlap corpora. [[search]] pays
+    * Σ df(query terms) join rows — the measured 570M-row / 74.8 s 10×
+    * worst case; this serve touches:
+    *
+    *   1. PREFIX: the top-`prefixP` impacts of each query term
+    *      (`rnk_w <= P` pushed to the scan, file-sorted by (tkey,
+    *      rnk_w)) seed candidate docs; the top-4k docs per query by
+    *      partial prefix score are EXACT-scored (a queries×4k-pair
+    *      scan) and the k-th exact seed score is the LOWER BOUND θ on
+    *      the final k-th score.
+    *   2. TAIL: a doc outside every prefix has, for each of its query
+    *      terms, weight ≤ that term's P-th impact (`capw`); its score
+    *      is therefore < θ unless some single term carries
+    *      w ≥ θ − ε − (Σ capw − capw_t) — the MaxScore bound. Only
+    *      tail rows clearing that per-term cutoff (and only for terms
+    *      whose cutoff ≤ capw — others cannot produce one) join at
+    *      all; their docs are exact-scored with the prefix candidates
+    *      and the true top-k falls out.
+    *   3. ROUTE: each query is PRICED before any tail work — naive
+    *      cost Σ df(all its terms) vs WAND cost (surviving terms'
+    *      Σ df + its prefix pairs). Queries where pruning does not at
+    *      least halve the volume (dense-overlap corpora where caps
+    *      swamp θ; 60-term doc-as-query batches; θ = −∞ exhaustive
+    *      queries) are served by [[search]]'s bucketed-join kernel
+    *      instead — the optimal plan in that regime, so WAND
+    *      degenerates to a tie by construction, never a blowup. The
+    *      scoring broadcast for the routed remainder is hash-chunked
+    *      under [[BroadcastRows]], so driver/executor state stays
+    *      bounded even if the Σ df pricing underestimates.
+    *
+    * Proof shape for the skipped docs: with m = |q ∩ d| terms all
+    * below cutoff, score < m·(θ−ε−C) + Σ_{t∈q∩d} capw ≤ θ−ε when
+    * θ−ε ≤ C (m ≥ 1 and each capw ≥ 0), and ≤ C < θ−ε otherwise —
+    * strictly under the k-th best either way, so no tie-break can
+    * resurrect them. Extended (rank-0) postings always enter the
+    * prefix, so extension keeps exactness (see [[extend]]).
+    */
+  def wandSearch(spark: SparkSession, table: String, queryDocs: DataFrame,
+      topN: Int, prefixP: Int = 64,
+      broadcastRows: Long = BroadcastRows): DataFrame = {
+    import graft.functions.TopKAgg
+    val post = spark.table(table)
+    val q = queryDocs
+      .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
+      .select(col("query_id"), explode(col("toks")).as("term"))
+      .distinct()
+      .select(col("query_id"), xxhash64(col("term")).as("tkey"))
+      .localCheckpoint(true)
+    // every intermediate below is QUERY-BATCH-sized; each is
+    // checkpointed so the postings table is scanned exactly three
+    // times (prefix, tail, final scoring) instead of once per
+    // broadcast subplan that references it
+    // PRE-ROUTE on the df table alone (no postings scan): even in a
+    // query's optimistic best case — every prefix slot a distinct
+    // candidate, zero tail rows — its WAND volume is Σ min(P, df)
+    // candidates × (1 + nt) scoring rows; a query that already fails
+    // the 2× bar there can never WAND-serve, so it skips the entire
+    // θ/cap/cutoff pipeline. On dense-overlap corpora NO query is
+    // eligible and WAND's whole overhead collapses to this one
+    // df-table aggregation in front of the naive kernel (measured:
+    // the replica-corpus tie previously paid a full prefix scan +
+    // exact-θ pass for a routing answer this bound already knew).
+    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
+    val qdf = q.join(dfT, "tkey").localCheckpoint(true)
+    val eligible = qdf.groupBy("query_id")
+      .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
+        sum("df").as("estn0"), count(lit(1)).as("nt0"))
+      .filter(col("estpre") * (lit(1L) + col("nt0")) * 2 < col("estn0"))
+      .select("query_id")
+      .localCheckpoint(true)
+    val qE = q.join(broadcast(eligible), Seq("query_id"), "left_semi")
+    val prefix = post.filter(col("rnk_w") <= prefixP)
+      .join(broadcast(qE), "tkey")
+      .localCheckpoint(true)
+    // θ comes from PARTIAL prefix scores, not a full scoring pass: the
+    // sum of a pair's prefix contributions lower-bounds its true score,
+    // so the k-th best partial is a valid (slightly looser) threshold —
+    // and deriving it costs only the prefix rows already scanned,
+    // where an exact-θ pass would re-touch every candidate posting
+    val pairScores = prefix
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("w").as("pscore"))
+    val candA = pairScores.select("query_id", "doc_id")
+    // θ is the topN-th EXACT score of a small SEED set — the top
+    // 4·topN docs per query by partial prefix score, fully scored
+    // (queries × 4·topN pairs, one cheap candidate-bounded scan).
+    // A partial-score θ underestimates by every contribution outside
+    // the prefix, and on flat-impact lists that gap is exactly what
+    // lets whole common-term tails slip under the cutoff (measured:
+    // 11M candidate pairs with partial θ vs prefix-only with exact-
+    // seed θ on the zipf probe). Exact seed scores are still a LOWER
+    // bound on the true topN-th — seeds are real docs.
+    val seeds = pairScores.groupBy("query_id")
+      .agg(TopKAgg.topK(4 * topN, col("pscore"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x._2)")).as("doc_id"))
+    val theta = scoreCandidates(post, q, seeds).groupBy("query_id")
+      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        when(size(col("top")) >= topN,
+          element_at(col("top"), topN).getField("_1"))
+          .otherwise(lit(Double.MinValue)).as("theta"))
+      .localCheckpoint(true)
+    // per-(query, term) cap: the P-th ORIGINAL impact — computed over
+    // ranks 1..P only (rank-0 extended rows are always candidates and
+    // must not deflate the cap), WITHOUT the self-match filter (a
+    // query's own doc occupies a prefix slot like any other)
+    val caps = prefix.filter(col("rnk_w") >= 1)
+      .groupBy("query_id", "tkey")
+      .agg(count(lit(1)).as("cnt"), min("w").as("minw"))
+      .select(col("query_id"), col("tkey"),
+        when(col("cnt") >= prefixP, col("minw"))
+          .otherwise(lit(0.0)).as("capw"))
+    val totals = caps.groupBy("query_id")
+      .agg(sum("capw").as("cap_total"))
+    val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
+      .select(col("query_id"), col("tkey"),
+        (col("theta") - lit(RoundEps) - col("cap_total") + col("capw"))
+          .as("cut"), col("capw"))
+      // a term whose cutoff exceeds its cap cannot yield a tail row
+      // (tail weights are ≤ capw) — dropping it here keeps the join
+      // from emitting rows it would only filter
+      .filter(col("cut") <= col("capw"))
+      .select("query_id", "tkey", "cut")
+    // SECOND sound tail rule — the classic MaxScore essential split:
+    // order a query's terms by ascending cap and mark the maximal
+    // low-cap suffix whose cap sum stays under θ as NON-ESSENTIAL; a
+    // doc outside the prefix with no essential-term posting scores at
+    // most that sum < θ. Candidates under this rule are ALL tail rows
+    // of essential terms (no weight cutoff — a sub-cutoff essential
+    // row can still combine with others past θ, which is exactly
+    // where per-term cutoffs are unsound to stack). The rules prune
+    // complementary shapes: cutoffs win when θ clears the whole cap
+    // sum (selective queries — tails drop entirely); the essential
+    // split wins when a few high-cap terms carry θ and the huge
+    // low-impact lists become non-essential. Each query serves under
+    // whichever rule prices fewer candidates by Σ df.
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("capw").asc, col("tkey"))
+    val essential = caps.join(theta, "query_id")
+      .withColumn("cum", sum("capw").over(wAsc))
+      .filter(col("cum") >= col("theta") - lit(RoundEps))
+      .select("query_id", "tkey")
+    // price every plan in the same unit — Σ df = the postings rows its
+    // joins emit; qdf (batch-sized, one df scan) came from the
+    // pre-route. Only ELIGIBLE queries are priced — the rest already
+    // routed naive without touching the postings.
+    val estN = qdf.join(broadcast(eligible), Seq("query_id"), "left_semi")
+      .groupBy("query_id").agg(sum("df").as("estn"))
+    val est1 = cutoffs.join(qdf, Seq("query_id", "tkey"))
+      .groupBy("query_id").agg(sum("df").as("est1"))
+    val est2 = essential.join(qdf, Seq("query_id", "tkey"))
+      .groupBy("query_id").agg(sum("df").as("est2"))
+    val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
+    val qCnt = q.groupBy("query_id").agg(count(lit(1)).as("nt"))
+    // ROUTE (scaladoc step 3): tail rule by price, then WAND only when
+    // the FULL pruned volume at least halves the naive one. The pruned
+    // volume is est (tail rows emitted) PLUS the exact-scoring
+    // broadcast, ≤ (est + npref) candidates × nt terms — the nt factor
+    // is what a Σ-df-only price missed, measured as 25+ CONCURRENT
+    // 4M-row chunk broadcasts OOMing the driver on the dense replica
+    // corpus (candidates ≈ queries × docs there; the bucketed join is
+    // both cheaper AND bounded, so that regime must route naive).
+    val routes = estN
+      .join(est1, Seq("query_id"), "left")
+      .join(est2, Seq("query_id"), "left")
+      .join(nPref, Seq("query_id"), "left")
+      .join(qCnt, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("est2"), lit(0L)) <
+          coalesce(col("est1"), lit(0L))).as("use_ess"),
+        ((least(coalesce(col("est1"), lit(0L)),
+            coalesce(col("est2"), lit(0L)))
+          + coalesce(col("npref"), lit(0L)))
+          * (lit(1L) + coalesce(col("nt"), lit(0L))) * 2 < col("estn"))
+          .as("use_wand"))
+      .localCheckpoint(true)
+    val chosen = cutoffs.join(routes, "query_id")
+      .filter(col("use_wand") && !col("use_ess"))
+      .select("query_id", "tkey", "cut")
+      .unionByName(essential.join(routes, "query_id")
+        .filter(col("use_wand") && col("use_ess"))
+        .select(col("query_id"), col("tkey"),
+          lit(Double.MinValue).as("cut")))
+      .localCheckpoint(true)
+    val candB = post.filter(col("rnk_w") > prefixP)
+      .join(broadcast(chosen), "tkey")
+      .filter(col("w") >= col("cut") && col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id")
+    val wandIds = routes.filter(col("use_wand")).select("query_id")
+    val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
+      .unionByName(candB).distinct().localCheckpoint(true)
+    // chunk the scoring broadcast under the hard budget; the selective
+    // regime this path serves fits one chunk, and each extra chunk
+    // costs one more bounded postings scan — bounded state over scan
+    // count, deliberately. Each chunk reduces to its own per-query
+    // top-k and is EAGERLY materialized: chunks are (query, doc)-hash
+    // disjoint, so any pair a chunk's top-k drops is dominated by k
+    // pairs that survive into the union and the global top-k is exact
+    // — and the materialization forces chunks to execute one at a
+    // time, so exactly ONE chunk broadcast is live at any moment
+    // (a lazy union holds every chunk's broadcast simultaneously,
+    // which is the unbounded state the budget exists to prevent).
+    val bRows = cand.join(broadcast(qCnt), "query_id")
+      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
+    val nChunks =
+      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
+    val wandScores = (0 until nChunks).map { i =>
+      val part = scoreCandidates(post, q,
+        if (nChunks == 1) cand
+        else cand.filter(pmod(
+          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
+        .groupBy("query_id")
+        .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("r"))
+        .select(col("query_id"), col("r._2").as("doc_id"),
+          col("r._1").as("score"))
+      if (nChunks == 1) part else part.localCheckpoint(true)
+    }.reduce(_ unionByName _)
+    // naive-routed queries — everything NOT wand-routed (pre-route
+    // ineligible + priced-out), i.e. exactly [[search]]'s kernel
+    // restricted to their ids (when the whole batch routes to WAND
+    // the empty broadcast propagates and AQE elides this scan)
+    val naiveQ = q.join(broadcast(wandIds), Seq("query_id"), "left_anti")
+    val naiveScores = post.join(broadcast(naiveQ), "tkey")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("w"), 4).as("score"))
+    wandScores.unionByName(naiveScores)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("row._2").as("neighbor_id"),
+        col("row._1").as("score"))
+      .orderBy("query_id", "rnk")
   }
 }

@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 object TfidfIndexStore {
 
   def normsTable(table: String): String = s"${table}_norms"
+  def dfTable(table: String): String = s"${table}_df"
 
   /** Build the top-`k`-term index from `docs` and save postings + norms
     * under `path`, registered as external tables.
@@ -45,6 +46,7 @@ object TfidfIndexStore {
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${normsTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${dfTable(table)}")
     val next = AggStore.versionPaths(spark, path).lastOption
       .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toInt + 1)
       .getOrElse(0)
@@ -57,8 +59,25 @@ object TfidfIndexStore {
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .write.option("path", s"$vdir/norms").mode("overwrite")
       .format("parquet").saveAsTable(normsTable(table))
-    postings
-      .write.bucketBy(buckets, "tkey").sortBy("tkey")
+    // `wn` is the NORM-SCALED weight w/‖d‖ — the cosine contribution a
+    // posting can make per unit of query weight, i.e. the impact the
+    // [[wandSearch]] bounds must order by (raw w would mis-rank long
+    // documents); `rnk_w` is the impact rank within the term, the same
+    // prefix/cap machinery as [[Bm25IndexStore.build]]. Zero-norm docs
+    // cannot occur in a top-k frame (a doc with any posting has w > 0).
+    // per-term selected-postings count — [[wandSearch]]'s candidate-
+    // volume pricing reads it to choose its tail rule per query
+    postings.groupBy("tkey").agg(count(lit(1)).as("df"))
+      .write.option("path", s"$vdir/df").mode("overwrite")
+      .format("parquet").saveAsTable(dfTable(table))
+    val norms = spark.table(normsTable(table))
+    postings.join(norms, "doc_id")
+      .withColumn("wn", col("w") / col("nrm"))
+      .withColumn("rnk_w", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tkey")
+          .orderBy(col("wn").desc, col("doc_id"))))
+      .select("tkey", "doc_id", "w", "wn", "rnk_w")
+      .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .option("path", s"$vdir/postings").mode("overwrite")
       .format("parquet").saveAsTable(table)
     postings.unpersist()
@@ -91,6 +110,223 @@ object TfidfIndexStore {
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg
         .topK(topN, col("cos4"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("row._2").as("neighbor_id"),
+        col("row._1").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Exact cosine of every candidate pair — [[search]]'s arithmetic
+    * (term-keyed dot, norm division, 4dp rounding) restricted to
+    * candidates via scan-side semi-joins; emitted rows track the
+    * candidate set, not Σ postings.
+    */
+  private def scoreCandidates(
+      post: DataFrame, norms: DataFrame, qpost: DataFrame,
+      qn: DataFrame, cand: DataFrame): DataFrame =
+    post
+      .join(broadcast(cand.join(qpost, "query_id")),
+        Seq("tkey", "doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+      .join(norms, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+
+  private val RoundEps = 1e-4
+
+  /** Top-`topN` cosine matches served with the MaxScore machinery of
+    * [[Bm25IndexStore.wandSearch]], adapted to the normalized vector-
+    * space score: a pair's cosine is Σ_t (wq_t/‖q‖)·(w_t/‖d‖), so the
+    * per-term impact is the saved `wn = w/‖d‖` and each query term's
+    * contribution bound is (wq_t/‖q‖)·capwn_t with capwn the P-th
+    * ranked `wn`. Tail cutoffs are expressed back in `wn` units
+    * (divide by the positive query factor); terms with zero query
+    * weight cannot lift a doc and produce no cutoff. Identical output
+    * to [[search]] — same exact-scoring pipeline on the candidates,
+    * and skipped docs are strictly below the k-th score by the same
+    * m-term bound (spec-pinned; carries the same oracle). Per-query
+    * routing and the chunked scoring broadcast follow
+    * [[Bm25IndexStore.wandSearch]] step 3: a query WAND-serves only
+    * when pruning at least halves its naive Σ df volume, so
+    * dense-overlap batches fall back to [[search]]'s kernel instead
+    * of building an unbounded candidate broadcast.
+    */
+  def wandSearch(spark: SparkSession, table: String, queryIds: DataFrame,
+      topN: Int, prefixP: Int = 64,
+      broadcastRows: Long = Bm25IndexStore.BroadcastRows): DataFrame = {
+    import graft.functions.TopKAgg
+    val post = spark.table(table)
+    val norms = spark.table(normsTable(table))
+    val qn = norms.join(broadcast(queryIds), "doc_id")
+      .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
+    val qpost = post.join(broadcast(queryIds), "doc_id")
+      .select(col("tkey"), col("doc_id").as("query_id"),
+        col("w").as("wq"))
+      .localCheckpoint(true)
+    // batch-sized intermediates are checkpointed — three postings
+    // scans total (prefix, tail, final scoring), not one per
+    // referencing broadcast subplan
+    // df-only PRE-ROUTE ([[Bm25IndexStore.wandSearch]]): a query whose
+    // optimistic-best WAND volume (all-prefix candidates, zero tail)
+    // fails the 2× bar skips the θ/cap pipeline entirely — dense
+    // corpora pay one df aggregation, not a prefix scan + exact-θ pass
+    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
+    val qdf = qpost.select("query_id", "tkey").join(dfT, "tkey")
+      .localCheckpoint(true)
+    val eligible = qdf.groupBy("query_id")
+      .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
+        sum("df").as("estn0"), count(lit(1)).as("nt0"))
+      .filter(col("estpre") * (lit(1L) + col("nt0")) * 2 < col("estn0"))
+      .select("query_id")
+      .localCheckpoint(true)
+    val qpostE = qpost.join(broadcast(eligible), Seq("query_id"), "left_semi")
+    val prefix = post.filter(col("rnk_w") <= prefixP)
+      .join(broadcast(qpostE), "tkey")
+      .localCheckpoint(true)
+    // θ from PARTIAL prefix cosines (prefix dot / true norms): a
+    // lower bound of each pair's full cosine, so the k-th best partial
+    // is a valid threshold at only the prefix rows' cost
+    val pairScores = prefix
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("pdot"))
+      .join(norms, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("pdot") / (col("nq") * col("nrm"))).as("pscore"))
+      .localCheckpoint(true)
+    val candA = pairScores.select("query_id", "doc_id")
+    // θ = topN-th EXACT cosine of the top-4·topN partial seeds per
+    // query (the Bm25IndexStore.wandSearch refinement — a partial θ
+    // lets flat-impact tails under the cutoff)
+    val seeds = pairScores.groupBy("query_id")
+      .agg(TopKAgg.topK(4 * topN, col("pscore"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x._2)")).as("doc_id"))
+    val theta = scoreCandidates(post, norms, qpost, qn, seeds)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        when(size(col("top")) >= topN,
+          element_at(col("top"), topN).getField("_1"))
+          .otherwise(lit(Double.MinValue)).as("theta"))
+      .localCheckpoint(true)
+    // contribution cap per (query, term): (wq/‖q‖) · (P-th wn)
+    val capwn = prefix
+      .groupBy("query_id", "tkey")
+      .agg(count(lit(1)).as("cnt"), min("wn").as("minwn"))
+      .select(col("query_id"), col("tkey"),
+        when(col("cnt") >= prefixP, col("minwn"))
+          .otherwise(lit(0.0)).as("capwn"))
+    val caps = capwn
+      .join(broadcast(qpost), Seq("query_id", "tkey"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("wq") > 0.0)
+      .select(col("query_id"), col("tkey"), col("capwn"),
+        (col("wq") / col("nq")).as("qf"),
+        (col("wq") / col("nq") * col("capwn")).as("capb"))
+    val totals = caps.groupBy("query_id")
+      .agg(sum("capb").as("cap_total"))
+    val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
+      .select(col("query_id"), col("tkey"),
+        ((col("theta") - lit(RoundEps) - col("cap_total") + col("capb"))
+          / col("qf")).as("cut"), col("capwn"))
+      .filter(col("cut") <= col("capwn"))
+      .select("query_id", "tkey", "cut")
+    // the [[Bm25IndexStore.wandSearch]] dual tail rule, on the cosine
+    // contribution caps: per-term cutoffs vs the MaxScore essential
+    // split, per query by priced candidate volume (Σ df)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("capb").asc, col("tkey"))
+    val essential = caps.join(theta, "query_id")
+      .withColumn("cum", sum("capb").over(wAsc))
+      .filter(col("cum") >= col("theta") - lit(RoundEps))
+      .select("query_id", "tkey")
+    // pricing + routing — [[Bm25IndexStore.wandSearch]]'s step 3 in
+    // the same Σ df unit; qdf came from the pre-route, and only
+    // eligible queries are priced
+    val estN = qdf.join(broadcast(eligible), Seq("query_id"), "left_semi")
+      .groupBy("query_id").agg(sum("df").as("estn"))
+    val est1 = cutoffs.join(qdf, Seq("query_id", "tkey"))
+      .groupBy("query_id").agg(sum("df").as("est1"))
+    val est2 = essential.join(qdf, Seq("query_id", "tkey"))
+      .groupBy("query_id").agg(sum("df").as("est2"))
+    val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
+    val qCnt = qpost.groupBy("query_id").agg(count(lit(1)).as("nt"))
+    // the (1 + nt) factor prices the exact-scoring broadcast
+    // (candidates × query terms) alongside the tail rows — see
+    // [[Bm25IndexStore.wandSearch]]'s route comment for the measured
+    // dense-corpus OOM a Σ-df-only price allows
+    val routes = estN
+      .join(est1, Seq("query_id"), "left")
+      .join(est2, Seq("query_id"), "left")
+      .join(nPref, Seq("query_id"), "left")
+      .join(qCnt, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("est2"), lit(0L)) <
+          coalesce(col("est1"), lit(0L))).as("use_ess"),
+        ((least(coalesce(col("est1"), lit(0L)),
+            coalesce(col("est2"), lit(0L)))
+          + coalesce(col("npref"), lit(0L)))
+          * (lit(1L) + coalesce(col("nt"), lit(0L))) * 2 < col("estn"))
+          .as("use_wand"))
+      .localCheckpoint(true)
+    val chosen = cutoffs.join(routes, "query_id")
+      .filter(col("use_wand") && !col("use_ess"))
+      .select("query_id", "tkey", "cut")
+      .unionByName(essential.join(routes, "query_id")
+        .filter(col("use_wand") && col("use_ess"))
+        .select(col("query_id"), col("tkey"),
+          lit(Double.MinValue).as("cut")))
+      .localCheckpoint(true)
+    val candB = post.filter(col("rnk_w") > prefixP)
+      .join(broadcast(chosen), "tkey")
+      .filter(col("wn") >= col("cut") && col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id")
+    val wandIds = routes.filter(col("use_wand")).select("query_id")
+    val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
+      .unionByName(candB).distinct().localCheckpoint(true)
+    // chunked scoring broadcast under Bm25IndexStore's hard budget;
+    // per-chunk top-k + eager materialization keep exactly ONE chunk
+    // broadcast live at a time (chunks are pair-hash disjoint, so
+    // per-chunk top-k feeding the global top-k is exact — see the
+    // bm25 twin's comment)
+    val bRows = cand.join(broadcast(qCnt), "query_id")
+      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
+    val nChunks =
+      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
+    val wandScores = (0 until nChunks).map { i =>
+      val part = scoreCandidates(post, norms, qpost, qn,
+        if (nChunks == 1) cand
+        else cand.filter(pmod(
+          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
+        .groupBy("query_id")
+        .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("r"))
+        .select(col("query_id"), col("r._2").as("doc_id"),
+          col("r._1").as("score"))
+      if (nChunks == 1) part else part.localCheckpoint(true)
+    }.reduce(_ unionByName _)
+    // naive-routed queries — everything NOT wand-routed (pre-route
+    // ineligible + priced-out); AQE elides the scan when the whole
+    // batch WAND-routes
+    val naiveQ = qpost.join(broadcast(wandIds), Seq("query_id"), "left_anti")
+    val naiveScores = post.join(broadcast(naiveQ), "tkey")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+      .join(norms, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+    wandScores.unionByName(naiveScores)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
       .select(
         col("query_id"),

@@ -417,6 +417,62 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(origRank < copyRow._2, "id tie-break keeps the original first")
   }
 
+  test("bm25 wandSearch equals search exactly (impact-ordered pruning " +
+    "loses nothing), at tiny and default prefixes, and after extension") {
+    import graft.plans.Bm25IndexStore
+    val docs = base
+    val (table, path) = freshTable("bm25w")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Bm25IndexStore.build(docs, table, path, buckets = 4)
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val plain = rows(Bm25IndexStore.search(spark, table, queries, 3))
+    assert(plain.nonEmpty)
+    // a 2-deep prefix forces θ/cap/cutoff tail recovery to do real work
+    assert(rows(Bm25IndexStore.wandSearch(
+      spark, table, queries, 3, prefixP = 2)) === plain)
+    assert(rows(Bm25IndexStore.wandSearch(
+      spark, table, queries, 3)) === plain)
+    // an undersized budget splits the scoring broadcast into several
+    // chunks — the bounded-state path must reassemble identical top-k
+    assert(rows(Bm25IndexStore.wandSearch(
+      spark, table, queries, 3, prefixP = 2, broadcastRows = 50000L))
+      === plain)
+    // rank-0 extended postings always enter the prefix → still exact
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    Bm25IndexStore.extend(copies, table, buckets = 4)
+    assert(rows(Bm25IndexStore.wandSearch(
+      spark, table, queries, 3, prefixP = 2)) ===
+      rows(Bm25IndexStore.search(spark, table, queries, 3)))
+  }
+
+  test("tfidf wandSearch equals search exactly at tiny and default " +
+    "prefixes") {
+    import graft.plans.TfidfIndexStore
+    val table = "tfx_wand"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_norms")
+    val path = Files.createTempDirectory("graft-tfxw").toString + "/tfx"
+    TfidfIndexStore.build(base, 10, table, path, buckets = 8)
+    val queryIds = base.filter(col("doc_id") % 25 === 0).select("doc_id")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val plain = rows(TfidfIndexStore.search(spark, table, queryIds, 3))
+    assert(plain.nonEmpty)
+    assert(rows(TfidfIndexStore.wandSearch(
+      spark, table, queryIds, 3, prefixP = 2)) === plain)
+    assert(rows(TfidfIndexStore.wandSearch(
+      spark, table, queryIds, 3)) === plain)
+    // chunked scoring broadcast (bounded-state path) is lossless
+    assert(rows(TfidfIndexStore.wandSearch(
+      spark, table, queryIds, 3, prefixP = 2, broadcastRows = 20000L))
+      === plain)
+  }
+
   test("bpe store: served encode equals the training-loop encode; " +
     "unseen words segment by ordered merge application") {
     import spark.implicits._
