@@ -409,8 +409,16 @@ object Similarity {
       val n = queries.count()
       val parts = ((n + cap - 1) / cap).toInt
       (0 until parts).map { i =>
+        // EAGERLY materialize each chunk's (small, top-k-sized) result:
+        // the serving closures collect and broadcast their chunk's
+        // query state when the plan is BUILT, so a lazy union would
+        // hold every chunk's broadcast alive at once and peak driver
+        // state would track the full batch — exactly what the cap
+        // exists to prevent. Sequential chunk execution trades latency
+        // for the cap-bounded state the contract promises.
         serve(queries.filter(
           pmod(xxhash64(col("vec_id")), lit(parts)) === i))
+          .localCheckpoint(true)
       }.reduce(_.unionByName(_))
     }
   }

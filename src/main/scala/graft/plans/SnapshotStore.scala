@@ -190,12 +190,21 @@ object SnapshotStore {
       } catch { case _: FileAlreadyExistsException => false }
   }
 
+  /** Lost version-slot races in this JVM, across every commit loop —
+    * instrumentation for the contention probe (retries/commit is the
+    * protocol's real cost under racing writers; nothing in the commit
+    * arithmetic reads it).
+    */
+  private[graft] val casRetries = new java.util.concurrent.atomic.AtomicLong
+
   /** Atomic exclusive publish of version `v`; false = lost the race. */
   private def publish(root: String, v: Int, json: String,
       publisher: CommitPublisher): Boolean = {
     val dir = commitsDir(root)
     Files.createDirectories(dir)
-    publisher.putIfAbsent(dir, f"$v%08d.json", json)
+    val won = publisher.putIfAbsent(dir, f"$v%08d.json", json)
+    if (!won) casRetries.incrementAndGet()
+    won
   }
 
   /** Write `df` as a new immutable data group, return its name. A
@@ -360,7 +369,21 @@ object SnapshotStore {
         .parquet(scanPaths: _*)
       else spark.read.option("mergeSchema", "true")
         .parquet(s"$root/${groups.head}")
+    // project through the SNAPSHOT's schema (footer union of all live
+    // groups), null-filling columns absent from the surviving files:
+    // after add-column evolution, pruning may keep only pre-evolution
+    // files, and without this the result schema would depend on which
+    // files the sidecars excluded — data values changing a frame's
+    // SHAPE, the one thing 'pruning is only an optimization' forbids.
+    val snapSchema = spark.read.option("mergeSchema", "true")
+      .parquet(groups.map(g => s"$root/$g"): _*).schema
+    val aligned = snapSchema.map { f =>
+      if (base.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType).as(f.name)
+    }
     base.where(col(column) >= lo && col(column) <= hi)
+      .select(aligned: _*)
   }
 
   private def commitLoop(root: String, action: String,
@@ -554,26 +577,47 @@ object SnapshotStore {
   def compact(spark: SparkSession, root: String,
       publisher: CommitPublisher = HardLinkPublisher,
       clusterCol: String = null, nFiles: Int = 0): Int = {
+    require(clusterCol == null || nFiles > 0,
+      "clustered compaction needs nFiles > 0 — a clusterCol with the " +
+        "default nFiles would funnel the table through ONE partition " +
+        "and erase the per-file ranges the parameter exists to create")
     var committed = -1
+    // a compaction commit is a REPLACE of exactly the groups it
+    // rewrote ("compact": removes = sources, adds = the rewrite) —
+    // NOT an overwrite of whatever is live at commit time. That makes
+    // compaction COMMUTE with concurrent appends: an append's group is
+    // untouched by the rewrite, so losing the version slot to one
+    // costs a re-publish of the same tiny record at the next slot,
+    // with the data rewrite reused. Only a rival that removed one of
+    // our source groups (another compactor, an overwrite) invalidates
+    // the rewrite and forces a re-read — the same conflict rule the
+    // production formats apply to OPTIMIZE vs ingest.
+    var sources: Seq[String] = Nil
+    var group: String = null
     while (committed < 0) {
       val commits = log(root)
       val v = commits.lastOption.map(_.version)
         .getOrElse(throw new IllegalArgumentException(
           s"nothing to compact in $root"))
-      // clustered compaction: range-partition the rewrite so the ONE
-      // resulting group's FILES carry disjoint [min,max] sidecar
-      // ranges — per-file pruning then survives compaction (an
-      // unclustered rewrite gives every file the full range and a
-      // compacted table would prune nothing)
-      val content = read(spark, root, Some(v))
-      val rewrite =
-        if (clusterCol == null) content
-        else content.repartitionByRange(math.max(nFiles, 1),
-          org.apache.spark.sql.functions.col(clusterCol))
-      val group = writeGroup(rewrite, root)
-      val removes = liveGroups(commits, Some(v))
+      val live = liveGroups(commits, Some(v))
+      if (group == null || !sources.forall(live.contains)) {
+        // (re)build the rewrite from the current snapshot. Clustered
+        // compaction range-partitions it so the ONE resulting group's
+        // FILES carry disjoint [min,max] sidecar ranges — per-file
+        // pruning then survives compaction (an unclustered rewrite
+        // gives every file the full range and prunes nothing). An
+        // abandoned earlier rewrite is an unreferenced group —
+        // vacuum's job, same as any lost appender's.
+        val content = read(spark, root, Some(v))
+        val rewrite =
+          if (clusterCol == null) content
+          else content.repartitionByRange(nFiles,
+            org.apache.spark.sql.functions.col(clusterCol))
+        group = writeGroup(rewrite, root)
+        sources = live
+      }
       if (publish(root, v + 1,
-          render(Commit(v + 1, "overwrite", Seq(group), removes)),
+          render(Commit(v + 1, "compact", Seq(group), sources)),
           publisher))
         committed = v + 1
     }

@@ -338,6 +338,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // readWhere prunes/filters across the boundary too
     assert(SnapshotStore.readWhere(spark, root, "id", 3.0, 6.0)
       .count() === 2)
+    // pruning must never change the result SCHEMA: a range matching
+    // only PRE-evolution groups excludes every file that carries the
+    // added column, and the frame must still expose it (null-filled)
+    // — data values deciding a frame's shape would make the same
+    // query's .select("score") succeed or throw by range
+    val oldOnly = SnapshotStore.readWhere(spark, root, "id", 1.0, 2.0)
+    assert(oldOnly.columns.toSet === Set("id", "tag", "score"))
+    assert(oldOnly.select("score").collect().map(
+      r => Option(r.get(0))).toSeq === Seq(None, None))
+  }
+
+  test("compaction commutes with appends: the compact commit removes " +
+    "exactly its source groups, so an interleaved append survives") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)                   // v0
+    SnapshotStore.append(df(2), root)                   // v1
+    val vc = SnapshotStore.compact(spark, root)         // v2: compact
+    assert(vc === 2)
+    assert(SnapshotStore.history(root).last === ((2, "compact")))
+    SnapshotStore.append(df(3), root)                   // v3
+    // replay: (live \ sources) + rewrite, then the append's group
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
+    assert(idSet(SnapshotStore.read(spark, root, Some(2))) ===
+      Set(1L, 2L))
+    // a second compact folds rewrite + appended group again
+    val vc2 = SnapshotStore.compact(spark, root)        // v4
+    assert(idSet(SnapshotStore.read(spark, root, Some(vc2))) ===
+      Set(1L, 2L, 3L))
+    // vacuum keeps only the latest referenced group(s): the two
+    // originals, the FIRST rewrite, and the appended group all die
+    assert(SnapshotStore.vacuum(root, keep = 1, minAgeMs = 0) === 4)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
   }
 
   test("concurrent appendOnce under one tag lands exactly one batch " +
