@@ -101,6 +101,69 @@ object ScaleProbe {
       plans.SnapshotStore.compact(spark, snapFixture())
       plans.SnapshotStore.read(spark, snapFixture()).count()
     }
+    // the protocol under REAL contention: 8 racing appender threads x
+    // 10 commits each, with a compactor looping against them — every
+    // loser of the version-slot CAS re-reads and retries, so the law
+    // is (a) no lost updates (final row count = Σ appended rows even
+    // though compaction rewrote the table mid-race) and (b) retry
+    // count stays a small multiple of the commit count. Retry COST is
+    // asymmetric by design: an append loser re-publishes one tiny
+    // JSON (its data group is already safely invisible-or-added), and
+    // a compactor loser ALSO only re-publishes — the "compact" commit
+    // removes exactly the groups it rewrote, so concurrent appends
+    // commute and never invalidate the rewrite (only a rival
+    // compactor/overwrite forces a data rewrite). Spec covers the
+    // protocol; this row prices it.
+    t("snapshot store: 8 racing appenders x 10 commits + looping " +
+      "compactor (no lost updates; commits/s + CAS retries)") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-snapc").toString
+      val retries0 = plans.SnapshotStore.casRetries.get()
+      val writers = 8; val per = 10; val rows = 2000L
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(writers + 1)
+      val stopC = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val appenders = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until per).foreach { i =>
+            plans.SnapshotStore.append(
+              spark.range(rows).select(
+                (col("id") + (w.toLong * per + i) * rows).as("doc_id")),
+              root)
+          }
+        })
+      }
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = while (!stopC.get()) {
+          // only the expected pre-first-commit window is tolerated —
+          // any other failure is a real protocol break and must fail
+          // the probe, not be silently retried
+          try {
+            plans.SnapshotStore.compact(spark, root)
+            compactions.incrementAndGet()
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("nothing to compact") => ()
+          }
+          Thread.sleep(100)
+        }
+      })
+      appenders.foreach(_.get())
+      stopC.set(true); compactor.get(); pool.shutdown()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = plans.SnapshotStore.read(spark, root).count()
+      require(n == writers.toLong * per * rows,
+        s"lost updates under contention: read $n rows, " +
+          s"expected ${writers.toLong * per * rows}")
+      val commits = writers * per + compactions.get()
+      f"$commits commits (${compactions.get()} compactions) in " +
+        f"$secs%.1f s = ${commits / secs}%.1f commits/s, " +
+        f"${plans.SnapshotStore.casRetries.get() - retries0} CAS retries, " +
+        f"rows=$n (law holds)"
+    }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()
@@ -292,14 +355,22 @@ object ScaleProbe {
     // postings join emits Σ_term(queries×docs) ≈ 570M rows — the same
     // structural blowup the cosine inverted-index hit. Posting-list
     // search is the right shape for Heaps-law vocabularies (selective
-    // terms ⇒ short lists); for dense-overlap corpora the broadcast
-    // kernel (bm25Retrieval) is the documented path, exactly as with
-    // tfidfCosinePairsBroadcast. Production engines cut this further
-    // with impact-ordered postings + WAND upper-bound skipping — the
-    // documented next knob, not built.
+    // terms ⇒ short lists); for dense-overlap corpora this naive join
+    // is the WORST CASE — kept as the baseline the WAND row below is
+    // measured against.
     t("bm25 index: search 500 queries vs saved 50k (closed-vocab " +
       "worst case — see comment)")(
       graft.plans.Bm25IndexStore.search(spark, "probe_bm25",
+        docs.filter(col("doc_id") % 100 === 0), 5).count())
+    // the same 500-query batch with MaxScore impact-ordered serving:
+    // prefix candidates + exact θ + per-term tail cutoffs replace the
+    // Σ-postings join with candidate-bounded scans — identical top-k
+    // output (spec-pinned, oracled via q_bm25_wand), and the row pair
+    // IS the measured claim that early termination removes the
+    // dense-overlap blowup
+    t("bm25 index: WAND search 500 queries vs saved 50k (same output " +
+      "as the row above)")(
+      graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25",
         docs.filter(col("doc_id") % 100 === 0), 5).count())
     // round-7: the fused retrieval pipelines (tf-idf + BM25 → RRF /
     // RBO) at 50k docs — in-plan (shared-tokenize broadcast kernels:
@@ -332,6 +403,107 @@ object ScaleProbe {
         docs, 10, "probe_tfx", s"$wh/tfx", buckets = 32)
       spark.table("probe_tfx").count()
     }
+    t("tfidf index: search 500 queries vs saved 50k (naive postings " +
+      "join baseline)")(
+      graft.plans.TfidfIndexStore.search(spark, "probe_tfx",
+        docs.filter(col("doc_id") % 100 === 0).select("doc_id"), 5)
+        .count())
+    t("tfidf index: WAND search 500 queries vs saved 50k (same " +
+      "output)")(
+      graft.plans.TfidfIndexStore.wandSearch(spark, "probe_tfx",
+        docs.filter(col("doc_id") % 100 === 0).select("doc_id"), 5)
+        .count())
+    // WAND's NATIVE regime — a ZIPFIAN vocabulary. The replica corpus
+    // above is impact-ordering's adversarial case (every doc has 9
+    // verbatim copies, so the P-th impact of every list ≈ its max, the
+    // cap sum swamps θ, and nothing is prunable — WAND must merely TIE
+    // the naive join there). Real corpora are Zipf-distributed: rare
+    // high-idf terms carry the score mass while low-impact stopword
+    // tails dominate the naive join volume — exactly what the per-term
+    // cutoff skips. 16 frequency octaves × 120 tokens each,
+    // hash-synthesized (deterministic), 50k docs × 60 tokens.
+    val zipfDocs = spark.range(50000).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(0, 59), i -> concat('w', " +
+          "CAST(floor(log2(pmod(xxhash64(id * 100 + i), 65536) + 1)) " +
+          "AS INT), '_', pmod(xxhash64(id * 100 + i + 7), 120)))"))
+        .as("text"))
+      .localCheckpoint(true)
+    t("bm25 zipf: build 50k zipf docs") {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25z").toString
+      Seq("probe_bm25z", "probe_bm25z_df", "probe_bm25z_stats")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      graft.plans.Bm25IndexStore.build(
+        zipfDocs, "probe_bm25z", s"$wh/bm25z", buckets = 32)
+      spark.table("probe_bm25z").count()
+    }
+    t("bm25 zipf: search 500 doc-as-query (60-term) queries (naive " +
+      "Σ-postings join)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25z",
+        zipfDocs.filter(col("doc_id") % 100 === 0), 5).count())
+    // doc-as-query is MaxScore's structural blind spot: a 60-term
+    // query spreads its score over so many terms that θ never clears
+    // the cap sum and nothing prunes (measured ~4x WORSE than naive —
+    // the regime note on wandSearch). The workload impact ordering
+    // exists for is SHORT SELECTIVE queries (keyword search): the
+    // rare terms carry θ past the cap sum, the per-term cutoffs then
+    // drop the common terms' list tails that dominate the naive join.
+    // 500 5-token queries: 3 rare-to-mid + 2 stopword-class tokens.
+    val zipfQueries = spark.range(500).select(
+      (col("id") + 10000000L).as("doc_id"),
+      concat_ws(" ",
+        expr("concat('w', CAST(pmod(xxhash64(id), 8) AS INT), '_', " +
+          "pmod(xxhash64(id + 1), 120))"),
+        expr("concat('w', CAST(8 + pmod(xxhash64(id + 2), 4) AS INT), " +
+          "'_', pmod(xxhash64(id + 3), 120))"),
+        expr("concat('w', CAST(12 + pmod(xxhash64(id + 4), 3) AS INT), " +
+          "'_', pmod(xxhash64(id + 5), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 6), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 7), 120))")).as("text"))
+      .localCheckpoint(true)
+    t("bm25 zipf: 500 SHORT keyword queries (naive Σ-postings join)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25z",
+        zipfQueries, 5).count())
+    t("bm25 zipf: 500 SHORT keyword queries (WAND — impact-ordered " +
+      "early termination, same output)")(
+      graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25z",
+        zipfQueries, 5).count())
+    // the canonical selective case — "jaguar car": one rare term
+    // carries θ past the cap sum, the stopword-class term's 12k-doc
+    // tail drops entirely (empty candB or essential-split to the rare
+    // list alone)
+    val zipfQueries2 = spark.range(10000).select(
+      (col("id") + 20000000L).as("doc_id"),
+      concat_ws(" ",
+        expr("concat('w', CAST(4 + pmod(xxhash64(id), 6) AS INT), " +
+          "'_', pmod(xxhash64(id + 1), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 2), 120))")).as("text"))
+      .localCheckpoint(true)
+    t("bm25 zipf: 10k TWO-term (rare+stopword) queries (naive)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25z",
+        zipfQueries2, 5).count())
+    t("bm25 zipf: 10k TWO-term (rare+stopword) queries (WAND, same " +
+      "output)")(
+      graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25z",
+        zipfQueries2, 5).count())
+    // amortization at serving scale: WAND's ~10-job orchestration cost
+    // is FIXED per batch while the naive join volume is linear in it —
+    // the 50k-query row is where the asymptotic win shows (the 500-
+    // query short row above deliberately documents the other end)
+    val zipfQueries3 = spark.range(50000).select(
+      (col("id") + 30000000L).as("doc_id"),
+      concat_ws(" ",
+        expr("concat('w', CAST(4 + pmod(xxhash64(id), 6) AS INT), " +
+          "'_', pmod(xxhash64(id + 1), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 2), 120))")).as("text"))
+      .localCheckpoint(true)
+    t("bm25 zipf: 50k TWO-term (rare+stopword) queries (naive)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25z",
+        zipfQueries3, 5).count())
+    t("bm25 zipf: 50k TWO-term (rare+stopword) queries (WAND, same " +
+      "output)")(
+      graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25z",
+        zipfQueries3, 5).count())
     // the bm25 artifact may be absent when this chunk runs alone
     // (substring-filtered probe runs) — ensure it outside the timer
     if (!spark.catalog.tableExists("probe_bm25")) {
@@ -557,6 +729,34 @@ object ScaleProbe {
     t("bpe encode 50k docs (broadcast vocab join + per-doc agg)")(
       operators.TextAnalysis.bpeEncode(docs, 10)
         .agg(sum("n_bpe_tokens"), sum("n_chars")).first)
+    // the batched trainer at a PRODUCTION merge budget: 1k merges in
+    // far fewer corpus-vocab passes — the amortization claim measured
+    // beyond the fixtures' small budgets (spec proves batched ≡
+    // sequential; this row prices it). The natural-docs corpus
+    // EXHAUSTS at ~89 merges (small closed word vocab — every word
+    // fully merges), so the budget rows run on the zipf corpus
+    // (1,920 distinct 5-7-char words — ~9k merges available, rich
+    // digit-sharing for batch interaction). The sequential anchor
+    // below prices one-merge-per-pass on the same vocab — #merges ×
+    // its per-merge cost is the extrapolation the batched row beats.
+    val bpeZipfDocs = zipfDocs
+    t("bpe batched: 1000 merges on 50k zipf docs (passes recorded — " +
+      "sequential would take 1000)") {
+      val (m, _) =
+        operators.TextAnalysis.bpeVocabLoopBatched(bpeZipfDocs, 1000)
+      s"${m.size} merges in ${operators.TextAnalysis.bpeLastPasses.get()}" +
+        " corpus-vocab passes"
+    }
+    t("bpe sequential: 32 merges on 50k zipf docs (per-merge " +
+      "extrapolation anchor for the batched row)")(
+      operators.TextAnalysis.bpeVocabLoopSequential(bpeZipfDocs, 32)
+        ._1.size)
+    t("bpe batched exhaustion: natural 50k docs, budget 1000 " +
+      "(closed word vocab merges out)") {
+      val (m, _) = operators.TextAnalysis.bpeVocabLoopBatched(docs, 1000)
+      s"${m.size} merges (exhausted) in " +
+        s"${operators.TextAnalysis.bpeLastPasses.get()} passes"
+    }
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text
     // 10-hot — worst case for it

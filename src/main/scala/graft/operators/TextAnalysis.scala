@@ -896,6 +896,33 @@ object TextAnalysis {
       s, table, docs.filter(col("doc_id") % 25 === 0), 3)
   }
 
+  /** The SAME search again, served with MaxScore impact-ordered
+    * pruning ([[graft.plans.Bm25IndexStore.wandSearch]]): prefix
+    * candidates → exact k-th-score threshold → per-term tail cutoffs.
+    * Output is identical to [[qBm25IndexSearch]] by the pruning-
+    * exactness argument (spec-pinned at tiny prefixes), so it carries
+    * the same oracle — the row exists so the driver hash-checks the
+    * early-termination machinery itself, not just the plain join.
+    */
+  val qBm25Wand: Q = (s, d) => {
+    val (_, bm) = retrievalStores(s, d)
+    graft.plans.Bm25IndexStore.wandSearch(
+      s, bm, documents(s, d).filter(col("doc_id") % 25 === 0), 3)
+  }
+
+  /** MaxScore-served tf-idf retrieval — same output as
+    * [[qTfidfRetrieval]] (normalized-impact bounds, exact candidate
+    * scoring), same oracle. Serves from the SHARED build-if-absent
+    * artifacts ([[retrievalStores]]) like the `_served` twins, so the
+    * row prices the early-termination serving itself, not a rebuild.
+    */
+  val qTfidfWand: Q = (s, d) => {
+    val (tfx, _) = retrievalStores(s, d)
+    graft.plans.TfidfIndexStore.wandSearch(
+      s, tfx, documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select("doc_id"), 3)
+  }
+
   val qBm25RetrievalSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(
@@ -1774,6 +1801,14 @@ object TextAnalysis {
   /** Batch size cap per corpus pass for the batched trainer. */
   val BpeBatchLimit = 32
 
+  /** Corpus-vocab passes taken by the LAST [[bpeVocabLoopBatched]] run
+    * in this thread — probe instrumentation for the #merges/pass
+    * amortization claim; training reads nothing from it.
+    */
+  private[graft] val bpeLastPasses = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
   /** Batched merge learning — EXACTLY the sequential merge sequence, in
     * ~#merges/m corpus-vocab passes instead of #merges. Per pass it
     * aggregates pair counts ONCE (the same explode the sequential pass
@@ -1811,27 +1846,61 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
+    var passes = 0
     var exhausted = false
+    // ADAPTIVE mode: a batched pass costs ~3-4× a plain argmax pass
+    // (pair-table persist + two bound aggs + join), so it only pays
+    // when the sound prefix actually accepts several merges. Some
+    // vocabularies starve it — heavy symbol sharing rejects most of
+    // the sorted prefix (measured: 2.6 merges/pass on the zipf probe
+    // corpus → batched LOST to the sequential loop's extrapolation).
+    // So the trainer monitors itself: a pass accepting fewer than
+    // StarveBar merges drops to the cheap one-merge pass, and every
+    // ReprobeEvery cheap passes one batched pass re-probes (the
+    // interaction structure changes as merges fuse symbols). Every
+    // pass still applies the exact sequential argmax sequence — mode
+    // only decides how many merges a pass MAY take, so the output is
+    // identical in all modes (spec-pinned batched ≡ sequential).
+    val StarveBar = math.max(2, batchLimit / 8)
+    val ReprobeEvery = 16
+    var batchedMode = true
+    var sinceProbe = 0
     while (rank <= numMerges && !exhausted) {
-      val pairs = vocab
+      passes += 1
+      if (!batchedMode && sinceProbe >= ReprobeEvery) {
+        batchedMode = true; sinceProbe = 0
+      }
+      val pairsBase = vocab
         .select(col("freq"), explode(bpeAdjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("c"))
-        .persist()
-      val endMax = pairs.groupBy(col("b").as("a"))
-        .agg(max("c").as("em"))
-      val startMax = pairs.groupBy(col("a").as("b"))
-        .agg(max("c").as("sm"))
-      val top = pairs
-        .join(endMax, Seq("a"), "left")
-        .join(startMax, Seq("b"), "left")
-        .withColumn("newbound", greatest(
-          coalesce(col("em"), lit(0L)), coalesce(col("sm"), lit(0L))))
-        .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(batchLimit)
-        .select("a", "b", "c", "newbound")
-        .collect()
-      pairs.unpersist()
+      val top = if (batchedMode) {
+        val pairs = pairsBase.persist()
+        val endMax = pairs.groupBy(col("b").as("a"))
+          .agg(max("c").as("em"))
+        val startMax = pairs.groupBy(col("a").as("b"))
+          .agg(max("c").as("sm"))
+        val t = pairs
+          .join(endMax, Seq("a"), "left")
+          .join(startMax, Seq("b"), "left")
+          .withColumn("newbound", greatest(
+            coalesce(col("em"), lit(0L)), coalesce(col("sm"), lit(0L))))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(batchLimit)
+          .select("a", "b", "c", "newbound")
+          .collect()
+        pairs.unpersist()
+        t
+      } else {
+        // the sequential kernel: one pipelined argmax, no persist, no
+        // bound machinery (newbound unused for a single merge)
+        sinceProbe += 1
+        pairsBase
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1)
+          .select(col("a"), col("b"), col("c"), lit(0L).as("newbound"))
+          .collect()
+      }
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.HashSet.empty[String]
@@ -1857,8 +1926,12 @@ object TextAnalysis {
           }.as("syms"))
           .localCheckpoint(true)
         rank += sel.size
+        if (batchedMode && sel.size < StarveBar) {
+          batchedMode = false; sinceProbe = 0
+        }
       }
     }
+    bpeLastPasses.set(passes)
     (merges.toSeq, vocab)
   }
 
@@ -2237,6 +2310,8 @@ object TextAnalysis {
     "q_tfidf_retrieval" -> qTfidfRetrieval,
     "q_bm25_retrieval" -> qBm25Retrieval,
     "q_bm25_index_search" -> qBm25IndexSearch,
+    "q_bm25_wand" -> qBm25Wand,
+    "q_tfidf_wand" -> qTfidfWand,
     "q_rrf_fusion" -> qRrfFusion,
     "q_rrf_fusion_served" -> qRrfFusionServed,
     "q_unigram_logprob" -> qUnigramLogprob,
@@ -2268,6 +2343,10 @@ object TextAnalysis {
     "q_bm25_retrieval" -> qBm25RetrievalSql,
     // served-from-artifact form: identical output by construction
     "q_bm25_index_search" -> qBm25RetrievalSql,
+    // MaxScore-pruned serving: exactness argument makes the output
+    // identical to the plain search — same oracles hash-check it
+    "q_bm25_wand" -> qBm25RetrievalSql,
+    "q_tfidf_wand" -> qTfidfRetrievalSql,
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_rrf_fusion_served" -> qRrfFusionSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
