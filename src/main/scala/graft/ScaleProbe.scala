@@ -504,6 +504,27 @@ object ScaleProbe {
       "output)")(
       graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25z",
         zipfQueries3, 5).count())
+    // stopword-heavy selective queries — the workload WAND exists for:
+    // one rare term carries θ, THREE stopword-class tails (~12.5k docs
+    // each) dominate the naive join and drop entirely under the
+    // cutoffs. The naive volume triples vs the two-term row while the
+    // WAND volume barely moves — the gap is the early-termination win.
+    val zipfQueries4 = spark.range(20000).select(
+      (col("id") + 40000000L).as("doc_id"),
+      concat_ws(" ",
+        expr("concat('w', CAST(4 + pmod(xxhash64(id), 6) AS INT), " +
+          "'_', pmod(xxhash64(id + 1), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 2), 120))"),
+        expr("concat('w15_', pmod(xxhash64(id + 3), 120))"),
+        expr("concat('w14_', pmod(xxhash64(id + 4), 120))")).as("text"))
+      .localCheckpoint(true)
+    t("bm25 zipf: 20k FOUR-term (1 rare + 3 stopword) queries (naive)")(
+      graft.plans.Bm25IndexStore.search(spark, "probe_bm25z",
+        zipfQueries4, 5).count())
+    t("bm25 zipf: 20k FOUR-term (1 rare + 3 stopword) queries (WAND, " +
+      "same output)")(
+      graft.plans.Bm25IndexStore.wandSearch(spark, "probe_bm25z",
+        zipfQueries4, 5).count())
     // the bm25 artifact may be absent when this chunk runs alone
     // (substring-filtered probe runs) — ensure it outside the timer
     if (!spark.catalog.tableExists("probe_bm25")) {

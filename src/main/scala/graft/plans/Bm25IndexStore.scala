@@ -198,20 +198,10 @@ object Bm25IndexStore {
       .groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 4).as("score"))
 
-  /** One 4dp rounding quantum: candidate thresholds step down by this
-    * so a doc whose RAW score sits just under θ but ROUNDS to θ is
-    * still captured — rounding can then never flip a miss into a
-    * should-have-been tie.
+  /** See [[WandKernel.BroadcastRows]] — re-exported as both stores'
+    * default chunk budget.
     */
-  private val RoundEps = 1e-4
-
-  /** Hard row budget for ONE scoring-broadcast chunk (candidate pairs
-    * × their query's terms; tens of bytes per hashed-relation row, so
-    * 4M rows is a couple hundred MB of executor state — far under the
-    * default broadcast and driver-result limits the unchunked form
-    * was measured to blow through on dense corpora).
-    */
-  private[plans] val BroadcastRows = 4000000L
+  private[plans] val BroadcastRows = WandKernel.BroadcastRows
 
   /** Top-`topN` BM25 matches served with MaxScore-style impact-ordered
     * pruning — identical output to [[search]] (same scores, same
@@ -268,24 +258,13 @@ object Bm25IndexStore {
     // checkpointed so the postings table is scanned exactly three
     // times (prefix, tail, final scoring) instead of once per
     // broadcast subplan that references it
-    // PRE-ROUTE on the df table alone (no postings scan): even in a
-    // query's optimistic best case — every prefix slot a distinct
-    // candidate, zero tail rows — its WAND volume is Σ min(P, df)
-    // candidates × (1 + nt) scoring rows; a query that already fails
-    // the 2× bar there can never WAND-serve, so it skips the entire
-    // θ/cap/cutoff pipeline. On dense-overlap corpora NO query is
-    // eligible and WAND's whole overhead collapses to this one
-    // df-table aggregation in front of the naive kernel (measured:
-    // the replica-corpus tie previously paid a full prefix scan +
-    // exact-θ pass for a routing answer this bound already knew).
+    // df-only pre-route ([[WandKernel.eligible]]): dense corpora skip
+    // the θ/cap pipeline on one df aggregation (measured: the
+    // replica-corpus tie previously paid a full prefix scan + exact-θ
+    // pass for a routing answer this bound already knew)
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
     val qdf = q.join(dfT, "tkey").localCheckpoint(true)
-    val eligible = qdf.groupBy("query_id")
-      .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
-        sum("df").as("estn0"), count(lit(1)).as("nt0"))
-      .filter(col("estpre") * (lit(1L) + col("nt0")) * 2 < col("estn0"))
-      .select("query_id")
-      .localCheckpoint(true)
+    val eligible = WandKernel.eligible(qdf, prefixP)
     val qE = q.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qE), "tkey")
@@ -334,32 +313,15 @@ object Bm25IndexStore {
       .agg(sum("capw").as("cap_total"))
     val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
       .select(col("query_id"), col("tkey"),
-        (col("theta") - lit(RoundEps) - col("cap_total") + col("capw"))
-          .as("cut"), col("capw"))
+        (col("theta") - lit(WandKernel.RoundEps) - col("cap_total")
+          + col("capw")).as("cut"), col("capw"))
       // a term whose cutoff exceeds its cap cannot yield a tail row
       // (tail weights are ≤ capw) — dropping it here keeps the join
       // from emitting rows it would only filter
       .filter(col("cut") <= col("capw"))
       .select("query_id", "tkey", "cut")
-    // SECOND sound tail rule — the classic MaxScore essential split:
-    // order a query's terms by ascending cap and mark the maximal
-    // low-cap suffix whose cap sum stays under θ as NON-ESSENTIAL; a
-    // doc outside the prefix with no essential-term posting scores at
-    // most that sum < θ. Candidates under this rule are ALL tail rows
-    // of essential terms (no weight cutoff — a sub-cutoff essential
-    // row can still combine with others past θ, which is exactly
-    // where per-term cutoffs are unsound to stack). The rules prune
-    // complementary shapes: cutoffs win when θ clears the whole cap
-    // sum (selective queries — tails drop entirely); the essential
-    // split wins when a few high-cap terms carry θ and the huge
-    // low-impact lists become non-essential. Each query serves under
-    // whichever rule prices fewer candidates by Σ df.
-    val wAsc = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("capw").asc, col("tkey"))
-    val essential = caps.join(theta, "query_id")
-      .withColumn("cum", sum("capw").over(wAsc))
-      .filter(col("cum") >= col("theta") - lit(RoundEps))
-      .select("query_id", "tkey")
+    // second sound tail rule — [[WandKernel.essentialSplit]]
+    val essential = WandKernel.essentialSplit(caps, "capw", theta)
     // price every plan in the same unit — Σ df = the postings rows its
     // joins emit; qdf (batch-sized, one df scan) came from the
     // pre-route. Only ELIGIBLE queries are priced — the rest already
@@ -372,36 +334,11 @@ object Bm25IndexStore {
       .groupBy("query_id").agg(sum("df").as("est2"))
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     val qCnt = q.groupBy("query_id").agg(count(lit(1)).as("nt"))
-    // ROUTE (scaladoc step 3): tail rule by price, then WAND only when
-    // the FULL pruned volume at least halves the naive one. The pruned
-    // volume is est (tail rows emitted) PLUS the exact-scoring
-    // broadcast, ≤ (est + npref) candidates × nt terms — the nt factor
-    // is what a Σ-df-only price missed, measured as 25+ CONCURRENT
-    // 4M-row chunk broadcasts OOMing the driver on the dense replica
-    // corpus (candidates ≈ queries × docs there; the bucketed join is
-    // both cheaper AND bounded, so that regime must route naive).
-    val routes = estN
-      .join(est1, Seq("query_id"), "left")
-      .join(est2, Seq("query_id"), "left")
-      .join(nPref, Seq("query_id"), "left")
-      .join(qCnt, Seq("query_id"), "left")
-      .select(col("query_id"),
-        (coalesce(col("est2"), lit(0L)) <
-          coalesce(col("est1"), lit(0L))).as("use_ess"),
-        ((least(coalesce(col("est1"), lit(0L)),
-            coalesce(col("est2"), lit(0L)))
-          + coalesce(col("npref"), lit(0L)))
-          * (lit(1L) + coalesce(col("nt"), lit(0L))) * 2 < col("estn"))
-          .as("use_wand"))
-      .localCheckpoint(true)
-    val chosen = cutoffs.join(routes, "query_id")
-      .filter(col("use_wand") && !col("use_ess"))
-      .select("query_id", "tkey", "cut")
-      .unionByName(essential.join(routes, "query_id")
-        .filter(col("use_wand") && col("use_ess"))
-        .select(col("query_id"), col("tkey"),
-          lit(Double.MinValue).as("cut")))
-      .localCheckpoint(true)
+    // ROUTE (scaladoc step 3) — [[WandKernel.routes]]: tail rule by
+    // price, then WAND only when the FULL pruned volume (tail rows +
+    // scoring broadcast) at least halves the naive one
+    val routes = WandKernel.routes(estN, est1, est2, nPref, qCnt)
+    val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
       .filter(col("w") >= col("cut") && col("doc_id") =!= col("query_id"))
@@ -409,33 +346,9 @@ object Bm25IndexStore {
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
       .unionByName(candB).distinct().localCheckpoint(true)
-    // chunk the scoring broadcast under the hard budget; the selective
-    // regime this path serves fits one chunk, and each extra chunk
-    // costs one more bounded postings scan — bounded state over scan
-    // count, deliberately. Each chunk reduces to its own per-query
-    // top-k and is EAGERLY materialized: chunks are (query, doc)-hash
-    // disjoint, so any pair a chunk's top-k drops is dominated by k
-    // pairs that survive into the union and the global top-k is exact
-    // — and the materialization forces chunks to execute one at a
-    // time, so exactly ONE chunk broadcast is live at any moment
-    // (a lazy union holds every chunk's broadcast simultaneously,
-    // which is the unbounded state the budget exists to prevent).
-    val bRows = cand.join(broadcast(qCnt), "query_id")
-      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
-    val nChunks =
-      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
-    val wandScores = (0 until nChunks).map { i =>
-      val part = scoreCandidates(post, q,
-        if (nChunks == 1) cand
-        else cand.filter(pmod(
-          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
-        .groupBy("query_id")
-        .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
-        .select(col("query_id"), explode(col("top")).as("r"))
-        .select(col("query_id"), col("r._2").as("doc_id"),
-          col("r._1").as("score"))
-      if (nChunks == 1) part else part.localCheckpoint(true)
-    }.reduce(_ unionByName _)
+    // bounded exact scoring — [[WandKernel.chunkedScores]]
+    val wandScores = WandKernel.chunkedScores(
+      cand, qCnt, broadcastRows, topN)(c => scoreCandidates(post, q, c))
     // naive-routed queries — everything NOT wand-routed (pre-route
     // ineligible + priced-out), i.e. exactly [[search]]'s kernel
     // restricted to their ids (when the whole batch routes to WAND
@@ -445,15 +358,7 @@ object Bm25IndexStore {
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 4).as("score"))
-    wandScores.unionByName(naiveScores)
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("int").as("rnk"),
-        col("row._2").as("neighbor_id"),
-        col("row._1").as("score"))
-      .orderBy("query_id", "rnk")
+    WandKernel.finalTopK(
+      wandScores.unionByName(naiveScores), topN, "score")
   }
 }

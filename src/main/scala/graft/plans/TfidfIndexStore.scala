@@ -137,7 +137,6 @@ object TfidfIndexStore {
       .select(col("query_id"), col("doc_id"),
         round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
 
-  private val RoundEps = 1e-4
 
   /** Top-`topN` cosine matches served with the MaxScore machinery of
     * [[Bm25IndexStore.wandSearch]], adapted to the normalized vector-
@@ -171,19 +170,14 @@ object TfidfIndexStore {
     // batch-sized intermediates are checkpointed — three postings
     // scans total (prefix, tail, final scoring), not one per
     // referencing broadcast subplan
-    // df-only PRE-ROUTE ([[Bm25IndexStore.wandSearch]]): a query whose
+    // df-only pre-route ([[WandKernel.eligible]]): a query whose
     // optimistic-best WAND volume (all-prefix candidates, zero tail)
     // fails the 2× bar skips the θ/cap pipeline entirely — dense
     // corpora pay one df aggregation, not a prefix scan + exact-θ pass
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
     val qdf = qpost.select("query_id", "tkey").join(dfT, "tkey")
       .localCheckpoint(true)
-    val eligible = qdf.groupBy("query_id")
-      .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
-        sum("df").as("estn0"), count(lit(1)).as("nt0"))
-      .filter(col("estpre") * (lit(1L) + col("nt0")) * 2 < col("estn0"))
-      .select("query_id")
-      .localCheckpoint(true)
+    val eligible = WandKernel.eligible(qdf, prefixP)
     val qpostE = qpost.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qpostE), "tkey")
@@ -234,19 +228,13 @@ object TfidfIndexStore {
       .agg(sum("capb").as("cap_total"))
     val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
       .select(col("query_id"), col("tkey"),
-        ((col("theta") - lit(RoundEps) - col("cap_total") + col("capb"))
-          / col("qf")).as("cut"), col("capwn"))
+        ((col("theta") - lit(WandKernel.RoundEps) - col("cap_total")
+          + col("capb")) / col("qf")).as("cut"), col("capwn"))
       .filter(col("cut") <= col("capwn"))
       .select("query_id", "tkey", "cut")
-    // the [[Bm25IndexStore.wandSearch]] dual tail rule, on the cosine
-    // contribution caps: per-term cutoffs vs the MaxScore essential
-    // split, per query by priced candidate volume (Σ df)
-    val wAsc = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("capb").asc, col("tkey"))
-    val essential = caps.join(theta, "query_id")
-      .withColumn("cum", sum("capb").over(wAsc))
-      .filter(col("cum") >= col("theta") - lit(RoundEps))
-      .select("query_id", "tkey")
+    // the dual tail rule on the cosine contribution caps —
+    // [[WandKernel.essentialSplit]]
+    val essential = WandKernel.essentialSplit(caps, "capb", theta)
     // pricing + routing — [[Bm25IndexStore.wandSearch]]'s step 3 in
     // the same Σ df unit; qdf came from the pre-route, and only
     // eligible queries are priced
@@ -258,32 +246,11 @@ object TfidfIndexStore {
       .groupBy("query_id").agg(sum("df").as("est2"))
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     val qCnt = qpost.groupBy("query_id").agg(count(lit(1)).as("nt"))
-    // the (1 + nt) factor prices the exact-scoring broadcast
-    // (candidates × query terms) alongside the tail rows — see
-    // [[Bm25IndexStore.wandSearch]]'s route comment for the measured
-    // dense-corpus OOM a Σ-df-only price allows
-    val routes = estN
-      .join(est1, Seq("query_id"), "left")
-      .join(est2, Seq("query_id"), "left")
-      .join(nPref, Seq("query_id"), "left")
-      .join(qCnt, Seq("query_id"), "left")
-      .select(col("query_id"),
-        (coalesce(col("est2"), lit(0L)) <
-          coalesce(col("est1"), lit(0L))).as("use_ess"),
-        ((least(coalesce(col("est1"), lit(0L)),
-            coalesce(col("est2"), lit(0L)))
-          + coalesce(col("npref"), lit(0L)))
-          * (lit(1L) + coalesce(col("nt"), lit(0L))) * 2 < col("estn"))
-          .as("use_wand"))
-      .localCheckpoint(true)
-    val chosen = cutoffs.join(routes, "query_id")
-      .filter(col("use_wand") && !col("use_ess"))
-      .select("query_id", "tkey", "cut")
-      .unionByName(essential.join(routes, "query_id")
-        .filter(col("use_wand") && col("use_ess"))
-        .select(col("query_id"), col("tkey"),
-          lit(Double.MinValue).as("cut")))
-      .localCheckpoint(true)
+    // routing + chosen tail probes — [[WandKernel.routes]] /
+    // [[WandKernel.chosenCutoffs]] (the (1 + nt) broadcast pricing
+    // lives there)
+    val routes = WandKernel.routes(estN, est1, est2, nPref, qCnt)
+    val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
       .filter(col("wn") >= col("cut") && col("doc_id") =!= col("query_id"))
@@ -291,27 +258,10 @@ object TfidfIndexStore {
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
       .unionByName(candB).distinct().localCheckpoint(true)
-    // chunked scoring broadcast under Bm25IndexStore's hard budget;
-    // per-chunk top-k + eager materialization keep exactly ONE chunk
-    // broadcast live at a time (chunks are pair-hash disjoint, so
-    // per-chunk top-k feeding the global top-k is exact — see the
-    // bm25 twin's comment)
-    val bRows = cand.join(broadcast(qCnt), "query_id")
-      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
-    val nChunks =
-      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
-    val wandScores = (0 until nChunks).map { i =>
-      val part = scoreCandidates(post, norms, qpost, qn,
-        if (nChunks == 1) cand
-        else cand.filter(pmod(
-          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
-        .groupBy("query_id")
-        .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
-        .select(col("query_id"), explode(col("top")).as("r"))
-        .select(col("query_id"), col("r._2").as("doc_id"),
-          col("r._1").as("score"))
-      if (nChunks == 1) part else part.localCheckpoint(true)
-    }.reduce(_ unionByName _)
+    // bounded exact scoring — [[WandKernel.chunkedScores]]
+    val wandScores = WandKernel.chunkedScores(
+      cand, qCnt, broadcastRows, topN)(
+      c => scoreCandidates(post, norms, qpost, qn, c))
     // naive-routed queries — everything NOT wand-routed (pre-route
     // ineligible + priced-out); AQE elides the scan when the whole
     // batch WAND-routes
@@ -324,15 +274,7 @@ object TfidfIndexStore {
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("doc_id"),
         round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
-    wandScores.unionByName(naiveScores)
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("int").as("rnk"),
-        col("row._2").as("neighbor_id"),
-        col("row._1").as("cosine"))
-      .orderBy("query_id", "rnk")
+    WandKernel.finalTopK(
+      wandScores.unionByName(naiveScores), topN, "cosine")
   }
 }
