@@ -164,6 +164,47 @@ object ScaleProbe {
         f"${plans.SnapshotStore.casRetries.get() - retries0} CAS retries, " +
         f"rows=$n (law holds)"
     }
+    // keyed MERGE / ranged DELETE with the stats-pruned touch set: the
+    // 16-group key-clustered table means a narrow-key batch rewrites
+    // ~1 group (survivors + batch in one new group) while 15 groups
+    // keep their files untouched — the production MERGE cost shape.
+    // The full-width control batch rewrites everything: the gap
+    // between the two rows IS the pruning.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-snapm").toString
+      // wide payload so rewrite cost is real I/O, not job overhead
+      val big = spark.range(20000000)
+        .select(col("id"), (col("id") % 997).as("v"),
+          md5(col("id").cast("string")).as("payload"))
+      t("snapshot store: clustered 20M-row base for merge probes " +
+        "(32 groups)")(
+        plans.SnapshotStore.appendClustered(big, root, "id", 32))
+      // ONLY the operation is timed — the row-count verification
+      // reads outside the timer (its cost depends on group count,
+      // which would mask the rewrite asymmetry being measured)
+      def cow(v: Int): String = {
+        val (_, _, adds, removes) =
+          plans.SnapshotStore.describeHistory(root).find(_._1 == v).get
+        s"v$v rewrote $removes group(s) into $adds"
+      }
+      t("snapshot store: upsert 100k NARROW-key rows into 20M/32 " +
+        "groups (stats prune -> ~1 group rewritten)")(
+        cow(plans.SnapshotStore.upsert(spark,
+          big.filter(col("id") < 100000).withColumn("v", col("v") + 1),
+          root, "id")))
+      require(plans.SnapshotStore.read(spark, root).count() == 20000000L)
+      t("snapshot store: ranged delete [0, 50000] from 20M (stats " +
+        "prune -> ~1 group rewritten)")(
+        cow(plans.SnapshotStore.deleteWhere(
+          spark, root, "id", 0.0, 50000.0)))
+      require(plans.SnapshotStore.read(spark, root).count() == 19949999L)
+      t("snapshot store: upsert 100k FULL-WIDTH-key rows (control — " +
+        "every group touched, whole table rewritten)")(
+        cow(plans.SnapshotStore.upsert(spark,
+          big.filter(col("id") % 200 === 0).withColumn("v", col("v") + 1),
+          root, "id")))
+    }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()

@@ -1273,11 +1273,85 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Keyed MERGE into the snapshot table: the customer table lands
+    * key-clustered, then one upsert DOUBLES nation-5 balances (update
+    * by key) and inserts offset-keyed copies of nation 7 (new keys).
+    * The final state is pure set algebra over the base table, so the
+    * oracle recomputes it exactly: (base \ batch-keys) ∪ batch. The
+    * group-granular copy-on-write and stats-pruned touch set are
+    * SnapshotStoreSpec's pins; this row hash-checks the MERGE
+    * semantics end-to-end.
+    */
+  val qSnapshotUpsert: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_ups").toString
+    val c = customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    SnapshotStore.appendClustered(c, root, "c_custkey", 8)
+    val batch = c.filter(col("c_nationkey") === 5)
+      .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
+      .unionByName(c.filter(col("c_nationkey") === 7)
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000L)))
+    SnapshotStore.upsert(s, batch, root, "c_custkey")
+    SnapshotStore.read(s, root)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  val qSnapshotUpsertSql: String =
+    """WITH batch AS (
+      |  SELECT c_custkey, c_nationkey, round(c_acctbal * 2, 2)
+      |    AS c_acctbal
+      |  FROM customer WHERE c_nationkey = 5
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_nationkey, c_acctbal
+      |  FROM customer WHERE c_nationkey = 7
+      |), final AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      |  UNION ALL
+      |  SELECT * FROM batch
+      |)
+      |SELECT c_nationkey, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ranged DELETE from the clustered snapshot table — the same
+    * copy-on-write machinery in the subtractive direction; the oracle
+    * is the complementary filter.
+    */
+  val qSnapshotDelete: Q = (s, d) => {
+    import graft.plans.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_del").toString
+    val c = customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    SnapshotStore.appendClustered(c, root, "c_custkey", 8)
+    SnapshotStore.deleteWhere(s, root, "c_custkey", 100.0, 500.0)
+    SnapshotStore.read(s, root)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  val qSnapshotDeleteSql: String =
+    """SELECT c_nationkey, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_custkey NOT BETWEEN 100 AND 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_snapshot_time_travel" -> qSnapshotTimeTravel,
     "q_snapshot_cdc" -> qSnapshotCdc,
     "q_snapshot_pruned_read" -> qSnapshotPrunedRead,
     "q_snapshot_evolution" -> qSnapshotEvolution,
+    "q_snapshot_upsert" -> qSnapshotUpsert,
+    "q_snapshot_delete" -> qSnapshotDelete,
     "q_corr_matrix" -> qCorrMatrix,
     "q_regression" -> qRegression,
     "q_orc_roundtrip" -> qOrcRoundtrip,
@@ -1320,6 +1394,8 @@ object Relational {
     "q_snapshot_cdc" -> qSnapshotCdcSql,
     "q_snapshot_pruned_read" -> qSnapshotPrunedReadSql,
     "q_snapshot_evolution" -> qSnapshotEvolutionSql,
+    "q_snapshot_upsert" -> qSnapshotUpsertSql,
+    "q_snapshot_delete" -> qSnapshotDeleteSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regression" -> qRegressionSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,

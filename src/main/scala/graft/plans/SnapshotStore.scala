@@ -557,6 +557,15 @@ object SnapshotStore {
   }
 
   /** (version, action) history, oldest first. */
+  /** The DESCRIBE HISTORY analog: every commit's (version, action,
+    * groups added, groups removed) — the audit view that makes
+    * copy-on-write costs inspectable (an upsert that removed 1 of 32
+    * groups rewrote 1/32 of the table; one that removed all of them
+    * was a full rewrite).
+    */
+  def describeHistory(root: String): Seq[(Int, String, Int, Int)] =
+    log(root).map(c => (c.version, c.action, c.adds.size, c.removes.size))
+
   def history(root: String): Seq[(Int, String)] =
     log(root).map(c => (c.version, c.action))
 
@@ -619,6 +628,135 @@ object SnapshotStore {
       if (publish(root, v + 1,
           render(Commit(v + 1, "compact", Seq(group), sources)),
           publisher))
+        committed = v + 1
+    }
+    committed
+  }
+
+  /** True iff `g`'s sidecar cannot RULE OUT rows with `column` in
+    * [lo, hi] — the group-touch test upsert/delete prune with. A
+    * missing sidecar, manifest, column entry, or all-null file keeps
+    * the group (stats only ever EXCLUDE).
+    */
+  private def groupMayIntersect(root: String, g: String, column: String,
+      lo: Double, hi: Double): Boolean = {
+    val (manifest, ranges) = readSidecar(root, g)
+    manifest match {
+      case Some(files) => files.exists(f =>
+        ranges.get(s"$f|$column")
+          .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      case None => ranges.get(column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
+  /** Keyed MERGE (upsert): batch rows REPLACE live rows with equal
+    * `keyCol`, unmatched batch rows are inserts — one commit, atomic.
+    * Copy-on-write at GROUP granularity with a stats-pruned touch
+    * set: only groups whose file [min, max] ranges on `keyCol` can
+    * intersect the batch's key range are rewritten (their survivors —
+    * the left-anti against batch keys — land in ONE new group with
+    * the batch); every other group is untouched and keeps its files,
+    * layout, and sidecars. A key-clustered table (appendClustered /
+    * clustered compact) therefore pays ~touched/1-of-N rewrite cost
+    * for a narrow-key batch — the production MERGE shape.
+    *
+    * Preconditions: batch keys must be UNIQUE (two batch rows under
+    * one key have no defined winner — rejected), and the batch obeys
+    * the append evolution lane (may ADD columns — survivors from
+    * pre-evolution groups read null-filled; drops/retypes rejected).
+    *
+    * Concurrency: SERIALIZABLE via recompute — a lost version-slot
+    * race rebuilds from the new head (a rival commit may have added
+    * or changed matching keys, so unlike [[compact]] the rewrite is
+    * never reused). An upsert into an empty table is the batch as
+    * version 0.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, root: String,
+      keyCol: String,
+      publisher: CommitPublisher = HardLinkPublisher): Int = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    checkAppendSchema(batch, root)
+    val b = batch.persist()
+    try {
+      val stats = b.agg(count(lit(1)), countDistinct(col(keyCol)),
+        min(col(keyCol)).cast("double"),
+        max(col(keyCol)).cast("double")).head()
+      require(stats.getLong(0) == stats.getLong(1),
+        s"upsert batch has ${stats.getLong(0) - stats.getLong(1)} " +
+          s"duplicate $keyCol keys — two rows under one key have no " +
+          "defined winner; pre-aggregate the batch")
+      // widen OUTWARD so the touch test stays sound against the
+      // outward-widened sidecar bounds (and a non-numeric / all-null
+      // key range degrades to touch-everything, never skip-something)
+      val (kLo, kHi) =
+        if (stats.getLong(0) == 0L || stats.isNullAt(2))
+          (Double.PositiveInfinity, Double.NegativeInfinity)
+        else (Math.nextDown(stats.getDouble(2)),
+          Math.nextUp(stats.getDouble(3)))
+      var committed = -1
+      while (committed < 0) {
+        val commits = log(root)
+        val v = commits.lastOption.map(_.version).getOrElse(-1)
+        val live = if (v < 0) Nil else liveGroups(commits, None)
+        requirePresent(root, live)
+        val touched = live.filter(groupMayIntersect(root, _, keyCol, kLo, kHi))
+        val adds =
+          if (touched.isEmpty) Seq(writeGroup(b, root))
+          else {
+            val survivors = spark.read.option("mergeSchema", "true")
+              .parquet(touched.map(g => s"$root/$g"): _*)
+              .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+            // allowMissingColumns: the batch may be post-evolution
+            // wider than pre-evolution survivors — null-fill, exactly
+            // as a read across the boundary would
+            Seq(writeGroup(
+              survivors.unionByName(b, allowMissingColumns = true), root))
+          }
+        if (publish(root, v + 1,
+            render(Commit(v + 1, "upsert", adds, touched)), publisher))
+          committed = v + 1
+        // lost race: full recompute from the new head — the rival may
+        // have written matching keys, so the rewrite is stale by
+        // definition (serializable MERGE, the production rule)
+      }
+      committed
+    } finally { b.unpersist(); () }
+  }
+
+  /** Predicate DELETE over a numeric range ([[readWhere]]'s
+    * vocabulary): rows with `column` in [lo, hi] are removed in one
+    * atomic commit. Same stats-pruned group-granular copy-on-write as
+    * [[upsert]] — untouched groups are never read, so deleting a
+    * narrow key range from a clustered table rewrites ~1 of N groups.
+    * Rows where `column` IS NULL never match a range predicate and
+    * always survive (the SQL DELETE rule). A delete touching nothing
+    * is a NO-OP: returns the current version, no commit. Serializable
+    * via recompute, like upsert.
+    */
+  def deleteWhere(spark: SparkSession, root: String, column: String,
+      lo: Double, hi: Double,
+      publisher: CommitPublisher = HardLinkPublisher): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    var committed = -1
+    while (committed < 0) {
+      val commits = log(root)
+      val v = commits.lastOption.map(_.version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"nothing to delete from in $root"))
+      val live = liveGroups(commits, None)
+      requirePresent(root, live)
+      val touched = live.filter(groupMayIntersect(root, _, column, lo, hi))
+      if (touched.isEmpty) return v
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(g => s"$root/$g"): _*)
+        // coalesce(false): a NULL comparison must KEEP the row, and
+        // bare not(null) would drop it
+        .where(not(coalesce(
+          col(column) >= lo && col(column) <= hi, lit(false))))
+      val adds = Seq(writeGroup(survivors, root))
+      if (publish(root, v + 1,
+          render(Commit(v + 1, "delete", adds, touched)), publisher))
         committed = v + 1
     }
     committed

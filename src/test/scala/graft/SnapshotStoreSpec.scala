@@ -372,6 +372,81 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
   }
 
+  test("upsert replaces matched keys, inserts the rest, and rewrites " +
+    "ONLY the stats-touched groups (copy-on-write + pruning)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two key-disjoint clustered groups: ids 1-10 and 101-110
+    SnapshotStore.append(
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag"), root)
+    SnapshotStore.append(
+      (101L to 110L).map(i => (i, s"r$i")).toDF("id", "tag"), root)
+    // batch: update ids 3,4 + insert id 11 — key range [3, 11] can
+    // only intersect the FIRST group
+    val batch = Seq((3L, "UP3"), (4L, "UP4"), (11L, "NEW"))
+      .toDF("id", "tag")
+    val v = SnapshotStore.upsert(spark, batch, root, "id")
+    assert(v === 2)
+    assert(SnapshotStore.history(root).last === ((2, "upsert")))
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() === 21)
+    val tags = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(3L) === "UP3" && tags(4L) === "UP4" && tags(11L) === "NEW")
+    assert(tags(5L) === "r5" && tags(105L) === "r105")
+    // CDC across the upsert (before vacuum reclaims v1's group):
+    // exactly the changed rows — updates as delete+insert, the new
+    // key as insert, untouched rows absent
+    val ch = SnapshotStore.changes(spark, root, 1, 2).collect()
+      .map(r => (r.getAs[String]("_change"), r.getAs[Long]("id"),
+        r.getAs[String]("tag"))).toSet
+    assert(ch === Set(("delete", 3L, "r3"), ("delete", 4L, "r4"),
+      ("insert", 3L, "UP3"), ("insert", 4L, "UP4"),
+      ("insert", 11L, "NEW")))
+    // copy-on-write pruning: only the FIRST group was rewritten, so
+    // vacuum(keep=1) reclaims exactly that one original group — the
+    // second group is still live, untouched, in the latest version
+    assert(SnapshotStore.vacuum(root, keep = 1, minAgeMs = 0) === 1)
+    assert(SnapshotStore.read(spark, root).count() === 21)
+    // duplicate batch keys are rejected
+    intercept[IllegalArgumentException](SnapshotStore.upsert(spark,
+      Seq((7L, "a"), (7L, "b")).toDF("id", "tag"), root, "id"))
+    // upsert into an EMPTY table is the batch at version 0
+    val root2 = freshRoot()
+    assert(SnapshotStore.upsert(spark, batch, root2, "id") === 0)
+    assert(SnapshotStore.read(spark, root2).count() === 3)
+  }
+
+  test("deleteWhere removes the range atomically, keeps NULL rows, " +
+    "prunes untouched groups, and no-ops when nothing can match") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.append(
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag"), root)
+    SnapshotStore.append(
+      (101L to 110L).map(i => (i, s"r$i")).toDF("id", "tag"), root)
+    // range [3, 5] touches only the first group
+    val v = SnapshotStore.deleteWhere(spark, root, "id", 3.0, 5.0)
+    assert(v === 2)
+    assert(SnapshotStore.history(root).last === ((2, "delete")))
+    assert(idSet(SnapshotStore.read(spark, root)) ===
+      ((1L to 10L).toSet -- Set(3L, 4L, 5L)) ++ (101L to 110L).toSet)
+    // only the first group was rewritten
+    assert(SnapshotStore.vacuum(root, keep = 1, minAgeMs = 0) === 1)
+    // a range no live group can contain is a NO-OP: same version, no
+    // new commit
+    assert(SnapshotStore.deleteWhere(spark, root, "id", 900.0, 999.0)
+      === 2)
+    assert(SnapshotStore.history(root).last._1 === 2)
+    // NULL rows never match a range predicate
+    val root3 = freshRoot()
+    SnapshotStore.append(
+      Seq((Some(1L), "a"), (None, "nullrow"), (Some(9L), "z"))
+        .toDF("id", "tag"), root3)
+    SnapshotStore.deleteWhere(spark, root3, "id", 0.0, 100.0)
+    val left = SnapshotStore.read(spark, root3).collect()
+    assert(left.length === 1 && left.head.getString(1) === "nullrow")
+  }
+
   test("concurrent appendOnce under one tag lands exactly one batch " +
     "(the zombie-replay race: dedup is atomic with the version CAS)") {
     import java.util.concurrent.{CountDownLatch, Executors}
