@@ -165,11 +165,11 @@ object ScaleProbe {
         f"rows=$n (law holds)"
     }
     // keyed MERGE / ranged DELETE with the stats-pruned touch set: the
-    // 16-group key-clustered table means a narrow-key batch rewrites
-    // ~1 group (survivors + batch in one new group) while 15 groups
-    // keep their files untouched — the production MERGE cost shape.
-    // The full-width control batch rewrites everything: the gap
-    // between the two rows IS the pruning.
+    // 32-group key-clustered table means a narrow-key batch rewrites
+    // ~1 group (survivors + batch in one new group) while the other
+    // 31 keep their files untouched — the production MERGE cost
+    // shape. The full-width control batch rewrites everything: the
+    // describeHistory arithmetic in each row's result is the claim.
     locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft-probe-snapm").toString

@@ -354,14 +354,11 @@ object SnapshotStore {
       val (manifest, ranges) = readSidecar(root, g)
       manifest match {
         case Some(files) =>
-          files.filter { f =>
-            ranges.get(s"$f|$column")
-              .forall { case (mn, mx) => mx >= lo && mn <= hi }
-          }.map(f => s"$root/$g/$f")
+          files.filter(f => rangeKeeps(ranges.get(s"$f|$column"), lo, hi))
+            .map(f => s"$root/$g/$f")
         case None =>
-          val keep = ranges.get(column)
-            .forall { case (mn, mx) => mx >= lo && mn <= hi }
-          if (keep) Seq(s"$root/$g") else Nil
+          if (rangeKeeps(ranges.get(column), lo, hi)) Seq(s"$root/$g")
+          else Nil
       }
     }
     val base =
@@ -556,7 +553,6 @@ object SnapshotStore {
       .parquet(groups.map(g => s"$root/$g"): _*)
   }
 
-  /** (version, action) history, oldest first. */
   /** The DESCRIBE HISTORY analog: every commit's (version, action,
     * groups added, groups removed) — the audit view that makes
     * copy-on-write costs inspectable (an upsert that removed 1 of 32
@@ -566,6 +562,7 @@ object SnapshotStore {
   def describeHistory(root: String): Seq[(Int, String, Int, Int)] =
     log(root).map(c => (c.version, c.action, c.adds.size, c.removes.size))
 
+  /** (version, action) history, oldest first. */
   def history(root: String): Seq[(Int, String)] =
     log(root).map(c => (c.version, c.action))
 
@@ -633,33 +630,142 @@ object SnapshotStore {
     committed
   }
 
-  /** True iff `g`'s sidecar cannot RULE OUT rows with `column` in
-    * [lo, hi] — the group-touch test upsert/delete prune with. A
-    * missing sidecar, manifest, column entry, or all-null file keeps
-    * the group (stats only ever EXCLUDE).
+  /** The ONE keep/exclude rule stats pruning rests on ("stats only
+    * ever EXCLUDE"): a missing range keeps; a present range keeps iff
+    * it can intersect [lo, hi]. Shared by read-side pruning
+    * ([[readWhere]]) and write-side touch sets ([[upsert]] /
+    * [[deleteWhere]]) so the two semantics can never diverge.
     */
-  private def groupMayIntersect(root: String, g: String, column: String,
-      lo: Double, hi: Double): Boolean = {
-    val (manifest, ranges) = readSidecar(root, g)
-    manifest match {
-      case Some(files) => files.exists(f =>
-        ranges.get(s"$f|$column")
-          .forall { case (mn, mx) => mx >= lo && mn <= hi })
-      case None => ranges.get(column)
-        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+  private def rangeKeeps(
+      r: Option[(Double, Double)], lo: Double, hi: Double): Boolean =
+    r.forall { case (mn, mx) => mx >= lo && mn <= hi }
+
+  /** One touched group's copy-on-write plan: `hit` = scan paths that
+    * may contain matches (file paths, or the whole group dir for a
+    * legacy group-granular sidecar), `keep` = file names PROVABLY
+    * clear of [lo, hi] to carry forward without rewriting, plus the
+    * parsed ranges their new sidecar needs. Untouched groups (no hit)
+    * produce no entry at all.
+    */
+  private case class Touch(group: String, hit: Seq[String],
+      keep: Seq[String], ranges: Map[String, (Double, Double)])
+
+  private def touchPlan(root: String, live: Seq[String], column: String,
+      lo: Double, hi: Double): Seq[Touch] =
+    live.flatMap { g =>
+      val (manifest, ranges) = readSidecar(root, g)
+      manifest match {
+        case Some(files) =>
+          val (hit, keep) = files.partition(f =>
+            rangeKeeps(ranges.get(s"$f|$column"), lo, hi))
+          if (hit.isEmpty) None
+          else Some(Touch(g, hit.map(f => s"$root/$g/$f"), keep, ranges))
+        case None =>
+          if (rangeKeeps(ranges.get(column), lo, hi))
+            Some(Touch(g, Seq(s"$root/$g"), Nil, ranges))
+          else None
+      }
     }
+
+  /** Interval cap for [[refineTouch]]'s nested-loop pricing join. */
+  private val RefineCap = 8192
+
+  /** Tighten the hull-based touch plan per FILE against the batch's
+    * actual KEY SET. The [kLo, kHi] hull is sound but coarse in
+    * exactly the common MERGE shape — a few updates plus an insert
+    * tail at the end of the key space hulls across the WHOLE table
+    * and would rewrite everything, while its keys actually land in
+    * ~2 files. One broadcast interval join prices every hull-hit
+    * file's [mn, mx] against the real keys; files no key lands in
+    * move to the re-link side, and groups with no remaining hit drop
+    * out of the plan entirely. Files without a range entry (and
+    * legacy whole-group sidecars) must stay hit — no stats, no
+    * refinement. Skipped above [[RefineCap]] intervals: the join is
+    * batch × intervals nested-loop, and past that size the hull plan
+    * is the cheaper arithmetic.
+    */
+  private def refineTouch(b: DataFrame, keyCol: String, root: String,
+      plan: Seq[Touch]): Seq[Touch] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = b.sparkSession
+    import spark.implicits._
+    def legacy(t: Touch): Boolean =
+      t.hit.headOption.contains(s"$root/${t.group}")
+    def nameOf(t: Touch, path: String): String =
+      path.drop(s"$root/${t.group}/".length)
+    val iv = plan.zipWithIndex.flatMap { case (t, gi) =>
+      if (legacy(t)) Nil
+      else t.hit.flatMap { path =>
+        val f = nameOf(t, path)
+        t.ranges.get(s"$f|$keyCol")
+          .map { case (mn, mx) => (gi, f, mn, mx) }
+      }
+    }
+    if (iv.isEmpty || iv.size > RefineCap) return plan
+    val hitSet = b.select(col(keyCol).cast("double").as("k"))
+      .join(broadcast(iv.toDF("gi", "f", "mn", "mx")),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("gi", "f").distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    plan.zipWithIndex.flatMap { case (t, gi) =>
+      if (legacy(t)) Some(t)
+      else {
+        val (hitF, clear) = t.hit.partition { path =>
+          val f = nameOf(t, path)
+          !t.ranges.contains(s"$f|$keyCol") || hitSet((gi, f))
+        }
+        if (hitF.isEmpty) None
+        else Some(Touch(t.group, hitF,
+          t.keep ++ clear.map(nameOf(t, _)), t.ranges))
+      }
+    }
+  }
+
+  /** Hard-link a rewritten group's provably-clear files into a NEW
+    * group, carrying their sidecar entries — the O(#files) keep path
+    * of FILE-granular copy-on-write. This is what keeps a clustered-
+    * compacted table (ONE group, disjoint-range files) paying ~1 file
+    * of rewrite for a narrow upsert/delete instead of the whole
+    * group: matched files rewrite, clear files re-link. link(2) is
+    * the local-FS binding; an object-store port would use server-side
+    * copy behind the same kind of seam as [[CommitPublisher]]. Links
+    * are refcounted, so vacuuming either group later never corrupts
+    * the other.
+    */
+  private def linkGroup(root: String, srcGroup: String,
+      files: Seq[String], ranges: Map[String, (Double, Double)]): String = {
+    val group = s"data/${UUID.randomUUID()}"
+    Files.createDirectories(Paths.get(root, group))
+    files.foreach(f => Files.createLink(
+      Paths.get(root, group, f), Paths.get(root, srcGroup, f)))
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries += s""""_files":[${
+      files.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    val kept = files.toSet
+    ranges.foreach { case (k, (mn, mx)) =>
+      // keys are "file|col"; parquet part names never contain '|', so
+      // the FIRST bar ends the file name even if the column has one
+      val bar = k.indexOf('|')
+      if (bar > 0 && kept.contains(k.take(bar)))
+        entries += s""""$k":[${statNum(mn)},${statNum(mx)}]"""
+    }
+    Files.writeString(Paths.get(root, group, "_stats.json"),
+      entries.mkString("{", ",", "}"))
+    group
   }
 
   /** Keyed MERGE (upsert): batch rows REPLACE live rows with equal
     * `keyCol`, unmatched batch rows are inserts — one commit, atomic.
-    * Copy-on-write at GROUP granularity with a stats-pruned touch
-    * set: only groups whose file [min, max] ranges on `keyCol` can
-    * intersect the batch's key range are rewritten (their survivors —
-    * the left-anti against batch keys — land in ONE new group with
-    * the batch); every other group is untouched and keeps its files,
-    * layout, and sidecars. A key-clustered table (appendClustered /
-    * clustered compact) therefore pays ~touched/1-of-N rewrite cost
-    * for a narrow-key batch — the production MERGE shape.
+    * Copy-on-write at FILE granularity with a stats-pruned touch set:
+    * only files whose [min, max] on `keyCol` can intersect the
+    * batch's key range are read and rewritten (their survivors — the
+    * left-anti against batch keys — land in ONE new group with the
+    * batch); a touched group's provably-clear files re-LINK forward
+    * ([[linkGroup]]) and untouched groups keep everything. Both a
+    * key-clustered table (appendClustered) and a clustered-COMPACTED
+    * one (one group, disjoint-range files) therefore pay ~1-of-N
+    * rewrite cost for a narrow-key batch — the production MERGE
+    * shape. Legacy group-granular sidecars rewrite whole-group.
     *
     * Preconditions: batch keys must be UNIQUE (two batch rows under
     * one key have no defined winner — rejected), and the batch obeys
@@ -680,45 +786,70 @@ object SnapshotStore {
     val b = batch.persist()
     try {
       val stats = b.agg(count(lit(1)), countDistinct(col(keyCol)),
+        count(col(keyCol)),
         min(col(keyCol)).cast("double"),
         max(col(keyCol)).cast("double")).head()
-      require(stats.getLong(0) == stats.getLong(1),
-        s"upsert batch has ${stats.getLong(0) - stats.getLong(1)} " +
+      val nRows = stats.getLong(0)
+      require(stats.getLong(2) == nRows,
+        s"upsert batch has ${nRows - stats.getLong(2)} NULL $keyCol " +
+          "keys — a NULL key equals nothing, so it can never match a " +
+          "live row and has no MERGE semantics; filter or key those " +
+          "rows first")
+      require(stats.getLong(1) == nRows,
+        s"upsert batch has ${nRows - stats.getLong(1)} " +
           s"duplicate $keyCol keys — two rows under one key have no " +
           "defined winner; pre-aggregate the batch")
+      // an empty batch matches nothing and inserts nothing — a no-op,
+      // not a commit (and on a stats-less key column the touch-all
+      // fallback would otherwise rewrite the whole table for zero
+      // row changes). Returns the current version, -1 on an empty
+      // table.
+      if (nRows == 0L)
+        return log(root).lastOption.map(_.version).getOrElse(-1)
       // widen OUTWARD so the touch test stays sound against the
-      // outward-widened sidecar bounds (and a non-numeric / all-null
-      // key range degrades to touch-everything, never skip-something)
+      // outward-widened sidecar bounds; a non-numeric / all-null /
+      // NaN-containing key range degrades to touch-everything, never
+      // skip-something (NaN poisons comparisons — every range test
+      // would be false and matched keys would silently DUPLICATE)
       val (kLo, kHi) =
-        if (stats.getLong(0) == 0L || stats.isNullAt(2))
-          (Double.PositiveInfinity, Double.NegativeInfinity)
-        else (Math.nextDown(stats.getDouble(2)),
-          Math.nextUp(stats.getDouble(3)))
+        if (stats.isNullAt(3) || stats.isNullAt(4) ||
+          stats.getDouble(3).isNaN || stats.getDouble(4).isNaN)
+          (Double.NegativeInfinity, Double.PositiveInfinity)
+        else (Math.nextDown(stats.getDouble(3)),
+          Math.nextUp(stats.getDouble(4)))
       var committed = -1
       while (committed < 0) {
         val commits = log(root)
         val v = commits.lastOption.map(_.version).getOrElse(-1)
         val live = if (v < 0) Nil else liveGroups(commits, None)
         requirePresent(root, live)
-        val touched = live.filter(groupMayIntersect(root, _, keyCol, kLo, kHi))
+        val plan = refineTouch(b, keyCol, root,
+          touchPlan(root, live, keyCol, kLo, kHi))
         val adds =
-          if (touched.isEmpty) Seq(writeGroup(b, root))
+          if (plan.isEmpty) Seq(writeGroup(b, root))
           else {
             val survivors = spark.read.option("mergeSchema", "true")
-              .parquet(touched.map(g => s"$root/$g"): _*)
+              .parquet(plan.flatMap(_.hit): _*)
               .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
             // allowMissingColumns: the batch may be post-evolution
             // wider than pre-evolution survivors — null-fill, exactly
-            // as a read across the boundary would
-            Seq(writeGroup(
-              survivors.unionByName(b, allowMissingColumns = true), root))
+            // as a read across the boundary would. Provably-clear
+            // files of touched groups re-LINK instead of rewriting
+            // (file-granular copy-on-write — see [[linkGroup]]).
+            writeGroup(
+              survivors.unionByName(b, allowMissingColumns = true),
+              root) +:
+              plan.filter(_.keep.nonEmpty)
+                .map(t => linkGroup(root, t.group, t.keep, t.ranges))
           }
         if (publish(root, v + 1,
-            render(Commit(v + 1, "upsert", adds, touched)), publisher))
+            render(Commit(v + 1, "upsert", adds, plan.map(_.group))),
+            publisher))
           committed = v + 1
         // lost race: full recompute from the new head — the rival may
         // have written matching keys, so the rewrite is stale by
-        // definition (serializable MERGE, the production rule)
+        // definition (serializable MERGE, the production rule);
+        // abandoned adds are unreferenced groups, vacuum's job
       }
       committed
     } finally { b.unpersist(); () }
@@ -746,17 +877,20 @@ object SnapshotStore {
           s"nothing to delete from in $root"))
       val live = liveGroups(commits, None)
       requirePresent(root, live)
-      val touched = live.filter(groupMayIntersect(root, _, column, lo, hi))
-      if (touched.isEmpty) return v
+      val plan = touchPlan(root, live, column, lo, hi)
+      if (plan.isEmpty) return v
       val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(g => s"$root/$g"): _*)
+        .parquet(plan.flatMap(_.hit): _*)
         // coalesce(false): a NULL comparison must KEEP the row, and
         // bare not(null) would drop it
         .where(not(coalesce(
           col(column) >= lo && col(column) <= hi, lit(false))))
-      val adds = Seq(writeGroup(survivors, root))
+      val adds = writeGroup(survivors, root) +:
+        plan.filter(_.keep.nonEmpty)
+          .map(t => linkGroup(root, t.group, t.keep, t.ranges))
       if (publish(root, v + 1,
-          render(Commit(v + 1, "delete", adds, touched)), publisher))
+          render(Commit(v + 1, "delete", adds, plan.map(_.group))),
+          publisher))
         committed = v + 1
     }
     committed

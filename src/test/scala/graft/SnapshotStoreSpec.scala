@@ -416,6 +416,44 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root2).count() === 3)
   }
 
+  test("file-granular copy-on-write: after clustered compaction a " +
+    "narrow upsert rewrites only the matching FILES — clear files " +
+    "re-link with their sidecar entries intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.append(
+      (1L to 400L).map(i => (i, s"r$i")).toDF("id", "tag"), root)
+    // ONE group, 4 disjoint-range files
+    SnapshotStore.compact(spark, root, clusterCol = "id", nFiles = 4)
+    // narrow batch: keys in the first file's range only
+    val v = SnapshotStore.upsert(spark,
+      Seq((5L, "UP5"), (401L, "NEW")).toDF("id", "tag"), root, "id")
+    // the commit removed the single compacted group but added TWO:
+    // the rewrite (1 matched file's survivors + batch) and the link
+    // group carrying the 3 clear files forward
+    val (_, act, adds, removes) =
+      SnapshotStore.describeHistory(root).find(_._1 == v).get
+    assert(act === "upsert" && removes === 1 && adds === 2)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() === 401)
+    val tags = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(5L) === "UP5" && tags(401L) === "NEW" &&
+      tags(6L) === "r6" && tags(399L) === "r399")
+    // the linked files' sidecar entries survived: a ranged read in a
+    // clear file's range still prunes (and still returns its rows)
+    assert(SnapshotStore.readWhere(spark, root, "id", 350.0, 360.0)
+      .count() === 11)
+    // NULL batch keys and empty batches are their own contracts
+    val e = intercept[IllegalArgumentException](SnapshotStore.upsert(
+      spark, Seq((Option.empty[Long], "x")).toDF("id", "tag"),
+      root, "id"))
+    assert(e.getMessage.contains("NULL"))
+    assert(SnapshotStore.upsert(spark,
+      spark.emptyDataset[(Long, String)].toDF("id", "tag"),
+      root, "id") === v, "empty batch is a no-op at the current version")
+    assert(SnapshotStore.describeHistory(root).last._1 === v)
+  }
+
   test("deleteWhere removes the range atomically, keeps NULL rows, " +
     "prunes untouched groups, and no-ops when nothing can match") {
     import spark.implicits._
