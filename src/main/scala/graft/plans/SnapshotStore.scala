@@ -249,24 +249,45 @@ object SnapshotStore {
           .agg(aggs.head, aggs.tail: _*).collect()
       }
     def fileNameOf(uri: String): String = uri.drop(uri.lastIndexOf('/') + 1)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val files = rows.map(r => fileNameOf(r.getString(0))).sorted
-    entries += s""""_files":[${files.map("\"" + _ + "\"").mkString(",")}]"""
-    rows.foreach { r =>
+    val ranges = rows.flatMap { r =>
       val f = fileNameOf(r.getString(0))
-      cols.zipWithIndex.foreach { case ((c, integral), i) =>
-        if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i)) {
+      cols.zipWithIndex.flatMap { case ((c, integral), i) =>
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+        else {
           val (lo, hi) =
             if (integral)
               (widenLo(r.getLong(1 + 2 * i)), widenHi(r.getLong(2 + 2 * i)))
             else (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
-          entries += s""""$f|$c":[${statNum(lo)},${statNum(hi)}]"""
+          // a NaN bound can only poison later comparisons (NaN sorts
+          // above everything in Spark's min/max, and every NaN
+          // comparison is false) — record no entry, so the file is
+          // simply never pruned, the only sound degradation
+          if (lo.isNaN || hi.isNaN) None
+          else Some((s"$f|$c", lo, hi))
         }
       }
     }
+    writeSidecar(root, group, files, ranges)
+    group
+  }
+
+  /** The ONE sidecar serializer — shared by [[writeGroup]] (fresh
+    * stats from just-written files) and [[linkGroup]] (entries carried
+    * forward for re-linked files), so the format cannot diverge
+    * between the two producers.
+    */
+  private def writeSidecar(root: String, group: String,
+      files: Seq[String], ranges: Seq[(String, Double, Double)]): Unit = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries += s""""_files":[${
+      files.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    ranges.foreach { case (k, lo, hi) =>
+      entries += s""""$k":[${statNum(lo)},${statNum(hi)}]"""
+    }
     Files.writeString(Paths.get(root, group, "_stats.json"),
       entries.mkString("{", ",", "}"))
-    group
+    ()
   }
 
   private def statNum(v: Double) =
@@ -638,7 +659,11 @@ object SnapshotStore {
     */
   private def rangeKeeps(
       r: Option[(Double, Double)], lo: Double, hi: Double): Boolean =
-    r.forall { case (mn, mx) => mx >= lo && mn <= hi }
+    // a NaN bound (legacy sidecars written before writeGroup learned
+    // to skip NaN stats) makes every comparison false — which would
+    // silently EXCLUDE a file that may contain matches; keep instead
+    r.forall { case (mn, mx) =>
+      mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
 
   /** One touched group's copy-on-write plan: `hit` = scan paths that
     * may contain matches (file paths, or the whole group dir for a
@@ -738,19 +763,15 @@ object SnapshotStore {
     Files.createDirectories(Paths.get(root, group))
     files.foreach(f => Files.createLink(
       Paths.get(root, group, f), Paths.get(root, srcGroup, f)))
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    entries += s""""_files":[${
-      files.sorted.map("\"" + _ + "\"").mkString(",")}]"""
     val kept = files.toSet
-    ranges.foreach { case (k, (mn, mx)) =>
-      // keys are "file|col"; parquet part names never contain '|', so
-      // the FIRST bar ends the file name even if the column has one
-      val bar = k.indexOf('|')
-      if (bar > 0 && kept.contains(k.take(bar)))
-        entries += s""""$k":[${statNum(mn)},${statNum(mx)}]"""
+    // keys are "file|col"; parquet part names never contain '|', so
+    // the FIRST bar ends the file name even if the column has one
+    val carried = ranges.toSeq.collect {
+      case (k, (mn, mx))
+        if k.indexOf('|') > 0 && kept.contains(k.take(k.indexOf('|'))) =>
+        (k, mn, mx)
     }
-    Files.writeString(Paths.get(root, group, "_stats.json"),
-      entries.mkString("{", ",", "}"))
+    writeSidecar(root, group, files, carried)
     group
   }
 
@@ -783,6 +804,16 @@ object SnapshotStore {
       publisher: CommitPublisher = HardLinkPublisher): Int = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     checkAppendSchema(batch, root)
+    // the key must already exist in the table: keying on a column the
+    // batch is ADDING (legal for the evolution lane otherwise) would
+    // read survivors that cannot resolve it — fail clearly up front
+    // instead of with a mid-commit AnalysisException
+    tableSchema(spark, root).foreach { cur =>
+      require(cur.fieldNames.contains(keyCol),
+        s"upsert key '$keyCol' does not exist in the table schema " +
+          s"(${cur.fieldNames.mkString(", ")}) — add the column via a " +
+          "plain append before keying on it")
+    }
     val b = batch.persist()
     try {
       val stats = b.agg(count(lit(1)), countDistinct(col(keyCol)),

@@ -454,6 +454,68 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.describeHistory(root).last._1 === v)
   }
 
+  test("upsert recomputes on a lost CAS race: a rival commit with a " +
+    "matching key landed mid-flight is still replaced exactly once") {
+    import spark.implicits._
+    import java.nio.file.Path
+    val root = freshRoot()
+    SnapshotStore.append(df(1, 2), root)
+    // the racing publisher sneaks a rival append (key 3, OLD) into
+    // the version slot just before our first publish attempt, forcing
+    // the CAS loss; the retry MUST recompute its touch plan from the
+    // new head and remove the rival's row — a cached rewrite (the
+    // compact() reuse trick) would let OLD survive beside NEW
+    var injected = false
+    val racer = new SnapshotStore.CommitPublisher {
+      def putIfAbsent(dir: Path, name: String, json: String): Boolean = {
+        if (!injected) {
+          injected = true
+          SnapshotStore.append(Seq((3L, "OLD")).toDF("id", "tag"), root)
+        }
+        SnapshotStore.HardLinkPublisher.putIfAbsent(dir, name, json)
+      }
+    }
+    val v = SnapshotStore.upsert(spark,
+      Seq((3L, "NEW")).toDF("id", "tag"), root, "id", racer)
+    assert(v === 2, "upsert must land AFTER the rival's slot")
+    val rows = SnapshotStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.count(_._1 == 3L) === 1, "exactly one row for the key")
+    assert(rows.toMap.apply(3L) === "NEW")
+    assert(rows.length === 3)
+    // keying on a column the batch is newly ADDING is rejected up
+    // front (survivors could not resolve it)
+    val e = intercept[IllegalArgumentException](SnapshotStore.upsert(
+      spark, Seq((9L, "x", 1.0)).toDF("id", "tag", "k2"), root, "k2"))
+    assert(e.getMessage.contains("does not exist in the table schema"))
+  }
+
+  test("NaN values never poison stats pruning: files with NaN key " +
+    "bounds stay visible to reads AND to upsert/delete touch sets") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one file whose key max is NaN (NaN sorts above everything in
+    // Spark min/max) plus a clean file
+    SnapshotStore.append(
+      Seq((5.0, "a"), (7.0, "b"), (Double.NaN, "nan")).toDF("k", "tag"),
+      root)
+    SnapshotStore.append(
+      Seq((100.0, "far")).toDF("k", "tag"), root)
+    // read-side: the NaN-stats file must not be pruned away
+    assert(SnapshotStore.readWhere(spark, root, "k", 6.0, 8.0)
+      .count() === 1)
+    // write-side: upsert of key 7 must REPLACE, not duplicate
+    SnapshotStore.upsert(spark,
+      Seq((7.0, "UP")).toDF("k", "tag"), root, "k")
+    val rows = SnapshotStore.read(spark, root).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(rows.count(r => r._1 == 7.0) === 1)
+    assert(rows.find(r => r._1 == 7.0).get._2 === "UP")
+    // and deleteWhere in the NaN file's range really deletes
+    SnapshotStore.deleteWhere(spark, root, "k", 4.0, 6.0)
+    assert(SnapshotStore.read(spark, root).count() === 3)
+  }
+
   test("deleteWhere removes the range atomically, keeps NULL rows, " +
     "prunes untouched groups, and no-ops when nothing can match") {
     import spark.implicits._
