@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions._
   * in-session query row-for-row and carries the same DuckDB oracle.
   *
   * Refresh discipline: rebuild (versioned dirs, repoint-not-overwrite —
-  * the [[AggStore]] rule). A frozen-stats `extend` in the
-  * [[Bm25IndexStore]] style is possible (weight a batch under saved
-  * df/n_docs), but tf-idf's idf couples every weight to n_docs, so the
-  * family's documented knob here is the periodic rebuild.
+  * the [[AggStore]] rule), with a frozen-stats [[extend]] in the
+  * [[Bm25IndexStore]] style for continual ingest between rebuilds:
+  * the batch weights under the SAVED raw df + n_docs (persisted at
+  * build exactly for this), so existing postings never rewrite.
+  * tf-idf's idf couples every weight to n_docs, so extension drifts
+  * as the corpus grows — the same staleness contract as the whole
+  * frozen-stats family, reset by the periodic rebuild.
   */
 object TfidfIndexStore {
 
   def normsTable(table: String): String = s"${table}_norms"
   def dfTable(table: String): String = s"${table}_df"
+  def rawDfTable(table: String): String = s"${table}_rawdf"
+  def statsTable(table: String): String = s"${table}_stats"
 
   /** Build the top-`k`-term index from `docs` and save postings + norms
     * under `path`, registered as external tables.
@@ -47,11 +52,27 @@ object TfidfIndexStore {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${normsTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dfTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${rawDfTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
     val next = AggStore.versionPaths(spark, path).lastOption
       .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toInt + 1)
       .getOrElse(0)
     val vdir = s"$path/v$next"
-    val postings = graft.operators.TextAnalysis.tfidfTopTerms(docs, k)
+    // the FROZEN idf inputs [[extend]] folds new batches in under:
+    // raw per-term document frequency (over the whole corpus, BEFORE
+    // top-k selection — the idf the build's weights actually used)
+    // and the corpus size
+    val tf0 = graft.operators.TextAnalysis.termFreq(docs).persist()
+    tf0.groupBy(xxhash64(col("term")).as("tkey"))
+      .agg(count(lit(1)).as("df"))
+      .write.option("path", s"$vdir/rawdf").mode("overwrite")
+      .format("parquet").saveAsTable(rawDfTable(table))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.option("path", s"$vdir/stats").mode("overwrite")
+      .format("parquet").saveAsTable(statsTable(table))
+    val postings = graft.operators.TextAnalysis
+      .tfidfTopTermsFromTf(tf0,
+        spark.table(statsTable(table)), k)
       .select(xxhash64(col("term")).as("tkey"),
         col("doc_id"), col("score").as("w"))
       .persist()
@@ -81,6 +102,56 @@ object TfidfIndexStore {
       .option("path", s"$vdir/postings").mode("overwrite")
       .format("parquet").saveAsTable(table)
     postings.unpersist()
+    tf0.unpersist()
+    ()
+  }
+
+  /** Fold a new document batch in under the FROZEN idf (saved raw df
+    * + n_docs): tokenize ONLY the batch, weight with the build-time
+    * statistics (terms unseen at build time drop — they have no idf
+    * and could never match a saved posting anyway), take the same
+    * top-`k` per doc, append norms + postings. Existing postings are
+    * untouched; an exact copy of an indexed document weights
+    * identically and so remains findable as a duplicate. Extended
+    * postings carry `rnk_w = 0` — always inside [[wandSearch]]'s
+    * prefix, so early-terminated serving stays exact after extension
+    * (caps are computed over true ranks only), at the cost of the
+    * candidate set growing with extension volume until the periodic
+    * rebuild re-ranks. `k` must match the build's. The pricing df
+    * table is NOT updated (same staleness contract as
+    * [[Bm25IndexStore.extend]]).
+    */
+  def extend(batch: DataFrame, table: String, buckets: Int,
+      k: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val rawdf = spark.table(rawDfTable(table))
+    val nDocs = spark.table(statsTable(table))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    val scored = graft.operators.TextAnalysis.termFreq(batch)
+      .withColumn("tkey", xxhash64(col("term")))
+      .join(rawdf, "tkey")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")),
+          4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("tkey"), col("doc_id"), col("score").as("w"))
+      .localCheckpoint(true)
+    val nrm = scored.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .localCheckpoint(true)
+    nrm.write.mode("append").format("parquet")
+      .saveAsTable(normsTable(table))
+    scored.join(nrm, "doc_id")
+      .withColumn("wn", col("w") / col("nrm"))
+      .withColumn("rnk_w", lit(0))
+      .select("tkey", "doc_id", "w", "wn", "rnk_w")
+      .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
+      .mode("append").format("parquet")
+      .saveAsTable(table)
   }
 
   /** Top-`topN` cosine matches per query id, served ENTIRELY from the
@@ -211,7 +282,12 @@ object TfidfIndexStore {
           .otherwise(lit(Double.MinValue)).as("theta"))
       .localCheckpoint(true)
     // contribution cap per (query, term): (wq/‖q‖) · (P-th wn)
+    // caps over TRUE ranks only: rank-0 extended postings are always
+    // candidates and must not deflate the P-th impact (an understated
+    // cap would understate tail bounds — unsound); mirrors
+    // [[Bm25IndexStore.wandSearch]]'s cap filter
     val capwn = prefix
+      .filter(col("rnk_w") >= 1)
       .groupBy("query_id", "tkey")
       .agg(count(lit(1)).as("cnt"), min("wn").as("minwn"))
       .select(col("query_id"), col("tkey"),

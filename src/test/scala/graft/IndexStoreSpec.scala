@@ -449,6 +449,53 @@ class IndexStoreSpec extends AnyFunSuite {
       rows(Bm25IndexStore.search(spark, table, queries, 3)))
   }
 
+  test("tfidf extend folds a batch in under the frozen idf: copies of " +
+    "indexed docs weight identically, wandSearch stays exact") {
+    import graft.plans.TfidfIndexStore
+    val table = "tfx_ext"
+    Seq(table, s"${table}_norms", s"${table}_df", s"${table}_rawdf",
+      s"${table}_stats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-tfxe").toString + "/tfx"
+    TfidfIndexStore.build(base, 10, table, path, buckets = 4)
+    val before = spark.table(table).count()
+    // extended batch: verbatim copies of every 7th doc, offset ids
+    val copies = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    TfidfIndexStore.extend(copies, table, buckets = 4)
+    // copies weight identically under the frozen idf → same top-k
+    // terms, same norms → each copy's postings mirror its original's
+    val post = spark.table(table)
+    val orig = post.filter(col("rnk_w") >= 1)
+      .join(copies.select((col("doc_id") - 5000000L).as("doc_id")),
+        "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        round(sum("w"), 4).as("sw"))
+    val ext = post.filter(col("rnk_w") === 0)
+      .select((col("doc_id") - 5000000L).as("doc_id"), col("w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        round(sum("w"), 4).as("sw"))
+    assert(orig.join(ext, Seq("doc_id", "n", "sw"), "left_anti")
+      .count() === 0, "every copy's postings mirror its original's")
+    assert(post.count() > before)
+    // a copy's nearest neighbor is its original at cosine 1
+    val queryIds = copies.limit(3).select("doc_id")
+    val top1 = TfidfIndexStore.search(spark, table, queryIds, 1)
+      .collect()
+    assert(top1.forall(r =>
+      r.getLong(2) == r.getLong(0) - 5000000L && r.getDouble(3) == 1.0),
+      "verbatim copies retrieve their originals at cosine 1")
+    // rank-0 extended postings keep WAND exact (tiny prefix forces
+    // the tail machinery to work around them)
+    val qAll = base.filter(col("doc_id") % 25 === 0).select("doc_id")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(TfidfIndexStore.wandSearch(
+      spark, table, qAll, 3, prefixP = 2)) ===
+      rows(TfidfIndexStore.search(spark, table, qAll, 3)))
+  }
+
   test("tfidf wandSearch equals search exactly at tiny and default " +
     "prefixes") {
     import graft.plans.TfidfIndexStore
