@@ -92,10 +92,23 @@ object SnapshotStore {
       else inner.split(",").toSeq.map(_.trim.stripPrefix("\"")
         .stripSuffix("\""))
     }
-    Commit(
+    // fail CLOSED on a truncated/torn record: a partial read of the
+    // adds array would otherwise yield a mangled group name and the
+    // reader would replay a corrupted live set silently. render()
+    // guarantees every record is one JSON object ending in '}' and
+    // every group obeys the data/<uuid> grammar — anything else here
+    // is a torn read (or external corruption), never a valid commit.
+    require(s.trim.startsWith("{") && s.trim.endsWith("}"),
+      s"torn or corrupt commit record (not a closed JSON object): $s")
+    val c = Commit(
       field("version").takeWhile(c => c.isDigit).toInt,
       field("action").drop(1).takeWhile(_ != '"'),
       arr(field("adds")), arr(field("removes")), opt("tag"))
+    (c.adds ++ c.removes).foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"torn or corrupt commit record (bad group '$g'): $s")
+    }
+    c
   }
 
   /** List a directory's entries, CLOSING the stream — Files.list leaks
@@ -110,11 +123,38 @@ object SnapshotStore {
     }
   }
 
+  /** Read one commit record, retrying briefly on a TORN read: under
+    * [[CreateNewPublisher]] a record's creation is exclusive but a
+    * local FS does not make its CONTENT atomic — a concurrent reader
+    * can observe the file mid-write. parse() fails closed on the torn
+    * shape (no closing '}', mangled group name), so the read retries
+    * until the writer's single small write completes; a record still
+    * torn after the window is real corruption and fails loudly rather
+    * than corrupting the replayed live set. [[HardLinkPublisher]]
+    * records are content-atomic (linked only when complete) and never
+    * take this path.
+    */
+  private def readRecord(p: Path): Commit = {
+    var attempts = 0
+    while (true) {
+      try return parse(Files.readString(p))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("torn or corrupt") =>
+          attempts += 1
+          if (attempts >= 50) throw e
+          Thread.sleep(2)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def log(root: String): Seq[Commit] =
     listDir(commitsDir(root))
       .filter(_.getFileName.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
-      .map(p => parse(Files.readString(p)))
+      .map(readRecord)
 
   /** The live data-group set after replaying commits ≤ `asOf`
     * (entire log when None).
@@ -400,8 +440,14 @@ object SnapshotStore {
       else org.apache.spark.sql.functions.lit(null)
         .cast(f.dataType).as(f.name)
     }
-    base.where(col(column) >= lo && col(column) <= hi)
-      .select(aligned: _*)
+    // align FIRST, filter second: when `column` was added by schema
+    // evolution and pruning kept only pre-evolution files (or the
+    // empty-scan fallback read an old group), `base` lacks the column
+    // entirely — the aligned projection null-fills it, and the range
+    // predicate then correctly drops those null rows instead of
+    // throwing an AnalysisException on an unresolvable name
+    base.select(aligned: _*)
+      .where(col(column) >= lo && col(column) <= hi)
   }
 
   private def commitLoop(root: String, action: String,
@@ -458,6 +504,24 @@ object SnapshotStore {
     if (groups.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(groups.map(g => s"$root/$g"): _*).schema)
+  }
+
+  /** Project `df` through `schema`, null-filling absent columns — the
+    * evolution alignment shared by [[readWhere]]'s pruned scan and the
+    * [[upsert]]/[[deleteWhere]] survivor scans: a hit set made
+    * entirely of pre-evolution files lacks any evolved column, and
+    * without the projection a key join or range filter on that column
+    * would throw AnalysisException though the correct semantics (null
+    * never matches) are well-defined.
+    */
+  private def alignTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   private def checkAppendSchema(df: DataFrame, root: String): Unit =
@@ -859,8 +923,16 @@ object SnapshotStore {
         val adds =
           if (plan.isEmpty) Seq(writeGroup(b, root))
           else {
-            val survivors = spark.read.option("mergeSchema", "true")
-              .parquet(plan.flatMap(_.hit): _*)
+            // align the hit scan to the SNAPSHOT schema before the key
+            // join: when every hit file predates an add-column
+            // evolution of keyCol, the mergeSchema union lacks the
+            // column and the join would throw — null-filled, those
+            // survivors simply never match (null equals nothing)
+            val snapSchema = spark.read.option("mergeSchema", "true")
+              .parquet(live.map(g => s"$root/$g"): _*).schema
+            val survivors = alignTo(
+              spark.read.option("mergeSchema", "true")
+                .parquet(plan.flatMap(_.hit): _*), snapSchema)
               .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
             // allowMissingColumns: the batch may be post-evolution
             // wider than pre-evolution survivors — null-fill, exactly
@@ -910,8 +982,14 @@ object SnapshotStore {
       requirePresent(root, live)
       val plan = touchPlan(root, live, column, lo, hi)
       if (plan.isEmpty) return v
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(plan.flatMap(_.hit): _*)
+      // align to the snapshot schema first (see upsert): an evolved
+      // `column` absent from every hit file null-fills, and null rows
+      // survive a range DELETE by the SQL rule below
+      val snapSchema = spark.read.option("mergeSchema", "true")
+        .parquet(live.map(g => s"$root/$g"): _*).schema
+      val survivors = alignTo(
+        spark.read.option("mergeSchema", "true")
+          .parquet(plan.flatMap(_.hit): _*), snapSchema)
         // coalesce(false): a NULL comparison must KEEP the row, and
         // bare not(null) would drop it
         .where(not(coalesce(

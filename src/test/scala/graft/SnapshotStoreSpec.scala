@@ -575,6 +575,54 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("evolved-column predicates resolve even when every surviving " +
+    "file predates the evolution: readWhere/upsert/deleteWhere " +
+    "null-fill instead of throwing") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.append(df(1, 2), root) // pre-evolution: (id, tag)
+    SnapshotStore.append(
+      Seq((3L, "r3", 30.0)).toDF("id", "tag", "score"), root)
+    // range [100, 200] excludes the one post-evolution file by stats,
+    // so the pruned scan holds ONLY pre-evolution files (no `score`);
+    // the aligned projection must null-fill and return empty, not throw
+    val pruned = SnapshotStore.readWhere(spark, root, "score", 100.0, 200.0)
+    assert(pruned.columns.toSet === Set("id", "tag", "score"))
+    assert(pruned.count() === 0)
+    // upsert keyed on the evolved column: batch key range [500, 500]
+    // excludes the post-evolution file, so every hit path predates the
+    // evolution — survivors (null score) never match and all carry over
+    val v = SnapshotStore.upsert(spark,
+      Seq((9L, "NEW", 500.0)).toDF("id", "tag", "score"), root, "score")
+    assert(idSet(SnapshotStore.read(spark, root, Some(v))) ===
+      Set(1L, 2L, 3L, 9L))
+    // deleteWhere on the evolved column over the same pre-evolution-only
+    // hit set: null rows all survive the range predicate
+    SnapshotStore.deleteWhere(spark, root, "score", 400.0, 600.0)
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(1L, 2L, 3L))
+  }
+
+  test("torn commit records fail CLOSED: a truncated or mangled " +
+    "record raises loudly instead of replaying a corrupt live set") {
+    val root = freshRoot()
+    SnapshotStore.append(df(1), root)
+    // a permanently truncated record (a torn CreateNewPublisher write
+    // that never completed, or external corruption)
+    Files.writeString(Paths.get(root, "_commits", "00000001.json"),
+      """{"version":1,"action":"append","adds":["data/ab""")
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root))
+    assert(e.getMessage.contains("torn or corrupt"))
+    // a complete-looking record whose group violates the data/<uuid>
+    // grammar is equally rejected (a torn adds array mangles names)
+    Files.writeString(Paths.get(root, "_commits", "00000001.json"),
+      """{"version":1,"action":"append","adds":["datax/1"],""" +
+        """"removes":[],"tag":""}""")
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root))
+    assert(e2.getMessage.contains("torn or corrupt"))
+  }
+
   test("stats sidecar bounds CONTAIN long values beyond double " +
     "precision (widened outward, never rounded past the true value)") {
     import spark.implicits._
