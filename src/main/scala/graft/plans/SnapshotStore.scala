@@ -156,25 +156,172 @@ object SnapshotStore {
       .sortBy(_.getFileName.toString)
       .map(readRecord)
 
-  /** The live data-group set after replaying commits ≤ `asOf`
-    * (entire log when None).
-    */
-  private def liveGroups(
-      commits: Seq[Commit], asOf: Option[Int]): Seq[String] = {
-    // a nonexistent future version must fail, not silently alias
-    // latest — a typo'd time-travel target would otherwise read the
-    // wrong snapshot with no signal
-    asOf.foreach { v =>
-      val latest = commits.lastOption.map(_.version).getOrElse(-1)
-      require(v <= latest,
-        s"version $v does not exist (latest is $latest)")
+  // ---- commit-log checkpointing -----------------------------------
+  //
+  // Replaying the log is O(#commits) driver-side JSON reads PER ACTION
+  // (and the CAS retry loop multiplies it under contention) — fine at
+  // dozens of commits, unbounded over a table's ingest lifetime. Every
+  // CheckpointInterval-th commit therefore also publishes a CHECKPOINT
+  // record carrying the fully-replayed state at that version (live
+  // group set + every appendOnce tag seen), and all hot paths read
+  // latest-checkpoint + record suffix instead of the whole log — the
+  // production table formats' checkpoint discipline, reduced to its
+  // replay-state core. Checkpoints are derived, never authoritative:
+  // a missing/lost one only means a longer replay, and time travel to
+  // a version BEFORE the newest checkpoint replays the retained full
+  // records (explicitly rejected once log retention has pruned them).
+
+  private[graft] val CheckpointInterval = 10
+
+  private case class Ckpt(
+      version: Int, live: Vector[String], tags: Set[String])
+
+  private def renderCkpt(c: Ckpt): String = {
+    c.live.foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"data group name '$g' violates the data/<uuid> grammar")
     }
-    commits.filter(c => asOf.forall(c.version <= _))
-      .foldLeft(Vector.empty[String]) { (live, c) =>
-        (if (c.action == "overwrite") Vector.empty
-         else live.filterNot(c.removes.contains)) ++ c.adds
-      }
+    c.tags.foreach { t =>
+      require(t.matches("[A-Za-z0-9._-]+"),
+        s"tag '$t' violates the tag grammar")
+    }
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"live":${arr(c.live)},""" +
+      s""""tags":${arr(c.tags.toSeq.sorted)}}"""
   }
+
+  private def parseCkpt(s: String): Ckpt = {
+    require(s.trim.startsWith("{") && s.trim.endsWith("}"),
+      s"torn or corrupt checkpoint record: $s")
+    def body(name: String): String = {
+      val i = s.indexOf("\"" + name + "\":")
+      require(i >= 0, s"torn or corrupt checkpoint record (no $name): $s")
+      s.drop(i + name.length + 3)
+    }
+    def arr(b: String): Vector[String] = {
+      val inner = b.drop(b.indexOf('[') + 1).takeWhile(_ != ']')
+      if (inner.trim.isEmpty) Vector.empty
+      else inner.split(",").toVector.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\""))
+    }
+    val c = Ckpt(body("version").takeWhile(_.isDigit).toInt,
+      arr(body("live")), arr(body("tags")).toSet)
+    c.live.foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"torn or corrupt checkpoint record (bad group '$g'): $s")
+    }
+    c
+  }
+
+  private def readCkpt(p: Path): Ckpt = {
+    var attempts = 0
+    while (true) {
+      try return parseCkpt(Files.readString(p))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("torn or corrupt") =>
+          attempts += 1
+          if (attempts >= 50) throw e
+          Thread.sleep(2)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The shared live-set fold — one replay rule for checkpointed and
+    * from-scratch paths, so they cannot diverge.
+    */
+  private def foldLive(
+      start: Vector[String], commits: Seq[Commit]): Vector[String] =
+    commits.foldLeft(start) { (live, c) =>
+      (if (c.action == "overwrite") Vector.empty
+       else live.filterNot(c.removes.contains)) ++ c.adds
+    }
+
+  /** The replay state the hot paths operate on: the newest checkpoint
+    * (if any) plus only the commit records AFTER it — one dir listing,
+    * O(interval) record reads per action instead of O(#commits).
+    */
+  private case class LogState(ckpt: Option[Ckpt], suffix: Seq[Commit]) {
+    def lastVersion: Int =
+      suffix.lastOption.map(_.version)
+        .orElse(ckpt.map(_.version)).getOrElse(-1)
+    def liveBase: Vector[String] = ckpt.fold(Vector.empty[String])(_.live)
+    def hasTag(tag: String): Boolean =
+      ckpt.exists(_.tags.contains(tag)) || suffix.exists(_.tag == tag)
+    def allTags: Set[String] =
+      ckpt.fold(Set.empty[String])(_.tags) ++
+        suffix.iterator.map(_.tag).filter(_.nonEmpty)
+
+    /** Live groups at `asOf` (latest when None). A target before the
+      * base checkpoint replays from the newest OLDER checkpoint (or
+      * scratch) plus the retained records up to `asOf` — possible only
+      * while [[vacuumLog]] has not pruned those records, in which case
+      * the target is explicitly rejected.
+      */
+    def liveAt(root: String, asOf: Option[Int]): Seq[String] = {
+      asOf.foreach { v =>
+        require(v <= lastVersion,
+          s"version $v does not exist (latest is $lastVersion)")
+      }
+      asOf match {
+        case None => foldLive(liveBase, suffix)
+        case Some(v) if ckpt.forall(_.version <= v) =>
+          foldLive(liveBase, suffix.filter(_.version <= v))
+        case Some(v) =>
+          // the slow path: re-list for the newest checkpoint ≤ v and
+          // fold the record range (base, v] — and REFUSE on any gap
+          // (a pruned log must fail loudly, never replay a wrong set)
+          val entries = listDir(commitsDir(root))
+            .map(_.getFileName.toString)
+          val base = entries.filter(_.endsWith(".ckpt"))
+            .map(versionOfName).filter(_ <= v).sorted.lastOption
+            .map(bv => readCkpt(commitsDir(root)
+              .resolve(f"$bv%08d.ckpt")))
+          val b0 = base.map(_.version).getOrElse(-1)
+          val recs = entries.filter(_.endsWith(".json"))
+            .filter { n =>
+              val x = versionOfName(n); x > b0 && x <= v
+            }.sorted
+            .map(n => readRecord(commitsDir(root).resolve(n)))
+          require(recs.map(_.version) == (b0 + 1 to v),
+            s"version $v predates the retained commit log — its " +
+              "records were pruned and the snapshot cannot be replayed")
+          foldLive(base.fold(Vector.empty[String])(_.live), recs)
+      }
+    }
+  }
+
+  private def versionOfName(name: String): Int = name.take(8).toInt
+
+  private def state(root: String): LogState = {
+    val entries = listDir(commitsDir(root)).map(_.getFileName.toString)
+    val base = entries.filter(_.endsWith(".ckpt")).sorted.lastOption
+      .map(n => readCkpt(commitsDir(root).resolve(n)))
+    val minV = base.map(_.version).getOrElse(-1)
+    val suffix = entries.filter(_.endsWith(".json"))
+      .filter(versionOfName(_) > minV).sorted
+      .map(n => readRecord(commitsDir(root).resolve(n)))
+    LogState(base, suffix)
+  }
+
+  /** Publish a checkpoint alongside every CheckpointInterval-th
+    * commit, derived from the pre-commit state `st` plus the commit
+    * just landed (sound: we won slot `c.version`, so `st` — read when
+    * every slot ≤ c.version-1 was already filled — plus `c` IS the
+    * state at c.version). putIfAbsent makes racing checkpointers
+    * harmless; a lost slot is someone else's identical checkpoint.
+    */
+  private def afterPublish(root: String, st: LogState, c: Commit,
+      publisher: CommitPublisher): Unit =
+    if (c.version > 0 && c.version % CheckpointInterval == 0) {
+      val ck = Ckpt(c.version, foldLive(st.liveBase, st.suffix :+ c),
+        st.allTags ++ (if (c.tag.nonEmpty) Set(c.tag) else Set.empty))
+      publisher.putIfAbsent(commitsDir(root),
+        f"${c.version}%08d.ckpt", renderCkpt(ck))
+      ()
+    }
 
   /** The ONE primitive the commit protocol demands of storage:
     * put-if-absent of a fully-written record under a name — publish
@@ -407,7 +554,7 @@ object SnapshotStore {
   def readWhere(spark: SparkSession, root: String, column: String,
       lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val groups = liveGroups(log(root), asOf)
+    val groups = state(root).liveAt(root, asOf)
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
     requirePresent(root, groups)
@@ -470,14 +617,16 @@ object SnapshotStore {
       adds: Seq[String], tag: String, dedupOnTag: Boolean,
       publisher: CommitPublisher): Option[Int] = {
     while (true) {
-      val commits = log(root)
-      if (dedupOnTag && commits.exists(_.tag == tag)) return None
-      val v = commits.lastOption.map(_.version + 1).getOrElse(0)
+      val st = state(root)
+      if (dedupOnTag && st.hasTag(tag)) return None
+      val v = st.lastVersion + 1
       val removes =
-        if (action == "overwrite") liveGroups(commits, None) else Nil
-      if (publish(root, v, render(Commit(v, action, adds, removes, tag)),
-          publisher))
+        if (action == "overwrite") st.liveAt(root, None) else Nil
+      val c = Commit(v, action, adds, removes, tag)
+      if (publish(root, v, render(c), publisher)) {
+        afterPublish(root, st, c, publisher)
         return Some(v)
+      }
       // on a lost race the data group is already safely invisible-
       // or-added; only the log position moves — re-read and retry
     }
@@ -500,7 +649,7 @@ object SnapshotStore {
   private def tableSchema(
       spark: SparkSession, root: String): Option[
       org.apache.spark.sql.types.StructType] = {
-    val groups = liveGroups(log(root), None)
+    val groups = state(root).liveAt(root, None)
     if (groups.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(groups.map(g => s"$root/$g"): _*).schema)
@@ -603,7 +752,7 @@ object SnapshotStore {
     // AUTHORITATIVE check is the in-loop one (dedupOnTag) — a racing
     // duplicate that passes here merely writes an orphaned group
     // (vacuum's job) and still lands exactly once.
-    if (log(root).exists(_.tag == tag)) None
+    if (state(root).hasTag(tag)) None
     else {
       checkAppendSchema(df, root)
       commitLoopDedup(root, "append", Seq(writeGroup(df, root)), tag,
@@ -626,7 +775,7 @@ object SnapshotStore {
 
   def read(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
-    val groups = liveGroups(log(root), asOf)
+    val groups = state(root).liveAt(root, asOf)
     require(groups.nonEmpty,
       s"no live data at ${asOf.fold("latest")(v => s"version $v")} in $root")
     requirePresent(root, groups)
@@ -686,11 +835,11 @@ object SnapshotStore {
     var sources: Seq[String] = Nil
     var group: String = null
     while (committed < 0) {
-      val commits = log(root)
-      val v = commits.lastOption.map(_.version)
-        .getOrElse(throw new IllegalArgumentException(
-          s"nothing to compact in $root"))
-      val live = liveGroups(commits, Some(v))
+      val st = state(root)
+      val v = st.lastVersion
+      if (v < 0) throw new IllegalArgumentException(
+        s"nothing to compact in $root")
+      val live = st.liveAt(root, None)
       if (group == null || !sources.forall(live.contains)) {
         // (re)build the rewrite from the current snapshot. Clustered
         // compaction range-partitions it so the ONE resulting group's
@@ -707,10 +856,11 @@ object SnapshotStore {
         group = writeGroup(rewrite, root)
         sources = live
       }
-      if (publish(root, v + 1,
-          render(Commit(v + 1, "compact", Seq(group), sources)),
-          publisher))
+      val c = Commit(v + 1, "compact", Seq(group), sources)
+      if (publish(root, v + 1, render(c), publisher)) {
+        afterPublish(root, st, c, publisher)
         committed = v + 1
+      }
     }
     committed
   }
@@ -900,7 +1050,7 @@ object SnapshotStore {
       // row changes). Returns the current version, -1 on an empty
       // table.
       if (nRows == 0L)
-        return log(root).lastOption.map(_.version).getOrElse(-1)
+        return state(root).lastVersion
       // widen OUTWARD so the touch test stays sound against the
       // outward-widened sidecar bounds; a non-numeric / all-null /
       // NaN-containing key range degrades to touch-everything, never
@@ -914,9 +1064,9 @@ object SnapshotStore {
           Math.nextUp(stats.getDouble(4)))
       var committed = -1
       while (committed < 0) {
-        val commits = log(root)
-        val v = commits.lastOption.map(_.version).getOrElse(-1)
-        val live = if (v < 0) Nil else liveGroups(commits, None)
+        val st = state(root)
+        val v = st.lastVersion
+        val live = if (v < 0) Nil else st.liveAt(root, None)
         requirePresent(root, live)
         val plan = refineTouch(b, keyCol, root,
           touchPlan(root, live, keyCol, kLo, kHi))
@@ -945,10 +1095,11 @@ object SnapshotStore {
               plan.filter(_.keep.nonEmpty)
                 .map(t => linkGroup(root, t.group, t.keep, t.ranges))
           }
-        if (publish(root, v + 1,
-            render(Commit(v + 1, "upsert", adds, plan.map(_.group))),
-            publisher))
+        val c = Commit(v + 1, "upsert", adds, plan.map(_.group))
+        if (publish(root, v + 1, render(c), publisher)) {
+          afterPublish(root, st, c, publisher)
           committed = v + 1
+        }
         // lost race: full recompute from the new head — the rival may
         // have written matching keys, so the rewrite is stale by
         // definition (serializable MERGE, the production rule);
@@ -974,11 +1125,11 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     var committed = -1
     while (committed < 0) {
-      val commits = log(root)
-      val v = commits.lastOption.map(_.version)
-        .getOrElse(throw new IllegalArgumentException(
-          s"nothing to delete from in $root"))
-      val live = liveGroups(commits, None)
+      val st = state(root)
+      val v = st.lastVersion
+      if (v < 0) throw new IllegalArgumentException(
+        s"nothing to delete from in $root")
+      val live = st.liveAt(root, None)
       requirePresent(root, live)
       val plan = touchPlan(root, live, column, lo, hi)
       if (plan.isEmpty) return v
@@ -997,10 +1148,11 @@ object SnapshotStore {
       val adds = writeGroup(survivors, root) +:
         plan.filter(_.keep.nonEmpty)
           .map(t => linkGroup(root, t.group, t.keep, t.ranges))
-      if (publish(root, v + 1,
-          render(Commit(v + 1, "delete", adds, plan.map(_.group))),
-          publisher))
+      val c = Commit(v + 1, "delete", adds, plan.map(_.group))
+      if (publish(root, v + 1, render(c), publisher)) {
+        afterPublish(root, st, c, publisher)
         committed = v + 1
+      }
     }
     committed
   }
@@ -1062,10 +1214,11 @@ object SnapshotStore {
 
   def vacuum(root: String, keep: Int = 2,
       minAgeMs: Long = VacuumGraceMs): Int = {
-    val commits = log(root)
-    val retained = commits.takeRight(keep).map(_.version)
+    val st = state(root)
+    val retained = (st.lastVersion - keep + 1 to st.lastVersion)
+      .filter(_ >= 0)
     val referenced = retained
-      .flatMap(v => liveGroups(commits, Some(v))).toSet
+      .flatMap(v => st.liveAt(root, Some(v))).toSet
     val dataDir = Paths.get(root, "data")
     val entries = listDir(dataDir)
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1094,5 +1247,49 @@ object SnapshotStore {
       paths.reverse.foreach(Files.deleteIfExists(_))
     }
     doomed.size
+  }
+
+  /** Prune commit RECORDS (and superseded checkpoints) no longer
+    * needed to replay the last `keep` versions — the retention half
+    * [[vacuum]] does for data groups, applied to `_commits/` (which
+    * otherwise grows forever: one JSON per commit over the table's
+    * whole ingest lifetime). Safe cut point: the newest checkpoint at
+    * or below the horizon start — every retained version replays from
+    * it (or a newer checkpoint) plus the records kept after it, so
+    * reads and time travel INSIDE the horizon are unaffected, and
+    * [[describeHistory]]/[[history]] keep working over the retained
+    * suffix. Versions whose records were pruned are explicitly
+    * rejected at read time (the [[LogState.liveAt]] gap check), the
+    * same trade vacuumed data groups already make. No checkpoint at
+    * or below the horizon yet ⇒ nothing can be pruned (returns 0) —
+    * retention never outruns checkpointing. Like data vacuum, run it
+    * with a horizon comfortably behind in-flight readers: a reader's
+    * listed base checkpoint is only ever the cut point or newer, so a
+    * `keep ≥ 2` horizon leaves the records any live replay needs.
+    */
+  def vacuumLog(root: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must retain at least the latest version")
+    val st = state(root)
+    val h0 = st.lastVersion - keep + 1
+    if (h0 <= 0) return 0
+    val entries = listDir(commitsDir(root))
+    val cut = entries.map(_.getFileName.toString)
+      .filter(_.endsWith(".ckpt")).map(versionOfName)
+      .filter(_ <= h0).sorted.lastOption
+    cut match {
+      case None => 0
+      case Some(c0) =>
+        var removed = 0
+        entries.foreach { p =>
+          val n = p.getFileName.toString
+          val doomed =
+            (n.endsWith(".json") && versionOfName(n) <= c0) ||
+              (n.endsWith(".ckpt") && versionOfName(n) < c0)
+          if (doomed) {
+            if (Files.deleteIfExists(p)) removed += 1
+          }
+        }
+        removed
+    }
   }
 }

@@ -601,7 +601,14 @@ object InvariantProps extends Properties("graft.invariants") {
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("append", "overwrite"),
       Gen.nonEmptyListOf(Gen.choose(1L, 30L))))) { ops0 =>
-      val ops = ops0.take(6) // each commit writes real parquet
+      // seed through the checkpoint interval so EVERY case interleaves
+      // a checkpoint record (v10) with the generated suffix — the law
+      // then proves checkpoint+suffix replay AND the pre-checkpoint
+      // full-record fallback (time travel at every version below 10)
+      // agree with the reference fold
+      val seed = (0 until graft.plans.SnapshotStore.CheckpointInterval)
+        .map(i => ("append", List(100L + i)))
+      val ops = seed ++ ops0.take(6) // each commit writes real parquet
       val root = java.nio.file.Files
         .createTempDirectory("graft-snap-prop").toString
       val model = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]

@@ -575,6 +575,97 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("commit-log checkpointing: every Nth commit also publishes a " +
+    "derived checkpoint; replay, tag dedup, and time travel agree " +
+    "across it under both publishers, and vacuum crosses the boundary") {
+    val N = SnapshotStore.CheckpointInterval
+    for (pub <- Seq(SnapshotStore.HardLinkPublisher,
+        SnapshotStore.CreateNewPublisher)) {
+      val root = freshRoot()
+      (0 until 8).foreach(i =>
+        SnapshotStore.append(df(i.toLong), root, pub))        // v0..v7
+      assert(SnapshotStore.appendOnce(df(50), root, "pre-ckpt", pub)
+        === Some(8))                                          // v8
+      SnapshotStore.overwrite(df(60), root, pub)              // v9
+      assert(!Files.exists(Paths.get(root, "_commits", f"$N%08d.ckpt")),
+        "no checkpoint before the interval boundary")
+      SnapshotStore.append(df(70), root, pub)                 // v10 → ckpt
+      assert(Files.exists(Paths.get(root, "_commits", f"$N%08d.ckpt")),
+        s"commit $N must publish a checkpoint")
+      SnapshotStore.append(df(80), root, pub)                 // v11
+      // latest replays checkpoint + suffix
+      assert(idSet(SnapshotStore.read(spark, root)) === Set(60L, 70L, 80L))
+      // a tag that landed BEFORE the checkpoint still dedups — the
+      // checkpoint carries the seen-tag set, not just the live set
+      assert(SnapshotStore.appendOnce(df(99), root, "pre-ckpt", pub)
+        === None)
+      // time travel at the checkpoint version and after it (fast path)
+      assert(idSet(SnapshotStore.read(spark, root, Some(10))) ===
+        Set(60L, 70L))
+      // ...and BEFORE it (full-record fallback replay)
+      assert(idSet(SnapshotStore.read(spark, root, Some(5))) ===
+        (0L to 5L).toSet)
+      assert(idSet(SnapshotStore.read(spark, root, Some(8))) ===
+        (0L to 7L).toSet + 50L)
+      // vacuum across the checkpoint boundary: pre-overwrite groups die
+      assert(SnapshotStore.vacuum(root, keep = 2, minAgeMs = 0) === 9)
+      assert(idSet(SnapshotStore.read(spark, root)) === Set(60L, 70L, 80L))
+      intercept[IllegalArgumentException](
+        SnapshotStore.read(spark, root, Some(3)))
+      // writes keep flowing after the boundary (upsert reads the
+      // checkpointed state)
+      import spark.implicits._
+      SnapshotStore.upsert(spark,
+        Seq((60L, "UP")).toDF("id", "tag"), root, "id", pub)  // v12
+      val tags = SnapshotStore.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(tags === Map(60L -> "UP", 70L -> "r70", 80L -> "r80"))
+    }
+  }
+
+  test("commit-record retention: vacuumLog prunes records behind the " +
+    "newest horizon-covering checkpoint; reads inside the horizon stay " +
+    "green, outside are explicitly rejected, history spans the suffix") {
+    val root = freshRoot()
+    assert(SnapshotStore.appendOnce(df(1000), root, "early") === Some(0))
+    (1L to 22L).foreach(i => SnapshotStore.append(df(i), root))
+    // v0..v22, checkpoints at 10 and 20; horizon keep=5 starts at 18,
+    // so the newest covering checkpoint is v10 → records 0..10 go
+    assert(SnapshotStore.vacuumLog(root, keep = 5) === 11)
+    assert(idSet(SnapshotStore.read(spark, root)) ===
+      (1L to 22L).toSet + 1000L)
+    // fast path (≥ newest ckpt) and slow path (ckpt10 + records 11..15)
+    assert(idSet(SnapshotStore.read(spark, root, Some(21))) ===
+      (1L to 21L).toSet + 1000L)
+    assert(idSet(SnapshotStore.read(spark, root, Some(15))) ===
+      (1L to 15L).toSet + 1000L)
+    // outside the retained log: rejected loudly, never a wrong replay
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root, Some(5)))
+    assert(e.getMessage.contains("retained commit log"))
+    // history spans exactly the retained suffix
+    assert(SnapshotStore.describeHistory(root).map(_._1) === (11 to 22))
+    // the pre-horizon tag still dedups (carried by the checkpoints)
+    assert(SnapshotStore.appendOnce(df(9999), root, "early") === None)
+    // idempotent until a newer covering checkpoint appears
+    assert(SnapshotStore.vacuumLog(root, keep = 5) === 0)
+    // grow past the next boundary: v23..v30 (ckpt at 30), horizon 26
+    // → cut moves to ckpt20: records 11..20 + the superseded ckpt10 go
+    (23L to 30L).foreach(i => SnapshotStore.append(df(i), root))
+    assert(SnapshotStore.vacuumLog(root, keep = 5) === 11)
+    assert(idSet(SnapshotStore.read(spark, root)) ===
+      (1L to 30L).toSet + 1000L)
+    assert(idSet(SnapshotStore.read(spark, root, Some(25))) ===
+      (1L to 25L).toSet + 1000L)
+    intercept[IllegalArgumentException](
+      SnapshotStore.read(spark, root, Some(15)))
+    assert(SnapshotStore.describeHistory(root).map(_._1) === (21 to 30))
+    // a keep horizon no checkpoint covers yet prunes nothing
+    val root2 = freshRoot()
+    (0L to 5L).foreach(i => SnapshotStore.append(df(i), root2))
+    assert(SnapshotStore.vacuumLog(root2, keep = 2) === 0)
+  }
+
   test("evolved-column predicates resolve even when every surviving " +
     "file predates the evolution: readWhere/upsert/deleteWhere " +
     "null-fill instead of throwing") {
