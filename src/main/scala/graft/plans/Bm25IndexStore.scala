@@ -248,23 +248,44 @@ object Bm25IndexStore {
       broadcastRows: Long = BroadcastRows): DataFrame = {
     import graft.functions.TopKAgg
     val post = spark.table(table)
-    val q = queryDocs
+    // ONE action tokenizes the batch AND joins the df table; `q` is a
+    // projection of the checkpointed result — a vocabulary-miss term
+    // matches no posting and contributes nothing, so dropping it here
+    // is exact and saves the separate query-tokens checkpoint the
+    // earlier form paid
+    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
+    val qdf = queryDocs
       .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
       .select(col("query_id"), xxhash64(col("term")).as("tkey"))
+      .join(dfT, "tkey")
       .localCheckpoint(true)
+    val q = qdf.select("query_id", "tkey")
     // every intermediate below is QUERY-BATCH-sized; each is
     // checkpointed so the postings table is scanned exactly three
     // times (prefix, tail, final scoring) instead of once per
     // broadcast subplan that references it
-    // df-only pre-route ([[WandKernel.eligible]]): dense corpora skip
-    // the θ/cap pipeline on one df aggregation (measured: the
-    // replica-corpus tie previously paid a full prefix scan + exact-θ
-    // pass for a routing answer this bound already knew)
-    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
-    val qdf = q.join(dfT, "tkey").localCheckpoint(true)
-    val eligible = WandKernel.eligible(qdf, prefixP)
+    // df-only pre-route + pricing stats in one job
+    // ([[WandKernel.queryStats]]): dense corpora skip the θ/cap
+    // pipeline on one df aggregation (measured: the replica-corpus tie
+    // previously paid a full prefix scan + exact-θ pass for a routing
+    // answer this bound already knew)
+    val qstats = WandKernel.queryStats(qdf, prefixP)
+    val qCnt = qstats.select(col("query_id"), col("nt"))
+    val eligible = qstats.filter(col("eligible")).select("query_id")
+    // when the pre-route refuses EVERY query (dense-overlap corpora,
+    // doc-as-query batches), the whole θ/cap/cutoff pipeline — prefix
+    // scan, exact-θ pass, routing — is driver-sequenced dead weight:
+    // collapse to the naive kernel directly (identical output; the
+    // general path's naive branch restricted to the full batch)
+    if (eligible.isEmpty) {
+      val naiveScores = post.join(broadcast(q), "tkey")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum("w"), 4).as("score"))
+      return WandKernel.finalTopK(naiveScores, topN, "score")
+    }
     val qE = q.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qE), "tkey")
@@ -323,21 +344,18 @@ object Bm25IndexStore {
     // second sound tail rule — [[WandKernel.essentialSplit]]
     val essential = WandKernel.essentialSplit(caps, "capw", theta)
     // price every plan in the same unit — Σ df = the postings rows its
-    // joins emit; qdf (batch-sized, one df scan) came from the
-    // pre-route. Only ELIGIBLE queries are priced — the rest already
-    // routed naive without touching the postings.
-    val estN = qdf.join(broadcast(eligible), Seq("query_id"), "left_semi")
-      .groupBy("query_id").agg(sum("df").as("estn"))
+    // joins emit; the naive price and term count rode in on qstats.
+    // Only ELIGIBLE queries are priced — the rest already routed naive
+    // without touching the postings.
     val est1 = cutoffs.join(qdf, Seq("query_id", "tkey"))
       .groupBy("query_id").agg(sum("df").as("est1"))
     val est2 = essential.join(qdf, Seq("query_id", "tkey"))
       .groupBy("query_id").agg(sum("df").as("est2"))
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
-    val qCnt = q.groupBy("query_id").agg(count(lit(1)).as("nt"))
     // ROUTE (scaladoc step 3) — [[WandKernel.routes]]: tail rule by
     // price, then WAND only when the FULL pruned volume (tail rows +
     // scoring broadcast) at least halves the naive one
-    val routes = WandKernel.routes(estN, est1, est2, nPref, qCnt)
+    val routes = WandKernel.routes(qstats, est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
@@ -345,10 +363,13 @@ object Bm25IndexStore {
       .select("query_id", "doc_id")
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
-      .unionByName(candB).distinct().localCheckpoint(true)
-    // bounded exact scoring — [[WandKernel.chunkedScores]]
+      .unionByName(candB).distinct()
+    // bounded exact scoring — [[WandKernel.chunkedScores]]; the priced
+    // volume decides up front whether the candidates even need
+    // materializing (selective batches fit one chunk and skip it)
     val wandScores = WandKernel.chunkedScores(
-      cand, qCnt, broadcastRows, topN)(c => scoreCandidates(post, q, c))
+      cand, qCnt, broadcastRows, topN, WandKernel.pricedRows(routes))(
+      c => scoreCandidates(post, q, c))
     // naive-routed queries — everything NOT wand-routed (pre-route
     // ineligible + priced-out), i.e. exactly [[search]]'s kernel
     // restricted to their ids (when the whole batch routes to WAND

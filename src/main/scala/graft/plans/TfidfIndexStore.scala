@@ -41,6 +41,7 @@ object TfidfIndexStore {
   def dfTable(table: String): String = s"${table}_df"
   def rawDfTable(table: String): String = s"${table}_rawdf"
   def statsTable(table: String): String = s"${table}_stats"
+  def byDocTable(table: String): String = s"${table}_bydoc"
 
   /** Build the top-`k`-term index from `docs` and save postings + norms
     * under `path`, registered as external tables.
@@ -54,6 +55,7 @@ object TfidfIndexStore {
     spark.sql(s"DROP TABLE IF EXISTS ${dfTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${rawDfTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${byDocTable(table)}")
     val next = AggStore.versionPaths(spark, path).lastOption
       .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toInt + 1)
       .getOrElse(0)
@@ -101,6 +103,18 @@ object TfidfIndexStore {
       .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .option("path", s"$vdir/postings").mode("overwrite")
       .format("parquet").saveAsTable(table)
+    // DOC-KEYED secondary layout for the doc-as-query fetch: the main
+    // postings are clustered for the IMPACT access path ((tkey, rnk_w)
+    // sorted — a doc_id probe has zero locality there and pays a full
+    // 5-column scan before serving can even price a batch). This copy
+    // is 3 narrow columns, range-clustered + sorted by doc_id, so a
+    // query-vector fetch is a compact scan with per-file/row-group
+    // doc_id stats available to push a batch hull down to.
+    postings.select("doc_id", "tkey", "w")
+      .repartitionByRange(buckets, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.option("path", s"$vdir/bydoc").mode("overwrite")
+      .format("parquet").saveAsTable(byDocTable(table))
     postings.unpersist()
     tf0.unpersist()
     ()
@@ -152,6 +166,13 @@ object TfidfIndexStore {
       .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .mode("append").format("parquet")
       .saveAsTable(table)
+    // keep the doc-keyed mirror in lockstep (pre-bydoc artifacts have
+    // no mirror and the readers fall back to the main postings)
+    if (spark.catalog.tableExists(byDocTable(table)))
+      scored.select("doc_id", "tkey", "w")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").format("parquet")
+        .saveAsTable(byDocTable(table))
   }
 
   /** Top-`topN` cosine matches per query id, served ENTIRELY from the
@@ -161,15 +182,31 @@ object TfidfIndexStore {
     * excluded; pairs sharing zero terms never surface (no join row) —
     * both mirroring the in-session form.
     */
+  /** The query-vector fetch (queries are corpus members): the batch's
+    * saved (tkey, wq) rows, read from the doc-keyed mirror when the
+    * artifact has one — a compact 3-column, doc_id-clustered scan —
+    * and from the main impact-ordered postings otherwise (pre-bydoc
+    * artifacts keep working; they just pay the wide unclustered scan
+    * this mirror exists to avoid).
+    */
+  private def queryVectors(spark: SparkSession, table: String,
+      queryIds: DataFrame): DataFrame = {
+    val src =
+      if (spark.catalog.tableExists(byDocTable(table)))
+        spark.table(byDocTable(table))
+      else spark.table(table).select("doc_id", "tkey", "w")
+    src.join(broadcast(queryIds), "doc_id")
+      .select(col("tkey"), col("doc_id").as("query_id"),
+        col("w").as("wq"))
+  }
+
   def search(spark: SparkSession, table: String, queryIds: DataFrame,
       topN: Int): DataFrame = {
     val post = spark.table(table)
     val norms = spark.table(normsTable(table))
     val qn = norms.join(broadcast(queryIds), "doc_id")
       .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
-    val q = post.join(broadcast(queryIds), "doc_id")
-      .select(col("tkey"), col("doc_id").as("query_id"),
-        col("w").as("wq"))
+    val q = queryVectors(spark, table, queryIds)
     post
       .join(broadcast(q), "tkey")
       .filter(col("doc_id") =!= col("query_id"))
@@ -234,21 +271,37 @@ object TfidfIndexStore {
     val norms = spark.table(normsTable(table))
     val qn = norms.join(broadcast(queryIds), "doc_id")
       .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
-    val qpost = post.join(broadcast(queryIds), "doc_id")
-      .select(col("tkey"), col("doc_id").as("query_id"),
-        col("w").as("wq"))
+    // ONE action fetches the batch's saved vectors — from the
+    // doc-keyed mirror ([[queryVectors]]), not a full impact-ordered
+    // postings scan — and tags each term with its pricing df, so the
+    // pre-route can refuse a dense batch having touched only the
+    // mirror and the df table
+    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
+    val qvec = queryVectors(spark, table, queryIds)
+      .join(dfT, "tkey")
       .localCheckpoint(true)
+    val qpost = qvec.select("tkey", "query_id", "wq")
+    val qdf = qvec.select("query_id", "tkey", "df")
     // batch-sized intermediates are checkpointed — three postings
     // scans total (prefix, tail, final scoring), not one per
     // referencing broadcast subplan
-    // df-only pre-route ([[WandKernel.eligible]]): a query whose
-    // optimistic-best WAND volume (all-prefix candidates, zero tail)
-    // fails the 2× bar skips the θ/cap pipeline entirely — dense
-    // corpora pay one df aggregation, not a prefix scan + exact-θ pass
-    val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
-    val qdf = qpost.select("query_id", "tkey").join(dfT, "tkey")
-      .localCheckpoint(true)
-    val eligible = WandKernel.eligible(qdf, prefixP)
+    val qstats = WandKernel.queryStats(qdf, prefixP)
+    val qCnt = qstats.select(col("query_id"), col("nt"))
+    val eligible = qstats.filter(col("eligible")).select("query_id")
+    // pre-route refusal of the WHOLE batch (dense-overlap corpora):
+    // serve the naive kernel directly — no prefix scan, no exact-θ
+    // pass, no routing jobs; identical output by construction
+    if (eligible.isEmpty) {
+      val naiveScores = post.join(broadcast(qpost), "tkey")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("wq") * col("w")).as("dot"))
+        .join(norms, "doc_id")
+        .join(broadcast(qn), "query_id")
+        .select(col("query_id"), col("doc_id"),
+          round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+      return WandKernel.finalTopK(naiveScores, topN, "cosine")
+    }
     val qpostE = qpost.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qpostE), "tkey")
@@ -312,20 +365,17 @@ object TfidfIndexStore {
     // [[WandKernel.essentialSplit]]
     val essential = WandKernel.essentialSplit(caps, "capb", theta)
     // pricing + routing — [[Bm25IndexStore.wandSearch]]'s step 3 in
-    // the same Σ df unit; qdf came from the pre-route, and only
-    // eligible queries are priced
-    val estN = qdf.join(broadcast(eligible), Seq("query_id"), "left_semi")
-      .groupBy("query_id").agg(sum("df").as("estn"))
+    // the same Σ df unit; the naive price and term count rode in on
+    // qstats, and only eligible queries are priced
     val est1 = cutoffs.join(qdf, Seq("query_id", "tkey"))
       .groupBy("query_id").agg(sum("df").as("est1"))
     val est2 = essential.join(qdf, Seq("query_id", "tkey"))
       .groupBy("query_id").agg(sum("df").as("est2"))
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
-    val qCnt = qpost.groupBy("query_id").agg(count(lit(1)).as("nt"))
     // routing + chosen tail probes — [[WandKernel.routes]] /
     // [[WandKernel.chosenCutoffs]] (the (1 + nt) broadcast pricing
     // lives there)
-    val routes = WandKernel.routes(estN, est1, est2, nPref, qCnt)
+    val routes = WandKernel.routes(qstats, est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
@@ -333,10 +383,12 @@ object TfidfIndexStore {
       .select("query_id", "doc_id")
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
-      .unionByName(candB).distinct().localCheckpoint(true)
-    // bounded exact scoring — [[WandKernel.chunkedScores]]
+      .unionByName(candB).distinct()
+    // bounded exact scoring — [[WandKernel.chunkedScores]]; the priced
+    // volume decides up front whether the candidates even need
+    // materializing (selective batches fit one chunk and skip it)
     val wandScores = WandKernel.chunkedScores(
-      cand, qCnt, broadcastRows, topN)(
+      cand, qCnt, broadcastRows, topN, WandKernel.pricedRows(routes))(
       c => scoreCandidates(post, norms, qpost, qn, c))
     // naive-routed queries — everything NOT wand-routed (pre-route
     // ineligible + priced-out); AQE elides the scan when the whole

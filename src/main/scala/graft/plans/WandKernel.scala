@@ -38,14 +38,21 @@ private[plans] object WandKernel {
     * θ/cap/cutoff pipeline. On dense-overlap corpora NO query is
     * eligible and WAND's whole overhead collapses to this one
     * df-table aggregation in front of the naive kernel.
+    *
+    * ONE checkpointed frame carries everything per-query the later
+    * stages read — `eligible` (the pre-route verdict), `estn` (the
+    * naive Σ-df price), `nt` (term count, the broadcast-volume
+    * factor) — so the pre-route, the pricing, and the chunk budget
+    * share a single driver-sequenced job instead of three.
     * `qdf` is one (query_id, tkey, df) row per matched query term.
     */
-  def eligible(qdf: DataFrame, prefixP: Int): DataFrame =
+  def queryStats(qdf: DataFrame, prefixP: Int): DataFrame =
     qdf.groupBy("query_id")
       .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
-        sum("df").as("estn0"), count(lit(1)).as("nt0"))
-      .filter(col("estpre") * (lit(1L) + col("nt0")) * 2 < col("estn0"))
-      .select("query_id")
+        sum("df").as("estn"), count(lit(1)).as("nt"))
+      .withColumn("eligible",
+        col("estpre") * (lit(1L) + col("nt")) * 2 < col("estn"))
+      .select("query_id", "estn", "nt", "eligible")
       .localCheckpoint(true)
 
   /** The MaxScore essential split — the SECOND sound tail rule: order
@@ -81,29 +88,50 @@ private[plans] object WandKernel {
     * broadcasts OOMing the driver on the dense replica corpus
     * (candidates ≈ queries × docs there; the bucketed join is both
     * cheaper AND bounded, so that regime must route naive).
-    * Returns (query_id, use_ess, use_wand), checkpointed.
+    * Returns (query_id, use_ess, use_wand, vol) for the ELIGIBLE
+    * queries — `vol` is the priced upper bound on the query's scoring-
+    * broadcast rows ((tail-rule Σ df + prefix pairs) × (1 + nt)), kept
+    * in the output so [[chunkedScores]] can size its chunking WITHOUT
+    * first materializing the candidate set. Checkpointed (three
+    * consumers — chosen cutoffs, the wand-id semi join, the naive
+    * remainder — would otherwise recompute it).
     */
-  def routes(estN: DataFrame, est1: DataFrame, est2: DataFrame,
-      nPref: DataFrame, qCnt: DataFrame): DataFrame =
-    estN
+  def routes(qstats: DataFrame, est1: DataFrame, est2: DataFrame,
+      nPref: DataFrame): DataFrame =
+    qstats.filter(col("eligible"))
+      .select("query_id", "estn", "nt")
       .join(est1, Seq("query_id"), "left")
       .join(est2, Seq("query_id"), "left")
       .join(nPref, Seq("query_id"), "left")
-      .join(qCnt, Seq("query_id"), "left")
       .select(col("query_id"),
         (coalesce(col("est2"), lit(0L)) <
           coalesce(col("est1"), lit(0L))).as("use_ess"),
         ((least(coalesce(col("est1"), lit(0L)),
             coalesce(col("est2"), lit(0L)))
           + coalesce(col("npref"), lit(0L)))
-          * (lit(1L) + coalesce(col("nt"), lit(0L))) * 2 < col("estn"))
-          .as("use_wand"))
+          * (lit(1L) + coalesce(col("nt"), lit(0L)))).as("vol"),
+        col("estn"))
+      .select(col("query_id"), col("use_ess"), col("vol"),
+        (col("vol") * 2 < col("estn")).as("use_wand"))
       .localCheckpoint(true)
+
+  /** The wand-routed batch's total priced scoring volume — a tiny
+    * local aggregation over the checkpointed routes frame; an UPPER
+    * bound on the exact broadcast rows (vol over-counts tail rows by
+    * the cutoffs' slack), which is what lets the single-chunk fast
+    * path below skip materializing the candidates.
+    */
+  def pricedRows(routes: DataFrame): Long =
+    routes.filter(col("use_wand"))
+      .agg(coalesce(sum("vol"), lit(0L))).first.getLong(0)
 
   /** The chosen tail-probe rows: per-term cutoffs for wand-routed
     * queries priced onto rule 1, whole essential lists (cut = −∞) for
     * rule 2 — a single (query_id, tkey, cut) frame the store joins
-    * against its tail postings.
+    * against its tail postings. Not checkpointed: one consumer (the
+    * tail scan's broadcast), and every input is batch-sized off
+    * checkpointed frames — its subplan rides the tail scan's job
+    * instead of costing its own.
     */
   def chosenCutoffs(cutoffs: DataFrame, essential: DataFrame,
       routes: DataFrame): DataFrame =
@@ -114,7 +142,6 @@ private[plans] object WandKernel {
         .filter(col("use_wand") && col("use_ess"))
         .select(col("query_id"), col("tkey"),
           lit(Double.MinValue).as("cut")))
-      .localCheckpoint(true)
 
   /** Chunk the exact-scoring broadcast under the hard budget; the
     * selective regime this path serves fits one chunk, and each extra
@@ -131,23 +158,32 @@ private[plans] object WandKernel {
     * to exact (query_id, doc_id, score) rows.
     */
   def chunkedScores(cand: DataFrame, qCnt: DataFrame,
-      broadcastRows: Long, topN: Int)(
+      broadcastRows: Long, topN: Int, estRows: Long)(
       score: DataFrame => DataFrame): DataFrame = {
     import graft.functions.TopKAgg
-    val bRows = cand.join(broadcast(qCnt), "query_id")
-      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
-    val nChunks =
-      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
-    (0 until nChunks).map { i =>
-      val part = score(
-        if (nChunks == 1) cand
-        else cand.filter(pmod(
-          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
+    def reduceChunk(c: DataFrame): DataFrame =
+      score(c)
         .groupBy("query_id")
         .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
         .select(col("query_id"), explode(col("top")).as("r"))
         .select(col("query_id"), col("r._2").as("doc_id"),
           col("r._1").as("score"))
+    // FAST PATH — the selective regime WAND exists for: when even the
+    // priced UPPER bound fits one chunk, the candidate set needs no
+    // materialization and no exact count — its subplan (tail scan +
+    // prefix pairs) rides the one scoring job, two driver-sequenced
+    // jobs fewer than the general path
+    if (estRows <= broadcastRows) return reduceChunk(cand)
+    val candM = cand.localCheckpoint(true)
+    val bRows = candM.join(broadcast(qCnt), "query_id")
+      .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
+    val nChunks =
+      math.max(1L, (bRows + broadcastRows - 1) / broadcastRows).toInt
+    (0 until nChunks).map { i =>
+      val part = reduceChunk(
+        if (nChunks == 1) candM
+        else candM.filter(pmod(
+          xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
       if (nChunks == 1) part else part.localCheckpoint(true)
     }.reduce(_ unionByName _)
   }
