@@ -164,6 +164,68 @@ object ScaleProbe {
         f"${plans.SnapshotStore.casRetries.get() - retries0} CAS retries, " +
         f"rows=$n (law holds)"
     }
+    // the SAME race at 10x the commit count: without commit-log
+    // checkpointing every action replays O(#commits) driver-side JSON
+    // records and the CAS retry loop multiplies that — this row's law
+    // is that commits/s holds FLAT vs the 80-commit row (replay cost
+    // is bounded by checkpoint + ≤interval-sized suffix, so the
+    // per-commit cost is the parquet write, not the log length).
+    // Structural receipt alongside wall-clock (page-cached /tmp hides
+    // I/O): the count of checkpoint records the run published.
+    t("snapshot store: contention at 10x commits (8 appenders x 100 " +
+      "+ looping compactor) — checkpointed replay keeps commits/s flat") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-snapc10").toString
+      val retries0 = plans.SnapshotStore.casRetries.get()
+      val writers = 8; val per = 100; val rows = 2000L
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(writers + 1)
+      val stopC = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val appenders = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until per).foreach { i =>
+            plans.SnapshotStore.append(
+              spark.range(rows).select(
+                (col("id") + (w.toLong * per + i) * rows).as("doc_id")),
+              root)
+          }
+        })
+      }
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = while (!stopC.get()) {
+          try {
+            plans.SnapshotStore.compact(spark, root)
+            compactions.incrementAndGet()
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("nothing to compact") => ()
+          }
+          Thread.sleep(100)
+        }
+      })
+      appenders.foreach(_.get())
+      stopC.set(true); compactor.get(); pool.shutdown()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = plans.SnapshotStore.read(spark, root).count()
+      require(n == writers.toLong * per * rows,
+        s"lost updates under contention: read $n rows, " +
+          s"expected ${writers.toLong * per * rows}")
+      val ckptStream = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_commits"))
+      val nCkpt = try {
+        import scala.jdk.CollectionConverters._
+        ckptStream.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".ckpt"))
+      } finally ckptStream.close()
+      val commits = writers * per + compactions.get()
+      f"$commits commits (${compactions.get()} compactions, $nCkpt " +
+        f"checkpoints) in $secs%.1f s = ${commits / secs}%.1f commits/s, " +
+        f"${plans.SnapshotStore.casRetries.get() - retries0} CAS retries, " +
+        f"rows=$n (law holds)"
+    }
     // keyed MERGE / ranged DELETE with the stats-pruned touch set: the
     // 32-group key-clustered table means a narrow-key batch rewrites
     // ~1 group (survivors + batch in one new group) while the other
@@ -265,6 +327,32 @@ object ScaleProbe {
     t("ann 20k vectors (ivf-pq nlist=48 nprobe=6, the composed path)")(
       operators.Similarity.ivfPqKnn(
         emb, col("vec_id") % 997 === 0, 5, nlist = 48, nprobe = 6).count())
+    // the nprobe SWEEP behind the registered ivfpq row's nprobe=8: the
+    // composite had hit plain IVF's cell-pruning ceiling at equal
+    // nprobe; since its per-survivor cost is m byte-lookups (not d
+    // float multiplies) it affords more probes in the same envelope —
+    // the sweep documents where each extra probe lands and that the
+    // composite passes IVF's recall between 1× and 2× its probe budget
+    t("ivf-pq nprobe sweep vs ivf@6 recall (nlist=48; the equal-cost " +
+      "escape from the cell-pruning ceiling)") {
+      val qf = col("vec_id") % 997 === 0
+      val exact = operators.Similarity
+        .bruteForceKnn(emb, emb.filter(qf), 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      val rIvf = recallOf(operators.Similarity.ivfKnn(
+        emb, qf, 5, nlist = 48, nprobe = 6))
+      val sweep = Seq(3, 6, 12, 24).map { p =>
+        f"p$p=${recallOf(operators.Similarity.ivfPqKnn(
+          emb, qf, 5, nlist = 48, nprobe = p))}%.3f"
+      }.mkString(" ")
+      f"ivf@6=$rIvf%.3f ivfpq: $sweep"
+    }
     // sampled index build: Lloyd over the 4096 smallest-hash vectors
     // instead of all 20k. Full-corpus scans drop 3 -> 1 (seed+2 passes
     // vs one TakeOrdered); recall vs the exact top-5 must hold

@@ -311,11 +311,138 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Deterministic REAL-pixel PPM corpus for the perceptual-hash
+    * family: one 64×64 grayscale image per document (an 8×8 block grid
+    * whose intensities derive from a splitmix64 of the doc id — smooth
+    * low-frequency content, exactly what a DCT hash discriminates on),
+    * plus, for every doc_id % 4 == 0, a PLANTED NEAR-DUPLICATE under
+    * id + 1000000: the same image brightened by +6 with one corner
+    * block repainted — the exposure-shift + small-edit perturbation
+    * pHash is built to see through while byte-level hashes cannot.
+    * The construction is a pure function of doc_id, so the planted
+    * pair set IS the ground truth and DuckDB recomputes it from
+    * `documents` alone ([[qPhashRecallSql]]).
+    */
+  def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val base = (id, renderImage(id, copy = false))
+        if (id % 4 == 0)
+          Seq(base, (id + 1000000L, renderImage(id, copy = true)))
+        else Seq(base)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[graft] def renderImage(
+      docId: Long, copy: Boolean): Array[Byte] = {
+    val rgb = new Array[Byte](64 * 64 * 3)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var v = ((mix64(docId * 64 + by * 8 + bx) >>> 8) & 0xffL).toInt
+        if (copy) v = math.min(255, v + 6)
+        // corner edit bounded to +24: visible, but small enough in DCT
+        // space that the copy stays inside the banding gate's exact
+        // hamming-3 radius (a hard repaint flips 4+ coefficient signs)
+        if (copy && bx == 0 && by == 0) v = math.min(255, v + 24)
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) {
+            val o = (y * 64 + x) * 3
+            rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    PpmCodec.encode(PpmCodec.Image(64, 64, rgb))
+  }
+
+  /** Perceptual near-dup pairs over the image corpus: codegen'd pHash
+    * per payload ([[graft.functions.PHash64]]), then exact Hamming
+    * banding at radius 4 ([[graft.operators.Dedup.hammingPairs]] —
+    * 5 pigeonhole chunks; pHash's median-centered DCT bits flip in
+    * PAIRS under small edits, so its natural gate is 4 where the text
+    * SimHash family's is 3). Spark-specific output (the fingerprints
+    * embed the decode/DCT arithmetic), so the row is ledgered by
+    * [[qPhashRecall]] — the q_dedup_simhash / q_simhash_recall
+    * adjudicated pattern.
+    */
+  val qDedupPhash: Q = (s, d) => {
+    val fps = imageCorpus(s, d)
+      .select(col("doc_id"),
+        graft.functions.PHash64.fp(s, col("payload")).as("simhash"))
+      .filter(col("simhash") =!=
+        org.apache.spark.sql.functions.lit(
+          graft.functions.PHash64.Undecodable))
+    graft.operators.Dedup.hammingPairs(fps, 4).orderBy("id_a", "id_b")
+  }
+
+  /** Recall/precision of the pHash banding gate against the PLANTED
+    * near-dup truth (the construction is a pure function of doc_id, so
+    * DuckDB re-derives the truth from `documents` and reads the pair
+    * list Verify materialized) — every count and both ratios are
+    * hash-checked end to end.
+    */
+  val qPhashRecall: Q = (s, d) => {
+    val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+    val ph = qDedupPhash(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nPh = ph.agg(count(lit(1)).as("n_phash"))
+    truth.join(ph.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nPh))
+      .select(col("n_truth"), col("n_phash"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_truth"), lit(0L)), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_phash"), lit(0L)), 4).as("precision"))
+  }
+
+  val qPhashRecallSql: String =
+    """WITH truth AS (
+      |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |ph AS (SELECT id_a, id_b FROM read_parquet(
+      |  '{GRAFT_OUT_DIR}/q_dedup_phash/*.parquet')),
+      |j AS (SELECT CASE WHEN p.id_a IS NOT NULL THEN 1 END AS hit
+      |      FROM truth t LEFT JOIN ph p USING (id_a, id_b))
+      |SELECT
+      |  count(*) AS n_truth,
+      |  (SELECT count(*) FROM ph) AS n_phash,
+      |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) AS recall,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif((SELECT count(*) FROM ph), 0), 4) AS precision
+      |FROM j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_multimodal_features" -> qMultimodalFeatures)
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_dedup_phash" -> qDedupPhash,
+    "q_phash_recall" -> qPhashRecall)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_multimodal_features" -> qMultimodalFeaturesSql)
+    "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_phash_recall" -> qPhashRecallSql)
 }

@@ -277,6 +277,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Generalized exact Hamming banding: `maxHamming + 1` chunks tile
+    * the `bits`-wide fingerprint (sizes differing by at most one bit),
+    * so any pair within the distance shares at least one chunk
+    * verbatim (pigeonhole) — candidates are COMPLETE and the exact
+    * bit_count verify makes the output exact at any radius, unlike
+    * [[simhashPairs]]'s fixed 4-chunk form (radius ≤ 3 only). Chunk
+    * width shrinks as the radius grows (64-bit at radius 4 → ~13-bit
+    * chunks), so banding selectivity degrades gracefully instead of
+    * the radius being a hard API ceiling. Used by the perceptual-hash
+    * family, whose median-centered DCT bits flip in PAIRS under small
+    * edits (radius 4 is pHash's natural gate where SimHash's is 3).
+    */
+  def hammingPairs(
+      fps: DataFrame, maxHamming: Int, bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
+    val n = maxHamming + 1
+    val chunkCols = (0 until n).map { c =>
+      val lo = c * bits / n
+      val len = (c + 1) * bits / n - lo
+      val mask = if (len == 64) -1L else (1L << len) - 1
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
+    }
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.toDF("id_a", "fp_a", "c", "v")
+      .join(chunks.toDF("id_b", "fp_b", "c", "v"), Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Engine-neutral SimHash twin: 32-bit fingerprints built from
     * per-token md5 (both Spark and DuckDB emit identical lowercase md5
     * hex, so the whole computation is oracle-expressible — unlike

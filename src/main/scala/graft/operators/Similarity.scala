@@ -839,9 +839,20 @@ object Similarity {
 
   /** IVF-PQ ANN for the same query set — the composed scale path.
     * Rows-only like its components; recall rides [[qKnnRecall]].
+    *
+    * nprobe = 8 (vs plain IVF's 4): residual-coded ADC had hit the IVF
+    * cell-pruning ceiling (ivfpq = ivf = 0.60 at equal nprobe — the r8
+    * ledger), and the composite's whole point is that its per-survivor
+    * cost is m byte-lookups instead of d float multiplies, so it
+    * AFFORDS a bigger probe budget inside the same cost envelope:
+    * at nprobe 8 it scans 2× the cells but m/(4·dim) ≈ 1/32 the bytes
+    * per survivor — ~1/16 of IVF\@4's scanned volume — and the recall
+    * ceiling moves from the shared 0.60 to the nprobe-8 cell coverage
+    * (PipelineOpsSpec pins ivfpq > ivf on the fixture; the nprobe
+    * sweep lives in the ANN scale probe).
     */
   val qKnnAnnIvfPq: Q = (s, d) =>
-    ivfPqKnn(embeddings(s, d), col("vec_id") % 40 === 0, 5)
+    ivfPqKnn(embeddings(s, d), col("vec_id") % 40 === 0, 5, nprobe = 8)
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
 

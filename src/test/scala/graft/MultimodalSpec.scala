@@ -22,6 +22,42 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("pHash: near-identical images (exposure shift + corner edit) " +
+    "land within hamming 4, distinct images far; undecodable payloads " +
+    "hash to the sentinel; the pair gate finds every planted copy") {
+    import graft.functions.PHash64
+    import graft.multimodal.{Multimodal => MM}
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // kernel-level: the perturbed copy is perceptually the same image.
+    // Median-centered DCT bits flip in PAIRS (one coefficient crossing
+    // the median pushes another back across), so the gate is 4, not 3
+    val ids = Seq(0L, 4L, 8L, 12L, 40L, 100L, 2020L)
+    for (id <- ids) {
+      val base = PHash64.compute(MM.renderImage(id, copy = false))
+      val near = PHash64.compute(MM.renderImage(id, copy = true))
+      assert(base !== PHash64.Undecodable)
+      assert(ham(base, near) <= 4,
+        s"doc $id: perturbed copy at hamming ${ham(base, near)}")
+    }
+    // distinct documents' images are far apart (random 64-bit points
+    // sit at expected hamming 32; anything ≤ 4 would poison precision)
+    for (Seq(a, b) <- ids.combinations(2)) {
+      val fa = PHash64.compute(MM.renderImage(a, copy = false))
+      val fb = PHash64.compute(MM.renderImage(b, copy = false))
+      assert(ham(fa, fb) > 4, s"docs $a/$b collide at ${ham(fa, fb)}")
+    }
+    // a payload the codec rejects hashes to the sentinel, not a throw
+    assert(PHash64.compute("not a ppm".getBytes) === PHash64.Undecodable)
+    // end to end: every planted (id, id+1e6) pair surfaces, recall 1.0
+    // on this fixture (hash-checked at sf0.01 by the driver ledger)
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0).count()
+    val rec = MM.qPhashRecall(spark, dir).collect().head
+    assert(rec.getAs[Long]("n_truth") === planted)
+    assert(rec.getAs[Long]("n_hit") === rec.getAs[Long]("n_truth"))
+    assert(rec.getAs[Double]("recall") === 1.0)
+  }
+
   test("media table covers all docs with valid headers") {
     val media = Multimodal.mediaTable(spark, dir).cache()
     assert(media.count() === 500)

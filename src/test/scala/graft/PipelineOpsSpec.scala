@@ -632,6 +632,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rIvfPq >= rIvf - 0.05,
       s"residual ADC shortlist must cover ivf's exact ranking of the " +
         s"shared candidate set: $rIvfPq vs $rIvf")
+    // the composite's escape from that shared ceiling: its per-survivor
+    // cost is m byte-lookups, not d float multiplies, so it affords a
+    // BIGGER probe budget in the same cost envelope — at nprobe 8
+    // (~1/16 of ivf@4's scanned bytes) it must beat plain ivf@4, which
+    // is exactly how the registered q_knn_ann_ivfpq row is configured
+    val rIvfPq8 = recallOf(Similarity.ivfPqKnn(emb, qf, 5, nprobe = 8))
+    assert(rIvfPq8 > rIvf,
+      s"ivfpq@8 must beat ivf@4: $rIvfPq8 vs $rIvf")
   }
 
   test("over-cap ANN query batches serve in chunks with results " +
