@@ -1748,7 +1748,7 @@ object TextAnalysis {
       case (syms, (a, b)) => bpeApplyMerge(syms, a, b)
     }
 
-  private def bpeWordVocab(docs: DataFrame): DataFrame =
+  private[graft] def bpeWordVocab(docs: DataFrame): DataFrame =
     docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -1766,12 +1766,117 @@ object TextAnalysis {
           element_at(syms, i + 1).as("b"))))
   }
 
+  /** Word-vocab row bound for the driver-local trainer: ~1M (word,
+    * freq, syms) tuples is tens of MB of driver heap, and the encode
+    * tail broadcasts the same vocab anyway, so locality adds no new
+    * memory class.
+    */
+  private[graft] val BpeDriverVocabCap = 1000000L
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's string sort
+    * (UTF8String binary ordering) applies, which the local argmax
+    * tie-break must replicate exactly (UTF-16 compareTo diverges on
+    * supplementary characters).
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** [[bpeApplyMerge]]'s left fold, word-local. */
+  private def applyMergeLocal(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge loop — the kernel production tokenizer
+    * trainers use: BPE training depends on the corpus ONLY through the
+    * word vocabulary (distinct words + counts — Heaps-law bounded:
+    * millions of rows where the corpus is billions), so after the one
+    * distributed aggregation ([[bpeWordVocab]]) the merge loop itself
+    * is driver-sized arithmetic. Each distributed pass costs ~2 Spark
+    * jobs (pair aggregation + vocab checkpoint); locally a pass is a
+    * hash-map sweep — the whole fixture budget trains in milliseconds
+    * where the job-scheduling overhead alone dominated before. Replays
+    * the EXACT sequential argmax sequence: long-exact pair counts, tie
+    * broken (count desc, a asc, b asc) in UTF-8 byte order, the same
+    * left-fold merge application — spec-pinned identical to the
+    * distributed loops. `syms` are collected from the SAME Spark
+    * expression the distributed form folds over, so initial
+    * segmentation cannot diverge either.
+    */
+  private[graft] def bpeVocabLoopLocal(
+      vocab0: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val s = vocab0.sparkSession
+    import s.implicits._
+    val words = vocab0.select("w", "freq", "syms")
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, f, sy) => (w, f, sy.toArray) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, f, sy) <- words) {
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestK: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (k, c) =>
+          if (bestK == null || c > bestC ||
+            (c == bestC && (utf8Less(k._1, bestK._1) ||
+              (k._1 == bestK._1 && utf8Less(k._2, bestK._2)))))
+            { bestK = k; bestC = c }
+        }
+        merges += ((rank, bestK._1, bestK._2, bestC))
+        var wi = 0
+        while (wi < words.length) {
+          val (w, f, sy) = words(wi)
+          words(wi) = (w, f, applyMergeLocal(sy, bestK._1, bestK._2))
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    (merges.toSeq,
+      words.toSeq.map { case (w, f, sy) => (w, f, sy.toSeq) }
+        .toDF("w", "freq", "syms"))
+  }
+
   /** The reference one-merge-per-job loop — kept as the semantic
     * baseline the batched trainer is spec-pinned against.
     */
-  private[graft] def bpeVocabLoopSequential(docs: DataFrame, numMerges: Int)
+  private[graft] def bpeVocabLoopSequential(docs: DataFrame, numMerges: Int,
+      vocab0: DataFrame = null)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = bpeWordVocab(docs)
+    var vocab = if (vocab0 != null) vocab0 else bpeWordVocab(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
@@ -1840,9 +1945,10 @@ object TextAnalysis {
     * batches near the cap (PipelineOpsSpec exercises both).
     */
   private[graft] def bpeVocabLoopBatched(
-      docs: DataFrame, numMerges: Int, batchLimit: Int = BpeBatchLimit)
+      docs: DataFrame, numMerges: Int, batchLimit: Int = BpeBatchLimit,
+      vocab0: DataFrame = null)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = bpeWordVocab(docs)
+    var vocab = if (vocab0 != null) vocab0 else bpeWordVocab(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
@@ -1935,20 +2041,28 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
-  /** Trainer regime pick: a small merge budget (≤ [[BpeBatchLimit]])
-    * runs the plain sequential loop — its job count is bounded by the
-    * budget itself, and the batched pass's candidate-bound joins buy
-    * nothing to amortize (Zipf-headed natural text batches near 1 at
-    * the top of the count distribution anyway). Production-scale
-    * budgets (the 50k-merge tokenizer) take the batched loop, whose
-    * pass count tracks #merges/batch instead of #merges. Both produce
-    * the identical merge sequence by construction (spec-pinned), so
-    * the switch is invisible in results.
+  /** Trainer regime pick. A word vocabulary under
+    * [[BpeDriverVocabCap]] (one cheap count on the checkpointed vocab)
+    * trains DRIVER-LOCALLY — the merge loop needs nothing but the
+    * vocab, and local passes cost microseconds where every distributed
+    * pass costs jobs. Past the cap: a small merge budget
+    * (≤ [[BpeBatchLimit]]) runs the plain sequential loop (its job
+    * count is bounded by the budget itself, and the batched pass's
+    * candidate-bound joins buy nothing to amortize), production-scale
+    * budgets take the adaptive batched loop, whose pass count tracks
+    * #merges/batch instead of #merges. All three produce the identical
+    * merge sequence by construction (spec-pinned), so the switch is
+    * invisible in results.
     */
   private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
-    if (numMerges <= BpeBatchLimit) bpeVocabLoopSequential(docs, numMerges)
-    else bpeVocabLoopBatched(docs, numMerges)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val vocab0 = bpeWordVocab(docs)
+    if (vocab0.count() <= BpeDriverVocabCap)
+      bpeVocabLoopLocal(vocab0, numMerges)
+    else if (numMerges <= BpeBatchLimit)
+      bpeVocabLoopSequential(docs, numMerges, vocab0)
+    else bpeVocabLoopBatched(docs, numMerges, vocab0 = vocab0)
+  }
 
   def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
     val s = docs.sparkSession

@@ -1021,6 +1021,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       def segs(v: org.apache.spark.sql.DataFrame) =
         v.select("w", "syms").as[(String, Seq[String])].collect().toMap
       assert(segs(vb) === segs(vs))
+      // the driver-local trainer (the under-cap regime bpeLearn/
+      // bpeEncode actually take on these vocabularies) replays the
+      // same sequence and final segmentation too
+      val (ml, vl) = TextAnalysis.bpeVocabLoopLocal(
+        TextAnalysis.bpeWordVocab(docs), n)
+      assert(ml === ms)
+      assert(segs(vl) === segs(vs))
     }
     // interaction-heavy: overlapping pairs + created-pair dominance
     // ((aa,aa) is born mid-sequence) — batching must stop early and
