@@ -910,6 +910,166 @@ object TextAnalysis {
       s, bm, documents(s, d).filter(col("doc_id") % 25 === 0), 3)
   }
 
+  /** Engine-portable ZIPF retrieval fixture — the natural `documents`
+    * text is a 31-term vocabulary where every term sits in ~78% of
+    * docs (the dense-overlap adversarial case where impact ordering
+    * structurally CANNOT win and per-query routing falls back to the
+    * naive kernel — the story q_bm25_wand already prices). Real search
+    * corpora are Zipf-distributed, so the win-regime pair runs on a
+    * synthesized one: 4 replicas per base doc × 30 tokens, each token
+    * `w<octave>_<slot>` with octave = bitlength(h16 + 1) − 1 over a
+    * uniform 16-bit hash (≥½ of all tokens land in the stopword-class
+    * top octave; low octaves are rare/selective) and slot an
+    * independent 0..119 draw. Every hash is md5 of the decimal seed
+    * string — verified byte-identical between Spark (`conv(substr(
+    * md5(..)))`) and DuckDB (`CAST('0x'||substr(md5(..)) AS INT)`),
+    * so the oracle reconstructs the exact corpus from `documents`
+    * doc_ids alone.
+    */
+  private def zipfToken(seed: String): String = {
+    val h16 = s"CAST(conv(substr(md5(CAST(($seed) AS STRING)),1,4),16,10) AS INT)"
+    val h2 = s"CAST(conv(substr(md5(CAST(($seed) AS STRING)),5,4),16,10) AS INT)"
+    s"concat('w', CAST(length(conv($h16 + 1, 10, 2)) - 1 AS STRING), " +
+      s"'_', CAST($h2 % 120 AS STRING))"
+  }
+
+  private def zipfCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("r"))
+      .select((col("doc_id") * 4 + col("r")).as("doc_id"))
+      .withColumn("text", expr(
+        s"concat_ws(' ', transform(sequence(0, 29), " +
+          s"i -> ${zipfToken("doc_id * 100 + i")}))"))
+
+  /** FOUR 2-term queries per base doc — the canonical selective shape
+    * ("jaguar car": 1 rare-to-mid term, octave 4..9, carries θ past
+    * the whole cap sum; 1 stopword-class term whose huge tail
+    * dominates the naive join and drops entirely under the cutoffs) —
+    * a serving-scale batch (4× the corpus base), because the naive
+    * join's cost is LINEAR in the batch while WAND's orchestration is
+    * fixed: this is the regime the row exists to price. Query ids live
+    * ABOVE the corpus id space (base + 1e6·{1..4}); query seeds end in
+    * 90..93 / 130..133 vs corpus seeds' 00..29 — no overlap.
+    */
+  private def zipfQueries(s: SparkSession, d: String): DataFrame = {
+    def slot(seed: String): String =
+      s"CAST(CAST(conv(substr(md5(CAST(($seed) AS STRING)),5,4),16,10) AS INT) % 120 AS STRING)"
+    def rare(seed: String): String =
+      s"concat('w', CAST(4 + CAST(conv(substr(md5(CAST(($seed) AS STRING)),1,4),16,10) AS INT) % 6 AS STRING), '_', ${slot(seed)})"
+    def one(k: Int): DataFrame =
+      documents(s, d)
+        .select((col("doc_id") + lit((k + 1).toLong * 1000000L))
+          .as("doc_id"),
+          expr(s"concat_ws(' ', ${rare(s"doc_id * 100 + 9$k")}, " +
+            s"concat('w15_', ${slot(s"doc_id * 100 + 9$k + 40")}))")
+            .as("text"))
+    (0 until 4).map(one).reduce(_ unionByName _)
+  }
+
+  /** Build-if-absent BM25 artifact over the zipf corpus (its own
+    * catalog name — the natural-corpus stores stay untouched).
+    */
+  private def zipfStore(s: SparkSession, d: String): String = {
+    val id = graft.plans.AggStore.artifactId(d)
+    val tb = s"graft_bm25zipf_$id"
+    if (!s.catalog.tableExists(tb))
+      graft.plans.Bm25IndexStore.build(zipfCorpus(s, d), tb,
+        s"${sys.props("java.io.tmpdir")}/graft_bm25zipf_$id", buckets = 8)
+    tb
+  }
+
+  /** Naive Σ-postings serving of the zipf keyword batch —
+    * [[qBm25ZipfWand]]'s price twin: identical output, same oracle,
+    * and the bench prices the ALGORITHM against it (the naive volume
+    * here is the three stopword tails per query).
+    */
+  val qBm25Zipf: Q = (s, d) =>
+    graft.plans.Bm25IndexStore.search(s, zipfStore(s, d),
+      zipfQueries(s, d), 3)
+
+  /** WAND in its WINNING regime: selective keyword queries over a
+    * Zipf corpus at batch scale — θ rides the rare term past the cap
+    * sum and the stopword tails never join. Output identical to
+    * [[qBm25Zipf]] by the pruning-exactness argument — same oracle.
+    */
+  val qBm25ZipfWand: Q = (s, d) =>
+    graft.plans.Bm25IndexStore.wandSearch(s, zipfStore(s, d),
+      zipfQueries(s, d), 3)
+
+  val qBm25ZipfSql: String =
+    """WITH corpus AS (
+      |  SELECT d.doc_id * 4 + r.r AS doc_id
+      |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r),
+      |tok AS (
+      |  SELECT c.doc_id,
+      |    concat('w',
+      |      CAST(length(bin(CAST(concat('0x', substr(md5(CAST(c.doc_id * 100 + i.i AS VARCHAR)), 1, 4)) AS INTEGER) + 1)) - 1 AS VARCHAR),
+      |      '_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(c.doc_id * 100 + i.i AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+      |  FROM corpus c CROSS JOIN (SELECT unnest(range(0, 30)) AS i) i),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |        round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |          (tf * 2.2) /
+      |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS w
+      |      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+      |      CROSS JOIN stats),
+      |q AS (SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id + 1000000 AS doc_id, concat('w',
+      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 90 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
+      |      '_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 90 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, concat('w15_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 130 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, concat('w',
+      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 91 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
+      |      '_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 91 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, concat('w15_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 131 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, concat('w',
+      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 92 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
+      |      '_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 92 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, concat('w15_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 132 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, concat('w',
+      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 93 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
+      |      '_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 93 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, concat('w15_',
+      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 133 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
+      |  FROM documents)),
+      |dots AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+      |           round(sum(w.w), 4) AS score
+      |         FROM q JOIN w ON q.term = w.term AND w.doc_id <> q.doc_id
+      |         GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, score,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY score DESC, neighbor_id) AS rnk
+      |           FROM dots)
+      |SELECT query_id, rnk, neighbor_id, score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   /** MaxScore-served tf-idf retrieval — same output as
     * [[qTfidfRetrieval]] (normalized-impact bounds, exact candidate
     * scoring), same oracle. Serves from the SHARED build-if-absent
@@ -2425,6 +2585,8 @@ object TextAnalysis {
     "q_bm25_retrieval" -> qBm25Retrieval,
     "q_bm25_index_search" -> qBm25IndexSearch,
     "q_bm25_wand" -> qBm25Wand,
+    "q_bm25_zipf" -> qBm25Zipf,
+    "q_bm25_zipf_wand" -> qBm25ZipfWand,
     "q_tfidf_wand" -> qTfidfWand,
     "q_rrf_fusion" -> qRrfFusion,
     "q_rrf_fusion_served" -> qRrfFusionServed,
@@ -2460,6 +2622,9 @@ object TextAnalysis {
     // MaxScore-pruned serving: exactness argument makes the output
     // identical to the plain search — same oracles hash-check it
     "q_bm25_wand" -> qBm25RetrievalSql,
+    // the win-regime pair: identical output by pruning exactness, one SQL
+    "q_bm25_zipf" -> qBm25ZipfSql,
+    "q_bm25_zipf_wand" -> qBm25ZipfSql,
     "q_tfidf_wand" -> qTfidfRetrievalSql,
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_rrf_fusion_served" -> qRrfFusionSql,

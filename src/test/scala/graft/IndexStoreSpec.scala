@@ -440,6 +440,16 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(Bm25IndexStore.wandSearch(
       spark, table, queries, 3, prefixP = 2, broadcastRows = 50000L))
       === plain)
+    // both orchestrations — DRIVER-PLANNED (the default for
+    // collectable batches) and DISTRIBUTED (forced via the test seam)
+    // — must produce the identical frame at every prefix
+    try {
+      Bm25IndexStore.driverPlanningEnabled = false
+      assert(rows(Bm25IndexStore.wandSearch(
+        spark, table, queries, 3, prefixP = 2)) === plain)
+      assert(rows(Bm25IndexStore.wandSearch(
+        spark, table, queries, 3)) === plain)
+    } finally Bm25IndexStore.driverPlanningEnabled = true
     // rank-0 extended postings always enter the prefix → still exact
     val copies = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
