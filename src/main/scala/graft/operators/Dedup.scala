@@ -259,22 +259,12 @@ object Dedup {
   def simhashPairs(
       fps: DataFrame, maxHamming: Int, chunkBits: Int = 16): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is exact only for hamming <= 3")
-    val chunks = fps.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftright(col("simhash"), c * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1).as("v"))): _*))
-        .as("ch"))
-      .select(col("doc_id"), col("simhash"),
-        col("ch.c").as("c"), col("ch.v").as("v"))
-    chunks.toDF("id_a", "fp_a", "c", "v")
-      .join(chunks.toDF("id_b", "fp_b", "c", "v"), Seq("c", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b")
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // delegate to the generalized banding over the same fingerprint
+    // width (4 · chunkBits): at radius < 3 it tiles FEWER, wider
+    // chunks — still candidate-complete by the same pigeonhole, and
+    // the exact bit_count verify makes the OUTPUT identical either
+    // way, so the two forms cannot drift
+    hammingPairs(fps, maxHamming, bits = 4 * chunkBits)
   }
 
   /** Generalized exact Hamming banding: `maxHamming + 1` chunks tile

@@ -277,12 +277,20 @@ object Bm25IndexStore {
     if (eligible.isEmpty)
       return Some(WandKernel.finalTopK(naivePlan(allQ), topN, "score"))
     if (eligible.iterator.map(estpre).sum > PrefixCollectRows) return None
-    // action 2: the ONE prefix scan
+    // action 2: the ONE prefix scan. The Σ min(P, df) pre-check above
+    // is an early refusal, NOT the memory bound: rank-0 extended
+    // postings all pass `rnk_w <= P` while the FROZEN df table never
+    // counts them, so a heavily extended artifact can exceed the
+    // estimate arbitrarily. The limit is the hard bound — the driver
+    // never holds more than cap+1 rows — and an overrun falls back to
+    // the distributed path, which keeps these rows in executors.
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qDfOf(eligible)), "tkey")
       .select(col("query_id"), col("tkey"), col("doc_id"), col("w"),
         col("rnk_w"))
+      .limit(PrefixCollectRows.toInt + 1)
       .as[(Long, Long, Long, Double, Int)].collect()
+    if (prefix.length > PrefixCollectRows) return None
     // θ-independent state: partial pair scores (self excluded), caps
     // over TRUE ranks (rank-0 extended rows are always candidates),
     // and each pair's matched-cap sum (the per-pair bound's input).

@@ -296,14 +296,29 @@ object SnapshotStore {
   private def versionOfName(name: String): Int = name.take(8).toInt
 
   private def state(root: String): LogState = {
-    val entries = listDir(commitsDir(root)).map(_.getFileName.toString)
-    val base = entries.filter(_.endsWith(".ckpt")).sorted.lastOption
-      .map(n => readCkpt(commitsDir(root).resolve(n)))
-    val minV = base.map(_.version).getOrElse(-1)
-    val suffix = entries.filter(_.endsWith(".json"))
-      .filter(versionOfName(_) > minV).sorted
-      .map(n => readRecord(commitsDir(root).resolve(n)))
-    LogState(base, suffix)
+    // a record listed here can vanish before its read when a
+    // concurrent vacuumLog prunes behind a newer checkpoint; a fresh
+    // listing then sees that newer checkpoint and no longer needs the
+    // pruned record — so retry the WHOLE listing a few times before
+    // letting the failure surface
+    var attempts = 0
+    while (true) {
+      try {
+        val entries = listDir(commitsDir(root)).map(_.getFileName.toString)
+        val base = entries.filter(_.endsWith(".ckpt")).sorted.lastOption
+          .map(n => readCkpt(commitsDir(root).resolve(n)))
+        val minV = base.map(_.version).getOrElse(-1)
+        val suffix = entries.filter(_.endsWith(".json"))
+          .filter(versionOfName(_) > minV).sorted
+          .map(n => readRecord(commitsDir(root).resolve(n)))
+        return LogState(base, suffix)
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Publish a checkpoint alongside every CheckpointInterval-th
@@ -582,18 +597,13 @@ object SnapshotStore {
     // SHAPE, the one thing 'pruning is only an optimization' forbids.
     val snapSchema = spark.read.option("mergeSchema", "true")
       .parquet(groups.map(g => s"$root/$g"): _*).schema
-    val aligned = snapSchema.map { f =>
-      if (base.columns.contains(f.name)) col(f.name)
-      else org.apache.spark.sql.functions.lit(null)
-        .cast(f.dataType).as(f.name)
-    }
     // align FIRST, filter second: when `column` was added by schema
     // evolution and pruning kept only pre-evolution files (or the
     // empty-scan fallback read an old group), `base` lacks the column
     // entirely — the aligned projection null-fills it, and the range
     // predicate then correctly drops those null rows instead of
     // throwing an AnalysisException on an unresolvable name
-    base.select(aligned: _*)
+    alignTo(base, snapSchema)
       .where(col(column) >= lo && col(column) <= hi)
   }
 
@@ -1217,8 +1227,18 @@ object SnapshotStore {
     val st = state(root)
     val retained = (st.lastVersion - keep + 1 to st.lastVersion)
       .filter(_ >= 0)
-    val referenced = retained
-      .flatMap(v => st.liveAt(root, Some(v))).toSet
+    // a retained version whose records [[vacuumLog]] already pruned is
+    // unreadable — it can contribute no reachable reference, so skip
+    // it rather than wedging data vacuum behind a log horizon that was
+    // deliberately set tighter than this one
+    val referenced = retained.flatMap { v =>
+      try st.liveAt(root, Some(v))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("retained commit log") => Nil
+      }
+    }.toSet
     val dataDir = Paths.get(root, "data")
     val entries = listDir(dataDir)
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1267,7 +1287,8 @@ object SnapshotStore {
     * listed base checkpoint is only ever the cut point or newer, so a
     * `keep ≥ 2` horizon leaves the records any live replay needs.
     */
-  def vacuumLog(root: String, keep: Int = 2): Int = {
+  def vacuumLog(root: String, keep: Int = 2,
+      minAgeMs: Long = VacuumGraceMs): Int = {
     require(keep >= 1, "must retain at least the latest version")
     val st = state(root)
     val h0 = st.lastVersion - keep + 1
@@ -1279,12 +1300,19 @@ object SnapshotStore {
     cut match {
       case None => 0
       case Some(c0) =>
+        // the same grace window data vacuum applies: a reader that
+        // listed the log just before a newer checkpoint landed may
+        // still be reading records the cut would delete — sparing
+        // young files bounds that race the same way VacuumGraceMs
+        // bounds the write-to-publish gap (tests pass minAgeMs = 0)
+        val cutoff = System.currentTimeMillis() - minAgeMs
         var removed = 0
         entries.foreach { p =>
           val n = p.getFileName.toString
           val doomed =
-            (n.endsWith(".json") && versionOfName(n) <= c0) ||
-              (n.endsWith(".ckpt") && versionOfName(n) < c0)
+            ((n.endsWith(".json") && versionOfName(n) <= c0) ||
+              (n.endsWith(".ckpt") && versionOfName(n) < c0)) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff
           if (doomed) {
             if (Files.deleteIfExists(p)) removed += 1
           }

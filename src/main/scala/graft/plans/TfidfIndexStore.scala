@@ -159,6 +159,20 @@ object TfidfIndexStore {
       .localCheckpoint(true)
     nrm.write.mode("append").format("parquet")
       .saveAsTable(normsTable(table))
+    // mirror FIRST, postings second: a crash between the two appends
+    // must leave the read-authoritative mirror ⊇ the main postings'
+    // doc vectors — queryVectors prefers the mirror unconditionally,
+    // so every doc that IS searchable keeps a complete query vector
+    // (the reverse order would leave indexed docs with silently
+    // truncated vectors forever); a mirror-only orphan doc merely
+    // carries a vector no postings reference until the extend retries.
+    // Pre-bydoc artifacts have no mirror and the readers fall back to
+    // the main postings.
+    if (spark.catalog.tableExists(byDocTable(table)))
+      scored.select("doc_id", "tkey", "w")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").format("parquet")
+        .saveAsTable(byDocTable(table))
     scored.join(nrm, "doc_id")
       .withColumn("wn", col("w") / col("nrm"))
       .withColumn("rnk_w", lit(0))
@@ -166,13 +180,6 @@ object TfidfIndexStore {
       .write.bucketBy(buckets, "tkey").sortBy("tkey", "rnk_w")
       .mode("append").format("parquet")
       .saveAsTable(table)
-    // keep the doc-keyed mirror in lockstep (pre-bydoc artifacts have
-    // no mirror and the readers fall back to the main postings)
-    if (spark.catalog.tableExists(byDocTable(table)))
-      scored.select("doc_id", "tkey", "w")
-        .sortWithinPartitions("doc_id")
-        .write.mode("append").format("parquet")
-        .saveAsTable(byDocTable(table))
   }
 
   /** Top-`topN` cosine matches per query id, served ENTIRELY from the
@@ -276,22 +283,21 @@ object TfidfIndexStore {
     // postings scan — and tags each term with its pricing df, so the
     // pre-route can refuse a dense batch having touched only the
     // mirror and the df table
+    // LEFT join + coalesce(0): the pricing df table counts BUILD-time
+    // selected postings only, but an extend()ed doc's top-k can hold a
+    // term no build doc selected — an inner join would silently DROP
+    // that term from the query vector and break the 'identical to
+    // search()' contract; df = 0 merely underprices that term's naive
+    // volume, a routing imprecision, never a score change
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
     val qvec = queryVectors(spark, table, queryIds)
-      .join(dfT, "tkey")
+      .join(dfT, Seq("tkey"), "left")
+      .select(col("tkey"), col("query_id"), col("wq"),
+        coalesce(col("df"), lit(0L)).as("df"))
       .localCheckpoint(true)
     val qpost = qvec.select("tkey", "query_id", "wq")
     val qdf = qvec.select("query_id", "tkey", "df")
-    // batch-sized intermediates are checkpointed — three postings
-    // scans total (prefix, tail, final scoring), not one per
-    // referencing broadcast subplan
-    val qstats = WandKernel.queryStats(qdf, prefixP)
-    val qCnt = qstats.select(col("query_id"), col("nt"))
-    val eligible = qstats.filter(col("eligible")).select("query_id")
-    // pre-route refusal of the WHOLE batch (dense-overlap corpora):
-    // serve the naive kernel directly — no prefix scan, no exact-θ
-    // pass, no routing jobs; identical output by construction
-    if (eligible.isEmpty) {
+    def naiveAll(): DataFrame = {
       val naiveScores = post.join(broadcast(qpost), "tkey")
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
@@ -300,8 +306,37 @@ object TfidfIndexStore {
         .join(broadcast(qn), "query_id")
         .select(col("query_id"), col("doc_id"),
           round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
-      return WandKernel.finalTopK(naiveScores, topN, "cosine")
+      WandKernel.finalTopK(naiveScores, topN, "cosine")
     }
+    // pre-route refusal of the WHOLE batch (dense-overlap corpora):
+    // serve the naive kernel directly — no prefix scan, no exact-θ
+    // pass, no routing jobs; identical output by construction. For a
+    // collectable batch the eligibility arithmetic runs on the DRIVER
+    // over the already-checkpointed qvec (the Bm25IndexStore
+    // driver-planning discipline), replacing the queryStats job + the
+    // isEmpty probe — on dense corpora the whole WAND overhead is then
+    // the mirror fetch alone.
+    val localStats =
+      if (qvec.count() > Bm25IndexStore.DriverBatchRows) None
+      else {
+        import spark.implicits._
+        val rs = qdf.as[(Long, Long, Long)].collect()
+        val byQ = rs.groupBy(_._1)
+        Some(byQ.map { case (k, ts) =>
+          val estn = ts.map(_._3).sum
+          val estpre = ts.map(t => math.min(prefixP.toLong, t._3)).sum
+          k -> (estpre * (1L + ts.length) * 2 < estn)
+        })
+      }
+    if (localStats.exists(!_.valuesIterator.exists(identity)))
+      return naiveAll()
+    // batch-sized intermediates are checkpointed — three postings
+    // scans total (prefix, tail, final scoring), not one per
+    // referencing broadcast subplan
+    val qstats = WandKernel.queryStats(qdf, prefixP)
+    val qCnt = qstats.select(col("query_id"), col("nt"))
+    val eligible = qstats.filter(col("eligible")).select("query_id")
+    if (localStats.isEmpty && eligible.isEmpty) return naiveAll()
     val qpostE = qpost.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qpostE), "tkey")

@@ -631,7 +631,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     (1L to 22L).foreach(i => SnapshotStore.append(df(i), root))
     // v0..v22, checkpoints at 10 and 20; horizon keep=5 starts at 18,
     // so the newest covering checkpoint is v10 → records 0..10 go
-    assert(SnapshotStore.vacuumLog(root, keep = 5) === 11)
+    assert(SnapshotStore.vacuumLog(root, keep = 5, minAgeMs = 0) === 11)
     assert(idSet(SnapshotStore.read(spark, root)) ===
       (1L to 22L).toSet + 1000L)
     // fast path (≥ newest ckpt) and slow path (ckpt10 + records 11..15)
@@ -648,11 +648,11 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // the pre-horizon tag still dedups (carried by the checkpoints)
     assert(SnapshotStore.appendOnce(df(9999), root, "early") === None)
     // idempotent until a newer covering checkpoint appears
-    assert(SnapshotStore.vacuumLog(root, keep = 5) === 0)
+    assert(SnapshotStore.vacuumLog(root, keep = 5, minAgeMs = 0) === 0)
     // grow past the next boundary: v23..v30 (ckpt at 30), horizon 26
     // → cut moves to ckpt20: records 11..20 + the superseded ckpt10 go
     (23L to 30L).foreach(i => SnapshotStore.append(df(i), root))
-    assert(SnapshotStore.vacuumLog(root, keep = 5) === 11)
+    assert(SnapshotStore.vacuumLog(root, keep = 5, minAgeMs = 0) === 11)
     assert(idSet(SnapshotStore.read(spark, root)) ===
       (1L to 30L).toSet + 1000L)
     assert(idSet(SnapshotStore.read(spark, root, Some(25))) ===
@@ -663,7 +663,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // a keep horizon no checkpoint covers yet prunes nothing
     val root2 = freshRoot()
     (0L to 5L).foreach(i => SnapshotStore.append(df(i), root2))
-    assert(SnapshotStore.vacuumLog(root2, keep = 2) === 0)
+    assert(SnapshotStore.vacuumLog(root2, keep = 2, minAgeMs = 0) === 0)
   }
 
   test("evolved-column predicates resolve even when every surviving " +
