@@ -305,6 +305,22 @@ object ScaleProbe {
     t("simhash fingerprints 50k docs (per-row kernel)")(
       Dedup.simhashFingerprints(docs)
         .agg(max(col("simhash"))).first)
+    // perceptual image near-dup at 10×: ~50k 64×64 PPM payloads (the
+    // sf0.1 image corpus — base images + planted near-dup copies —
+    // replicated 8× by id offset), pHash'd by the codegen'd kernel and
+    // banded at hamming ≤ 4. Pair volume tracks the planted copies ×
+    // replicas; the decode+DCT kernel is a pure per-row map (zero
+    // shuffle), so the row prices kernel throughput + banding join.
+    t("phash 50k images (decode+DCT kernel) + hamming<=4 banded pairs") {
+      val imgs = replicate(
+        graft.multimodal.Multimodal.imageCorpus(spark, d), 8,
+        Seq("doc_id"), 100000000L)
+      val fps = imgs.select(col("doc_id"),
+        graft.functions.PHash64.fp(spark, col("payload")).as("simhash"))
+        .filter(col("simhash") =!=
+          lit(graft.functions.PHash64.Undecodable))
+      Dedup.hammingPairs(fps, 4).count()
+    }
     val emb = replicate(
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(
