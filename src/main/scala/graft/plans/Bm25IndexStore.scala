@@ -498,17 +498,22 @@ object Bm25IndexStore {
     import graft.functions.TopKAgg
     val post = spark.table(table)
     // ONE action tokenizes the batch AND joins the df table; `q` is a
-    // projection of the checkpointed result — a vocabulary-miss term
-    // matches no posting and contributes nothing, so dropping it here
-    // is exact and saves the separate query-tokens checkpoint the
-    // earlier form paid
+    // projection of the checkpointed result. LEFT join + coalesce(0):
+    // the frozen df table counts BUILD-time terms only, but extend()
+    // appends scorable rank-0 postings for out-of-build-vocabulary
+    // batch terms — an inner join would silently drop such a term from
+    // the query and diverge from [[search]] (which joins postings
+    // directly) on extended artifacts. df = 0 only underprices that
+    // term's naive volume in the routing arithmetic, never a score.
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
     val qdf = queryDocs
       .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
       .select(col("query_id"), xxhash64(col("term")).as("tkey"))
-      .join(dfT, "tkey")
+      .join(dfT, Seq("tkey"), "left")
+      .select(col("query_id"), col("tkey"),
+        coalesce(col("df"), lit(0L)).as("df"))
       .localCheckpoint(true)
     val q = qdf.select("query_id", "tkey")
     // collectable batches take the DRIVER-PLANNED orchestration (four

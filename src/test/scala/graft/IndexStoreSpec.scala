@@ -457,6 +457,27 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(Bm25IndexStore.wandSearch(
       spark, table, queries, 3, prefixP = 2)) ===
       rows(Bm25IndexStore.search(spark, table, queries, 3)))
+    // OUT-OF-BUILD-VOCABULARY extension: the batch introduces a term
+    // no build doc carried; a query mentioning it must reach the
+    // extended doc through wandSearch exactly as through search — the
+    // frozen-df join is LEFT precisely so the term survives (an inner
+    // join drops it from the query and the extended doc goes unscored)
+    import spark.implicits._
+    val novelBatch = Seq((6000000L, "zzquuxnovel zzquuxnovel alpha"))
+      .toDF("doc_id", "text")
+    Bm25IndexStore.extend(novelBatch, table, buckets = 4)
+    val qs2 = queries.unionByName(
+      Seq((6999999L, "zzquuxnovel")).toDF("doc_id", "text"))
+    val expect = rows(Bm25IndexStore.search(spark, table, qs2, 3))
+    assert(expect.exists(r => r._1 == 6999999L && r._3 == 6000000L),
+      s"search must surface the OOV-term doc: ${expect.filter(_._1 == 6999999L)}")
+    assert(rows(Bm25IndexStore.wandSearch(
+      spark, table, qs2, 3, prefixP = 2)) === expect)
+    try {
+      Bm25IndexStore.driverPlanningEnabled = false
+      assert(rows(Bm25IndexStore.wandSearch(
+        spark, table, qs2, 3, prefixP = 2)) === expect)
+    } finally Bm25IndexStore.driverPlanningEnabled = true
   }
 
   test("tfidf extend folds a batch in under the frozen idf: copies of " +
