@@ -305,16 +305,30 @@ object ScaleProbe {
     t("simhash fingerprints 50k docs (per-row kernel)")(
       Dedup.simhashFingerprints(docs)
         .agg(max(col("simhash"))).first)
-    // perceptual image near-dup at 10×: ~50k 64×64 PPM payloads (the
-    // sf0.1 image corpus — base images + planted near-dup copies —
-    // replicated 8× by id offset), pHash'd by the codegen'd kernel and
-    // banded at hamming ≤ 4. Pair volume tracks the planted copies ×
-    // replicas; the decode+DCT kernel is a pure per-row map (zero
-    // shuffle), so the row prices kernel throughput + banding join.
+    // perceptual image near-dup at 10×: ~50k 64×64 PPM payloads —
+    // the ID SPACE is replicated 8× and each replica's image RENDERS
+    // from its offset doc_id (the corpus is a pure function of id), so
+    // replicas are distinct images carrying their own planted near-dup
+    // copies. Replicating payloads unchanged would make every base
+    // image yield 8 identical fingerprints and C(8,2)=28 hamming-0
+    // cross-replica pairs per doc — quadratic in replica count and
+    // swamping the planted structure this row prices. Pair volume now
+    // tracks planted copies × replicas; the decode+DCT kernel is a
+    // pure per-row map (zero shuffle), so the row prices kernel
+    // throughput + banding join.
     t("phash 50k images (decode+DCT kernel) + hamming<=4 banded pairs") {
+      import spark.implicits._
       val imgs = replicate(
-        graft.multimodal.Multimodal.imageCorpus(spark, d), 8,
+        Tables.documents(spark, d).select("doc_id"), 8,
         Seq("doc_id"), 100000000L)
+        .as[Long].flatMap { id =>
+          val base =
+            (id, graft.multimodal.Multimodal.renderImage(id, copy = false))
+          if (id % 4 == 0)
+            Seq(base, (id + 1000000L,
+              graft.multimodal.Multimodal.renderImage(id, copy = true)))
+          else Seq(base)
+        }.toDF("doc_id", "payload")
       val fps = imgs.select(col("doc_id"),
         graft.functions.PHash64.fp(spark, col("payload")).as("simhash"))
         .filter(col("simhash") =!=
@@ -934,6 +948,40 @@ object ScaleProbe {
       val (m, _) = operators.TextAnalysis.bpeVocabLoopBatched(docs, 1000)
       s"${m.size} merges (exhausted) in " +
         s"${operators.TextAnalysis.bpeLastPasses.get()} passes"
+    }
+    // the PRODUCTION budget on the driver-local trainer: 32k merges
+    // over a ~1M-word synthetic vocab (the BpeDriverVocabCap regime's
+    // worst case). The incremental pair-count/index/heap structure
+    // makes this O(affected adjacencies · log P) — the re-sweeping
+    // form was O(vocab × merges) ≈ 10¹¹ driver ops (hours); this row
+    // prices the claim that the cap's routing is safe at any budget.
+    t("bpe incremental local: 32768 merges on ~1M-word synthetic vocab " +
+      "(driver pair-count maintenance)") {
+      import spark.implicits._
+      val vocab = spark.range(1000000L).map { id =>
+        def mx(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        val h1 = mx(id); val h2 = mx(id + 7777777L)
+        val len = 5 + (h1 & 7L).toInt
+        val sb = new StringBuilder
+        var i = 0
+        while (i < len) {
+          val bits = if (i < 8) h1 >>> (8 + i * 7) else h2 >>> ((i - 8) * 7)
+          sb += ('a' + ((bits & 63L) % 26).toInt).toChar
+          i += 1
+        }
+        (sb.toString, 1L + 1000000L / (id + 1L)) // zipf-ish head
+      }.toDF("w", "freq")
+        .groupBy("w").agg(max("freq").as("freq"))
+        .select(col("w"), col("freq"),
+          filter(split(col("w"), ""), x => x =!= "").as("syms"))
+        .localCheckpoint(true)
+      val (m, _) = operators.TextAnalysis.bpeVocabLoopLocal(vocab, 32768)
+      s"${m.size} merges over ${vocab.count()} words"
     }
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text

@@ -1966,20 +1966,53 @@ object TextAnalysis {
     out.toArray
   }
 
-  /** Driver-local merge loop — the kernel production tokenizer
+  /** Max-heap ordering for the incremental trainer's lazy argmax:
+    * dequeue = the SEQUENTIAL loop's argmax rule — count desc, then a
+    * asc, then b asc, both in UTF-8 byte order. PriorityQueue dequeues
+    * the Ordering-largest element, so "preferred" compares greater.
+    */
+  private val bpeHeapOrd: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+        else if (x._2 != y._2) { if (utf8Less(x._2, y._2)) 1 else -1 }
+        else if (x._3 != y._3) { if (utf8Less(x._3, y._3)) 1 else -1 }
+        else 0
+      }
+    }
+
+  /** Driver-local merge loop — the structure production tokenizer
     * trainers use: BPE training depends on the corpus ONLY through the
     * word vocabulary (distinct words + counts — Heaps-law bounded:
     * millions of rows where the corpus is billions), so after the one
     * distributed aggregation ([[bpeWordVocab]]) the merge loop itself
-    * is driver-sized arithmetic. Each distributed pass costs ~2 Spark
-    * jobs (pair aggregation + vocab checkpoint); locally a pass is a
-    * hash-map sweep — the whole fixture budget trains in milliseconds
-    * where the job-scheduling overhead alone dominated before. Replays
-    * the EXACT sequential argmax sequence: long-exact pair counts, tie
-    * broken (count desc, a asc, b asc) in UTF-8 byte order, the same
-    * left-fold merge application — spec-pinned identical to the
-    * distributed loops. `syms` are collected from the SAME Spark
-    * expression the distributed form folds over, so initial
+    * is driver-sized arithmetic, maintained INCREMENTALLY:
+    *
+    *   - `counts` is the live pair-count map; `index` maps each pair to
+    *     the word ids that (ever) contained it — a merge touches ONLY
+    *     the words in its pair's index list, not the whole vocabulary.
+    *     A touched word contributes its full old-adjacency multiset as
+    *     decrements and its new one as increments (words are short, so
+    *     per-word O(len) beats bookkeeping merge positions). Index
+    *     entries are append-only (gained pairs always involve the
+    *     freshly created symbol); stale ids are skipped by an
+    *     apply-merge length check, and duplicates by a per-merge stamp.
+    *   - the argmax is a LAZY max-heap under [[bpeHeapOrd]]: every pair
+    *     whose count changed re-enqueues at its new count, so the heap
+    *     always holds an up-to-date entry for every live pair; popped
+    *     entries whose count no longer matches the live map are
+    *     discarded. Total work is O(affected adjacencies · log P), not
+    *     O(vocab × merges) — a 32k-merge production budget over a
+    *     1M-word vocab trains in driver minutes where the re-sweeping
+    *     form needed ~10¹¹ driver operations (the round-9 gap).
+    *
+    * Replays the EXACT sequential argmax sequence: long-exact pair
+    * counts, tie broken (count desc, a asc, b asc) in UTF-8 byte
+    * order, the same left-fold merge application — spec-pinned
+    * identical to the distributed loops on fixtures AND by a
+    * ScalaCheck law over random corpora. `syms` are collected from the
+    * SAME Spark expression the distributed form folds over, so initial
     * segmentation cannot diverge either.
     */
   private[graft] def bpeVocabLoopLocal(
@@ -1990,37 +2023,87 @@ object TextAnalysis {
     val words = vocab0.select("w", "freq", "syms")
       .as[(String, Long, Seq[String])].collect()
       .map { case (w, f, sy) => (w, f, sy.toArray) }
+    val counts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable
+      .HashMap.empty[(String, String),
+        scala.collection.mutable.ArrayBuffer[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val (_, f, sy) = words(wi)
+      var i = 0
+      while (i < sy.length - 1) {
+        val k = (sy(i), sy(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        index.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val heap = scala.collection.mutable
+      .PriorityQueue.empty[(Long, String, String)](bpeHeapOrd)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val stamp = new Array[Int](words.length) // last merge rank touching
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val counts =
-        scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((_, f, sy) <- words) {
-        var i = 0
-        while (i < sy.length - 1) {
-          val k = (sy(i), sy(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+      // pop until an entry matching the live count surfaces — stale
+      // entries (count changed since enqueue) discard; the live pair
+      // they shadow re-enqueued at its change
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) top = e
       }
-      if (counts.isEmpty) exhausted = true
+      if (top == null) exhausted = true
       else {
-        var bestK: (String, String) = null
-        var bestC = Long.MinValue
-        counts.foreach { case (k, c) =>
-          if (bestK == null || c > bestC ||
-            (c == bestC && (utf8Less(k._1, bestK._1) ||
-              (k._1 == bestK._1 && utf8Less(k._2, bestK._2)))))
-            { bestK = k; bestC = c }
+        val (bestC, a, b) = top
+        merges += ((rank, a, b, bestC))
+        val ab = a + b
+        val delta =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        val wids = index.remove((a, b))
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        for (id <- wids) {
+          if (stamp(id) != rank) {
+            stamp(id) = rank
+            val (w, f, sy) = words(id)
+            val sy2 = applyMergeLocal(sy, a, b)
+            if (sy2.length != sy.length) { // stale index entry otherwise
+              var i = 0
+              while (i < sy.length - 1) {
+                val k = (sy(i), sy(i + 1))
+                delta.update(k, delta.getOrElse(k, 0L) - f)
+                i += 1
+              }
+              i = 0
+              while (i < sy2.length - 1) {
+                val k = (sy2(i), sy2(i + 1))
+                delta.update(k, delta.getOrElse(k, 0L) + f)
+                // gained pairs always involve the fresh symbol — the
+                // only index additions ever needed (proof: a merge
+                // only creates adjacencies next to its output symbol)
+                if (k._1 == ab || k._2 == ab)
+                  index.getOrElseUpdate(k,
+                    scala.collection.mutable.ArrayBuffer.empty) += id
+                i += 1
+              }
+              words(id) = (w, f, sy2)
+            }
+          }
         }
-        merges += ((rank, bestK._1, bestK._2, bestC))
-        var wi = 0
-        while (wi < words.length) {
-          val (w, f, sy) = words(wi)
-          words(wi) = (w, f, applyMergeLocal(sy, bestK._1, bestK._2))
-          wi += 1
+        delta.foreach { case (k, d) =>
+          if (d != 0L) {
+            val c = counts.getOrElse(k, 0L) + d
+            if (c <= 0L) counts.remove(k)
+            else {
+              counts.update(k, c)
+              heap.enqueue((c, k._1, k._2))
+            }
+          }
         }
         rank += 1
       }

@@ -222,33 +222,14 @@ object Bm25IndexStore {
     */
   private[graft] var driverPlanningEnabled = true
 
-  /** Driver-planned WAND serving for collectable batches. The
-    * θ/caps/cutoffs/essential/routing state is QUERY-BATCH-sized, yet
-    * the distributed orchestration pays a driver-sequenced Spark
-    * action (and its AQE stage cascade) per stage — measured ~60 jobs
-    * per call, which swamps the pruning win whenever the corpus side
-    * is not enormous (the exact shape of the BPE finding: batch-sized
-    * state, job-sized overhead). Here the SAME algebra runs locally
-    * between exactly FOUR Spark actions:
-    *
-    *   1. the checkpointed (query, term, df) batch is collected;
-    *      eligibility/pricing arithmetic is local (an all-ineligible
-    *      batch returns the naive plan immediately — one scan);
-    *   2. ONE prefix scan, collected (bounded by Σ min(P, df), checked
-    *      before the scan);
-    *   3. ONE candidate-bounded scan exact-scores the θ seeds;
-    *   4. ONE final plan (tail scan + exact scoring + naive remainder
-    *      + top-k) — the only action whose output is the result.
-    *
-    * Soundness under local float jitter: partial prefix sums pick the
-    * SEED SET only, and θ is the topN-th of the seeds' SPARK-computed
-    * exact 4dp scores — any seed set gives a valid lower bound, so the
-    * pruning proof is unchanged; caps are exact mins; the RoundEps
-    * slack already absorbs summation-order noise in the cutoff algebra
-    * (same argument the distributed form relies on). Output therefore
-    * matches [[search]] row-for-row, like every other wandSearch path.
-    * Returns None when a volume cap or the chunking budget trips —
-    * the distributed orchestration (which chunks) serves those.
+  /** Driver-planned WAND serving for collectable batches — the
+    * [[WandKernel.serveDriverPlanned]] orchestration (four Spark
+    * actions, limit-bounded prefix collect, θ from exact seed scores)
+    * instantiated with BM25's algebra: query factor 1 (scores are
+    * plain weight sums) and the saved `w` as the impact column. The
+    * exact-scoring and naive closures are [[search]]'s arithmetic
+    * restricted to candidate pairs / query-id sets, so output matches
+    * [[search]] row-for-row like every other wandSearch path.
     */
   private def serveDriverPlanned(
       spark: SparkSession, table: String, qdf: DataFrame,
@@ -257,199 +238,28 @@ object Bm25IndexStore {
     val post = spark.table(table)
     val qRows = qdf.select("query_id", "tkey", "df")
       .as[(Long, Long, Long)].collect()
-    val byQ = qRows.groupBy(_._1)
-    val estn = byQ.map { case (k, rs) => k -> rs.map(_._3).sum }
-    val estpre = byQ.map { case (k, rs) =>
-      k -> rs.map(r => math.min(prefixP.toLong, r._3)).sum }
-    val nt = byQ.map { case (k, rs) => k -> rs.length.toLong }
-    val dfOf = qRows.map(r => (r._1, r._2) -> r._3).toMap
-    val eligible = byQ.keysIterator
-      .filter(k => estpre(k) * (1L + nt(k)) * 2 < estn(k)).toSet
+      .map { case (k, t, df) => (k, t, 1.0, df) }
     def qDfOf(ids: Long => Boolean): DataFrame =
       qRows.iterator.filter(r => ids(r._1)).map(r => (r._1, r._2))
         .toSeq.toDF("query_id", "tkey")
-    def naivePlan(ids: Set[Long]): DataFrame =
-      post.join(broadcast(qDfOf(ids)), "tkey")
+    val qAllDf = qDfOf(_ => true)
+    WandKernel.serveDriverPlanned(
+      spark, qRows, topN, prefixP, broadcastRows, PrefixCollectRows,
+      scanPrefix = qk => post.filter(col("rnk_w") <= prefixP)
+        .join(broadcast(qk), "tkey")
+        .select(col("query_id"), col("tkey"), col("doc_id"),
+          col("w").as("impact"), col("rnk_w")),
+      scanTail = chosen => post.filter(col("rnk_w") > prefixP)
+        .join(broadcast(chosen), "tkey")
+        .filter(col("w") >= col("cut") &&
+          col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id"),
+      naivePlan = ids => post.join(broadcast(qDfOf(ids)), "tkey")
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
-        .agg(round(sum("w"), 4).as("score"))
-    val allQ = byQ.keySet
-    if (eligible.isEmpty)
-      return Some(WandKernel.finalTopK(naivePlan(allQ), topN, "score"))
-    if (eligible.iterator.map(estpre).sum > PrefixCollectRows) return None
-    // action 2: the ONE prefix scan. The Σ min(P, df) pre-check above
-    // is an early refusal, NOT the memory bound: rank-0 extended
-    // postings all pass `rnk_w <= P` while the FROZEN df table never
-    // counts them, so a heavily extended artifact can exceed the
-    // estimate arbitrarily. The limit is the hard bound — the driver
-    // never holds more than cap+1 rows — and an overrun falls back to
-    // the distributed path, which keeps these rows in executors.
-    val prefix = post.filter(col("rnk_w") <= prefixP)
-      .join(broadcast(qDfOf(eligible)), "tkey")
-      .select(col("query_id"), col("tkey"), col("doc_id"), col("w"),
-        col("rnk_w"))
-      .limit(PrefixCollectRows.toInt + 1)
-      .as[(Long, Long, Long, Double, Int)].collect()
-    if (prefix.length > PrefixCollectRows) return None
-    // θ-independent state: partial pair scores (self excluded), caps
-    // over TRUE ranks (rank-0 extended rows are always candidates),
-    // and each pair's matched-cap sum (the per-pair bound's input).
-    // Two passes over the prefix rows: caps first (the second pass's
-    // matched-cap accumulation reads them), then pair state — mutable
-    // cells keyed once per pair keep the loops allocation-light.
-    val capStats =
-      scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
-    prefix.foreach { case (k, t, _, w, r) =>
-      if (r >= 1) {
-        val cell = capStats.getOrElseUpdate((k, t),
-          Array(0.0, Double.MaxValue))
-        cell(0) += 1
-        if (w < cell(1)) cell(1) = w
-      }
-    }
-    val capw = capStats.map { case (key, cell) =>
-      key -> (if (cell(0) >= prefixP) cell(1) else 0.0) }
-    val capTotal = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Double]
-      capw.foreach { case ((k, _), cw) =>
-        m.update(k, m.getOrElse(k, 0.0) + cw) }
-      m.withDefaultValue(0.0)
-    }
-    // pair cell: (partial score sum, matched-cap sum)
-    val pair =
-      scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
-    prefix.foreach { case (k, t, doc, w, _) =>
-      if (doc != k) {
-        val cell = pair.getOrElseUpdate((k, doc), Array(0.0, 0.0))
-        cell(0) += w
-        cell(1) += capw.getOrElse((k, t), 0.0)
-      }
-    }
-    // per-query pair lists, built once, reused by θ selection + seeds
-    val pairsByQ = scala.collection.mutable.HashMap
-      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
-    pair.foreach { case ((k, doc), cell) =>
-      pairsByQ.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty) += ((doc, cell(0)))
-    }
-
-    /** The whole cutoff/essential/candidate/pricing algebra as a
-      * function of θ — run twice at most: once under the FREE partial
-      * θ (the k-th best prefix-partial score lower-bounds the true
-      * k-th: pointwise partial ≤ true), and only if that volume
-      * overruns the budget, again under the exact-seed θ (one more
-      * Spark action buying a tighter bound — the flat-impact regime
-      * where partial θ lets whole tails through).
-      */
-    case class Algebra(
-        cutoffs: Seq[(Long, Long, Double)], essential: Seq[(Long, Long)],
-        candPairs: Seq[(Long, Long)], useEss: Map[Long, Boolean],
-        wandIds: Set[Long], volSum: Long)
-    def algebra(thetaOf: Long => Double): Algebra = {
-      val cutoffs = capw.iterator.flatMap { case ((k, t), cw) =>
-        val cut = thetaOf(k) - WandKernel.RoundEps - capTotal(k) + cw
-        if (cut <= cw) Some((k, t, cut)) else None
-      }.toSeq
-      val essential = capw.toSeq.groupBy(_._1._1).iterator.flatMap {
-        case (k, cs) =>
-          val sorted = cs.sortBy { case ((_, t), cw) => (cw, t) }
-          var cum = 0.0
-          sorted.flatMap { case ((_, t), cw) =>
-            cum += cw
-            if (cum >= thetaOf(k) - WandKernel.RoundEps) Some((k, t))
-            else None
-          }
-      }.toSeq
-      // the per-PAIR candidate bound the driver-planned path gets free
-      // (the distributed form would pay another batch join for it): a
-      // prefix doc's full score is ≤ its partial score + Σ capw of the
-      // query terms it did NOT match in the prefix (each is either a
-      // tail posting ≤ capw or absent = 0), so pairs provably below
-      // θ − ε never enter the scoring broadcast — on stopword-heavy
-      // queries this is most of the prefix candidates (docs touching
-      // only a stopword slot)
-      val candPairs = pair.iterator.filter { case ((k, _), cell) =>
-        cell(0) + capTotal(k) - cell(1) >=
-          thetaOf(k) - WandKernel.RoundEps
-      }.map(_._1).toSeq
-      val est1 = cutoffs.groupBy(_._1).map { case (k, cs) =>
-        k -> cs.map(c => dfOf.getOrElse((k, c._2), 0L)).sum }
-      val est2 = essential.groupBy(_._1).map { case (k, es) =>
-        k -> es.map(e => dfOf.getOrElse((k, e._2), 0L)).sum }
-      val npref = candPairs.groupBy(_._1)
-        .map { case (k, ps) => k -> ps.length.toLong }
-      val useEss = eligible.iterator.map { k =>
-        k -> (est2.getOrElse(k, 0L) < est1.getOrElse(k, 0L)) }.toMap
-      val vol = eligible.iterator.map { k =>
-        k -> (math.min(est1.getOrElse(k, 0L), est2.getOrElse(k, 0L)) +
-          npref.getOrElse(k, 0L)) * (1L + nt(k)) }.toMap
-      val wandIds = eligible.filter(k => vol(k) * 2 < estn(k))
-      Algebra(cutoffs, essential, candPairs, useEss, wandIds,
-        wandIds.iterator.map(vol).sum)
-    }
-
-    val qAllDf = qDfOf(allQ)
-    def serve(a: Algebra): DataFrame = {
-      val chosen =
-        a.cutoffs.filter(c => a.wandIds(c._1) && !a.useEss(c._1)) ++
-          a.essential.filter(e => a.wandIds(e._1) && a.useEss(e._1))
-            .map(e => (e._1, e._2, Double.MinValue))
-      // final action: tail probe + exact scoring + naive remainder +
-      // top-k — with the DEAD subplans dropped up front (locally known):
-      // an empty chosen set means no tail scan at all, and an all-wand
-      // batch means no naive remainder scan
-      val candA = a.candPairs.filter(p => a.wandIds(p._1))
-        .toDF("query_id", "doc_id")
-      val cand =
-        if (chosen.isEmpty) candA
-        else candA.unionByName(
-          post.filter(col("rnk_w") > prefixP)
-            .join(broadcast(chosen.toDF("query_id", "tkey", "cut")),
-              "tkey")
-            .filter(col("w") >= col("cut") &&
-              col("doc_id") =!= col("query_id"))
-            .select("query_id", "doc_id")).distinct()
-      val wandScores = scoreCandidates(post, qAllDf, cand)
-      val naiveIds = allQ -- a.wandIds
-      val scores =
-        if (naiveIds.isEmpty) wandScores
-        else wandScores.unionByName(naivePlan(naiveIds))
-      WandKernel.finalTopK(scores, topN, "score")
-    }
-
-    // FREE θ first: k-th best partial prefix score per query
-    val thetaPartial = pairsByQ.map { case (k, ps) =>
-      val ss = ps.map(_._2).sortBy(-_)
-      k -> (if (ss.length >= topN) ss(topN - 1) else Double.MinValue)
-    }
-    val aPartial =
-      algebra(k => thetaPartial.getOrElse(k, Double.MinValue))
-    if (aPartial.wandIds.isEmpty)
-      return Some(WandKernel.finalTopK(naivePlan(allQ), topN, "score"))
-    if (aPartial.volSum <= broadcastRows) return Some(serve(aPartial))
-    // partial θ let too much through — pay ONE candidate-bounded scan
-    // for the exact-seed θ (always ≥ the partial θ, so strictly fewer
-    // candidates) and retry
-    val seeds = pairsByQ.iterator.flatMap { case (k, ps) =>
-      ps.sortBy { case (doc, s) => (-s, doc) }
-        .take(4 * topN).map { case (doc, _) => (k, doc) }
-    }.toSeq
-    val theta: Map[Long, Double] =
-      if (seeds.isEmpty) Map.empty
-      else scoreCandidates(post, qAllDf, seeds.toDF("query_id", "doc_id"))
-        .select("query_id", "doc_id", "score")
-        .as[(Long, Long, Double)].collect()
-        .groupBy(_._1).map { case (k, ss) =>
-          val sorted = ss.sortBy { case (_, doc, s) => (-s, doc) }
-          k -> (if (sorted.length >= topN) sorted(topN - 1)._3
-                else Double.MinValue)
-        }
-    val aExact = algebra(k => theta.getOrElse(k, Double.MinValue))
-    if (aExact.wandIds.isEmpty)
-      return Some(WandKernel.finalTopK(naivePlan(allQ), topN, "score"))
-    // the chunking regime belongs to the distributed path
-    if (aExact.volSum > broadcastRows) return None
-    Some(serve(aExact))
+        .agg(round(sum("w"), 4).as("score")),
+      scoreCand = c => scoreCandidates(post, qAllDf, c),
+      scoreName = "score")
   }
 
   /** Top-`topN` BM25 matches served with MaxScore-style impact-ordered

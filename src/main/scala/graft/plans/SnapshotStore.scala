@@ -133,22 +133,35 @@ object SnapshotStore {
     * than corrupting the replayed live set. [[HardLinkPublisher]]
     * records are content-atomic (linked only when complete) and never
     * take this path.
+    *
+    * The retry is AGE-GATED: a torn write is by definition fresh (the
+    * writer's single small write is in flight right now), so a record
+    * older than [[TornRetryMaxAgeMs]] fails immediately — otherwise a
+    * permanently corrupt record would tax EVERY state() call (every
+    * read and every commit attempt, multiplied by the CAS retry loop)
+    * with the full 50×2 ms window before surfacing the same error.
     */
-  private def readRecord(p: Path): Commit = {
+  private[graft] val TornRetryMaxAgeMs = 5000L
+
+  private def readRetrying[A](p: Path)(parse1: String => A): A = {
     var attempts = 0
     while (true) {
-      try return parse(Files.readString(p))
+      try return parse1(Files.readString(p))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
               e.getMessage.contains("torn or corrupt") =>
+          val ageMs = System.currentTimeMillis -
+            Files.getLastModifiedTime(p).toMillis
           attempts += 1
-          if (attempts >= 50) throw e
+          if (attempts >= 50 || ageMs > TornRetryMaxAgeMs) throw e
           Thread.sleep(2)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  private def readRecord(p: Path): Commit = readRetrying(p)(parse)
 
   private def log(root: String): Seq[Commit] =
     listDir(commitsDir(root))
@@ -213,21 +226,7 @@ object SnapshotStore {
     c
   }
 
-  private def readCkpt(p: Path): Ckpt = {
-    var attempts = 0
-    while (true) {
-      try return parseCkpt(Files.readString(p))
-      catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("torn or corrupt") =>
-          attempts += 1
-          if (attempts >= 50) throw e
-          Thread.sleep(2)
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def readCkpt(p: Path): Ckpt = readRetrying(p)(parseCkpt)
 
   /** The shared live-set fold — one replay rule for checkpointed and
     * from-scratch paths, so they cannot diverge.

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The store-agnostic half of MaxScore/WAND serving, shared by
@@ -186,6 +186,256 @@ private[plans] object WandKernel {
           xxhash64(col("query_id"), col("doc_id")), lit(nChunks)) === i))
       if (nChunks == 1) part else part.localCheckpoint(true)
     }.reduce(_ unionByName _)
+  }
+
+  /** Driver-planned WAND serving for collectable batches — the
+    * store-generic orchestration behind both stores' fast path. The
+    * θ/caps/cutoffs/essential/routing state is QUERY-BATCH-sized, yet
+    * the distributed orchestration pays a driver-sequenced Spark
+    * action (and its AQE stage cascade) per stage — measured ~60 jobs
+    * per call, which swamps the pruning win whenever the corpus side
+    * is not enormous. Here the SAME algebra runs locally between at
+    * most FOUR Spark actions:
+    *
+    *   1. the checkpointed query frame is collected (the caller's
+    *      `qRows`); eligibility/pricing arithmetic is local (an
+    *      all-ineligible batch returns the naive plan immediately —
+    *      one scan);
+    *   2. ONE prefix scan, collected (bounded by Σ min(P, df), checked
+    *      before the scan; `limit` is the HARD bound — see below);
+    *   3. ONE candidate-bounded scan exact-scores the θ seeds (only
+    *      when the free partial θ lets too much volume through);
+    *   4. ONE final plan (tail scan + exact scoring + naive remainder
+    *      + top-k) — the only action whose output is the result.
+    *
+    * Generic over the stores' scoring algebra: `qf` is the
+    * per-(query, term) query factor (1 for BM25's additive weights,
+    * wq/‖q‖ for tf-idf cosine) and `impact` is whatever per-posting
+    * column the closures expose (BM25 `w`; tf-idf `wn` = w/‖d‖) — a
+    * pair's score is Σ qf·impact in both stores, so caps (qf · P-th
+    * impact), per-term tail cutoffs (re-expressed in impact units by
+    * dividing by qf; qf ≤ 0 terms cannot lift a doc and emit none),
+    * the essential split, the per-pair bound, and the Σ-df routing all
+    * run unchanged.
+    *
+    * Soundness under local float jitter: partial prefix sums pick the
+    * SEED SET only, and θ is the topN-th of the seeds' SPARK-computed
+    * exact 4dp scores — any seed set gives a valid lower bound, so the
+    * pruning proof is unchanged; caps are exact mins; the RoundEps
+    * slack absorbs summation-order noise in the cutoff algebra (the
+    * same argument the distributed form relies on). Output therefore
+    * matches the store's `search` row-for-row. Returns None when a
+    * volume cap or the chunking budget trips — the distributed
+    * orchestration (which chunks) serves those.
+    *
+    * `qRows`: one (query_id, tkey, qf, df) row per matched query term.
+    * `scanPrefix`: eligible (query_id, tkey) keys → the LAZY prefix
+    * frame (query_id, tkey, doc_id, impact, rnk_w); the kernel
+    * attaches the `limit` hard bound and collects — the Σ min(P, df)
+    * pre-check is an early refusal, NOT the memory bound: rank-0
+    * extended postings all pass `rnk_w <= P` while the frozen df table
+    * never counts them, so a heavily extended artifact can exceed the
+    * estimate arbitrarily; an overrun falls back to the distributed
+    * path, which keeps these rows in executors.
+    * `scanTail`: chosen (query_id, tkey, cut) rows (cut in impact
+    * units; −∞ = whole essential list) → tail candidate
+    * (query_id, doc_id) pairs, self-matches already excluded.
+    * `naivePlan`: exact (query_id, doc_id, score) for a query-id set —
+    * the store's bucketed-join kernel restricted to those ids.
+    * `scoreCand`: candidate (query_id, doc_id) pairs → exact
+    * (query_id, doc_id, score) rows — the store's `search` arithmetic.
+    */
+  def serveDriverPlanned(
+      spark: SparkSession,
+      qRows: Array[(Long, Long, Double, Long)],
+      topN: Int, prefixP: Int, broadcastRows: Long,
+      prefixCollectCap: Long,
+      scanPrefix: DataFrame => DataFrame,
+      scanTail: DataFrame => DataFrame,
+      naivePlan: Set[Long] => DataFrame,
+      scoreCand: DataFrame => DataFrame,
+      scoreName: String): Option[DataFrame] = {
+    import spark.implicits._
+    val byQ = qRows.groupBy(_._1)
+    val estn = byQ.map { case (k, rs) => k -> rs.map(_._4).sum }
+    val estpre = byQ.map { case (k, rs) =>
+      k -> rs.map(r => math.min(prefixP.toLong, r._4)).sum }
+    val nt = byQ.map { case (k, rs) => k -> rs.length.toLong }
+    val dfOf = qRows.map(r => (r._1, r._2) -> r._4).toMap
+    val qfOf = qRows.map(r => (r._1, r._2) -> r._3).toMap
+    val eligible = byQ.keysIterator
+      .filter(k => estpre(k) * (1L + nt(k)) * 2 < estn(k)).toSet
+    val allQ = byQ.keySet
+    if (eligible.isEmpty)
+      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+    if (eligible.iterator.map(estpre).sum > prefixCollectCap) return None
+    // action 2: the ONE prefix scan, hard-bounded by the limit
+    val prefix = scanPrefix(
+        qRows.iterator.filter(r => eligible(r._1)).map(r => (r._1, r._2))
+          .toSeq.toDF("query_id", "tkey"))
+      .limit(prefixCollectCap.toInt + 1)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    if (prefix.length > prefixCollectCap) return None
+    // θ-independent state: partial pair scores (self excluded), caps
+    // over TRUE ranks (rank-0 extended rows are always candidates),
+    // and each pair's matched-cap sum (the per-pair bound's input).
+    // Two passes over the prefix rows: caps first (the second pass's
+    // matched-cap accumulation reads them), then pair state — mutable
+    // cells keyed once per pair keep the loops allocation-light.
+    val capStats =
+      scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
+    prefix.foreach { case (k, t, _, imp, r) =>
+      if (r >= 1) {
+        val cell = capStats.getOrElseUpdate((k, t),
+          Array(0.0, Double.MaxValue))
+        cell(0) += 1
+        if (imp < cell(1)) cell(1) = imp
+      }
+    }
+    // per-term state: capImp = the P-th impact (tail rows are ≤ it),
+    // capb = qf·capImp = the term's score-contribution bound
+    val capImp = capStats.map { case (key, cell) =>
+      key -> (if (cell(0) >= prefixP) cell(1) else 0.0) }
+    val capb = capImp.map { case (key, ci) =>
+      key -> qfOf.getOrElse(key, 0.0) * ci }
+    val capTotal = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Double]
+      capb.foreach { case ((k, _), cb) =>
+        m.update(k, m.getOrElse(k, 0.0) + cb) }
+      m.withDefaultValue(0.0)
+    }
+    // pair cell: (partial score sum, matched-cap sum)
+    val pair =
+      scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
+    prefix.foreach { case (k, t, doc, imp, _) =>
+      if (doc != k) {
+        val cell = pair.getOrElseUpdate((k, doc), Array(0.0, 0.0))
+        cell(0) += qfOf.getOrElse((k, t), 0.0) * imp
+        cell(1) += capb.getOrElse((k, t), 0.0)
+      }
+    }
+    // per-query pair lists, built once, reused by θ selection + seeds
+    val pairsByQ = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    pair.foreach { case ((k, doc), cell) =>
+      pairsByQ.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty) += ((doc, cell(0)))
+    }
+
+    /** The whole cutoff/essential/candidate/pricing algebra as a
+      * function of θ — run twice at most: once under the FREE partial
+      * θ (the k-th best prefix-partial score lower-bounds the true
+      * k-th: pointwise partial ≤ true), and only if that volume
+      * overruns the budget, again under the exact-seed θ (one more
+      * Spark action buying a tighter bound — the flat-impact regime
+      * where partial θ lets whole tails through).
+      */
+    case class Algebra(
+        cutoffs: Seq[(Long, Long, Double)], essential: Seq[(Long, Long)],
+        candPairs: Seq[(Long, Long)], useEss: Map[Long, Boolean],
+        wandIds: Set[Long], volSum: Long)
+    def algebra(thetaOf: Long => Double): Algebra = {
+      val cutoffs = capb.iterator.flatMap { case ((k, t), cb) =>
+        val qf = qfOf.getOrElse((k, t), 0.0)
+        if (qf <= 0.0) None // a zero-weight term cannot lift any doc
+        else {
+          val cut = (thetaOf(k) - RoundEps - capTotal(k) + cb) / qf
+          if (cut <= capImp((k, t))) Some((k, t, cut)) else None
+        }
+      }.toSeq
+      val essential = capb.toSeq.groupBy(_._1._1).iterator.flatMap {
+        case (k, cs) =>
+          val sorted = cs.sortBy { case ((_, t), cb) => (cb, t) }
+          var cum = 0.0
+          sorted.flatMap { case ((_, t), cb) =>
+            cum += cb
+            if (cum >= thetaOf(k) - RoundEps) Some((k, t))
+            else None
+          }
+      }.toSeq
+      // the per-PAIR candidate bound the driver-planned path gets free
+      // (the distributed form would pay another batch join for it): a
+      // prefix doc's full score is ≤ its partial score + Σ capb of the
+      // query terms it did NOT match in the prefix (each is either a
+      // tail posting ≤ capb or absent = 0), so pairs provably below
+      // θ − ε never enter the scoring broadcast — on stopword-heavy
+      // queries this is most of the prefix candidates (docs touching
+      // only a stopword slot)
+      val candPairs = pair.iterator.filter { case ((k, _), cell) =>
+        cell(0) + capTotal(k) - cell(1) >= thetaOf(k) - RoundEps
+      }.map(_._1).toSeq
+      val est1 = cutoffs.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.map(c => dfOf.getOrElse((k, c._2), 0L)).sum }
+      val est2 = essential.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(e => dfOf.getOrElse((k, e._2), 0L)).sum }
+      val npref = candPairs.groupBy(_._1)
+        .map { case (k, ps) => k -> ps.length.toLong }
+      val useEss = eligible.iterator.map { k =>
+        k -> (est2.getOrElse(k, 0L) < est1.getOrElse(k, 0L)) }.toMap
+      val vol = eligible.iterator.map { k =>
+        k -> (math.min(est1.getOrElse(k, 0L), est2.getOrElse(k, 0L)) +
+          npref.getOrElse(k, 0L)) * (1L + nt(k)) }.toMap
+      val wandIds = eligible.filter(k => vol(k) * 2 < estn(k))
+      Algebra(cutoffs, essential, candPairs, useEss, wandIds,
+        wandIds.iterator.map(vol).sum)
+    }
+
+    def serve(a: Algebra): DataFrame = {
+      val chosen =
+        a.cutoffs.filter(c => a.wandIds(c._1) && !a.useEss(c._1)) ++
+          a.essential.filter(e => a.wandIds(e._1) && a.useEss(e._1))
+            .map(e => (e._1, e._2, Double.MinValue))
+      // final action: tail probe + exact scoring + naive remainder +
+      // top-k — with the DEAD subplans dropped up front (locally known):
+      // an empty chosen set means no tail scan at all, and an all-wand
+      // batch means no naive remainder scan
+      val candA = a.candPairs.filter(p => a.wandIds(p._1))
+        .toDF("query_id", "doc_id")
+      val cand =
+        if (chosen.isEmpty) candA
+        else candA.unionByName(
+          scanTail(chosen.toDF("query_id", "tkey", "cut"))).distinct()
+      val wandScores = scoreCand(cand)
+      val naiveIds = allQ -- a.wandIds
+      val scores =
+        if (naiveIds.isEmpty) wandScores
+        else wandScores.unionByName(naivePlan(naiveIds))
+      finalTopK(scores, topN, scoreName)
+    }
+
+    // FREE θ first: k-th best partial prefix score per query
+    val thetaPartial = pairsByQ.map { case (k, ps) =>
+      val ss = ps.map(_._2).sortBy(-_)
+      k -> (if (ss.length >= topN) ss(topN - 1) else Double.MinValue)
+    }
+    val aPartial =
+      algebra(k => thetaPartial.getOrElse(k, Double.MinValue))
+    if (aPartial.wandIds.isEmpty)
+      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+    if (aPartial.volSum <= broadcastRows) return Some(serve(aPartial))
+    // partial θ let too much through — pay ONE candidate-bounded scan
+    // for the exact-seed θ (always ≥ the partial θ, so strictly fewer
+    // candidates) and retry
+    val seeds = pairsByQ.iterator.flatMap { case (k, ps) =>
+      ps.sortBy { case (doc, s) => (-s, doc) }
+        .take(4 * topN).map { case (doc, _) => (k, doc) }
+    }.toSeq
+    val theta: Map[Long, Double] =
+      if (seeds.isEmpty) Map.empty
+      else scoreCand(seeds.toDF("query_id", "doc_id"))
+        .select("query_id", "doc_id", "score")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, ss) =>
+          val sorted = ss.sortBy { case (_, doc, s) => (-s, doc) }
+          k -> (if (sorted.length >= topN) sorted(topN - 1)._3
+                else Double.MinValue)
+        }
+    val aExact = algebra(k => theta.getOrElse(k, Double.MinValue))
+    if (aExact.wandIds.isEmpty)
+      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+    // the chunking regime belongs to the distributed path
+    if (aExact.volSum > broadcastRows) return None
+    Some(serve(aExact))
   }
 
   /** Global top-`topN` per query over the unioned wand + naive score

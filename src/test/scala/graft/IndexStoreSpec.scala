@@ -549,6 +549,16 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(TfidfIndexStore.wandSearch(
       spark, table, queryIds, 3, prefixP = 2, broadcastRows = 20000L))
       === plain)
+    // both orchestrations — DRIVER-PLANNED (the default for
+    // collectable batches) and DISTRIBUTED (forced via the test seam)
+    // — must produce the identical frame at every prefix
+    try {
+      graft.plans.Bm25IndexStore.driverPlanningEnabled = false
+      assert(rows(TfidfIndexStore.wandSearch(
+        spark, table, queryIds, 3, prefixP = 2)) === plain)
+      assert(rows(TfidfIndexStore.wandSearch(
+        spark, table, queryIds, 3)) === plain)
+    } finally graft.plans.Bm25IndexStore.driverPlanningEnabled = true
   }
 
   test("bpe store: served encode equals the training-loop encode; " +

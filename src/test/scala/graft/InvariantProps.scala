@@ -636,4 +636,30 @@ object InvariantProps extends Properties("graft.invariants") {
       everyVersion && contents(None) == refCounts(model.last)
     }
 
+  // tiny alphabet + short words force dense pair interactions: merged
+  // symbols collide with later concatenations, pairs reappear after
+  // being merged away, ties hit the UTF-8 ordering — exactly the cases
+  // the incremental trainer's index/heap bookkeeping must survive
+  private val genBpeWord: Gen[String] =
+    Gen.choose(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  property("incremental driver-local bpe trainer == sequential loop " +
+    "(merge sequence and final segmentation)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(genBpeWord, Gen.choose(1L, 9L))),
+      Gen.choose(1, 12)) { (wordFreqs, n) =>
+      import graft.operators.TextAnalysis
+      val vocab0 = wordFreqs.toDF("w", "freq")
+        .groupBy("w").agg(sum("freq").as("freq"))
+        .select(col("w"), col("freq"),
+          filter(split(col("w"), ""), x => x =!= "").as("syms"))
+        .localCheckpoint(true)
+      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(null, n, vocab0)
+      val (ml, vl) = TextAnalysis.bpeVocabLoopLocal(vocab0, n)
+      def segs(v: DataFrame): Map[String, Seq[String]] =
+        v.select("w", "syms").as[(String, Seq[String])].collect().toMap
+      ms == ml && segs(vs) == segs(vl)
+    }
+
 }
