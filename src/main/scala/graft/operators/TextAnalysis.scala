@@ -941,15 +941,25 @@ object TextAnalysis {
         s"concat_ws(' ', transform(sequence(0, 29), " +
           s"i -> ${zipfToken("doc_id * 100 + i")}))"))
 
-  /** FOUR 2-term queries per base doc — the canonical selective shape
+  /** Query replicas per base doc for the zipf pricing pair — the
+    * SMALLEST batch where WAND's win still clears 2×, measured at
+    * sf0.1 on quiet anchors: 2 replicas → 1.12×, 3 → 1.19×,
+    * 4 → 2.08×. The naive kernel's cost is SUPERLINEAR between 3 and
+    * 4 replicas (the join-volume regime WAND exists to escape only
+    * bites there) while WAND stays nearly flat (8.4 → 8.8 s), so
+    * shrinking the batch halves the ratio, not the sweep cost — 4 is
+    * the floor. The 50k ScaleProbe row keeps the asymptote (≈4×).
+    */
+  private[graft] val ZipfQueryReplicas = 4
+
+  /** 2-term queries per base doc — the canonical selective shape
     * ("jaguar car": 1 rare-to-mid term, octave 4..9, carries θ past
     * the whole cap sum; 1 stopword-class term whose huge tail
     * dominates the naive join and drops entirely under the cutoffs) —
-    * a serving-scale batch (4× the corpus base), because the naive
-    * join's cost is LINEAR in the batch while WAND's orchestration is
-    * fixed: this is the regime the row exists to price. Query ids live
-    * ABOVE the corpus id space (base + 1e6·{1..4}); query seeds end in
-    * 90..93 / 130..133 vs corpus seeds' 00..29 — no overlap.
+    * a serving-scale batch ([[ZipfQueryReplicas]]× the corpus base).
+    * Query ids live ABOVE the corpus id space (base + 1e6·{1..k});
+    * query seeds end in 90.. / 130.. vs corpus seeds' 00..29 — no
+    * overlap.
     */
   private def zipfQueries(s: SparkSession, d: String): DataFrame = {
     def slot(seed: String): String =
@@ -963,7 +973,7 @@ object TextAnalysis {
           expr(s"concat_ws(' ', ${rare(s"doc_id * 100 + 9$k")}, " +
             s"concat('w15_', ${slot(s"doc_id * 100 + 9$k + 40")}))")
             .as("text"))
-    (0 until 4).map(one).reduce(_ unionByName _)
+    (0 until ZipfQueryReplicas).map(one).reduce(_ unionByName _)
   }
 
   /** Build-if-absent BM25 artifact over the zipf corpus (its own
@@ -996,6 +1006,24 @@ object TextAnalysis {
     graft.plans.Bm25IndexStore.wandSearch(s, zipfStore(s, d),
       zipfQueries(s, d), 3)
 
+  /** The oracle's query reconstruction — one rare-term + one
+    * stopword-term SELECT pair per replica, generated from the SAME
+    * [[ZipfQueryReplicas]] constant the Spark side reads so the two
+    * engines cannot drift on batch size.
+    */
+  private def zipfQuerySqlBlocks: String =
+    (0 until ZipfQueryReplicas).map { k =>
+      s"""  SELECT doc_id + ${k + 1}000000 AS doc_id, concat('w',
+         |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + ${90 + k} AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
+         |      '_',
+         |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + ${90 + k} AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${k + 1}000000, concat('w15_',
+         |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + ${130 + k} AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
+         |  FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
   val qBm25ZipfSql: String =
     """WITH corpus AS (
       |  SELECT d.doc_id * 4 + r.r AS doc_id
@@ -1019,45 +1047,7 @@ object TextAnalysis {
       |      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
       |      CROSS JOIN stats),
       |q AS (SELECT DISTINCT doc_id, term FROM (
-      |  SELECT doc_id + 1000000 AS doc_id, concat('w',
-      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 90 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
-      |      '_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 90 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, concat('w15_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 130 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 2000000 AS doc_id, concat('w',
-      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 91 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
-      |      '_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 91 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 2000000, concat('w15_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 131 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 3000000 AS doc_id, concat('w',
-      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 92 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
-      |      '_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 92 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 3000000, concat('w15_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 132 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 4000000 AS doc_id, concat('w',
-      |      CAST(4 + CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 93 AS VARCHAR)), 1, 4)) AS INTEGER) % 6 AS VARCHAR),
-      |      '_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 93 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR)) AS term
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 4000000, concat('w15_',
-      |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id * 100 + 133 AS VARCHAR)), 5, 4)) AS INTEGER) % 120 AS VARCHAR))
-      |  FROM documents)),
+      |ZIPF_QUERY_BLOCKS)),
       |dots AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
       |           round(sum(w.w), 4) AS score
       |         FROM q JOIN w ON q.term = w.term AND w.doc_id <> q.doc_id
@@ -1069,6 +1059,7 @@ object TextAnalysis {
       |SELECT query_id, rnk, neighbor_id, score
       |FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
+      .replace("ZIPF_QUERY_BLOCKS", zipfQuerySqlBlocks)
 
   /** MaxScore-served tf-idf retrieval — same output as
     * [[qTfidfRetrieval]] (normalized-impact bounds, exact candidate
