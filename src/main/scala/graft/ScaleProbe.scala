@@ -335,6 +335,32 @@ object ScaleProbe {
           lit(graft.functions.PHash64.Undecodable))
       Dedup.hammingPairs(fps, 4).count()
     }
+    // audio perceptual near-dup at 10×: same discipline as the phash
+    // row — replicate the ID SPACE and render each replica's clip from
+    // its offset doc_id, so replicas are distinct clips carrying their
+    // own planted pitched/gain-shifted copies and pair volume tracks
+    // planted copies × replicas. The decode+Goertzel kernel is a pure
+    // per-row map (zero shuffle); the row prices kernel throughput +
+    // the banded Hamming join.
+    t("ahash 50k clips (decode+Goertzel kernel) + hamming<=4 banded pairs") {
+      import spark.implicits._
+      val clips = replicate(
+        Tables.documents(spark, d).select("doc_id"), 8,
+        Seq("doc_id"), 100000000L)
+        .as[Long].flatMap { id =>
+          val base =
+            (id, graft.multimodal.Multimodal.renderClip(id, copy = false))
+          if (id % 4 == 2)
+            Seq(base, (id + 1000000L,
+              graft.multimodal.Multimodal.renderClip(id, copy = true)))
+          else Seq(base)
+        }.toDF("doc_id", "payload")
+      val fps = clips.select(col("doc_id"),
+        graft.functions.AHash64.fp(spark, col("payload")).as("simhash"))
+        .filter(col("simhash") =!=
+          lit(graft.functions.AHash64.Undecodable))
+      Dedup.hammingPairs(fps, 4).count()
+    }
     val emb = replicate(
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(

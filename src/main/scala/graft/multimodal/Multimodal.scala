@@ -435,14 +435,146 @@ object Multimodal {
       |    / nullif((SELECT count(*) FROM ph), 0), 4) AS precision
       |FROM j""".stripMargin
 
+  /** Deterministic REAL-sample WAV corpus for the audio-fingerprint
+    * family: one 1-second 16-bit mono 4 kHz clip per document — 16
+    * time segments × 3 sinusoids whose band/position/amplitude derive
+    * from a splitmix64 of the doc id. Frequencies are drawn from
+    * OCTAVE-BAND INTERIORS (62.5·2^b·u with u ∈ [1.10, 1.85], bands
+    * b ∈ 0..4) so the planted +2% pitch shift can never carry a tone
+    * across a band edge — the property that keeps planted copies
+    * inside the banding gate's Hamming radius by construction. For
+    * every doc_id % 4 == 2, a PLANTED NEAR-DUPLICATE under
+    * id + 1000000: the same clip pitch-shifted ×1.02 and gain-scaled
+    * ×0.7 — the transposition + level-change perturbation a spectral
+    * fingerprint sees through while byte-level hashes cannot. Pure
+    * function of doc_id, so the planted pair set IS the ground truth
+    * and DuckDB recomputes it from `documents` alone
+    * ([[qAhashRecallSql]]).
+    */
+  def audioCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val base = (id, renderClip(id, copy = false))
+        if (id % 4 == 2)
+          Seq(base, (id + 1000000L, renderClip(id, copy = true)))
+        else Seq(base)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def renderClip(
+      docId: Long, copy: Boolean): Array[Byte] = {
+    val fs = 4000
+    val n = 4000
+    val seg = n / 16
+    val pitch = if (copy) 1.02 else 1.0
+    val gain = if (copy) 0.7 else 1.0
+    val out = new Array[Short](n)
+    val freq = new Array[Double](3)
+    val amp = new Array[Double](3)
+    var s = 0
+    while (s < 16) {
+      var h = 0
+      while (h < 3) {
+        val r = mix64(docId * 64 + s * 4 + h)
+        val band = (((r >>> 8) & 0x7fffffffL) % 5).toInt
+        val u = 1.12 + ((r >>> 40) & 0xffffL).toDouble / 65535.0 * 0.70
+        freq(h) = 62.5 * (1 << band) * u * pitch
+        // equal amplitudes keep every OCCUPIED band's energy a clear
+        // factor above the across-band mean (3 tones → occupied ≥ E vs
+        // mean 0.6E), so the fingerprint's occupancy bits have margin
+        // against quantization and probe-grid leakage
+        amp(h) = 4000.0
+        h += 1
+      }
+      var i = 0
+      while (i < seg) {
+        val t = (s * seg + i).toDouble / fs
+        var v = 0.0
+        var k = 0
+        while (k < 3) { v += amp(k) * math.sin(2 * math.Pi * freq(k) * t); k += 1 }
+        out(s * seg + i) =
+          math.max(-32768.0, math.min(32767.0, v * gain)).toShort
+        i += 1
+      }
+      s += 1
+    }
+    WavCodec.encode(WavCodec.Clip(fs, 1, out))
+  }
+
+  /** Perceptual near-dup pairs over the audio corpus: codegen'd
+    * spectral fingerprint per payload ([[graft.functions.AHash64]] —
+    * Haar octave-band energy-order bits), then exact Hamming banding
+    * at radius 4 ([[graft.operators.Dedup.hammingPairs]], 5 pigeonhole
+    * chunks). Spark-specific output (the fingerprints embed the
+    * decode/filterbank arithmetic), so the row is ledgered by
+    * [[qAhashRecall]] — the q_dedup_phash / q_phash_recall adjudicated
+    * pattern.
+    */
+  val qDedupAhash: Q = (s, d) => {
+    val fps = audioCorpus(s, d)
+      .select(col("doc_id"),
+        graft.functions.AHash64.fp(s, col("payload")).as("simhash"))
+      .filter(col("simhash") =!=
+        org.apache.spark.sql.functions.lit(
+          graft.functions.AHash64.Undecodable))
+    graft.operators.Dedup.hammingPairs(fps, 4).orderBy("id_a", "id_b")
+  }
+
+  /** Recall/precision of the audio fingerprint's banding gate against
+    * the PLANTED pitched/gain-shifted truth — pure in doc_id, so
+    * DuckDB re-derives it from `documents` and reads the pair list
+    * Verify materialized; every count and both ratios hash-checked.
+    */
+  val qAhashRecall: Q = (s, d) => {
+    val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 2)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+    val ah = qDedupAhash(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nAh = ah.agg(count(lit(1)).as("n_ahash"))
+    truth.join(ah.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nAh))
+      .select(col("n_truth"), col("n_ahash"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_truth"), lit(0L)), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_ahash"), lit(0L)), 4).as("precision"))
+  }
+
+  val qAhashRecallSql: String =
+    """WITH truth AS (
+      |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |  FROM documents WHERE doc_id % 4 = 2),
+      |ah AS (SELECT id_a, id_b FROM read_parquet(
+      |  '{GRAFT_OUT_DIR}/q_dedup_ahash/*.parquet')),
+      |j AS (SELECT CASE WHEN p.id_a IS NOT NULL THEN 1 END AS hit
+      |      FROM truth t LEFT JOIN ah p USING (id_a, id_b))
+      |SELECT
+      |  count(*) AS n_truth,
+      |  (SELECT count(*) FROM ah) AS n_ahash,
+      |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) AS recall,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif((SELECT count(*) FROM ah), 0), 4) AS precision
+      |FROM j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_dedup_phash" -> qDedupPhash,
-    "q_phash_recall" -> qPhashRecall)
+    "q_phash_recall" -> qPhashRecall,
+    "q_dedup_ahash" -> qDedupAhash,
+    "q_ahash_recall" -> qAhashRecall)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
-    "q_phash_recall" -> qPhashRecallSql)
+    "q_phash_recall" -> qPhashRecallSql,
+    "q_ahash_recall" -> qAhashRecallSql)
 }

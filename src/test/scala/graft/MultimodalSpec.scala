@@ -58,6 +58,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rec.getAs[Double]("recall") === 1.0)
   }
 
+  test("aHash: pitched (+2%) and gain-shifted (x0.7) audio copies land " +
+    "within hamming 4, distinct clips far; undecodable payloads hash " +
+    "to the sentinel; the pair gate finds every planted copy") {
+    import graft.functions.AHash64
+    import graft.multimodal.{Multimodal => MM, WavCodec}
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val ids = Seq(2L, 6L, 10L, 14L, 42L, 102L, 2022L)
+    for (id <- ids) {
+      val base = AHash64.compute(MM.renderClip(id, copy = false))
+      val near = AHash64.compute(MM.renderClip(id, copy = true))
+      assert(base !== AHash64.Undecodable)
+      assert(ham(base, near) <= 4,
+        s"doc $id: pitched/gain-shifted copy at hamming ${ham(base, near)}")
+    }
+    // distinct documents' clips are far apart (random band orderings
+    // sit near expected hamming 32; anything ≤ 4 poisons precision)
+    for (Seq(a, b) <- ids.combinations(2)) {
+      val fa = AHash64.compute(MM.renderClip(a, copy = false))
+      val fb = AHash64.compute(MM.renderClip(b, copy = false))
+      assert(ham(fa, fb) > 4, s"docs $a/$b collide at ${ham(fa, fb)}")
+    }
+    // a pure gain change (no pitch) is exactly invariant up to int16
+    // quantization near-ties — the energy-ORDER bit design's claim
+    for (id <- ids.take(3)) {
+      val clip = WavCodec.decode(MM.renderClip(id, copy = false)).get
+      val scaled = clip.copy(samples =
+        clip.samples.map(s => (s * 0.5).toShort))
+      val d = ham(AHash64.compute(WavCodec.encode(clip)),
+        AHash64.compute(WavCodec.encode(scaled)))
+      assert(d <= 2, s"doc $id: gain-only copy at hamming $d")
+    }
+    // the resample path: the same clip delivered at 8 kHz (sample-
+    // doubled) fingerprints within the gate of its 4 kHz original
+    for (id <- ids.take(3)) {
+      val clip = WavCodec.decode(MM.renderClip(id, copy = false)).get
+      val up = WavCodec.Clip(8000, 1,
+        clip.samples.flatMap(s => Array(s, s)))
+      val d = ham(AHash64.compute(WavCodec.encode(clip)),
+        AHash64.compute(WavCodec.encode(up)))
+      assert(d <= 4, s"doc $id: 8 kHz delivery at hamming $d")
+    }
+    // a payload the codec rejects hashes to the sentinel, not a throw
+    assert(AHash64.compute("not a wav".getBytes) === AHash64.Undecodable)
+    // end to end: every planted (id, id+1e6) pair surfaces, recall 1.0
+    // on this fixture (hash-checked at sf0.01 by the driver ledger)
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 2).count()
+    val rec = MM.qAhashRecall(spark, dir).collect().head
+    assert(rec.getAs[Long]("n_truth") === planted)
+    assert(rec.getAs[Long]("n_hit") === rec.getAs[Long]("n_truth"))
+    assert(rec.getAs[Double]("recall") === 1.0)
+  }
+
   test("media table covers all docs with valid headers") {
     val media = Multimodal.mediaTable(spark, dir).cache()
     assert(media.count() === 500)
