@@ -642,6 +642,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"ivfpq@8 must beat ivf@4: $rIvfPq8 vs $rIvf")
   }
 
+  test("opq rotation: orthogonal by construction; opq+ivfpq beats plain " +
+    "ivfpq at equal (m, nprobe); opq-pq never loses to pq") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qf = col("vec_id") % 40 === 0
+    // the rotation is a real orthogonal matrix — RᵀR = I to solver
+    // tolerance (the Procrustes step returns U·Vᵀ of an SVD, and the
+    // rank-deficiency completion is Gram–Schmidt-orthonormal)
+    val r = Similarity.opqRotation(emb, 8, 64)
+    val d = r.length
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(t => r(t)(i) * r(t)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8,
+        s"RtR[$i][$j] = $dot, want $want")
+    }
+    val brute = Similarity.bruteForceKnn(emb, emb.filter(qf), 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    // the fixture embeddings are near-ISOTROPIC (component variances
+    // within ~1.3× of each other, cross-correlations ≈ 0 — measured in
+    // DuckDB), so in RAW space a variance-balancing rotation has
+    // nothing to balance and opq-pq's honest outcome is a tie with pq
+    // (sf0.01 ledger: both 0.8769). The anisotropy OPQ exists for
+    // lives in the IVF RESIDUAL space, where the composite must win
+    // strictly at equal (m, nprobe) — the registered-row configuration.
+    val rPq = recallOf(Similarity.pqKnn(emb, qf, 5))
+    val rOpqPq = recallOf(Similarity.opqPqKnn(emb, qf, 5))
+    assert(rOpqPq >= rPq, s"opq-pq must not lose to pq: $rOpqPq vs $rPq")
+    val rIvfPq8 = recallOf(Similarity.ivfPqKnn(emb, qf, 5, nprobe = 8))
+    val rOpqIvfPq8 =
+      recallOf(Similarity.opqIvfPqKnn(emb, qf, 5, nprobe = 8))
+    assert(rOpqIvfPq8 > rIvfPq8,
+      s"opq+ivfpq@8 must beat ivfpq@8: $rOpqIvfPq8 vs $rIvfPq8")
+  }
+
   test("over-cap ANN query batches serve in chunks with results " +
     "identical to one pass (pq and ivf-pq)") {
     val emb = graft.Tables.embeddings(spark, dir)
