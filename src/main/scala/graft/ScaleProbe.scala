@@ -279,6 +279,31 @@ object ScaleProbe {
           big.filter(col("id") % 200 === 0).withColumn("v", col("v") + 1),
           root, "id")))
     }
+    // checkpoint payload headroom: a 100k-live-group checkpoint (the
+    // wide-table regime) must neither produce one multi-MB JSON file
+    // (sharded write caps each file) nor re-parse per action (the
+    // newest-checkpoint cache makes repeat state() calls O(suffix)).
+    // Groups are synthesized — state() never touches payloads, so this
+    // prices the replay path without 10⁴ real commits.
+    t("snapshot state() at 100k live groups (sharded ckpt: cold parse " +
+      "once, then cached replays)") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ckpt-probe").toString
+      val groups = (0 until 100000).map(i => "data/" + f"$i%032x")
+      plans.SnapshotStore.probeWriteCheckpoint(root, 10, groups)
+      plans.SnapshotStore.probeEvictCkptCache()
+      val t0 = System.nanoTime()
+      require(plans.SnapshotStore.probeStateLiveCount(root) == 100000)
+      val cold = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      var i = 0
+      while (i < 100) {
+        require(plans.SnapshotStore.probeStateLiveCount(root) == 100000)
+        i += 1
+      }
+      val warm = (System.nanoTime() - t1) / 1e6 / 100
+      f"cold parse $cold%.1f ms; cached state() $warm%.3f ms/call x100"
+    }
     t("shingle index 50k docs")(Dedup.shingleIndex(docs, 3).count())
     val sh = Dedup.shingleIndex(docs, 3).persist()
     sh.count()

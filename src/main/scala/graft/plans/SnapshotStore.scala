@@ -186,6 +186,21 @@ object SnapshotStore {
 
   private[graft] val CheckpointInterval = 10
 
+  /** Groups per checkpoint SHARD file. A checkpoint's live set at 10⁵
+    * groups is a multi-MB JSON string — written every interval and,
+    * worse, parsed on EVERY state() call (every read and every commit
+    * attempt). Over this cap the live set is split across
+    * `<v>-<uuid>-<i>.ckptshard` files (each bounded by this many
+    * groups) referenced from a small `<v>.ckpt` manifest; shards land
+    * BEFORE the manifest's putIfAbsent, so a visible manifest implies
+    * complete shards, and a checkpointer losing the manifest race
+    * deletes its own orphans. Under the cap the legacy one-file inline
+    * form is still written — the common case pays zero extra files.
+    * Both forms parse through [[readCkpt]]. Test seam: specs shrink
+    * this to force sharding on fixture-sized tables.
+    */
+  private[graft] var CkptShardGroups = 4096
+
   private case class Ckpt(
       version: Int, live: Vector[String], tags: Set[String])
 
@@ -203,30 +218,127 @@ object SnapshotStore {
       s""""tags":${arr(c.tags.toSeq.sorted)}}"""
   }
 
-  private def parseCkpt(s: String): Ckpt = {
-    require(s.trim.startsWith("{") && s.trim.endsWith("}"),
-      s"torn or corrupt checkpoint record: $s")
-    def body(name: String): String = {
-      val i = s.indexOf("\"" + name + "\":")
-      require(i >= 0, s"torn or corrupt checkpoint record (no $name): $s")
-      s.drop(i + name.length + 3)
-    }
-    def arr(b: String): Vector[String] = {
-      val inner = b.drop(b.indexOf('[') + 1).takeWhile(_ != ']')
-      if (inner.trim.isEmpty) Vector.empty
-      else inner.split(",").toVector.map(_.trim.stripPrefix("\"")
-        .stripSuffix("\""))
-    }
-    val c = Ckpt(body("version").takeWhile(_.isDigit).toInt,
-      arr(body("live")), arr(body("tags")).toSet)
-    c.live.foreach { g =>
-      require(g.matches("data/[0-9a-fA-F-]+"),
-        s"torn or corrupt checkpoint record (bad group '$g'): $s")
-    }
-    c
+  private def jsonArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  private def parseArr(b: String): Vector[String] = {
+    val inner = b.drop(b.indexOf('[') + 1).takeWhile(_ != ']')
+    if (inner.trim.isEmpty) Vector.empty
+    else inner.split(",").toVector.map(_.trim.stripPrefix("\"")
+      .stripSuffix("\""))
   }
 
-  private def readCkpt(p: Path): Ckpt = readRetrying(p)(parseCkpt)
+  /** Parsed manifest head: inline live groups (legacy/one-file form)
+    * or the shard-file names to read.
+    */
+  private case class CkptHead(
+      version: Int, tags: Set[String],
+      inline: Option[Vector[String]], shards: Vector[String])
+
+  private def parseCkptHead(s: String): CkptHead = {
+    require(s.trim.startsWith("{") && s.trim.endsWith("}"),
+      s"torn or corrupt checkpoint record: $s")
+    def body(name: String): Option[String] = {
+      val i = s.indexOf("\"" + name + "\":")
+      if (i < 0) None else Some(s.drop(i + name.length + 3))
+    }
+    val version = body("version").map(_.takeWhile(_.isDigit).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"torn or corrupt checkpoint record (no version): $s"))
+    val tags = body("tags").map(parseArr).getOrElse(
+      throw new IllegalArgumentException(
+        s"torn or corrupt checkpoint record (no tags): $s")).toSet
+    val inline = body("live").map(parseArr)
+    val shards = body("shards").map(parseArr).getOrElse(Vector.empty)
+    require(inline.isDefined || shards.nonEmpty,
+      s"torn or corrupt checkpoint record (neither live nor shards): $s")
+    inline.foreach(_.foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"torn or corrupt checkpoint record (bad group '$g'): $s")
+    })
+    shards.foreach { n =>
+      require(n.matches("[0-9]{8}-[0-9a-fA-F-]+-[0-9]+\\.ckptshard"),
+        s"torn or corrupt checkpoint record (bad shard name '$n'): $s")
+    }
+    CkptHead(version, tags, inline, shards)
+  }
+
+  private def parseShard(s: String): Vector[String] = {
+    require(s.trim.startsWith("{") && s.trim.endsWith("}"),
+      s"torn or corrupt checkpoint shard: ${s.take(200)}")
+    val i = s.indexOf("\"groups\":")
+    require(i >= 0, s"torn or corrupt checkpoint shard (no groups)")
+    val gs = parseArr(s.drop(i + 9))
+    gs.foreach { g =>
+      require(g.matches("data/[0-9a-fA-F-]+"),
+        s"torn or corrupt checkpoint shard (bad group '$g')")
+    }
+    gs
+  }
+
+  private def readCkpt(p: Path): Ckpt = {
+    val head = readRetrying(p)(parseCkptHead)
+    val live = head.inline.getOrElse(
+      head.shards.flatMap(n =>
+        readRetrying(p.getParent.resolve(n))(parseShard)))
+    Ckpt(head.version, live, head.tags)
+  }
+
+  /** Publish a checkpoint: inline one-file form when the live set fits
+    * a shard, the sharded form otherwise (shards first — a visible
+    * manifest implies complete shards; a lost manifest race deletes
+    * the loser's own shards, which nothing references).
+    */
+  private def writeCkpt(
+      dir: Path, publisher: CommitPublisher, ck: Ckpt): Unit =
+    if (ck.live.size <= CkptShardGroups) {
+      publisher.putIfAbsent(dir, f"${ck.version}%08d.ckpt", renderCkpt(ck))
+      ()
+    } else {
+      ck.live.foreach { g =>
+        require(g.matches("data/[0-9a-fA-F-]+"),
+          s"data group name '$g' violates the data/<uuid> grammar")
+      }
+      ck.tags.foreach { t =>
+        require(t.matches("[A-Za-z0-9._-]+"),
+          s"tag '$t' violates the tag grammar")
+      }
+      val uuid = UUID.randomUUID().toString
+      val shards = ck.live.grouped(CkptShardGroups).toVector
+      val names = shards.indices
+        .map(i => f"${ck.version}%08d-$uuid-$i.ckptshard").toVector
+      shards.indices.foreach { i =>
+        publisher.putIfAbsent(dir, names(i),
+          s"""{"groups":${jsonArr(shards(i))}}""")
+      }
+      val manifest =
+        s"""{"version":${ck.version},""" +
+          s""""tags":${jsonArr(ck.tags.toSeq.sorted)},""" +
+          s""""shards":${jsonArr(names)}}"""
+      if (!publisher.putIfAbsent(dir, f"${ck.version}%08d.ckpt", manifest))
+        names.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    }
+
+  /** Newest-checkpoint cache: checkpoints are IMMUTABLE once published
+    * (putIfAbsent slots, version-monotonic names), so the parsed form
+    * is cached per log dir keyed by file name — repeat state() calls
+    * skip the O(live-set) JSON/shard parse entirely and pay only the
+    * listing + suffix reads. A vanished-then-different name cannot
+    * occur; a failed parse is never cached.
+    */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Ckpt)]
+
+  private def readCkptCached(dir: Path, name: String): Ckpt = {
+    val key = dir.toString
+    val hit = ckptCache.get(key)
+    if (hit != null && hit._1 == name) hit._2
+    else {
+      val ck = readCkpt(dir.resolve(name))
+      ckptCache.put(key, (name, ck))
+      ck
+    }
+  }
 
   /** The shared live-set fold — one replay rule for checkpointed and
     * from-scratch paths, so they cannot diverge.
@@ -305,7 +417,7 @@ object SnapshotStore {
       try {
         val entries = listDir(commitsDir(root)).map(_.getFileName.toString)
         val base = entries.filter(_.endsWith(".ckpt")).sorted.lastOption
-          .map(n => readCkpt(commitsDir(root).resolve(n)))
+          .map(n => readCkptCached(commitsDir(root), n))
         val minV = base.map(_.version).getOrElse(-1)
         val suffix = entries.filter(_.endsWith(".json"))
           .filter(versionOfName(_) > minV).sorted
@@ -332,9 +444,7 @@ object SnapshotStore {
     if (c.version > 0 && c.version % CheckpointInterval == 0) {
       val ck = Ckpt(c.version, foldLive(st.liveBase, st.suffix :+ c),
         st.allTags ++ (if (c.tag.nonEmpty) Set(c.tag) else Set.empty))
-      publisher.putIfAbsent(commitsDir(root),
-        f"${c.version}%08d.ckpt", renderCkpt(ck))
-      ()
+      writeCkpt(commitsDir(root), publisher, ck)
     }
 
   /** The ONE primitive the commit protocol demands of storage:
@@ -1286,6 +1396,24 @@ object SnapshotStore {
     * listed base checkpoint is only ever the cut point or newer, so a
     * `keep ≥ 2` horizon leaves the records any live replay needs.
     */
+  /** Probe seams for the checkpoint-scaling claim: synthesize a
+    * checkpoint of fake live groups at `version` (state() never
+    * touches group payloads, so the replay path's latency can be
+    * probed without 10⁴ real commits), time one state() replay, and
+    * evict the parsed-checkpoint cache to measure the cold parse.
+    */
+  private[graft] def probeWriteCheckpoint(
+      root: String, version: Int, groups: Seq[String]): Unit = {
+    Files.createDirectories(commitsDir(root))
+    writeCkpt(commitsDir(root), HardLinkPublisher,
+      Ckpt(version, groups.toVector, Set.empty))
+  }
+
+  private[graft] def probeStateLiveCount(root: String): Int =
+    state(root).liveAt(root, None).size
+
+  private[graft] def probeEvictCkptCache(): Unit = ckptCache.clear()
+
   def vacuumLog(root: String, keep: Int = 2,
       minAgeMs: Long = VacuumGraceMs): Int = {
     require(keep >= 1, "must retain at least the latest version")
@@ -1310,7 +1438,10 @@ object SnapshotStore {
           val n = p.getFileName.toString
           val doomed =
             ((n.endsWith(".json") && versionOfName(n) <= c0) ||
-              (n.endsWith(".ckpt") && versionOfName(n) < c0)) &&
+              (n.endsWith(".ckpt") && versionOfName(n) < c0) ||
+              // shard files follow their manifest's retention rule —
+              // this also sweeps orphans from crashed checkpointers
+              (n.endsWith(".ckptshard") && versionOfName(n) < c0)) &&
               Files.getLastModifiedTime(p).toMillis <= cutoff
           if (doomed) {
             if (Files.deleteIfExists(p)) removed += 1

@@ -666,6 +666,70 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.vacuumLog(root2, keep = 2, minAgeMs = 0) === 0)
   }
 
+  test("sharded checkpoints: over the shard cap the live set splits " +
+    "across .ckptshard files behind a small manifest; replay, tag " +
+    "dedup, time travel, and retention agree with the inline form " +
+    "under both publishers") {
+    val old = SnapshotStore.CkptShardGroups
+    try {
+      SnapshotStore.CkptShardGroups = 3 // force sharding on fixture sizes
+      for (pub <- Seq(SnapshotStore.HardLinkPublisher,
+          SnapshotStore.CreateNewPublisher)) {
+        val root = freshRoot()
+        assert(SnapshotStore.appendOnce(df(500), root, "pre", pub)
+          === Some(0))
+        (1L to 10L).foreach(i => SnapshotStore.append(df(i), root, pub))
+        // v10 checkpoint carries 11 live groups > cap 3 → sharded
+        val dir = Paths.get(root, "_commits")
+        assert(Files.exists(dir.resolve(f"${10}%08d.ckpt")))
+        val shardNames = listNames(dir).filter(_.endsWith(".ckptshard"))
+        assert(shardNames.size === 4,
+          s"11 groups over cap 3 must write 4 shards: $shardNames")
+        assert(shardNames.forall(_.startsWith(f"${10}%08d-")))
+        // the manifest itself stays small — no group names inline
+        val manifest =
+          Files.readString(dir.resolve(f"${10}%08d.ckpt"))
+        assert(!manifest.contains("data/"),
+          s"sharded manifest must not inline groups: $manifest")
+        // replay through the sharded checkpoint
+        SnapshotStore.append(df(11), root, pub) // v11
+        assert(idSet(SnapshotStore.read(spark, root)) ===
+          (1L to 11L).toSet + 500L)
+        assert(idSet(SnapshotStore.read(spark, root, Some(10))) ===
+          (1L to 10L).toSet + 500L)
+        assert(idSet(SnapshotStore.read(spark, root, Some(4))) ===
+          (1L to 4L).toSet + 500L)
+        // tag carried by the sharded checkpoint still dedups
+        assert(SnapshotStore.appendOnce(df(9999), root, "pre", pub)
+          === None)
+        // grow to the next boundary; retention sweeps the OLD shards
+        // once a NEWER checkpoint covers the horizon (keep=1 → cut=v20;
+        // a wider keep correctly spares v10 as the covering checkpoint)
+        (12L to 20L).foreach(i => SnapshotStore.append(df(i), root, pub))
+        assert(SnapshotStore.vacuumLog(root, keep = 1, minAgeMs = 0) > 0)
+        val after = listNames(dir)
+        assert(!after.exists(n =>
+          n.endsWith(".ckptshard") && n.startsWith(f"${10}%08d-")),
+          s"v10 shards must be swept once v20 covers the horizon: $after")
+        assert(after.exists(n =>
+          n.endsWith(".ckptshard") && n.startsWith(f"${20}%08d-")),
+          "the covering checkpoint's shards must survive")
+        assert(idSet(SnapshotStore.read(spark, root)) ===
+          (1L to 20L).toSet + 500L)
+      }
+    } finally SnapshotStore.CkptShardGroups = old
+  }
+
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.toSeq
+    } finally s.close()
+  }
+
   test("evolved-column predicates resolve even when every surviving " +
     "file predates the evolution: readWhere/upsert/deleteWhere " +
     "null-fill instead of throwing") {
