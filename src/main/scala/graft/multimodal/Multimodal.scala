@@ -505,8 +505,10 @@ object Multimodal {
 
   /** Perceptual near-dup pairs over the audio corpus: codegen'd
     * spectral fingerprint per payload ([[graft.functions.AHash64]] —
-    * Haar octave-band energy-order bits), then exact Hamming banding
-    * at radius 4 ([[graft.operators.Dedup.hammingPairs]], 5 pigeonhole
+    * Goertzel DFT-bin octave-band energies, one occupancy-vs-frame-
+    * mean bit per band; see its scaladoc for why the Haar energy-order
+    * design was measured and rejected), then exact Hamming banding at
+    * radius 4 ([[graft.operators.Dedup.hammingPairs]], 5 pigeonhole
     * chunks). Spark-specific output (the fingerprints embed the
     * decode/filterbank arithmetic), so the row is ledgered by
     * [[qAhashRecall]] — the q_dedup_phash / q_phash_recall adjudicated

@@ -1183,10 +1183,16 @@ object Similarity {
 
   /** The shared recall arithmetic: method-tagged union → one broadcast
     * join against the checkpointed truth → one grouped aggregation.
+    * Every method ALWAYS emits a row — an ANN regression that returns
+    * zero rows must surface as `method | 0.0` (and a loud oracle
+    * mismatch, since the SQL side groups the empty materialized list
+    * away), never silently vanish from the ledger it exists to feed.
     */
   private def recallLedger(bf: DataFrame, tot: DataFrame,
-      ann: Seq[(String, DataFrame)]): DataFrame =
-    ann.map { case (name, df) =>
+      ann: Seq[(String, DataFrame)]): DataFrame = {
+    val s = bf.sparkSession
+    import s.implicits._
+    val counts = ann.map { case (name, df) =>
       df.select(lit(name).as("method"),
         col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _)
@@ -1194,10 +1200,14 @@ object Similarity {
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("method")
       .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
+    ann.map(_._1).toDF("method")
+      .join(counts, Seq("method"), "left")
       .crossJoin(broadcast(tot))
       .select(col("method"), lit(5).as("k"),
-        round(col("hits").cast("double") / col("tot"), 4).as("recall"))
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("tot"),
+          4).as("recall"))
       .orderBy("method")
+  }
 
   /** The OPQ pair's own ledger row — SEPARATE from [[qKnnRecall]] so
     * the legacy 4-method row keeps its cost envelope (folding the two

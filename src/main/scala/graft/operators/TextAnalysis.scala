@@ -966,12 +966,18 @@ object TextAnalysis {
       s"CAST(CAST(conv(substr(md5(CAST(($seed) AS STRING)),5,4),16,10) AS INT) % 120 AS STRING)"
     def rare(seed: String): String =
       s"concat('w', CAST(4 + CAST(conv(substr(md5(CAST(($seed) AS STRING)),1,4),16,10) AS INT) % 6 AS STRING), '_', ${slot(seed)})"
+    // seeds 90+k / 130+k by ARITHMETIC (not "9$k" string splicing,
+    // which would silently diverge from the generated oracle SQL at
+    // k ≥ 10); the replica cap keeps them inside 90..99 / 130..139,
+    // disjoint from the corpus seeds' 00..29 tail
+    require(ZipfQueryReplicas >= 1 && ZipfQueryReplicas <= 9,
+      s"ZipfQueryReplicas must be in 1..9, got $ZipfQueryReplicas")
     def one(k: Int): DataFrame =
       documents(s, d)
         .select((col("doc_id") + lit((k + 1).toLong * 1000000L))
           .as("doc_id"),
-          expr(s"concat_ws(' ', ${rare(s"doc_id * 100 + 9$k")}, " +
-            s"concat('w15_', ${slot(s"doc_id * 100 + 9$k + 40")}))")
+          expr(s"concat_ws(' ', ${rare(s"doc_id * 100 + ${90 + k}")}, " +
+            s"concat('w15_', ${slot(s"doc_id * 100 + ${130 + k}")}))")
             .as("text"))
     (0 until ZipfQueryReplicas).map(one).reduce(_ unionByName _)
   }

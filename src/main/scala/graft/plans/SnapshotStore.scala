@@ -329,12 +329,28 @@ object SnapshotStore {
   private val ckptCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ckpt)]
 
+  /** Roots cached at once — a live set can be multi-MB, and a driver
+    * touching many roots (or endless temp roots, as tests and probes
+    * do) must not accumulate one forever per root; past the cap an
+    * arbitrary other entry is evicted (refetch = one parse, the cold
+    * cost this cache amortizes, never a correctness event).
+    */
+  private val CkptCacheRoots = 64
+
   private def readCkptCached(dir: Path, name: String): Ckpt = {
     val key = dir.toString
     val hit = ckptCache.get(key)
     if (hit != null && hit._1 == name) hit._2
     else {
       val ck = readCkpt(dir.resolve(name))
+      if (ckptCache.size >= CkptCacheRoots) {
+        val it = ckptCache.keys()
+        var evicted = false
+        while (!evicted && it.hasMoreElements) {
+          val k = it.nextElement()
+          if (k != key) { ckptCache.remove(k); evicted = true }
+        }
+      }
       ckptCache.put(key, (name, ck))
       ck
     }
@@ -1434,15 +1450,32 @@ object SnapshotStore {
         // bounds the write-to-publish gap (tests pass minAgeMs = 0)
         val cutoff = System.currentTimeMillis() - minAgeMs
         var removed = 0
+        // pass 1: records and checkpoint MANIFESTS (one file each —
+        // the per-file mtime gate is atomic for them)
         entries.foreach { p =>
           val n = p.getFileName.toString
           val doomed =
             ((n.endsWith(".json") && versionOfName(n) <= c0) ||
-              (n.endsWith(".ckpt") && versionOfName(n) < c0) ||
-              // shard files follow their manifest's retention rule —
-              // this also sweeps orphans from crashed checkpointers
-              (n.endsWith(".ckptshard") && versionOfName(n) < c0)) &&
+              (n.endsWith(".ckpt") && versionOfName(n) < c0)) &&
               Files.getLastModifiedTime(p).toMillis <= cutoff
+          if (doomed) {
+            if (Files.deleteIfExists(p)) removed += 1
+          }
+        }
+        // pass 2: shard files — ONLY once their manifest is gone (a
+        // sharded checkpoint must never be deleted partially: shards
+        // are written before the manifest, so their mtimes can sit on
+        // the other side of the grace cutoff and a per-file rule would
+        // orphan a live manifest). Manifest-absent + old also sweeps
+        // crashed checkpointers' orphans; manifest-absent + YOUNG is a
+        // checkpoint mid-publish and the grace window spares it.
+        entries.foreach { p =>
+          val n = p.getFileName.toString
+          val doomed = n.endsWith(".ckptshard") &&
+            versionOfName(n) < c0 &&
+            !Files.exists(p.getParent.resolve(
+              f"${versionOfName(n)}%08d.ckpt")) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
           if (doomed) {
             if (Files.deleteIfExists(p)) removed += 1
           }
