@@ -453,7 +453,13 @@ object Multimodal {
     */
   def audioCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long]
+    // repartition BEFORE the render: documents.parquet is one file at
+    // fixture SFs, and a single input split would run the whole
+    // sinusoid synthesis (~12k sin calls per clip) on one task —
+    // measured 32 s for the sf0.1 corpus vs ~4 s spread across cores
+    Tables.documents(spark, dir).select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .flatMap { id =>
         val base = (id, renderClip(id, copy = false))
         if (id % 4 == 2)
