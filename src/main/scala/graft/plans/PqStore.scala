@@ -15,27 +15,49 @@ import graft.operators.Similarity
   *   - `<table>_codes` — (vec_id, codes array<int>): m small codes per
   *                       vector — the 4d/m-fold-smaller scan the ADC
   *                       stage reads INSTEAD of raw embeddings
+  *   - `<table>_rot`   — (i, row array<double>): the OPQ rotation, when
+  *                       the store was built with one (FAISS's
+  *                       OPQMatrix pre-transform as an artifact
+  *                       component) — d×d doubles, driver-trivial
   *
   * `search` serves query batches from the saved codes (raw vectors are
   * touched only for the queries × rerank·k shortlisted rows the exact
   * re-rank needs); `extend` encodes an arriving batch under the FROZEN
-  * codebooks and appends — same staleness contract as the IVF
-  * quantizer: codebooks drift as the corpus does, rebuild periodically,
-  * and an exact copy of an indexed vector encodes to the identical
-  * codes, so duplicate recall survives extension.
+  * rotation + codebooks and appends — same staleness contract as the
+  * IVF quantizer: codebooks drift as the corpus does, rebuild
+  * periodically, and an exact copy of an indexed vector rotates and
+  * encodes to the identical codes, so duplicate recall survives
+  * extension. An OPQ store keeps search/extend signatures identical —
+  * the rotation is an artifact property, not a caller concern.
   */
 object PqStore {
 
   def codesTable(table: String): String = s"${table}_codes"
+  def rotTable(table: String): String = s"${table}_rot"
 
   def build(
       emb: DataFrame, m: Int, codewords: Int, table: String,
-      path: String, iters: Int = 2): Unit = {
+      path: String, iters: Int = 2, opq: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${codesTable(table)}")
-    val base = emb.select("vec_id", "embedding")
+    spark.sql(s"DROP TABLE IF EXISTS ${rotTable(table)}")
+    val raw = emb.select("vec_id", "embedding")
+    // with OPQ the WHOLE artifact lives in rotated space: codebooks
+    // train on, and codes encode, the rotated corpus — exactly
+    // [[Similarity.opqPqKnn]]'s in-session arithmetic, split at the
+    // same build/serve seam as the plain store
+    val base =
+      if (!opq) raw
+      else {
+        val r = Similarity.opqRotation(raw, m, codewords)
+        r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+          .toSeq.toDF("i", "row")
+          .write.option("path", s"${path}_rot").mode("overwrite")
+          .format("parquet").saveAsTable(rotTable(table))
+        Similarity.rotateEmbeddings(raw, r).localCheckpoint(true)
+      }
     val books = Similarity.pqTrain(base, m, codewords, iters)
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
@@ -56,10 +78,31 @@ object PqStore {
       .map(_._2.sortBy(_._2).map(_._3)).toArray
   }
 
-  /** Encode `batch` under the frozen codebooks and append its codes. */
+  /** The saved OPQ rotation, when the artifact carries one. */
+  def loadRotation(spark: SparkSession, table: String)
+      : Option[Array[Array[Double]]] =
+    if (!spark.catalog.tableExists(rotTable(table))) None
+    else Some(spark.table(rotTable(table)).orderBy("i").collect()
+      .map(r => r.getSeq[Double](1).toArray))
+
+  /** `vecs` carried into the artifact's space: rotated under the saved
+    * R when the store has one, untouched otherwise.
+    */
+  private def toArtifactSpace(spark: SparkSession, table: String,
+      vecs: DataFrame): DataFrame =
+    loadRotation(spark, table) match {
+      case None => vecs
+      case Some(r) => Similarity.rotateEmbeddings(vecs, r)
+    }
+
+  /** Encode `batch` under the frozen rotation + codebooks and append
+    * its codes.
+    */
   def extend(batch: DataFrame, table: String): Unit = {
     val spark = batch.sparkSession
-    Similarity.pqEncode(batch.select("vec_id", "embedding"),
+    Similarity.pqEncode(
+        toArtifactSpace(spark, table,
+          batch.select("vec_id", "embedding")),
         loadBooks(spark, table))
       .write.mode("append").format("parquet")
       .saveAsTable(codesTable(table))
@@ -72,13 +115,20 @@ object PqStore {
     * shortlist — letting them through would burn bounded shortlist
     * slots on candidates the re-rank can never return, silently
     * costing recall instead of erroring or degrading gracefully.
+    * An OPQ artifact rotates BOTH the query and re-rank sides into its
+    * space (they must match the codes' space — a mixed-space re-rank
+    * scores noise; cosines are rotation-invariant, so rankings equal
+    * the original-space ones).
     */
   def search(spark: SparkSession, table: String, corpusVecs: DataFrame,
-      queryFilter: Column, k: Int, rerank: Int = 8): DataFrame =
+      queryFilter: Column, k: Int, rerank: Int = 8): DataFrame = {
+    val side = toArtifactSpace(spark, table,
+      corpusVecs.select("vec_id", "embedding"))
     Similarity.pqSearchFromCodes(
       loadBooks(spark, table),
       spark.table(codesTable(table))
         .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi"),
-      corpusVecs.filter(queryFilter).select("vec_id", "embedding"),
-      corpusVecs, k, rerank)
+      side.filter(queryFilter),
+      side, k, rerank)
+  }
 }

@@ -292,6 +292,50 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("opq pq store: the persisted rotation round-trips orthogonal; " +
+    "served search equals the in-session opq knn; frozen-R extension " +
+    "encodes verbatim copies to identical codes; plain store has no " +
+    "rotation table") {
+    import graft.plans.PqStore
+    import graft.operators.Similarity
+    val table = "opq_idx"
+    Seq(table, s"${table}_codes", s"${table}_rot").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-opq").toString + "/opq"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    PqStore.build(emb, 8, 64, table, path, opq = true)
+    // the saved rotation is the learned one, orthogonal to solver tol
+    val r = PqStore.loadRotation(spark, table).get
+    val d = r.length
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    def rows(df: DataFrame) = df.collect()
+      .map(row => (row.getLong(0), row.getInt(1), row.getLong(2))).toSeq
+    val served = rows(PqStore.search(
+      spark, table, emb, col("vec_id") % 40 === 0, 5)
+      .orderBy("query_id", "rnk"))
+    val inSession = rows(Similarity.opqPqKnn(
+      emb, col("vec_id") % 40 === 0, 5).orderBy("query_id", "rnk"))
+    assert(served === inSession)
+    assert(served.nonEmpty)
+    // frozen rotation + codebooks: a verbatim copy rotates and encodes
+    // to exactly its original's codes
+    val copies = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    PqStore.extend(copies, table)
+    val codesByIdx = spark.table(s"${table}_codes").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    copies.select(col("vec_id") - 1000000L).collect().map(_.getLong(0))
+      .foreach { id =>
+        assert(codesByIdx(id + 1000000L) === codesByIdx(id),
+          s"copy of $id must encode identically under frozen R + books")
+      }
+    // the plain store keeps its shape: no rotation table
+    assert(PqStore.loadRotation(spark, "pq_idx").isEmpty)
+  }
+
   test("pq training on an empty corpus fails with an explicit error, " +
     "not a bare head() NoSuchElement") {
     import graft.operators.Similarity
