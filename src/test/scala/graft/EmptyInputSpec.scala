@@ -377,5 +377,18 @@ class EmptyInputSpec extends AnyFunSuite {
       emb, org.apache.spark.sql.functions.col("vec_id") % 2 === 0, 5)
     assert(ipq.count() === 0)
     assert(ipq.columns.toSeq === Seq("query_id", "rnk", "neighbor_id"))
+
+    // OPQ variants: the empty guard fires BEFORE the rotation learner
+    // (which, like pqTrain, throws an explicit error on nothing)
+    val opq = operators.Similarity.opqPqKnn(
+      emb, org.apache.spark.sql.functions.col("vec_id") % 2 === 0, 5)
+    assert(opq.count() === 0)
+    assert(opq.columns.toSeq === Seq("query_id", "rnk", "neighbor_id"))
+    val oipq = operators.Similarity.opqIvfPqKnn(
+      emb, org.apache.spark.sql.functions.col("vec_id") % 2 === 0, 5)
+    assert(oipq.count() === 0)
+    val eOpq = intercept[IllegalArgumentException](
+      operators.Similarity.opqRotation(emb, 8, 64))
+    assert(eOpq.getMessage.contains("empty corpus"))
   }
 }
