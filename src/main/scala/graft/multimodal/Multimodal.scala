@@ -572,17 +572,64 @@ object Multimodal {
       |    / nullif((SELECT count(*) FROM ah), 0), 4) AS precision
       |FROM j""".stripMargin
 
+  /** Incremental audio admission against a SAVED fingerprint index
+    * ([[graft.plans.AhashIndexStore]]) — the perceptual-dedup
+    * continual-ingest step, completing the incremental family across
+    * modalities (text shingles / embeddings / audio). A FRESH artifact
+    * per run: admission EXTENDS the index, so reruns against an
+    * accumulated table would drift (the qDedupEmbeddingIncremental
+    * discipline). Output is the admitted doc_ids ONLY (fingerprints
+    * are engine-specific); the oracle re-derives the set because the
+    * corpus is pure in doc_id: the batch is pitched/gain-shifted
+    * near-dup copies of every 8th base clip (REJECTED — each sits
+    * within the banding gate of its indexed original by the planted
+    * construction) plus fresh clips rendered from unseen ids
+    * (ADMITTED — distinct clips land far outside the gate, the
+    * [[qAhashRecall]] precision-1 argument).
+    */
+  val qDedupAhashIncremental: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val table = s"graft_ahashidx_$tag"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ahashidx_$tag"
+    graft.plans.AhashIndexStore.build(audioCorpus(s, d), table, path)
+    import s.implicits._
+    val batch = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val copies =
+          if (id % 8 == 1)
+            Seq((id + 2000000L, renderClip(id, copy = true)))
+          else Nil
+        val fresh =
+          if (id % 8 == 5)
+            Seq((id + 3000000L, renderClip(id + 3000000L, copy = false)))
+          else Nil
+        copies ++ fresh
+      }.toDF("doc_id", "payload")
+    graft.plans.AhashIndexStore.admitAndExtend(batch, table)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val qDedupAhashIncrementalSql: String =
+    """SELECT doc_id + 3000000 AS doc_id FROM documents
+      |WHERE doc_id % 8 = 5
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_dedup_phash" -> qDedupPhash,
     "q_phash_recall" -> qPhashRecall,
     "q_dedup_ahash" -> qDedupAhash,
-    "q_ahash_recall" -> qAhashRecall)
+    "q_ahash_recall" -> qAhashRecall,
+    "q_dedup_ahash_incremental" -> qDedupAhashIncremental)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_phash_recall" -> qPhashRecallSql,
-    "q_ahash_recall" -> qAhashRecallSql)
+    "q_ahash_recall" -> qAhashRecallSql,
+    "q_dedup_ahash_incremental" -> qDedupAhashIncrementalSql)
 }

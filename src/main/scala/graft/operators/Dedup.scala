@@ -306,6 +306,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Cross-frame exact Hamming banding — [[hammingPairs]]'s pigeonhole
+    * chunking with a BATCH side probing an INDEX side (the incremental-
+    * admission shape: only the batch is fingerprinted fresh; the index
+    * side reads saved fingerprints). Returns (batch_id, index_id,
+    * hamming) for every cross pair within the radius — complete by the
+    * same pigeonhole argument, exact by the bit_count verify.
+    */
+  def hammingMatch(
+      batch: DataFrame, index: DataFrame, maxHamming: Int,
+      bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
+    val n = maxHamming + 1
+    def chunksOf(fps: DataFrame, idName: String, fpName: String)
+        : DataFrame = {
+      val chunkCols = (0 until n).map { c =>
+        val lo = c * bits / n
+        val len = (c + 1) * bits / n - lo
+        val mask = if (len == 64) -1L else (1L << len) - 1
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
+      }
+      fps.select(col("doc_id"), col("simhash"),
+        explode(array(chunkCols: _*)).as("ch"))
+        .select(col("doc_id").as(idName), col("simhash").as(fpName),
+          col("ch.c").as("c"), col("ch.v").as("v"))
+    }
+    chunksOf(batch, "batch_id", "fp_b")
+      .join(chunksOf(index, "index_id", "fp_i"), Seq("c", "v"))
+      .select("batch_id", "index_id", "fp_b", "fp_i")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_b").bitwiseXOR(col("fp_i"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("batch_id", "index_id", "hamming")
+  }
+
   /** Engine-neutral SimHash twin: 32-bit fingerprints built from
     * per-token md5 (both Spark and DuckDB emit identical lowercase md5
     * hex, so the whole computation is oracle-expressible — unlike

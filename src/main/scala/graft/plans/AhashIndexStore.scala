@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted AUDIO-fingerprint index — the perceptual-dedup sibling of
+  * [[ShingleIndexStore]] (text) and [[IvfIndexStore]] (embeddings),
+  * completing the incremental-admission family across modalities: the
+  * corpus is decoded and fingerprinted ONCE
+  * ([[graft.functions.AHash64]] — the expensive per-clip Goertzel
+  * pass), the (doc_id, simhash) table persists, and each arriving
+  * batch fingerprints ONLY itself, probes the saved fingerprints via
+  * cross-frame Hamming banding ([[graft.operators.Dedup.hammingMatch]]
+  * — pigeonhole-complete, exact bit_count verify), and appends exactly
+  * the admitted rows. Admitted rows MATERIALIZE before the append so
+  * admission never races its own write (the [[IvfIndexStore]]
+  * discipline); undecodable payloads are dropped at fingerprint time
+  * like every AHash64 consumer.
+  *
+  * Scale shape: the index side is one long per clip; banding keeps the
+  * cross join at chunk-bucket volume, never batch × index; the batch's
+  * decode cost is batch-bounded.
+  */
+object AhashIndexStore {
+
+  /** The banding gate shared with q_dedup_ahash — pitched/gain-shifted
+    * near-dup copies land within it (spec-pinned), distinct clips far
+    * outside.
+    */
+  val Radius = 4
+
+  private def fingerprints(clips: DataFrame): DataFrame =
+    clips.select(col("doc_id"),
+      graft.functions.AHash64.fp(clips.sparkSession, col("payload"))
+        .as("simhash"))
+      .filter(col("simhash") =!=
+        lit(graft.functions.AHash64.Undecodable))
+
+  def build(clips: DataFrame, table: String, path: String): Unit = {
+    val spark = clips.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fingerprints(clips)
+      .write.option("path", path).mode("overwrite")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Admit the batch clips with NO banded near-dup in the saved index
+    * (radius [[Radius]]), fold exactly them in, and return their
+    * (doc_id, simhash) rows. Batch-internal duplicates are admitted
+    * together (the admission contract matches the text/embedding
+    * stores: the index is the authority, the batch is one ingest
+    * unit).
+    */
+  def admitAndExtend(batch: DataFrame, table: String,
+      maxHamming: Int = Radius): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = fingerprints(batch).localCheckpoint(true)
+    val rejected = graft.operators.Dedup
+      .hammingMatch(fps, spark.table(table), maxHamming)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val admitted = fps
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // materialize BEFORE the append below
+    admitted.write.mode("append").format("parquet").saveAsTable(table)
+    admitted
+  }
+}

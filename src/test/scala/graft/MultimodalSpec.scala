@@ -111,6 +111,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rec.getAs[Double]("recall") === 1.0)
   }
 
+  test("ahash index store: admission rejects exactly the near-dup " +
+    "copies, admits fresh clips, grows the index by the admitted set, " +
+    "and re-admission of admitted clips is a no-op") {
+    import graft.multimodal.{Multimodal => MM}
+    import graft.plans.AhashIndexStore
+    import spark.implicits._
+    val table = "ahash_idx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ahashidx").toString + "/idx"
+    AhashIndexStore.build(MM.audioCorpus(spark, dir), table, path)
+    val pre = spark.table(table).count()
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect()
+    val batch = ids.flatMap { id =>
+      val copies =
+        if (id % 8 == 1) Seq((id + 2000000L, MM.renderClip(id, true)))
+        else Nil
+      val fresh =
+        if (id % 8 == 5)
+          Seq((id + 3000000L, MM.renderClip(id + 3000000L, false)))
+        else Nil
+      copies ++ fresh
+    }.toSeq.toDF("doc_id", "payload")
+    val admitted = AhashIndexStore.admitAndExtend(batch, table)
+      .select("doc_id").as[Long].collect().sorted
+    val wantFresh = ids.filter(_ % 8 == 5).map(_ + 3000000L).sorted
+    assert(admitted === wantFresh,
+      "exactly the fresh clips admitted; every near-dup copy rejected")
+    assert(admitted.nonEmpty)
+    assert(spark.table(table).count() === pre + admitted.length,
+      "the index grows by exactly the admitted set")
+    // incremental property: verbatim copies of JUST-ADMITTED clips now
+    // reject against the extended index (hamming 0 to their originals)
+    val replay = ids.filter(_ % 8 == 5).map { id =>
+      (id + 4000000L, MM.renderClip(id + 3000000L, copy = false))
+    }.toSeq.toDF("doc_id", "payload")
+    assert(AhashIndexStore.admitAndExtend(replay, table).count() === 0)
+  }
+
   test("media table covers all docs with valid headers") {
     val media = Multimodal.mediaTable(spark, dir).cache()
     assert(media.count() === 500)
