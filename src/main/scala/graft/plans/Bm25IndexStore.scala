@@ -245,9 +245,9 @@ object Bm25IndexStore {
     val qAllDf = qDfOf(_ => true)
     WandKernel.serveDriverPlanned(
       spark, qRows, topN, prefixP, broadcastRows, PrefixCollectRows,
-      scanPrefix = qk => post.filter(col("rnk_w") <= prefixP)
-        .join(broadcast(qk), "tkey")
-        .select(col("query_id"), col("tkey"), col("doc_id"),
+      scanPrefix = tk => post.filter(col("rnk_w") <= prefixP)
+        .join(broadcast(tk), "tkey")
+        .select(col("tkey"), col("doc_id"),
           col("w").as("impact"), col("rnk_w")),
       scanTail = chosen => post.filter(col("rnk_w") > prefixP)
         .join(broadcast(chosen), "tkey")

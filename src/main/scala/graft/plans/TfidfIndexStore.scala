@@ -477,9 +477,9 @@ object TfidfIndexStore {
     WandKernel.serveDriverPlanned(
       spark, qRows, topN, prefixP, broadcastRows,
       Bm25IndexStore.PrefixCollectRows,
-      scanPrefix = qk => post.filter(col("rnk_w") <= prefixP)
-        .join(broadcast(qk), "tkey")
-        .select(col("query_id"), col("tkey"), col("doc_id"),
+      scanPrefix = tk => post.filter(col("rnk_w") <= prefixP)
+        .join(broadcast(tk), "tkey")
+        .select(col("tkey"), col("doc_id"),
           col("wn").as("impact"), col("rnk_w")),
       scanTail = chosen => post.filter(col("rnk_w") > prefixP)
         .join(broadcast(chosen), "tkey")

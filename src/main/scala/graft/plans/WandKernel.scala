@@ -229,14 +229,15 @@ private[plans] object WandKernel {
     * orchestration (which chunks) serves those.
     *
     * `qRows`: one (query_id, tkey, qf, df) row per matched query term.
-    * `scanPrefix`: eligible (query_id, tkey) keys → the LAZY prefix
-    * frame (query_id, tkey, doc_id, impact, rnk_w); the kernel
-    * attaches the `limit` hard bound and collects — the Σ min(P, df)
-    * pre-check is an early refusal, NOT the memory bound: rank-0
-    * extended postings all pass `rnk_w <= P` while the frozen df table
-    * never counts them, so a heavily extended artifact can exceed the
-    * estimate arbitrarily; an overrun falls back to the distributed
-    * path, which keeps these rows in executors.
+    * `scanPrefix`: the DISTINCT eligible (tkey) keys → the LAZY prefix
+    * frame (tkey, doc_id, impact, rnk_w) — per-query expansion happens
+    * on the driver, so shared terms are scanned and collected once;
+    * the kernel attaches the `limit` hard bound and collects — the
+    * Σ min(P, df) pre-check is an early refusal, NOT the memory bound:
+    * rank-0 extended postings all pass `rnk_w <= P` while the frozen
+    * df table never counts them, so a heavily extended artifact can
+    * exceed the estimate arbitrarily; an overrun falls back to the
+    * distributed path, which keeps these rows in executors.
     * `scanTail`: chosen (query_id, tkey, cut) rows (cut in impact
     * units; −∞ = whole essential list) → tail candidate
     * (query_id, doc_id) pairs, self-matches already excluded.
@@ -269,35 +270,60 @@ private[plans] object WandKernel {
     if (eligible.isEmpty)
       return Some(finalTopK(naivePlan(allQ), topN, scoreName))
     if (eligible.iterator.map(estpre).sum > prefixCollectCap) return None
-    // action 2: the ONE prefix scan, hard-bounded by the limit
-    val prefix = scanPrefix(
-        qRows.iterator.filter(r => eligible(r._1)).map(r => (r._1, r._2))
-          .toSeq.toDF("query_id", "tkey"))
+    // action 2: the ONE prefix scan, hard-bounded by the limit — over
+    // DISTINCT ELIGIBLE TERMS, not (query, term) pairs: queries
+    // sharing a term (the stopword slots of a keyword batch) would
+    // otherwise each pull the same P prefix rows through the scan join
+    // AND the driver collect — on the 20k-query zipf batch the
+    // distinct-term form collects ~600k rows where the joined form
+    // collected ~2.5M, and the collect CAP now prices distinct terms,
+    // so shared-vocabulary batches several times larger stay eligible
+    // for driver planning. The per-query expansion runs driver-locally
+    // over the tkey → queries index below, whose volume the estpre
+    // pre-check above already bounds (wall-clock on the zipf row is
+    // unchanged — the expanded pair state, not the collect, dominates).
+    val queriesOfTerm: Map[Long, Seq[Long]] =
+      qRows.iterator.filter(r => eligible(r._1)).toSeq.groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(_._1) }
+    val dfOfTerm = qRows.iterator.map(r => r._2 -> r._4).toMap
+    if (queriesOfTerm.keysIterator.map(t =>
+        math.min(prefixP.toLong, dfOfTerm(t))).sum > prefixCollectCap)
+      return None
+    val prefixT = scanPrefix(
+        queriesOfTerm.keysIterator.toSeq.toDF("tkey"))
       .limit(prefixCollectCap.toInt + 1)
-      .as[(Long, Long, Long, Double, Int)].collect()
-    if (prefix.length > prefixCollectCap) return None
+      .as[(Long, Long, Double, Int)].collect()
+    if (prefixT.length > prefixCollectCap) return None
     // θ-independent state: partial pair scores (self excluded), caps
     // over TRUE ranks (rank-0 extended rows are always candidates),
     // and each pair's matched-cap sum (the per-pair bound's input).
-    // Two passes over the prefix rows: caps first (the second pass's
-    // matched-cap accumulation reads them), then pair state — mutable
-    // cells keyed once per pair keep the loops allocation-light.
-    val capStats =
-      scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
-    prefix.foreach { case (k, t, _, imp, r) =>
+    // Caps are computed once per TERM (the P-th impact is query-
+    // independent) and fanned out to (query, term) via qf; the pair
+    // pass expands term-major — same multiset of updates as the old
+    // joined form, so the algebra is unchanged (summation order inside
+    // a pair's partial may differ in ulps, which only moves the SEED
+    // SET — any seed set yields a valid θ, the documented argument).
+    val capStatsT =
+      scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+    prefixT.foreach { case (t, _, imp, r) =>
       if (r >= 1) {
-        val cell = capStats.getOrElseUpdate((k, t),
+        val cell = capStatsT.getOrElseUpdate(t,
           Array(0.0, Double.MaxValue))
         cell(0) += 1
         if (imp < cell(1)) cell(1) = imp
       }
     }
-    // per-term state: capImp = the P-th impact (tail rows are ≤ it),
-    // capb = qf·capImp = the term's score-contribution bound
-    val capImp = capStats.map { case (key, cell) =>
-      key -> (if (cell(0) >= prefixP) cell(1) else 0.0) }
-    val capb = capImp.map { case (key, ci) =>
-      key -> qfOf.getOrElse(key, 0.0) * ci }
+    val capImp =
+      scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    val capb =
+      scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    capStatsT.foreach { case (t, cell) =>
+      val ci = if (cell(0) >= prefixP) cell(1) else 0.0
+      queriesOfTerm(t).foreach { k =>
+        capImp.update((k, t), ci)
+        capb.update((k, t), qfOf.getOrElse((k, t), 0.0) * ci)
+      }
+    }
     val capTotal = {
       val m = scala.collection.mutable.HashMap.empty[Long, Double]
       capb.foreach { case ((k, _), cb) =>
@@ -307,11 +333,13 @@ private[plans] object WandKernel {
     // pair cell: (partial score sum, matched-cap sum)
     val pair =
       scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
-    prefix.foreach { case (k, t, doc, imp, _) =>
-      if (doc != k) {
-        val cell = pair.getOrElseUpdate((k, doc), Array(0.0, 0.0))
-        cell(0) += qfOf.getOrElse((k, t), 0.0) * imp
-        cell(1) += capb.getOrElse((k, t), 0.0)
+    prefixT.foreach { case (t, doc, imp, _) =>
+      queriesOfTerm(t).foreach { k =>
+        if (doc != k) {
+          val cell = pair.getOrElseUpdate((k, doc), Array(0.0, 0.0))
+          cell(0) += qfOf.getOrElse((k, t), 0.0) * imp
+          cell(1) += capb.getOrElse((k, t), 0.0)
+        }
       }
     }
     // per-query pair lists, built once, reused by θ selection + seeds
