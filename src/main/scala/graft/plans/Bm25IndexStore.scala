@@ -132,21 +132,13 @@ object Bm25IndexStore {
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
       .select(col("query_id"), xxhash64(col("term")).as("tkey"))
-    spark.table(table)
-      .join(broadcast(q), "tkey")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum("w"), 4).as("score"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg
-        .topK(topN, col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("int").as("rnk"),
-        col("row._2").as("neighbor_id"),
-        col("row._1").as("score"))
-      .orderBy("query_id", "rnk")
+    WandKernel.finalTopK(
+      spark.table(table)
+        .join(broadcast(q), "tkey")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum("w"), 4).as("score")),
+      topN, "score")
   }
 
   /** Fold a new document batch in under the FROZEN stats: weight ONLY

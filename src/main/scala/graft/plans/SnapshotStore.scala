@@ -990,6 +990,18 @@ object SnapshotStore {
             org.apache.spark.sql.functions.col(clusterCol))
         group = writeGroup(rewrite, root)
         sources = live
+      } else {
+        // the rewrite is REUSED across CAS retries (the commuting-
+        // append win) — refresh its mtime each retry so a long
+        // contention or stall window can never age the still-
+        // unreferenced group past VacuumGraceMs and let a concurrent
+        // vacuum delete it before the commit referencing it lands
+        // (every other writer's write-to-publish gap is single-shot
+        // and bounded; only this reuse loop could grow it unboundedly)
+        Files.setLastModifiedTime(Paths.get(root, group),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        ()
       }
       val c = Commit(v + 1, "compact", Seq(group), sources)
       if (publish(root, v + 1, render(c), publisher)) {
@@ -1349,6 +1361,11 @@ object SnapshotStore {
 
   def vacuum(root: String, keep: Int = 2,
       minAgeMs: Long = VacuumGraceMs): Int = {
+    // the same guard vacuumLog has: keep = 0 would compute an EMPTY
+    // retained range, reference nothing, and delete every data group
+    // including the current head's — total data loss from a parameter
+    // misuse, not a meaningful request
+    require(keep >= 1, "must retain at least the latest version")
     val st = state(root)
     val retained = (st.lastVersion - keep + 1 to st.lastVersion)
       .filter(_ >= 0)
@@ -1434,14 +1451,26 @@ object SnapshotStore {
       minAgeMs: Long = VacuumGraceMs): Int = {
     require(keep >= 1, "must retain at least the latest version")
     val st = state(root)
-    val h0 = st.lastVersion - keep + 1
-    if (h0 <= 0) return 0
     val entries = listDir(commitsDir(root))
+    // crashed HardLinkPublisher writers leave .tmp-<uuid> files no
+    // record name ever references — sweep any older than the grace
+    // window regardless of the checkpoint horizon (nothing else ever
+    // deletes them, and state() lists the directory on every action)
+    val tmpCutoff = System.currentTimeMillis() - minAgeMs
+    var removedTmp = 0
+    entries.foreach { p =>
+      if (p.getFileName.toString.startsWith(".tmp-") &&
+        Files.getLastModifiedTime(p).toMillis <= tmpCutoff) {
+        if (Files.deleteIfExists(p)) removedTmp += 1
+      }
+    }
+    val h0 = st.lastVersion - keep + 1
+    if (h0 <= 0) return removedTmp
     val cut = entries.map(_.getFileName.toString)
       .filter(_.endsWith(".ckpt")).map(versionOfName)
       .filter(_ <= h0).sorted.lastOption
     cut match {
-      case None => 0
+      case None => removedTmp
       case Some(c0) =>
         // the same grace window data vacuum applies: a reader that
         // listed the log just before a newer checkpoint landed may
@@ -1480,7 +1509,7 @@ object SnapshotStore {
             if (Files.deleteIfExists(p)) removed += 1
           }
         }
-        removed
+        removed + removedTmp
     }
   }
 }

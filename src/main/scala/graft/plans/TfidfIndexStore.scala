@@ -72,11 +72,20 @@ object TfidfIndexStore {
     docs.agg(count(lit(1)).as("n_docs"))
       .write.option("path", s"$vdir/stats").mode("overwrite")
       .format("parquet").saveAsTable(statsTable(table))
+    // w > 0 filter: top-k selection KEEPS zero-score terms (df ==
+    // n_docs makes log(N/df) = 0), and a doc whose every selected term
+    // scores 0 would get nrm = 0 → wn = 0/0 = NaN postings that poison
+    // the impact order and every cosine they touch. A zero posting
+    // contributes nothing to any dot product or norm, so dropping it
+    // is output-identical for every doc with a positive term; all-zero
+    // docs (which could never match at nonzero cosine) drop from the
+    // index instead of entering it as NaN.
     val postings = graft.operators.TextAnalysis
       .tfidfTopTermsFromTf(tf0,
         spark.table(statsTable(table)), k)
       .select(xxhash64(col("term")).as("tkey"),
         col("doc_id"), col("score").as("w"))
+      .filter(col("w") > 0.0)
       .persist()
     postings.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
@@ -87,7 +96,8 @@ object TfidfIndexStore {
     // [[wandSearch]] bounds must order by (raw w would mis-rank long
     // documents); `rnk_w` is the impact rank within the term, the same
     // prefix/cap machinery as [[Bm25IndexStore.build]]. Zero-norm docs
-    // cannot occur in a top-k frame (a doc with any posting has w > 0).
+    // cannot occur here BECAUSE of the w > 0 filter above (without it,
+    // a doc whose every selected term has df == n_docs scores all-zero).
     // per-term selected-postings count — [[wandSearch]]'s candidate-
     // volume pricing reads it to choose its tail rule per query
     postings.groupBy("tkey").agg(count(lit(1)).as("df"))
@@ -153,6 +163,9 @@ object TfidfIndexStore {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("tkey"), col("doc_id"), col("score").as("w"))
+      // the build's w > 0 rule (an all-zero batch doc must drop, not
+      // enter the index as NaN postings)
+      .filter(col("w") > 0.0)
       .localCheckpoint(true)
     val nrm = scored.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
@@ -219,24 +232,17 @@ object TfidfIndexStore {
     val qn = norms.join(broadcast(queryIds), "doc_id")
       .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
     val q = queryVectors(spark, table, queryIds)
-    post
-      .join(broadcast(q), "tkey")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("wq") * col("w")).as("dot"))
-      .join(norms, "doc_id")
-      .join(broadcast(qn), "query_id")
-      .withColumn("cos4", round(col("dot") / (col("nq") * col("nrm")), 4))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg
-        .topK(topN, col("cos4"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "row")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("int").as("rnk"),
-        col("row._2").as("neighbor_id"),
-        col("row._1").as("cosine"))
-      .orderBy("query_id", "rnk")
+    WandKernel.finalTopK(
+      post
+        .join(broadcast(q), "tkey")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("wq") * col("w")).as("dot"))
+        .join(norms, "doc_id")
+        .join(broadcast(qn), "query_id")
+        .select(col("query_id"), col("doc_id"),
+          round(col("dot") / (col("nq") * col("nrm")), 4).as("score")),
+      topN, "cosine")
   }
 
   /** Exact cosine of every candidate pair — [[search]]'s arithmetic

@@ -30,6 +30,18 @@ private[plans] object WandKernel {
     */
   val BroadcastRows = 4000000L
 
+  /** Driver PAIR-STATE budget for [[serveDriverPlanned]]: the expanded
+    * per-(query, doc) partial/cap cells, bounded above by
+    * Σ_queries Σ_terms min(P, df). A cell is a boxed map entry
+    * (~120 B), so 8M cells is ~1 GB of transient driver state — heavy
+    * but inside the session heap, and DISTINCT from the prefix COLLECT
+    * cap: since the collect now prices distinct terms, a
+    * shared-vocabulary batch can expand to 2× the old pair budget
+    * while collecting a fraction of it. Past this, the distributed
+    * orchestration serves.
+    */
+  val DriverPairCells = 8000000L
+
   /** PRE-ROUTE on the df table alone (no postings scan): even in a
     * query's optimistic best case — every prefix slot a distinct
     * candidate, zero tail rows — its WAND volume is Σ min(P, df)
@@ -269,7 +281,13 @@ private[plans] object WandKernel {
     val allQ = byQ.keySet
     if (eligible.isEmpty)
       return Some(finalTopK(naivePlan(allQ), topN, scoreName))
-    if (eligible.iterator.map(estpre).sum > prefixCollectCap) return None
+    // two distinct refusals: the EXPANDED pair-state volume (driver
+    // memory for the per-(query, doc) cells — [[DriverPairCells]]) and,
+    // below, the distinct-term COLLECT volume (Spark→driver transfer —
+    // `prefixCollectCap`). They were one check when the collect was
+    // per-(query, term); splitting them is what lets shared-vocabulary
+    // batches twice as large stay driver-planned.
+    if (eligible.iterator.map(estpre).sum > DriverPairCells) return None
     // action 2: the ONE prefix scan, hard-bounded by the limit — over
     // DISTINCT ELIGIBLE TERMS, not (query, term) pairs: queries
     // sharing a term (the stopword slots of a keyword batch) would

@@ -605,6 +605,40 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally graft.plans.Bm25IndexStore.driverPlanningEnabled = true
   }
 
+  test("tfidf store: all-zero-score docs (every term in every doc) " +
+    "drop from the index instead of entering as NaN postings") {
+    import graft.plans.TfidfIndexStore
+    import spark.implicits._
+    val table = "tfx_zero"
+    Seq(table, s"${table}_norms", s"${table}_df", s"${table}_rawdf",
+      s"${table}_stats", s"${table}_bydoc").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-tfxz").toString + "/tfx"
+    // docs 1..4 are identical one-vocab texts (df == n_docs for every
+    // one of their terms → all scores 0); doc 9 carries a selective
+    // term and must be the only indexed doc
+    val docs = (1L to 4L).map(i => (i, "same same words"))
+      .toSeq :+ ((9L, "same distinctive words"))
+    TfidfIndexStore.build(docs.toDF("doc_id", "text"), 10, table, path,
+      buckets = 4)
+    val post = spark.table(table).collect()
+    assert(post.forall(r => !r.getDouble(2).isNaN && !r.getDouble(3).isNaN),
+      "no NaN w/wn postings")
+    assert(post.map(_.getLong(1)).toSet === Set(9L),
+      "only the doc with a positive-score term is indexed")
+    val norms = spark.table(s"${table}_norms").collect()
+    assert(norms.forall(_.getDouble(1) > 0.0), "no zero norms persisted")
+    // an all-zero EXTEND batch also drops instead of appending NaN
+    TfidfIndexStore.extend(
+      Seq((100L, "same words")).toDF("doc_id", "text"), table,
+      buckets = 4)
+    assert(spark.table(table).filter(col("doc_id") === 100L).count() === 0)
+    // search over the surviving index stays NaN-free
+    val got = TfidfIndexStore.search(spark, table,
+      Seq((9L)).toDF("doc_id"), 3).collect()
+    assert(got.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("bpe store: served encode equals the training-loop encode; " +
     "unseen words segment by ordered merge application") {
     import spark.implicits._

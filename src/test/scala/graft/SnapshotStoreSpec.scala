@@ -730,6 +730,22 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally s.close()
   }
 
+  test("vacuum rejects keep < 1 (keep = 0 would reference nothing and " +
+    "delete the live head); vacuumLog sweeps crash-orphaned .tmp files") {
+    val root = freshRoot()
+    (0L to 2L).foreach(i => SnapshotStore.append(df(i), root))
+    intercept[IllegalArgumentException](
+      SnapshotStore.vacuum(root, keep = 0, minAgeMs = 0))
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(0L, 1L, 2L))
+    // a crashed HardLinkPublisher writer's leftover: swept by
+    // vacuumLog once past the grace window, counted in the return
+    val orphan = Paths.get(root, "_commits", ".tmp-deadbeef")
+    Files.writeString(orphan, "{\"half\":")
+    assert(SnapshotStore.vacuumLog(root, keep = 1, minAgeMs = 0) >= 1)
+    assert(!Files.exists(orphan))
+    assert(idSet(SnapshotStore.read(spark, root)) === Set(0L, 1L, 2L))
+  }
+
   test("evolved-column predicates resolve even when every surviving " +
     "file predates the evolution: readWhere/upsert/deleteWhere " +
     "null-fill instead of throwing") {
