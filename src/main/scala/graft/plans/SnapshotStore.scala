@@ -997,16 +997,23 @@ object SnapshotStore {
         // unreferenced group past VacuumGraceMs and let a concurrent
         // vacuum delete it before the commit referencing it lands
         // (every other writer's write-to-publish gap is single-shot
-        // and bounded; only this reuse loop could grow it unboundedly)
-        Files.setLastModifiedTime(Paths.get(root, group),
+        // and bounded; only this reuse loop could grow it unboundedly).
+        // If a vacuum already won that race, the refresh throws —
+        // treat it as "rewrite lost" and rebuild rather than
+        // publishing a commit that references a deleted group.
+        try Files.setLastModifiedTime(Paths.get(root, group),
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis()))
-        ()
+        catch {
+          case _: java.nio.file.NoSuchFileException => group = null
+        }
       }
-      val c = Commit(v + 1, "compact", Seq(group), sources)
-      if (publish(root, v + 1, render(c), publisher)) {
-        afterPublish(root, st, c, publisher)
-        committed = v + 1
+      if (group != null) { // null = lost rewrite; loop rebuilds
+        val c = Commit(v + 1, "compact", Seq(group), sources)
+        if (publish(root, v + 1, render(c), publisher)) {
+          afterPublish(root, st, c, publisher)
+          committed = v + 1
+        }
       }
     }
     committed
