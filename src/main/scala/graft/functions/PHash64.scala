@@ -111,8 +111,16 @@ object PHash64 {
           if (f(j) > med) fp |= 1L << j
           j += 1
         }
-        fp
+        sealFp(fp)
     }
+
+  /** Bit 63 is a legitimate position, so a fingerprint whose only set
+    * bit is 63 equals the Undecodable sentinel and would be silently
+    * dropped; remap one bit away (single-bit Hamming noise, inside the
+    * near-dup radius gate).
+    */
+  private[graft] def sealFp(fp: Long): Long =
+    if (fp == Undecodable) Undecodable + 1 else fp
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

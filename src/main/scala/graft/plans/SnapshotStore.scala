@@ -323,11 +323,16 @@ object SnapshotStore {
     * (putIfAbsent slots, version-monotonic names), so the parsed form
     * is cached per log dir keyed by file name — repeat state() calls
     * skip the O(live-set) JSON/shard parse entirely and pay only the
-    * listing + suffix reads. A vanished-then-different name cannot
-    * occur; a failed parse is never cached.
+    * listing + suffix reads. A failed parse is never cached. One case
+    * DOES produce a same-named, different-content manifest: a store
+    * root deleted and recreated at the same path replays versions from
+    * zero, so the deterministic `00000010.ckpt` name can reappear with
+    * a different live set — the hit check therefore also compares the
+    * manifest's (size, mtime) discriminator read fresh per call (one
+    * stat, not a parse).
     */
-  private val ckptCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Ckpt)]
+  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, Ckpt)]
 
   /** Roots cached at once — a live set can be multi-MB, and a driver
     * touching many roots (or endless temp roots, as tests and probes
@@ -339,10 +344,21 @@ object SnapshotStore {
 
   private def readCkptCached(dir: Path, name: String): Ckpt = {
     val key = dir.toString
+    val p = dir.resolve(name)
+    val (sz, mt) = {
+      val attrs = Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      // nanosecond mtime: shard names are fixed-width UUIDs, so two
+      // incarnations' manifests can tie on SIZE; millisecond mtime can
+      // tie on a fast delete+recreate
+      (attrs.size(),
+        attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    }
     val hit = ckptCache.get(key)
-    if (hit != null && hit._1 == name) hit._2
+    if (hit != null && hit._1 == name && hit._2 == sz && hit._3 == mt)
+      hit._4
     else {
-      val ck = readCkpt(dir.resolve(name))
+      val ck = readCkpt(p)
       if (ckptCache.size >= CkptCacheRoots) {
         val it = ckptCache.keys()
         var evicted = false
@@ -351,7 +367,7 @@ object SnapshotStore {
           if (k != key) { ckptCache.remove(k); evicted = true }
         }
       }
-      ckptCache.put(key, (name, ck))
+      ckptCache.put(key, (name, sz, mt, ck))
       ck
     }
   }

@@ -267,7 +267,8 @@ private[plans] object WandKernel {
       scanTail: DataFrame => DataFrame,
       naivePlan: Set[Long] => DataFrame,
       scoreCand: DataFrame => DataFrame,
-      scoreName: String): Option[DataFrame] = {
+      scoreName: String,
+      pairCellsCap: Long = DriverPairCells): Option[DataFrame] = {
     import spark.implicits._
     val byQ = qRows.groupBy(_._1)
     val estn = byQ.map { case (k, rs) => k -> rs.map(_._4).sum }
@@ -287,7 +288,7 @@ private[plans] object WandKernel {
     // `prefixCollectCap`). They were one check when the collect was
     // per-(query, term); splitting them is what lets shared-vocabulary
     // batches twice as large stay driver-planned.
-    if (eligible.iterator.map(estpre).sum > DriverPairCells) return None
+    if (eligible.iterator.map(estpre).sum > pairCellsCap) return None
     // action 2: the ONE prefix scan, hard-bounded by the limit — over
     // DISTINCT ELIGIBLE TERMS, not (query, term) pairs: queries
     // sharing a term (the stopword slots of a keyword batch) would
@@ -312,6 +313,23 @@ private[plans] object WandKernel {
       .limit(prefixCollectCap.toInt + 1)
       .as[(Long, Long, Double, Int)].collect()
     if (prefixT.length > prefixCollectCap) return None
+    // EXACT expansion re-check, now that the true prefix row counts
+    // are known: the estpre pre-check above prices frozen df, which
+    // rank-0 EXTENDED postings evade (extend never rewrites df), so a
+    // heavily extended artifact with shared query terms can expand to
+    // rows_t × |Q_t| cells far past the estimate. Refuse driver
+    // planning here — before any capb/pair map is built — and fall
+    // back to the distributed orchestration, whose state is per-batch
+    // bounded.
+    locally {
+      val rowsOfTerm =
+        scala.collection.mutable.HashMap.empty[Long, Long]
+      prefixT.foreach { case (t, _, _, _) =>
+        rowsOfTerm.update(t, rowsOfTerm.getOrElse(t, 0L) + 1L) }
+      val expanded = rowsOfTerm.iterator.map { case (t, n) =>
+        n * queriesOfTerm(t).size }.sum
+      if (expanded > pairCellsCap) return None
+    }
     // θ-independent state: partial pair scores (self excluded), caps
     // over TRUE ranks (rank-0 extended rows are always candidates),
     // and each pair's matched-cap sum (the per-pair bound's input).

@@ -101,6 +101,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // a payload the codec rejects hashes to the sentinel, not a throw
     assert(AHash64.compute("not a wav".getBytes) === AHash64.Undecodable)
+    // a COMPUTED fingerprint can never equal the sentinel (all 64 bit
+    // positions are legitimately reachable, so bit-63-only clips are
+    // remapped one bit away instead of vanishing from every
+    // `=!= Undecodable` consumer)
+    assert(AHash64.sealFp(Long.MinValue) === Long.MinValue + 1)
+    assert(AHash64.sealFp(0L) === 0L)
+    assert(AHash64.sealFp(-1L) === -1L)
+    assert(graft.functions.PHash64.sealFp(Long.MinValue) ===
+      Long.MinValue + 1)
+    assert(graft.functions.PHash64.sealFp(Long.MinValue + 1) ===
+      Long.MinValue + 1)
     // end to end: every planted (id, id+1e6) pair surfaces, recall 1.0
     // on this fixture (hash-checked at sf0.01 by the driver ledger)
     val planted = Tables.documents(spark, dir)

@@ -820,4 +820,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(BigDecimal(mx) >= BigDecimal(hi),
       s"sidecar max $mx rounded past true max $hi")
   }
+
+  test("a store root deleted and recreated at the same path does not " +
+    "replay the old incarnation's cached checkpoint") {
+    val N = SnapshotStore.CheckpointInterval
+    val root = freshRoot()
+    def build(base: Long): Unit =
+      (0 to N).foreach(i => SnapshotStore.append(df(base + i), root))
+    build(0L)
+    assert(Files.exists(Paths.get(root, "_commits", f"$N%08d.ckpt")),
+      s"commit $N must publish a checkpoint")
+    // populate the newest-checkpoint cache for this dir
+    assert(idSet(SnapshotStore.read(spark, root)) === (0L to N).toSet)
+    // wipe the whole root and rebuild a DIFFERENT table at the SAME
+    // path — versions replay from zero, so the deterministic
+    // checkpoint name reappears with a different live set
+    Files.walk(Paths.get(root)).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    Thread.sleep(5) // keep the two manifests' mtimes distinguishable
+    build(100L)
+    assert(idSet(SnapshotStore.read(spark, root)) === (100L to 100L + N).toSet,
+      "state() replayed a stale cached live set from the old incarnation")
+  }
 }
