@@ -896,6 +896,33 @@ object TextAnalysis {
       s, table, docs.filter(col("doc_id") % 25 === 0), 3)
   }
 
+  /** Document retirement, end to end on the BM25 artifact
+    * ([[graft.plans.Retire]]): build, DELETE a first wave of docs
+    * (tombstones), make it physical with a file-granular COMPACT,
+    * delete a second wave (so serving sees tombstones AND post-compact
+    * state together), then serve through the full WAND machinery. The
+    * deleted set (doc_id % 10 = 3) is disjoint from the query set
+    * (% 25 = 0 ⇒ % 5 = 0), so every query survives; the oracle
+    * recomputes the post-delete ranking from the base tables under the
+    * FULL-corpus frozen stats — the documented delete contract:
+    * surviving docs keep their build-time weights exactly, deleted
+    * docs vanish from candidates and results.
+    */
+  val qBm25IndexDelete: Q = (s, d) => {
+    val id = graft.plans.AggStore.artifactId(d)
+    val table = s"graft_bm25del_$id"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bm25del_$id"
+    val docs = documents(s, d)
+    graft.plans.Bm25IndexStore.build(docs, table, path, buckets = 8)
+    graft.plans.Bm25IndexStore.delete(s, table,
+      docs.filter(col("doc_id") % 20 === 3).select("doc_id"))
+    graft.plans.Bm25IndexStore.compact(s, table)
+    graft.plans.Bm25IndexStore.delete(s, table,
+      docs.filter(col("doc_id") % 20 === 13).select("doc_id"))
+    graft.plans.Bm25IndexStore.wandSearch(
+      s, table, docs.filter(col("doc_id") % 25 === 0), 3)
+  }
+
   /** The SAME search again, served with MaxScore impact-ordered
     * pruning ([[graft.plans.Bm25IndexStore.wandSearch]]): prefix
     * candidates → exact k-th-score threshold → per-term tail cutoffs.
@@ -1108,6 +1135,19 @@ object TextAnalysis {
       |SELECT query_id, rnk, neighbor_id, score
       |FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** [[qBm25RetrievalSql]] with the retired docs excluded from the
+    * CANDIDATE side only: weights stay under full-corpus stats (the
+    * frozen-stats delete contract — df/n_docs/avgdl are never
+    * recomputed), the deleted docs just stop being retrievable.
+    */
+  val qBm25IndexDeleteSql: String = {
+    val anchor = "ON q.term = w.term AND w.doc_id <> q.doc_id"
+    require(qBm25RetrievalSql.contains(anchor),
+      "bm25 oracle join anchor moved — update qBm25IndexDeleteSql")
+    qBm25RetrievalSql.replace(anchor,
+      anchor + " AND w.doc_id % 10 <> 3")
+  }
 
   // ---------------------------------------------------------------------
   // Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) — the standard
@@ -2664,6 +2704,7 @@ object TextAnalysis {
     "q_tfidf_retrieval" -> qTfidfRetrieval,
     "q_bm25_retrieval" -> qBm25Retrieval,
     "q_bm25_index_search" -> qBm25IndexSearch,
+    "q_bm25_index_delete" -> qBm25IndexDelete,
     "q_bm25_wand" -> qBm25Wand,
     "q_bm25_zipf" -> qBm25Zipf,
     "q_bm25_zipf_wand" -> qBm25ZipfWand,
@@ -2699,6 +2740,7 @@ object TextAnalysis {
     "q_bm25_retrieval" -> qBm25RetrievalSql,
     // served-from-artifact form: identical output by construction
     "q_bm25_index_search" -> qBm25RetrievalSql,
+    "q_bm25_index_delete" -> qBm25IndexDeleteSql,
     // MaxScore-pruned serving: exactness argument makes the output
     // identical to the plain search — same oracles hash-check it
     "q_bm25_wand" -> qBm25RetrievalSql,

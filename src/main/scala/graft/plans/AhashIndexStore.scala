@@ -39,10 +39,22 @@ object AhashIndexStore {
   def build(clips: DataFrame, table: String, path: String): Unit = {
     val spark = clips.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    Retire.reset(spark, table)
     fingerprints(clips)
       .write.option("path", path).mode("overwrite")
       .format("parquet").saveAsTable(table)
   }
+
+  /** Tombstone `ids` (doc_id rows) — deleted clips stop matching (and
+    * stop blocking admission) immediately; [[compact]] drops their
+    * fingerprints physically. See [[Retire]].
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "doc_id")
+
+  /** File-granular physical removal of tombstoned fingerprints. */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(table -> "doc_id"))
 
   /** Admit the batch clips with NO banded near-dup in the saved index
     * (radius [[Radius]]), fold exactly them in, and return their
@@ -56,7 +68,9 @@ object AhashIndexStore {
     val spark = batch.sparkSession
     val fps = fingerprints(batch).localCheckpoint(true)
     val rejected = graft.operators.Dedup
-      .hammingMatch(fps, spark.table(table), maxHamming)
+      .hammingMatch(fps,
+        Retire.survivors(spark, table, spark.table(table), "doc_id"),
+        maxHamming)
       .select(col("batch_id").as("doc_id")).distinct()
     val admitted = fps
       .join(rejected, Seq("doc_id"), "left_anti")

@@ -88,6 +88,7 @@ object Bm25IndexStore {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${dfTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
+    Retire.reset(spark, table)
     // versioned save, the AggStore discipline: a rebuild must never
     // overwrite a directory a live plan may have listed
     val next = AggStore.versionPaths(spark, path).lastOption
@@ -132,14 +133,32 @@ object Bm25IndexStore {
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
       .select(col("query_id"), xxhash64(col("term")).as("tkey"))
+    // tombstones mask AFTER the term join (Σ-df-sized stream, not the
+    // whole postings table) and BEFORE the agg — a pair's score is the
+    // sum of its OWN postings only, so masking the doc side here equals
+    // physical removal ([[Retire]] frozen-stats semantics)
     WandKernel.finalTopK(
-      spark.table(table)
-        .join(broadcast(q), "tkey")
+      Retire.survivors(spark, table,
+        spark.table(table).join(broadcast(q), "tkey"), "doc_id")
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(round(sum("w"), 4).as("score")),
       topN, "score")
   }
+
+  /** Tombstone `ids` (doc_id rows) — deleted docs vanish from every
+    * serve path immediately; [[compact]] later drops their postings
+    * physically. See [[Retire]] for the full contract.
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "doc_id")
+
+  /** File-granular physical removal of tombstoned postings; df/stats
+    * stay frozen (they are doc-independent aggregates of the BUILD
+    * corpus — the standing extend contract).
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(table -> "doc_id"))
 
   /** Fold a new document batch in under the FROZEN stats: weight ONLY
     * the batch (one tokenize pass over the batch), append per-bucket
@@ -227,6 +246,15 @@ object Bm25IndexStore {
       spark: SparkSession, table: String, qdf: DataFrame,
       topN: Int, prefixP: Int, broadcastRows: Long): Option[DataFrame] = {
     import spark.implicits._
+    // tombstones as a driver predicate for the kernel's pair state;
+    // an over-cap dead set declines driver planning (the distributed
+    // orchestration's anti-joins handle any tombstone volume)
+    val deadSet = Retire.deadSet(spark, table) match {
+      case None => return None
+      case Some(s) => s
+    }
+    def live(df: DataFrame): DataFrame =
+      Retire.survivors(spark, table, df, "doc_id")
     val post = spark.table(table)
     val qRows = qdf.select("query_id", "tkey", "df")
       .as[(Long, Long, Long)].collect()
@@ -241,17 +269,18 @@ object Bm25IndexStore {
         .join(broadcast(tk), "tkey")
         .select(col("tkey"), col("doc_id"),
           col("w").as("impact"), col("rnk_w")),
-      scanTail = chosen => post.filter(col("rnk_w") > prefixP)
+      scanTail = chosen => live(post.filter(col("rnk_w") > prefixP)
         .join(broadcast(chosen), "tkey")
         .filter(col("w") >= col("cut") &&
-          col("doc_id") =!= col("query_id"))
+          col("doc_id") =!= col("query_id")))
         .select("query_id", "doc_id"),
-      naivePlan = ids => post.join(broadcast(qDfOf(ids)), "tkey")
+      naivePlan = ids => live(post.join(broadcast(qDfOf(ids)), "tkey"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(round(sum("w"), 4).as("score")),
       scoreCand = c => scoreCandidates(post, qAllDf, c),
-      scoreName = "score")
+      scoreName = "score",
+      isDead = deadSet.contains)
   }
 
   /** Top-`topN` BM25 matches served with MaxScore-style impact-ordered
@@ -342,8 +371,10 @@ object Bm25IndexStore {
     // scan, exact-θ pass, routing — is driver-sequenced dead weight:
     // collapse to the naive kernel directly (identical output; the
     // general path's naive branch restricted to the full batch)
+    def live(df: DataFrame): DataFrame =
+      Retire.survivors(spark, table, df, "doc_id")
     if (eligible.isEmpty) {
-      val naiveScores = post.join(broadcast(q), "tkey")
+      val naiveScores = live(post.join(broadcast(q), "tkey"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(round(sum("w"), 4).as("score"))
@@ -353,12 +384,17 @@ object Bm25IndexStore {
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qE), "tkey")
       .localCheckpoint(true)
+    // tombstoned docs never become candidates or θ-seeds (prefixLive
+    // feeds pairScores below); `prefix` itself still feeds the CAPS,
+    // where a dead doc's weight only loosens an upper bound —
+    // compaction restores tightness, like rank-0 extended rows
+    val prefixLive = live(prefix)
     // θ comes from PARTIAL prefix scores, not a full scoring pass: the
     // sum of a pair's prefix contributions lower-bounds its true score,
     // so the k-th best partial is a valid (slightly looser) threshold —
     // and deriving it costs only the prefix rows already scanned,
     // where an exact-θ pass would re-touch every candidate posting
-    val pairScores = prefix
+    val pairScores = prefixLive
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum("w").as("pscore"))
@@ -420,9 +456,9 @@ object Bm25IndexStore {
     // scoring broadcast) at least halves the naive one
     val routes = WandKernel.routes(qstats, est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
-    val candB = post.filter(col("rnk_w") > prefixP)
+    val candB = live(post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
-      .filter(col("w") >= col("cut") && col("doc_id") =!= col("query_id"))
+      .filter(col("w") >= col("cut") && col("doc_id") =!= col("query_id")))
       .select("query_id", "doc_id")
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
@@ -438,7 +474,7 @@ object Bm25IndexStore {
     // restricted to their ids (when the whole batch routes to WAND
     // the empty broadcast propagates and AQE elides this scan)
     val naiveQ = q.join(broadcast(wandIds), Seq("query_id"), "left_anti")
-    val naiveScores = post.join(broadcast(naiveQ), "tkey")
+    val naiveScores = live(post.join(broadcast(naiveQ), "tkey"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 4).as("score"))

@@ -41,6 +41,7 @@ object IvfIndexStore {
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(table)}")
+    Retire.reset(spark, table)
     val base = emb.select("vec_id", "embedding")
     val centroids = Similarity.ivfIndex(base, nlist, iters, sampleCap)
     centroids.zipWithIndex
@@ -74,6 +75,21 @@ object IvfIndexStore {
     emb.select(col("vec_id"), col("embedding"),
       element_at(IvfCells.cells(
         emb.sparkSession, col("embedding"), centroids, 1), 1).as("cell"))
+
+  /** Tombstone `ids` (vec_id rows) — deleted vectors vanish from knn
+    * results and admission probes immediately; [[compact]] drops their
+    * cell rows physically. The frozen quantizer is untouched (centroids
+    * are corpus statistics — the standing extend contract). See
+    * [[Retire]].
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "vec_id")
+
+  /** File-granular physical removal from the cells table; the
+    * quantizer table has no per-vector rows and stays frozen.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(cellsTable(table) -> "vec_id"))
 
   /** Assign `batch` under the frozen quantizer and append to the cells
     * table. Centroids are NOT retrained — rebuild the artifact when the
@@ -142,7 +158,10 @@ object IvfIndexStore {
     val centroids = loadCentroids(spark, table)
     val cos: (Column, Column) => Column =
       (a, b) => graft.functions.CosineSimilarity.cosineNative(spark, a, b)
-    val corpusCells = spark.table(cellsTable(table)).select(
+    // tombstone-masked corpus side: a deleted vector stops surfacing
+    // as a neighbor (and stops blocking [[admitAndExtend]]) immediately
+    val corpusCells = Retire.survivors(spark, table,
+      spark.table(cellsTable(table)), "vec_id").select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       col("cell"))
     val w = Window.partitionBy("query_id")

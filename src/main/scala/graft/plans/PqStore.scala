@@ -43,6 +43,7 @@ object PqStore {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${codesTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${rotTable(table)}")
+    Retire.reset(spark, table)
     val raw = emb.select("vec_id", "embedding")
     // with OPQ the WHOLE artifact lives in rotated space: codebooks
     // train on, and codes encode, the rotated corpus — exactly
@@ -124,11 +125,26 @@ object PqStore {
       queryFilter: Column, k: Int, rerank: Int = 8): DataFrame = {
     val side = toArtifactSpace(spark, table,
       corpusVecs.select("vec_id", "embedding"))
+    // tombstone-masked codes: a deleted vector can never enter the ADC
+    // shortlist, so it costs no re-rank slot and never surfaces
     Similarity.pqSearchFromCodes(
       loadBooks(spark, table),
-      spark.table(codesTable(table))
+      Retire.survivors(spark, table,
+        spark.table(codesTable(table)), "vec_id")
         .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_semi"),
       side.filter(queryFilter),
       side, k, rerank)
   }
+
+  /** Tombstone `ids` (vec_id rows) — deleted vectors vanish from the
+    * shortlist immediately; [[compact]] drops their codes physically.
+    * Codebooks and rotation stay frozen (corpus statistics — the
+    * standing extend contract). See [[Retire]].
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "vec_id")
+
+  /** File-granular physical removal from the codes table. */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(codesTable(table) -> "vec_id"))
 }

@@ -69,6 +69,7 @@ object ShingleIndexStore {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${sizesTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${sigsTable(table)}")
+    Retire.reset(spark, table)
     val sh = Dedup.shingleIndex(corpus, n).persist()
     sh.write
       .bucketBy(buckets, "g")
@@ -99,7 +100,43 @@ object ShingleIndexStore {
     * aggregations/joins skip their exchange.
     */
   def load(spark: SparkSession, table: String): DataFrame =
-    spark.table(table).select("doc_id", "g")
+    Retire.survivors(spark, table,
+      spark.table(table).select("doc_id", "g"), "doc_id")
+
+  /** The sizes/sigs sides of the artifact, tombstone-masked like
+    * [[load]] — every consumer reads through these, so a deleted doc
+    * can never match, admit-block, or band-bucket again.
+    */
+  private def liveSizes(spark: SparkSession, table: String): DataFrame =
+    Retire.survivors(spark, table,
+      spark.table(sizesTable(table)).select("doc_id", "n"), "doc_id")
+
+  private def liveSigs(spark: SparkSession, table: String): DataFrame =
+    Retire.survivors(spark, table,
+      spark.table(sigsTable(table)).select("doc_id", "sig"), "doc_id")
+
+  /** Tombstone `ids` (doc_id rows) — deleted docs stop matching (and
+    * stop blocking admission) immediately; [[compact]] drops their
+    * postings, sizes and signatures physically. A near-dup previously
+    * rejected because of a now-deleted doc becomes admissible again —
+    * the takedown semantics a recurring ingest needs. See [[Retire]].
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "doc_id")
+
+  /** File-granular physical removal across all three member tables.
+    * The doc-keyed sizes/sigs tables are bucketed+sorted by doc_id, so
+    * the hit-file probe prunes by row-group stats and a narrow delete
+    * rewrites ~1 of N buckets; the shingle-keyed postings have no doc
+    * locality by construction (a doc's shingles hash across every
+    * bucket) — the probe is exact either way, and untouched files
+    * hard-link across unchanged.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(
+      table -> "doc_id",
+      sizesTable(table) -> "doc_id",
+      sigsTable(table) -> "doc_id"))
 
   /** (id_new, id_old) near-dup matches of `batch` against the saved
     * index at word-`n`-gram Jaccard >= `threshold`. Tokenizes ONLY the
@@ -116,7 +153,7 @@ object ShingleIndexStore {
     // once — batch-sized, so the checkpoint is small by definition
     val shNew = Dedup.shingleIndex(batch, n).localCheckpoint(true)
     Dedup.crossJaccardMatchesIndexed(shNew, load(spark, table),
-      spark.table(sizesTable(table)).select("doc_id", "n"), threshold)
+      liveSizes(spark, table), threshold)
   }
 
   /** [[matchBatch]] through the SIGNATURE side of the artifact:
@@ -133,8 +170,7 @@ object ShingleIndexStore {
     val spark = batch.sparkSession
     val shNew = Dedup.shingleIndex(batch, n).localCheckpoint(true)
     Dedup.crossMinhashMatches(shNew, load(spark, table),
-      spark.table(sigsTable(table)).select("doc_id", "sig"),
-      spark.table(sizesTable(table)).select("doc_id", "n"),
+      liveSigs(spark, table), liveSizes(spark, table),
       threshold, numHashes = NumHashes)
   }
 

@@ -56,6 +56,7 @@ object TfidfIndexStore {
     spark.sql(s"DROP TABLE IF EXISTS ${rawDfTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${byDocTable(table)}")
+    Retire.reset(spark, table)
     val next = AggStore.versionPaths(spark, path).lastOption
       .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toInt + 1)
       .getOrElse(0)
@@ -220,10 +221,31 @@ object TfidfIndexStore {
       if (spark.catalog.tableExists(byDocTable(table)))
         spark.table(byDocTable(table))
       else spark.table(table).select("doc_id", "tkey", "w")
-    src.join(broadcast(queryIds), "doc_id")
+    // a tombstoned doc cannot serve as a QUERY either — reading its
+    // saved vector back is itself a retention violation; its query ids
+    // simply return no rows (the same observable a rebuilt index gives)
+    Retire.survivors(spark, table, src, "doc_id")
+      .join(broadcast(queryIds), "doc_id")
       .select(col("tkey"), col("doc_id").as("query_id"),
         col("w").as("wq"))
   }
+
+  /** Tombstone `ids` (doc_id rows) — deleted docs vanish from results,
+    * candidates, θ-seeds AND the query side immediately; [[compact]]
+    * drops their rows physically. See [[Retire]].
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    Retire.delete(spark, table, ids, "doc_id")
+
+  /** File-granular physical removal across postings, norms and the
+    * doc-keyed mirror; df/rawdf/stats stay frozen (the standing extend
+    * contract — weights of surviving docs never move).
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Retire.compact(spark, table, Seq(
+      table -> "doc_id",
+      normsTable(table) -> "doc_id",
+      byDocTable(table) -> "doc_id"))
 
   def search(spark: SparkSession, table: String, queryIds: DataFrame,
       topN: Int): DataFrame = {
@@ -232,9 +254,12 @@ object TfidfIndexStore {
     val qn = norms.join(broadcast(queryIds), "doc_id")
       .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
     val q = queryVectors(spark, table, queryIds)
+    // neighbor-side tombstone mask after the term join (Σ-df-sized
+    // stream) — a pair's cosine involves only its own postings + norm,
+    // so masking here equals physical removal ([[Retire]])
     WandKernel.finalTopK(
-      post
-        .join(broadcast(q), "tkey")
+      Retire.survivors(spark, table,
+        post.join(broadcast(q), "tkey"), "doc_id")
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(sum(col("wq") * col("w")).as("dot"))
@@ -311,8 +336,10 @@ object TfidfIndexStore {
       .localCheckpoint(true)
     val qpost = qvec.select("tkey", "query_id", "wq")
     val qdf = qvec.select("query_id", "tkey", "df")
+    def live(df: DataFrame): DataFrame =
+      Retire.survivors(spark, table, df, "doc_id")
     def naiveAll(): DataFrame = {
-      val naiveScores = post.join(broadcast(qpost), "tkey")
+      val naiveScores = live(post.join(broadcast(qpost), "tkey"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(sum(col("wq") * col("w")).as("dot"))
@@ -334,7 +361,7 @@ object TfidfIndexStore {
     // stage cascade (the Bm25IndexStore measurement: 9.4 → 4.6 s).
     if (Bm25IndexStore.driverPlanningEnabled &&
         qvec.count() <= Bm25IndexStore.DriverBatchRows)
-      serveDriverPlanned(spark, post, norms, qvec, qpost, qn,
+      serveDriverPlanned(spark, table, post, norms, qvec, qpost, qn,
         topN, prefixP, broadcastRows)
         .foreach(out => return out)
     // batch-sized intermediates are checkpointed — three postings
@@ -348,10 +375,14 @@ object TfidfIndexStore {
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qpostE), "tkey")
       .localCheckpoint(true)
+    // tombstoned docs never become candidates or θ-seeds; `prefix`
+    // still feeds the CAPS below, where a dead doc's wn only loosens
+    // an upper bound (compaction restores tightness)
+    val prefixLive = live(prefix)
     // θ from PARTIAL prefix cosines (prefix dot / true norms): a
     // lower bound of each pair's full cosine, so the k-th best partial
     // is a valid threshold at only the prefix rows' cost
-    val pairScores = prefix
+    val pairScores = prefixLive
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("wq") * col("w")).as("pdot"))
@@ -419,9 +450,9 @@ object TfidfIndexStore {
     // lives there)
     val routes = WandKernel.routes(qstats, est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
-    val candB = post.filter(col("rnk_w") > prefixP)
+    val candB = live(post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")
-      .filter(col("wn") >= col("cut") && col("doc_id") =!= col("query_id"))
+      .filter(col("wn") >= col("cut") && col("doc_id") =!= col("query_id")))
       .select("query_id", "doc_id")
     val wandIds = routes.filter(col("use_wand")).select("query_id")
     val cand = candA.join(broadcast(wandIds), Seq("query_id"), "left_semi")
@@ -436,7 +467,7 @@ object TfidfIndexStore {
     // ineligible + priced-out); AQE elides the scan when the whole
     // batch WAND-routes
     val naiveQ = qpost.join(broadcast(wandIds), Seq("query_id"), "left_anti")
-    val naiveScores = post.join(broadcast(naiveQ), "tkey")
+    val naiveScores = live(post.join(broadcast(naiveQ), "tkey"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("wq") * col("w")).as("dot"))
@@ -459,10 +490,18 @@ object TfidfIndexStore {
     * cannot diverge between paths.
     */
   private def serveDriverPlanned(
-      spark: SparkSession, post: DataFrame, norms: DataFrame,
-      qvec: DataFrame, qpost: DataFrame, qn: DataFrame,
+      spark: SparkSession, table: String, post: DataFrame,
+      norms: DataFrame, qvec: DataFrame, qpost: DataFrame, qn: DataFrame,
       topN: Int, prefixP: Int, broadcastRows: Long): Option[DataFrame] = {
     import spark.implicits._
+    // tombstones as a driver predicate; over-cap declines driver
+    // planning and the distributed anti-joins take over ([[Retire]])
+    val deadSet = Retire.deadSet(spark, table) match {
+      case None => return None
+      case Some(s) => s
+    }
+    def live(df: DataFrame): DataFrame =
+      Retire.survivors(spark, table, df, "doc_id")
     val rows = qvec.select("query_id", "tkey", "wq", "df", "nq")
       .as[(Long, Long, Double, Long, Double)].collect()
     val qRows = rows.map { case (k, t, wq, df, nq) => (k, t, wq / nq, df) }
@@ -471,7 +510,7 @@ object TfidfIndexStore {
         .map(r => (r._2, r._1, r._3)).toSeq.toDF("tkey", "query_id", "wq")
       val qnIds = rows.iterator.filter(r => ids(r._1))
         .map(r => (r._1, r._5)).toSeq.distinct.toDF("query_id", "nq")
-      post.join(broadcast(qp), "tkey")
+      live(post.join(broadcast(qp), "tkey"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(sum(col("wq") * col("w")).as("dot"))
@@ -487,13 +526,14 @@ object TfidfIndexStore {
         .join(broadcast(tk), "tkey")
         .select(col("tkey"), col("doc_id"),
           col("wn").as("impact"), col("rnk_w")),
-      scanTail = chosen => post.filter(col("rnk_w") > prefixP)
+      scanTail = chosen => live(post.filter(col("rnk_w") > prefixP)
         .join(broadcast(chosen), "tkey")
         .filter(col("wn") >= col("cut") &&
-          col("doc_id") =!= col("query_id"))
+          col("doc_id") =!= col("query_id")))
         .select("query_id", "doc_id"),
       naivePlan = naivePlan,
       scoreCand = c => scoreCandidates(post, norms, qpost, qn, c),
-      scoreName = "cosine")
+      scoreName = "cosine",
+      isDead = deadSet.contains)
   }
 }

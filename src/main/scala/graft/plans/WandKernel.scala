@@ -268,7 +268,8 @@ private[plans] object WandKernel {
       naivePlan: Set[Long] => DataFrame,
       scoreCand: DataFrame => DataFrame,
       scoreName: String,
-      pairCellsCap: Long = DriverPairCells): Option[DataFrame] = {
+      pairCellsCap: Long = DriverPairCells,
+      isDead: Long => Boolean = _ => false): Option[DataFrame] = {
     import spark.implicits._
     val byQ = qRows.groupBy(_._1)
     val estn = byQ.map { case (k, rs) => k -> rs.map(_._4).sum }
@@ -366,12 +367,16 @@ private[plans] object WandKernel {
         m.update(k, m.getOrElse(k, 0.0) + cb) }
       m.withDefaultValue(0.0)
     }
-    // pair cell: (partial score sum, matched-cap sum)
+    // pair cell: (partial score sum, matched-cap sum). Tombstoned docs
+    // (isDead — see [[Retire]]) never become candidates or θ-seeds; they
+    // DO stay in capStats above, where a dead doc's weight only loosens
+    // an upper bound (compaction restores tightness, the same story as
+    // rank-0 extended postings).
     val pair =
       scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
     prefixT.foreach { case (t, doc, imp, _) =>
       queriesOfTerm(t).foreach { k =>
-        if (doc != k) {
+        if (doc != k && !isDead(doc)) {
           val cell = pair.getOrElseUpdate((k, doc), Array(0.0, 0.0))
           cell(0) += qfOf.getOrElse((k, t), 0.0) * imp
           cell(1) += capb.getOrElse((k, t), 0.0)
