@@ -669,4 +669,111 @@ object InvariantProps extends Properties("graft.invariants") {
       ms == ml && segs(vs) == segs(vl)
     }
 
+  // --- WAND exactness law -------------------------------------------
+  // The last two rounds' WAND bugs (OOV inner join, unreachable
+  // collect cap) lived exactly in inputs the fixtures didn't generate;
+  // this law randomizes the corpus (skewed term frequencies, an
+  // optional UBIQUITOUS term that makes idf-0 / zero-norm docs), the
+  // extend batch (including out-of-build-vocabulary terms), a delete
+  // set, the query batch, and the prefix/broadcast budgets — and pins
+  // wandSearch == search for BOTH stores through BOTH orchestrations.
+  // A tiny broadcastRows forces the driver-planned path to decline
+  // into chunking and the distributed path to split its scoring
+  // broadcast, so the cap machinery fires at spec scale.
+
+  private val genWandWord: Gen[String] = Gen.frequency(
+    5 -> Gen.oneOf("the", "of", "and"),
+    4 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"),
+    1 -> Gen.oneOf("rarest", "rarer"))
+
+  private val genWandText: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, genWandWord).map(_.mkString(" ")))
+
+  private val genExtendText: Gen[String] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        3 -> genWandWord,
+        1 -> Gen.oneOf("oovalpha", "oovbeta"))).map(_.mkString(" ")))
+
+  private case class WandCase(
+      corpus: List[(Long, String)], extendB: List[(Long, String)],
+      dead: List[Long], queryIds: List[Long],
+      prefixP: Int, bcast: Long)
+
+  private val genWandCase: Gen[WandCase] = for {
+    n <- Gen.choose(3, 14)
+    texts <- Gen.listOfN(n, genWandText)
+    ubiq <- Gen.oneOf(true, false)
+    nx <- Gen.choose(0, 4)
+    xTexts <- Gen.listOfN(nx, genExtendText)
+    allIds = (1L to n.toLong).toList ++ (101L until (101L + nx)).toList
+    dead <- Gen.someOf(allIds)
+    qIds <- Gen.someOf(allIds :+ 999L) // 999 is never indexed
+    prefixP <- Gen.oneOf(1, 2, 3, 8)
+    bcast <- Gen.oneOf(1L, 40L, 4000000L)
+  } yield {
+    // the ubiquitous regime: every doc carries "ubiq" and one extra
+    // doc is ONLY "ubiq" — df == n_docs gives it idf 0, so that doc is
+    // the zero-norm case the tf-idf build must drop, not NaN-poison
+    val base = texts.zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, if (ubiq) s"$t ubiq" else t) }
+    val corpus =
+      if (ubiq) base :+ ((n + 1).toLong, "ubiq") else base
+    val ext = xTexts.zipWithIndex
+      .map { case (t, i) => ((101 + i).toLong, t) }
+    WandCase(corpus, ext, dead.toList, qIds.toList, prefixP, bcast)
+  }
+
+  property("wandSearch == search: both stores, both orchestrations, " +
+    "random corpora/extends/deletes/queries at random budgets") =
+    Prop.forAll(genWandCase) { c =>
+      import graft.plans.{Bm25IndexStore, Retire, TfidfIndexStore}
+      val tag = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-wandlaw").toString
+      val bm = s"wandlaw_bm_$tag"
+      val tfx = s"wandlaw_tf_$tag"
+      val corpus = c.corpus.toDF("doc_id", "text")
+      val docsAsQueries = (c.corpus ++ c.extendB)
+        .filter(d => c.queryIds.contains(d._1))
+        .toDF("doc_id", "text")
+      val qIdFrame = c.queryIds.toDF("doc_id")
+      try {
+        Bm25IndexStore.build(corpus, bm, s"$tmp/bm", buckets = 2)
+        TfidfIndexStore.build(corpus, 10, tfx, s"$tmp/tf", buckets = 2)
+        if (c.extendB.nonEmpty) {
+          val ext = c.extendB.toDF("doc_id", "text")
+          Bm25IndexStore.extend(ext, bm, buckets = 2)
+          TfidfIndexStore.extend(ext, tfx, buckets = 2)
+        }
+        if (c.dead.nonEmpty) {
+          val d = c.dead.toDF("doc_id")
+          Bm25IndexStore.delete(spark, bm, d)
+          TfidfIndexStore.delete(spark, tfx, d)
+        }
+        def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+            .toSeq
+        val bmRef = rows(Bm25IndexStore.search(spark, bm, docsAsQueries, 3))
+        val tfRef = rows(TfidfIndexStore.search(spark, tfx, qIdFrame, 3))
+        val ok = Seq(true, false).forall { planned =>
+          try {
+            Bm25IndexStore.driverPlanningEnabled = planned
+            rows(Bm25IndexStore.wandSearch(spark, bm, docsAsQueries, 3,
+              prefixP = c.prefixP, broadcastRows = c.bcast)) == bmRef &&
+            rows(TfidfIndexStore.wandSearch(spark, tfx, qIdFrame, 3,
+              prefixP = c.prefixP, broadcastRows = c.bcast)) == tfRef
+          } finally Bm25IndexStore.driverPlanningEnabled = true
+        }
+        ok
+      } finally {
+        Seq(bm, s"${bm}_df", s"${bm}_stats", Retire.deadTable(bm),
+          tfx, s"${tfx}_norms", s"${tfx}_df", s"${tfx}_rawdf",
+          s"${tfx}_stats", s"${tfx}_bydoc", Retire.deadTable(tfx))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
 }
