@@ -386,6 +386,32 @@ object ScaleProbe {
           lit(graft.functions.AHash64.Undecodable))
       Dedup.hammingPairs(fps, 4).count()
     }
+    // video perceptual near-dup at 10×: same replicate-the-id-space
+    // discipline; each replica renders an 8-frame DIB clip from its
+    // offset doc_id with its own planted brightness-shifted copy. The
+    // row prices container decode + 8 DCT hashes per clip (pure
+    // per-row map) plus the frame-aligned banded join + median verify.
+    t("vhash 50k clips (AVI DIB decode + 8 frame pHashes) + " +
+      "median-hamming<=4 banded pairs") {
+      import spark.implicits._
+      val clips = replicate(
+        Tables.documents(spark, d).select("doc_id"), 8,
+        Seq("doc_id"), 100000000L)
+        .as[Long].flatMap { id =>
+          val base =
+            (id, graft.multimodal.Multimodal.renderVideo(id, copy = false))
+          if (id % 4 == 1)
+            Seq(base, (id + 1000000L,
+              graft.multimodal.Multimodal.renderVideo(id, copy = true)))
+          else Seq(base)
+        }.toDF("doc_id", "payload")
+      val fps = clips.select(col("doc_id"),
+        graft.functions.VHashFrames.fps(spark, col("payload")).as("fps"))
+        .filter(col("fps").isNotNull)
+        .select(col("doc_id"),
+          posexplode(col("fps")).as(Seq("j", "simhash")))
+      Dedup.vhashPairs(fps, 4).count()
+    }
     val emb = replicate(
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(

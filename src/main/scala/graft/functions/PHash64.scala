@@ -64,55 +64,64 @@ object PHash64 {
   def compute(payload: Array[Byte]): Long =
     graft.multimodal.PpmCodec.decode(payload) match {
       case None => Undecodable
-      case Some(img0) =>
-        val img = graft.multimodal.PpmCodec.resize(img0, N, N)
-        val g = new Array[Double](N * N)
-        var i = 0
-        while (i < N * N) {
-          g(i) = 0.299 * (img.rgb(i * 3) & 0xff) +
-            0.587 * (img.rgb(i * 3 + 1) & 0xff) +
-            0.114 * (img.rgb(i * 3 + 2) & 0xff)
-          i += 1
-        }
-        // separable DCT, truncated to the 8×8 block actually used:
-        // rows for u < 8 (N·8·N mults), then columns for v < 8 (8·8·N)
-        val rowT = new Array[Double](N * 8)
-        var y = 0
-        while (y < N) {
-          var u = 0
-          while (u < 8) {
-            var s = 0.0
-            var x = 0
-            while (x < N) { s += g(y * N + x) * cosT(u)(x); x += 1 }
-            rowT(y * 8 + u) = s
-            u += 1
-          }
-          y += 1
-        }
-        val f = new Array[Double](64)
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var s = 0.0
-            var yy = 0
-            while (yy < N) { s += rowT(yy * 8 + u) * cosT(v)(yy); yy += 1 }
-            f(v * 8 + u) = s
-            u += 1
-          }
-          v += 1
-        }
-        val ac = java.util.Arrays.copyOfRange(f, 1, 64)
-        java.util.Arrays.sort(ac)
-        val med = ac(31) // median of the 63 AC coefficients
-        var fp = 0L
-        var j = 0
-        while (j < 64) {
-          if (f(j) > med) fp |= 1L << j
-          j += 1
-        }
-        sealFp(fp)
+      case Some(img0) => computeImage(img0)
     }
+
+  /** The raster-level half of [[compute]] — also the per-frame kernel
+    * of the video fingerprint ([[VHashFrames]]), which decodes its own
+    * container and hands each frame here so clip and image hashes are
+    * the SAME function of the pixels.
+    */
+  private[graft] def computeImage(
+      img0: graft.multimodal.PpmCodec.Image): Long = {
+    val img = graft.multimodal.PpmCodec.resize(img0, N, N)
+    val g = new Array[Double](N * N)
+    var i = 0
+    while (i < N * N) {
+      g(i) = 0.299 * (img.rgb(i * 3) & 0xff) +
+        0.587 * (img.rgb(i * 3 + 1) & 0xff) +
+        0.114 * (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    // separable DCT, truncated to the 8×8 block actually used:
+    // rows for u < 8 (N·8·N mults), then columns for v < 8 (8·8·N)
+    val rowT = new Array[Double](N * 8)
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < N) { s += g(y * N + x) * cosT(u)(x); x += 1 }
+        rowT(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val f = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += rowT(yy * 8 + u) * cosT(v)(yy); yy += 1 }
+        f(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // median of the 63 AC coefficients
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (f(j) > med) fp |= 1L << j
+      j += 1
+    }
+    sealFp(fp)
+  }
 
   /** Bit 63 is a legitimate position, so a fingerprint whose only set
     * bit is 63 equals the Undecodable sentinel and would be silently

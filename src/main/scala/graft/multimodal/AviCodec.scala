@@ -83,11 +83,16 @@ object AviCodec {
     * metadata (hdrl with avih + one vids strl, empty movi) — the test
     * fixture builder and the round-trip witness for [[decodeMeta]].
     */
-  def encodeMeta(meta: VideoMeta): Array[Byte] = {
-    def le(v: Int): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(t: String): Array[Byte] = t.getBytes("US-ASCII")
+  def encodeMeta(meta: VideoMeta): Array[Byte] =
+    encodeBody(meta, Array.emptyByteArray)
+
+  private def le(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(t: String): Array[Byte] = t.getBytes("US-ASCII")
+
+  private def encodeBody(
+      meta: VideoMeta, moviBody: Array[Byte]): Array[Byte] = {
     val avih = cc("avih") ++ le(56) ++
       le(meta.microSecPerFrame) ++ le(0) ++ le(0) ++ le(0) ++
       le(meta.nFrames) ++ le(0) ++ le(1) ++ le(0) ++
@@ -98,8 +103,103 @@ object AviCodec {
     val strl = cc("LIST") ++ le(4 + strh.length) ++ cc("strl") ++ strh
     val hdrl = cc("LIST") ++ le(4 + avih.length + strl.length) ++
       cc("hdrl") ++ avih ++ strl
-    val movi = cc("LIST") ++ le(4) ++ cc("movi")
+    val movi = cc("LIST") ++ le(4 + moviBody.length) ++ cc("movi") ++
+      moviBody
     val bodyLen = 4 + hdrl.length + movi.length
     cc("RIFF") ++ le(bodyLen) ++ cc("AVI ") ++ hdrl ++ movi
+  }
+
+  /** DIB row stride: BGR24 rows pad to 4-byte boundaries — the actual
+    * uncompressed-frame convention, kept so the codec reads real
+    * raw-DIB AVIs, not just its own output.
+    */
+  private def stride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Serialize an AVI whose `movi` list carries each frame as one
+    * `00db` chunk of uncompressed BGR24 rows, BOTTOM-UP with 4-byte
+    * row padding (the DIB conventions), stream handler "DIB ". Frames
+    * must all match the stated dimensions.
+    */
+  def encodeFrames(
+      width: Int, height: Int, frames: Seq[PpmCodec.Image],
+      microSecPerFrame: Int = 100000): Array[Byte] = {
+    require(frames.forall(f => f.width == width && f.height == height),
+      "every frame must match the container dimensions")
+    val rs = stride(width)
+    val chunks = frames.map { f =>
+      val body = new Array[Byte](rs * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = (height - 1 - y) * width * 3 // bottom-up
+        var x = 0
+        while (x < width) {
+          body(y * rs + x * 3) = f.rgb(srcRow + x * 3 + 2)     // B
+          body(y * rs + x * 3 + 1) = f.rgb(srcRow + x * 3 + 1) // G
+          body(y * rs + x * 3 + 2) = f.rgb(srcRow + x * 3)     // R
+          x += 1
+        }
+        y += 1
+      }
+      cc("00db") ++ le(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte)
+         else Array.emptyByteArray)
+    }
+    encodeBody(
+      VideoMeta(width, height, frames.size, microSecPerFrame, "DIB"),
+      chunks.flatten.toArray)
+  }
+
+  /** Decode the uncompressed-DIB frames of an AVI: container metadata
+    * via [[decodeMeta]], then the `movi` list's `00db`/`00dc` chunks
+    * converted bottom-up padded BGR → top-down RGB rasters. None when
+    * the container is malformed, the handler is not raw DIB, or any
+    * frame chunk is not exactly one raster — never throws.
+    */
+  def decodeFrames(payload: Array[Byte])
+      : Option[(VideoMeta, Vector[PpmCodec.Image])] = {
+    val meta = decodeMeta(payload) match {
+      case Some(m) if m.handler == "DIB" && m.width > 0 &&
+        m.width <= 8192 && m.height > 0 && m.height <= 8192 => m
+      case _ => return None
+    }
+    val rs = stride(meta.width)
+    val want = rs.toLong * meta.height
+    val frames = Vector.newBuilder[PpmCodec.Image]
+    var pos = 12
+    while (pos + 8 <= payload.length) {
+      val size = le32(payload, pos + 4)
+      val body = pos + 8
+      if (size < 0 || body.toLong + size > payload.length) return None
+      if (tag(payload, pos, "LIST") && size >= 4 &&
+        tag(payload, body, "movi")) {
+        var p = body + 4
+        while (p + 8 <= body + size) {
+          val csz = le32(payload, p + 4)
+          val cb = p + 8
+          if (csz < 0 || cb.toLong + csz > payload.length) return None
+          if (tag(payload, p, "00db") || tag(payload, p, "00dc")) {
+            if (csz.toLong != want) return None
+            val rgb = new Array[Byte](meta.width * meta.height * 3)
+            var y = 0
+            while (y < meta.height) {
+              val dstRow = (meta.height - 1 - y) * meta.width * 3
+              var x = 0
+              while (x < meta.width) {
+                rgb(dstRow + x * 3) = payload(cb + y * rs + x * 3 + 2)
+                rgb(dstRow + x * 3 + 1) = payload(cb + y * rs + x * 3 + 1)
+                rgb(dstRow + x * 3 + 2) = payload(cb + y * rs + x * 3)
+                x += 1
+              }
+              y += 1
+            }
+            frames += PpmCodec.Image(meta.width, meta.height, rgb)
+          }
+          p = cb + csz + (csz & 1)
+        }
+      }
+      pos = body + size + (size & 1)
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((meta, fs))
   }
 }

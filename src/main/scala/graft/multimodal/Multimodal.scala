@@ -617,6 +617,136 @@ object Multimodal {
       |WHERE doc_id % 8 = 5
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic raw-DIB AVI corpus for the VIDEO-fingerprint
+    * family: one 8-frame 64×64 clip per document. Each frame is the
+    * image family's 8×8 smooth block grid with intensities from a
+    * splitmix64 of (doc_id, frame, block) plus a LINEAR per-frame
+    * drift (+3·frame on a moving band of blocks) so frames differ the
+    * way real footage does — per-frame hashes of ONE clip are
+    * distinct, and a frame of clip A never matches a frame of clip B.
+    * For every doc_id % 4 == 1, a PLANTED NEAR-DUPLICATE under
+    * id + 1000000: the same clip RE-ENCODED with every frame
+    * brightness-shifted by +6 and one corner block repainted (+24) —
+    * the exposure-shift + small-edit perturbation the per-frame DCT
+    * hash sees through (the image family's measured bound: ≤ 4 bits
+    * per frame) while container-byte hashes cannot. Pure function of
+    * doc_id, so the planted pair set IS the ground truth and DuckDB
+    * recomputes it from `documents` alone ([[qVhashRecallSql]]).
+    */
+  def videoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // repartition BEFORE the render — documents.parquet is one input
+    // split at fixture SFs, and a per-row render on one task serializes
+    // the corpus (the audio-corpus lesson, measured 32 s → 2.5 s)
+    Tables.documents(spark, dir).select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = (id, renderVideo(id, copy = false))
+        if (id % 4 == 1)
+          Seq(base, (id + 1000000L, renderVideo(id, copy = true)))
+        else Seq(base)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def renderVideo(
+      docId: Long, copy: Boolean): Array[Byte] = {
+    val frames = (0 until 8).map { f =>
+      val rgb = new Array[Byte](64 * 64 * 3)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          var v = ((mix64(docId * 512 + f * 64 + by * 8 + bx) >>> 8)
+            & 0xffL).toInt
+          // motion: a band of blocks brightens linearly with the frame
+          // index, so consecutive frames are near but not identical
+          if ((bx + by + f) % 8 < 2) v = math.min(255, v + 3 * f)
+          if (copy) v = math.min(255, v + 6)
+          if (copy && bx == 0 && by == 0) v = math.min(255, v + 24)
+          var y = by * 8
+          while (y < by * 8 + 8) {
+            var x = bx * 8
+            while (x < bx * 8 + 8) {
+              val o = (y * 64 + x) * 3
+              rgb(o) = v.toByte; rgb(o + 1) = v.toByte
+              rgb(o + 2) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      PpmCodec.Image(64, 64, rgb)
+    }
+    AviCodec.encodeFrames(64, 64, frames)
+  }
+
+  /** Clip-level perceptual near-dup pairs over the video corpus:
+    * codegen'd per-frame pHashes per payload
+    * ([[graft.functions.VHashFrames]] — AVI DIB decode + the image
+    * family's DCT kernel per sampled frame), explode to (doc_id, j,
+    * simhash), then frame-aligned Hamming banding with an exact
+    * lower-median verify at radius 4
+    * ([[graft.operators.Dedup.vhashPairs]]). Spark-specific output
+    * (the fingerprints embed the decode/DCT arithmetic), so the row is
+    * ledgered by [[qVhashRecall]] — the adjudicated
+    * q_dedup_phash / q_phash_recall pattern.
+    */
+  val qDedupVhash: Q = (s, d) => {
+    val fps = videoCorpus(s, d)
+      .select(col("doc_id"),
+        graft.functions.VHashFrames.fps(s, col("payload")).as("fps"))
+      .filter(col("fps").isNotNull)
+      .select(col("doc_id"), posexplode(col("fps")).as(Seq("j", "simhash")))
+    graft.operators.Dedup.vhashPairs(fps, 4).orderBy("id_a", "id_b")
+  }
+
+  /** Recall/precision of the vhash median gate against the PLANTED
+    * clip-copy truth — the [[qPhashRecall]] ledger shape: DuckDB
+    * re-derives the truth from `documents` and reads the materialized
+    * pair list, hash-checking every count and both ratios.
+    */
+  val qVhashRecall: Q = (s, d) => {
+    val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+    val vh = qDedupVhash(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nVh = vh.agg(count(lit(1)).as("n_vhash"))
+    truth.join(vh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nVh))
+      .select(col("n_truth"), col("n_vhash"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_truth"), lit(0L)), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          nullif(col("n_vhash"), lit(0L)), 4).as("precision"))
+  }
+
+  val qVhashRecallSql: String =
+    """WITH truth AS (
+      |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |vh AS (SELECT id_a, id_b FROM read_parquet(
+      |  '{GRAFT_OUT_DIR}/q_dedup_vhash/*.parquet')),
+      |j AS (SELECT CASE WHEN v.id_a IS NOT NULL THEN 1 END AS hit
+      |      FROM truth t LEFT JOIN vh v USING (id_a, id_b))
+      |SELECT
+      |  count(*) AS n_truth,
+      |  (SELECT count(*) FROM vh) AS n_vhash,
+      |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) AS recall,
+      |  round(CAST(coalesce(sum(hit), 0) AS DOUBLE)
+      |    / nullif((SELECT count(*) FROM vh), 0), 4) AS precision
+      |FROM j""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -624,12 +754,15 @@ object Multimodal {
     "q_phash_recall" -> qPhashRecall,
     "q_dedup_ahash" -> qDedupAhash,
     "q_ahash_recall" -> qAhashRecall,
-    "q_dedup_ahash_incremental" -> qDedupAhashIncremental)
+    "q_dedup_ahash_incremental" -> qDedupAhashIncremental,
+    "q_dedup_vhash" -> qDedupVhash,
+    "q_vhash_recall" -> qVhashRecall)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_phash_recall" -> qPhashRecallSql,
     "q_ahash_recall" -> qAhashRecallSql,
-    "q_dedup_ahash_incremental" -> qDedupAhashIncrementalSql)
+    "q_dedup_ahash_incremental" -> qDedupAhashIncrementalSql,
+    "q_vhash_recall" -> qVhashRecallSql)
 }

@@ -306,6 +306,59 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Clip-level perceptual near-dup pairs over PER-FRAME fingerprints
+    * (`frames` = (doc_id, j, simhash), one row per sampled frame j —
+    * the [[graft.functions.VHashFrames]] output exploded): clip
+    * distance is the LOWER MEDIAN of the per-index frame Hammings,
+    * pairs within `maxHamming` surface.
+    *
+    * Candidates are banded WITHIN each frame index — [[hammingPairs]]'
+    * pigeonhole chunks with `j` added to the join key — and the gate
+    * is COMPLETE for the median: lower-median ≤ r means at least
+    * ⌈k/2⌉ aligned frame pairs sit at Hamming ≤ r, and any one of
+    * them collides on some chunk by pigeonhole, so the pair enters the
+    * candidate set; the exact verify then joins BOTH clips' full frame
+    * rows (aligned on j), computes every frame Hamming, and medians.
+    * Never all-pairs: the cross join is per-(j, chunk, value) bucket,
+    * and the verify join is candidate-bounded (broadcast pair list).
+    * Clips with differing sampled-frame counts median over the aligned
+    * prefix (the [[graft.functions.VHashFrames]] sampling contract).
+    */
+  def vhashPairs(
+      frames: DataFrame, maxHamming: Int, bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
+    val n = maxHamming + 1
+    val chunkCols = (0 until n).map { c =>
+      val lo = c * bits / n
+      val len = (c + 1) * bits / n - lo
+      val mask = if (len == 64) -1L else (1L << len) - 1
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
+    }
+    val chunks = frames.select(col("doc_id"), col("j"),
+      explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("j"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    val cand = chunks.toDF("id_a", "j", "c", "v")
+      .join(chunks.toDF("id_b", "j", "c", "v"), Seq("j", "c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val fa = frames.select(col("doc_id").as("id_a"), col("j"),
+      col("simhash").as("fp_a"))
+    val fb = frames.select(col("doc_id").as("id_b"), col("j"),
+      col("simhash").as("fp_b"))
+    broadcast(cand).join(fa, "id_a").join(fb, Seq("id_b", "j"))
+      .withColumn("fh", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .groupBy("id_a", "id_b")
+      .agg(sort_array(collect_list(col("fh"))).as("hs"))
+      .select(col("id_a"), col("id_b"),
+        element_at(col("hs"),
+          ((size(col("hs")) + 1) / 2).cast("int")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Cross-frame exact Hamming banding — [[hammingPairs]]'s pigeonhole
     * chunking with a BATCH side probing an INDEX side (the incremental-
     * admission shape: only the batch is fingerprinted fresh; the index

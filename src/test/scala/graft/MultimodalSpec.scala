@@ -316,6 +316,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.multimodal.WavCodec.decode(avi).isEmpty)
   }
 
+  test("AVI DIB frames: encode/decode round-trips every raster " +
+    "byte-exactly; non-DIB handlers and torn frame chunks refuse") {
+    import graft.multimodal.{AviCodec, PpmCodec}
+    // a 5×3 frame exercises the 4-byte row padding (stride 16 ≠ 15)
+    val f0 = PpmCodec.Image(5, 3,
+      Array.tabulate(5 * 3 * 3)(i => ((i * 37 + 11) & 0xff).toByte))
+    val f1 = PpmCodec.Image(5, 3,
+      Array.tabulate(5 * 3 * 3)(i => ((i * 101 + 5) & 0xff).toByte))
+    val avi = AviCodec.encodeFrames(5, 3, Seq(f0, f1))
+    val (meta, frames) = AviCodec.decodeFrames(avi)
+      .getOrElse(fail("frame decode failed"))
+    assert(meta.width === 5 && meta.height === 3 && meta.nFrames === 2)
+    assert(meta.handler === "DIB")
+    assert(frames.size === 2)
+    assert(frames(0).rgb.toSeq === f0.rgb.toSeq)
+    assert(frames(1).rgb.toSeq === f1.rgb.toSeq)
+    // decodeMeta still reads the same container (honest single parse)
+    assert(AviCodec.decodeMeta(avi).get === meta)
+    // a non-DIB container parses metadata but refuses frame decode
+    val mjpg = AviCodec.encodeMeta(AviCodec.VideoMeta(5, 3, 2, 100, "MJPG"))
+    assert(AviCodec.decodeMeta(mjpg).isDefined)
+    assert(AviCodec.decodeFrames(mjpg).isEmpty)
+    // a torn frame chunk (wrong byte count for the raster) refuses
+    val torn = avi.clone()
+    // shrink the first 00db chunk's declared size by one row
+    val idx = torn.indexOfSlice("00db".getBytes)
+    assert(idx > 0)
+    torn(idx + 4) = (torn(idx + 4) - 16).toByte
+    assert(AviCodec.decodeFrames(torn).isEmpty)
+    assert(AviCodec.decodeFrames(avi.dropRight(1)).isEmpty)
+  }
+
+  test("vHash: brightness-shifted re-encoded clip copies land within " +
+    "median hamming 4 per frame, distinct clips far; the clip gate " +
+    "finds every planted copy at recall/precision 1.0") {
+    import graft.functions.{PHash64, VHashFrames}
+    import graft.multimodal.{AviCodec, Multimodal => MM}
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def frameHashes(payload: Array[Byte]): Seq[Long] = {
+      val arr = VHashFrames.compute(payload)
+      assert(arr != null, "fixture clip must decode")
+      arr.toLongArray().toSeq
+    }
+    val ids = Seq(1L, 5L, 13L, 101L, 2021L)
+    for (id <- ids) {
+      val base = frameHashes(MM.renderVideo(id, copy = false))
+      val near = frameHashes(MM.renderVideo(id, copy = true))
+      assert(base.size === 8 && near.size === 8)
+      // every aligned frame pair within the image family's bound
+      base.zip(near).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(ham(a, b) <= 4,
+          s"doc $id frame $j: copy at hamming ${ham(a, b)}")
+      }
+      // frames of ONE clip are distinct (the motion band moves)
+      assert(base.distinct.size > 1, s"doc $id: static clip")
+    }
+    // distinct clips' aligned frames are far apart
+    for (Seq(a, b) <- ids.combinations(2)) {
+      val fa = frameHashes(MM.renderVideo(a, copy = false))
+      val fb = frameHashes(MM.renderVideo(b, copy = false))
+      val aligned = fa.zip(fb).map { case (x, y) => ham(x, y) }.sorted
+      assert(aligned(aligned.size / 2) > 4,
+        s"docs $a/$b: median ${aligned(aligned.size / 2)}")
+    }
+    // undecodable payloads are null, not a throw; frame hashes equal
+    // the image kernel on the same raster (one function of the pixels)
+    assert(VHashFrames.compute("not an avi".getBytes) == null)
+    val (_, fs) = AviCodec.decodeFrames(MM.renderVideo(7L, copy = false)).get
+    assert(frameHashes(MM.renderVideo(7L, copy = false)).head ===
+      PHash64.computeImage(fs.head))
+    // end to end on the fixture corpus: every planted (id, id+1e6)
+    // pair surfaces and nothing else (hash-checked by the driver
+    // ledger at sf0.01)
+    val rec = MM.qVhashRecall(spark, dir).collect().head
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 1).count()
+    assert(rec.getAs[Long]("n_truth") === planted)
+    assert(rec.getAs[Long]("n_hit") === planted)
+    assert(rec.getAs[Double]("recall") === 1.0)
+    assert(rec.getAs[Double]("precision") === 1.0)
+  }
+
   test("videoMeta kernel parses AVI payloads end-to-end; frame sampling " +
     "runs on parsed duration") {
     import spark.implicits._
