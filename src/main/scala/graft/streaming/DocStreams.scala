@@ -292,6 +292,50 @@ object DocStreams {
       sink(batch.join(dup, Seq("vec_id"), "left_anti"), batchId)
     }
 
+  /** Serving-time streaming RETRIEVAL over the saved BM25 artifact —
+    * the query-side twin of the admission gates: queries arrive as a
+    * stream of (doc_id, text) rows, every micro-batch runs the
+    * store's full WAND serving ([[graft.plans.Bm25IndexStore
+    * .wandSearch]] — same output as `search`, spec-pinned) against the
+    * FROZEN artifact, and the ranked results land in the sink (a
+    * [[snapshotSink]] table in production, so consumers read or
+    * time-travel the result log while serving keeps committing).
+    * foreachBatch because ranking is a per-batch top-k over a
+    * batch × postings join — not expressible as an unbounded streaming
+    * aggregation — and because it reuses the battle-tested batch
+    * kernel verbatim: stream ≡ batch row-for-row (DocStreamsSpec).
+    *
+    * Composes with the admission gates: an ingest stream can admit
+    * THEN immediately retrieve context for the admitted docs by
+    * chaining inside one foreachBatch, or run as a separate query
+    * stream against the same artifact. Same staleness contract as the
+    * whole frozen-artifact family — extends/compactions happen
+    * between runs, tombstones ([[graft.plans.Retire]]) mask
+    * mid-stream since every micro-batch replans against the table.
+    */
+  def searchBm25Stream(
+      queries: DataFrame, table: String, topN: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.plans.Bm25IndexStore.wandSearch(
+        batch.sparkSession, table, batch.select("doc_id", "text"),
+        topN), batchId)
+    }
+
+  /** [[searchBm25Stream]] for the tf-idf artifact: the stream carries
+    * query doc_ids (the doc-as-query shape — vectors come from the
+    * saved doc-keyed mirror), each micro-batch serves via
+    * [[graft.plans.TfidfIndexStore.wandSearch]].
+    */
+  def searchTfidfStream(
+      queryIds: DataFrame, table: String, topN: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryIds.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.plans.TfidfIndexStore.wandSearch(
+        batch.sparkSession, table, batch.select("doc_id"), topN),
+        batchId)
+    }
+
   /** Exactly-once lakehouse tail for the foreachBatch admit family:
     * commits each admitted micro-batch to a
     * [[graft.plans.SnapshotStore]] table under its batchId tag, so a

@@ -206,6 +206,116 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(graft.plans.SnapshotStore.history(root).size === 2)
   }
 
+  test("streaming retrieval over the saved artifacts: stream equals " +
+    "batch search row-for-row for both stores, results land in a " +
+    "snapshot table exactly-once, and retrieval composes with the " +
+    "admission gate in one micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-servestream").toString
+    val bm = "servestream_bm"
+    val tfx = "servestream_tf"
+    graft.plans.Bm25IndexStore.build(base, bm, s"$tmp/bm", buckets = 4)
+    graft.plans.TfidfIndexStore.build(base, 10, tfx, s"$tmp/tf",
+      buckets = 4)
+    val queryDocs = base.filter(col("doc_id") % 25 === 0).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), "search", ts(0)))
+    val (q1, q2) = queryDocs.splitAt(queryDocs.length / 2)
+    def rows4(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // BM25: two micro-batches of query docs land ranked results in a
+    // snapshot table; the union equals the one-shot batch search
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-servestream-snap").toString
+    val in1 = MemoryStream[Doc]
+    val s1 = DocStreams.searchBm25Stream(in1.toDF(), bm, 3)(
+      DocStreams.snapshotSink(root)).start()
+    try {
+      in1.addData(q1.toIndexedSeq: _*)
+      s1.processAllAvailable()
+      in1.addData(q2.toIndexedSeq: _*)
+      s1.processAllAvailable()
+    } finally s1.stop()
+    val batchBm = rows4(graft.plans.Bm25IndexStore.search(
+      spark, bm, base.filter(col("doc_id") % 25 === 0), 3))
+    assert(rows4(graft.plans.SnapshotStore.read(spark, root)) === batchBm,
+      "streamed WAND serving must equal the batch search row-for-row")
+    assert(batchBm.nonEmpty)
+    assert(graft.plans.SnapshotStore.history(root).size === 2,
+      "one commit per query micro-batch")
+    // a restart-replayed micro-batch must not double-land
+    graft.plans.SnapshotStore.appendOnce(
+      Seq((0L, 0, 0L, 0.0)).toDF("query_id", "rnk", "neighbor_id",
+        "score"), root, "batch-0")
+    assert(graft.plans.SnapshotStore.history(root).size === 2)
+
+    // tf-idf twin: the stream carries doc_ids (doc-as-query shape)
+    val got2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double)]
+    val in2 = MemoryStream[Long]
+    val s2 = DocStreams.searchTfidfStream(
+      in2.toDF().withColumnRenamed("value", "doc_id"), tfx, 3) {
+      (out, _) => got2.synchronized { got2 ++= rows4(out) }
+    }.start()
+    try {
+      in2.addData(queryDocs.map(_.doc_id).toIndexedSeq: _*)
+      s2.processAllAvailable()
+    } finally s2.stop()
+    val batchTf = rows4(graft.plans.TfidfIndexStore.search(
+      spark, tfx, base.filter(col("doc_id") % 25 === 0)
+        .select("doc_id"), 3))
+    assert(got2.toSet === batchTf)
+    assert(batchTf.nonEmpty)
+
+    // composition: one foreachBatch admits against the corpus AND
+    // immediately retrieves context for exactly the admitted docs
+    // from the saved artifact — the ingest-then-enrich pipeline shape
+    val corpusSh = graft.operators.Dedup.shingleIndex(base, 3).persist()
+    val newDocs = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 21, 1000000))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), "crawl", ts(0)))
+    val admittedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ranked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double)]
+    val in3 = MemoryStream[Doc]
+    val s3 = DocStreams.admitAgainstCorpus(in3.toDF(), corpusSh) {
+      (admitted, _) =>
+        val a = admitted.select("doc_id", "text").localCheckpoint(true)
+        admittedIds.synchronized {
+          admittedIds ++= a.select("doc_id").as[Long].collect()
+        }
+        ranked.synchronized {
+          ranked ++= rows4(graft.plans.Bm25IndexStore.wandSearch(
+            spark, bm, a, 3))
+        }
+    }.start()
+    try {
+      in3.addData(newDocs.toIndexedSeq: _*)
+      s3.processAllAvailable()
+    } finally s3.stop()
+    corpusSh.unpersist()
+    assert(admittedIds.nonEmpty)
+    // the admitted SET is pinned against the batch matcher by the
+    // admission tests above; here pin that the composed stage ranks
+    // exactly that set, identically to a batch wandSearch over it
+    val admittedDocs = newDocs
+      .filter(d => admittedIds.contains(d.doc_id))
+      .map(d => (d.doc_id, d.text)).toSeq.toDF("doc_id", "text")
+    val expectRanked = rows4(graft.plans.Bm25IndexStore.wandSearch(
+      spark, bm, admittedDocs, 3))
+    assert(ranked.toSet === expectRanked,
+      "composed admit->retrieve must rank exactly the admitted docs")
+    assert(ranked.map(_._1).toSet.subsetOf(admittedIds.toSet),
+      "ranked query ids must come from the admitted set")
+  }
+
   test("streamed semantic admission against the saved IVF index " +
     "equals the batch admit set") {
     import spark.implicits._
