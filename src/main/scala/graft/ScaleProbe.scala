@@ -478,6 +478,107 @@ object ScaleProbe {
       }
       f"full=${recall(0)}%.3f sampled=${recall(4096)}%.3f"
     }
+    // the re-train policy's evidence rows: a drifted extend — a NEW
+    // out-of-support cluster (translation + per-vector hash noise: the
+    // "new topic" shape, with natural within-cluster spacing) — must
+    // move the persisted store's staleness signal IN THE SAME EVENT
+    // that degrades its serving, and rebuildIfStale at the DEFAULT
+    // ceilings must fire and recover. The degradation mode differs by
+    // store and both are probed on their own physics: IVF's frozen
+    // quantizer funnels the whole new cluster into the few cells that
+    // point its way, so RECALL stays high while CANDIDATES/QUERY
+    // explodes (the scan-cost regression); PQ's frozen codebooks
+    // quantize the shifted support coarsely, so ADC fidelity — and
+    // with it RECALL — drops. Two rival drift fixtures were measured
+    // and rejected: pure isotropic noise halves recall while moving
+    // the residual only 1.05× — but no rebuild recovers isotropic
+    // noise either, so it is not a staleness scenario at all; and
+    // noiseless translation leaves every drifted vector with 9
+    // IDENTICAL replica twins whose codes match under ANY books, so
+    // recall reads 1.0 both sides and measures nothing. See PLANS.md.
+    val driftedEmb = emb.select(
+      (col("vec_id") + 500000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.25 + " +
+        "(pmod(xxhash64(vec_id, i), 101) / 50.5 - 1.0) * 0.1 as float))")
+        .as("embedding")).localCheckpoint(true)
+    def driftRecall(
+        served: => org.apache.spark.sql.DataFrame,
+        exact: Set[(Long, Long)]): Double = {
+      val got = served.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    t("ivf staleness vs recall under drifted extend (signal + recall " +
+      "co-move; default-threshold rebuild recovers)") {
+      import graft.plans.IvfIndexStore
+      Seq("probe_ivf_stale", "probe_ivf_stale_cells", "probe_ivf_stale_stats")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-probe-ivfstale").toString + "/ivf"
+      IvfIndexStore.build(emb, nlist = 48, "probe_ivf_stale", path, buckets = 8)
+      val sFresh = IvfIndexStore.staleness(spark, "probe_ivf_stale")
+      IvfIndexStore.extend(driftedEmb, "probe_ivf_stale", buckets = 8)
+      val sDrift = IvfIndexStore.staleness(spark, "probe_ivf_stale")
+      val union = emb.unionByName(driftedEmb).localCheckpoint(true)
+      val q = driftedEmb.filter(col("vec_id") % 997 === 0)
+      val exact = operators.Similarity.bruteForceKnn(union, q, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // mean candidate rows a drifted query's probe join scans — the
+      // cost the frozen quantizer can no longer bound (recall itself
+      // stays high: the funneled cluster is co-located, so the probed
+      // cells contain the true neighbors — along with EVERYTHING else)
+      def candidatesPerQuery(): Double = {
+        val centroids = IvfIndexStore.loadCentroids(spark, "probe_ivf_stale")
+        val probed = q.select(explode(graft.functions.IvfCells.cells(
+          spark, col("embedding"), centroids, 6)).as("cell"))
+        val nQ = q.count().toDouble
+        probed.join(
+            spark.table("probe_ivf_stale_cells").groupBy("cell")
+              .agg(count(lit(1)).as("occ")), "cell")
+          .agg(sum("occ")).first.getLong(0) / nQ
+      }
+      val recallDrifted = driftRecall(IvfIndexStore.knn(
+        q, k = 5, nprobe = 6, "probe_ivf_stale"), exact)
+      val candDrifted = candidatesPerQuery()
+      val rebuilt = IvfIndexStore.rebuildIfStale(
+        spark, "probe_ivf_stale", path, buckets = 8)
+      val recallRebuilt = driftRecall(IvfIndexStore.knn(
+        q, k = 5, nprobe = 6, "probe_ivf_stale"), exact)
+      val candRebuilt = candidatesPerQuery()
+      f"fresh=(${sFresh.residualGrowth}%.3f,${sFresh.occupancySkew}%.3f) " +
+        f"drifted=(${sDrift.residualGrowth}%.3f,${sDrift.occupancySkew}%.3f) " +
+        f"recall drifted=$recallDrifted%.3f rebuilt($rebuilt)=$recallRebuilt%.3f " +
+        f"cand/query drifted=$candDrifted%.0f rebuilt=$candRebuilt%.0f"
+    }
+    t("pq staleness vs recall under drifted extend (frozen codebooks " +
+      "mis-quantize the new cluster; default-threshold rebuild recovers)") {
+      import graft.plans.PqStore
+      Seq("probe_pq_stale", "probe_pq_stale_codes", "probe_pq_stale_rot",
+        "probe_pq_stale_stats")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-probe-pqstale").toString + "/pq"
+      PqStore.build(emb, 8, 64, "probe_pq_stale", path)
+      val sFresh = PqStore.staleness(spark, "probe_pq_stale", emb)
+      PqStore.extend(driftedEmb, "probe_pq_stale")
+      val union = emb.unionByName(driftedEmb).localCheckpoint(true)
+      val sDrift = PqStore.staleness(spark, "probe_pq_stale", union)
+      val qf = col("vec_id") >= 500000000L && col("vec_id") % 997 === 0L
+      val exact = operators.Similarity.bruteForceKnn(
+          union, union.filter(qf), 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recallDrifted = driftRecall(PqStore.search(
+        spark, "probe_pq_stale", union, qf, 5), exact)
+      val rebuilt = PqStore.rebuildIfStale(
+        spark, "probe_pq_stale", path, union, iters = 6)
+      val recallRebuilt = driftRecall(PqStore.search(
+        spark, "probe_pq_stale", union, qf, 5), exact)
+      f"fresh=(${sFresh.residualGrowth}%.3f,${sFresh.occupancySkew}%.3f) " +
+        f"drifted=(${sDrift.residualGrowth}%.3f,${sDrift.occupancySkew}%.3f) " +
+        f"recall drifted=$recallDrifted%.3f rebuilt($rebuilt)=$recallRebuilt%.3f"
+    }
     // (brand, length)-blocked levenshtein: 10x parts should grow the
     // pair count ~100x within blocks but wall-clock far less than 100x
     // of the sf0.1 single-block time thanks to the banded DP + spread

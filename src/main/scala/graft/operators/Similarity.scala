@@ -369,6 +369,44 @@ object Similarity {
     if (centroids == null) coded.drop("cell") else coded
   }
 
+  /** Per-(subspace, codeword) usage counts and summed quantization
+    * error over `emb` (plain-PQ space: the l2-normalized vector vs its
+    * nearest codewords) — the per-bucket statistics behind
+    * [[graft.plans.PqStore]]'s staleness signal. One corpus pass, one
+    * m·k-row aggregate; the output is codebook-sized, never
+    * corpus-sized. Kept next to [[pqEncode]] because it must quantize
+    * with EXACTLY the encoder's arithmetic — a stats pass that
+    * normalized or tie-broke differently would report phantom drift.
+    */
+  def pqCodeStats(
+      emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val bc = s.sparkContext.broadcast(books)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bc.value
+        it.flatMap { case (_, raw) =>
+          val v = l2normalize(raw.map(_.toDouble))
+          (0 until m).iterator.map { j =>
+            val c = nearestCode(v, j * sub, bk(j))
+            val cw = bk(j)(c)
+            var err = 0.0
+            var p = 0
+            while (p < sub) {
+              val t = v(j * sub + p) - cw(p); err += t * t; p += 1
+            }
+            (j, c, err)
+          }
+        }
+      }.toDF("j", "c", "err")
+      .groupBy("j", "c")
+      .agg(count(lit(1)).as("n"), sum("err").as("sum_err"))
+  }
+
   /** Empty-corpus result in the knn output shape — the house
     * empty-input discipline (no codebooks can be trained on nothing).
     */

@@ -18,17 +18,22 @@ import graft.operators.Similarity
   *   - `<table>_cells` — (vec_id, embedding, cell), bucketed+sorted by
   *     cell, so the probe join reads only matching buckets and carries
   *     cell partitioning without an exchange on the corpus side
+  *   - `<table>_stats` — (cell, n, sum_gap): the build-time per-cell
+  *     occupancy and residual baseline [[staleness]] measures against
   *
   * `knn` then serves query batches against the saved assignment;
   * `extend` folds new vectors in under the FROZEN quantizer (same
   * staleness contract as the signature index: centroids drift as the
   * corpus grows — rebuild periodically; an exact copy of an indexed
   * vector still assigns to the same cell, so duplicate recall stays 1
-  * through extension).
+  * through extension). "Periodically" is now measurable: [[staleness]]
+  * compares the live set against the build-time baseline and
+  * [[rebuildIfStale]] wires the thresholds to a rebuild.
   */
 object IvfIndexStore {
 
   def cellsTable(table: String): String = s"${table}_cells"
+  def statsTable(table: String): String = s"${table}_stats"
 
   /** Train the quantizer on `emb` and persist centroids + the corpus
     * cell assignment under `path` / catalog names `table`,
@@ -41,6 +46,7 @@ object IvfIndexStore {
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${cellsTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
     Retire.reset(spark, table)
     val base = emb.select("vec_id", "embedding")
     val centroids = Similarity.ivfIndex(base, nlist, iters, sampleCap)
@@ -59,6 +65,79 @@ object IvfIndexStore {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(cellsTable(table))
+    // build-time baseline for [[staleness]] — computed FROM the saved
+    // cells table (not the in-flight frame) so a fresh build's
+    // staleness is exactly (1.0, 0.0): both sides read the identical
+    // persisted rows through the identical arithmetic
+    cellStats(spark.table(cellsTable(table)), centroids).write
+      .option("path", s"${path}_stats")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(statsTable(table))
+  }
+
+  /** Per-cell (n, sum_gap) where gap = 1 − cos(v, home centroid) — the
+    * cosine-world quantization residual (assignment itself ranks by
+    * dot against normalized centroids, so this is the gap the frozen
+    * quantizer leaves unexplained). Output is nlist rows, never
+    * corpus-sized.
+    */
+  private def cellStats(
+      cells: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "ctr")
+    cells.join(broadcast(cdf), "cell")
+      .withColumn("gap", lit(1.0) -
+        graft.functions.CosineSimilarity.cosineNative(
+          spark, col("embedding"), col("ctr")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("gap").as("sum_gap"))
+  }
+
+  private def collectStats(df: DataFrame): Seq[((Int, Int), (Long, Double))] =
+    df.select("cell", "n", "sum_gap").collect()
+      .map(r => ((0, r.getInt(0)), (r.getLong(1), r.getDouble(2)))).toSeq
+
+  /** Measure how far the live set (tombstones excluded) has drifted
+    * from the frozen quantizer's build-time fit — see [[Staleness]]
+    * for the two signals and their failure modes. One cells-table scan
+    * plus two nlist-row collects.
+    */
+  def staleness(spark: SparkSession, table: String): Staleness = {
+    val centroids = loadCentroids(spark, table)
+    val live = Retire.survivors(
+      spark, table, spark.table(cellsTable(table)), "vec_id")
+    Staleness.of(
+      collectStats(spark.table(statsTable(table))),
+      collectStats(cellStats(live, centroids)))
+  }
+
+  /** Rebuild the artifact from its own surviving vectors when either
+    * staleness signal clears its ceiling; returns whether a rebuild
+    * ran. Geometry (nlist) is carried over from the saved quantizer —
+    * re-sizing nlist to a grown corpus (√n practice) is a caller
+    * decision, not a policy this helper should guess. The survivors
+    * frame is materialized BEFORE [[build]] drops the tables it is
+    * read from.
+    */
+  def rebuildIfStale(
+      spark: SparkSession, table: String, path: String, buckets: Int,
+      residualMax: Double = 1.25, skewMax: Double = 0.25,
+      iters: Int = 2, sampleCap: Int = 0): Boolean = {
+    val s = staleness(spark, table)
+    if (!s.isStale(residualMax, skewMax)) false
+    else {
+      val nlist = spark.table(table).count().toInt
+      val survivors = Retire.survivors(
+          spark, table, spark.table(cellsTable(table)), "vec_id")
+        .select("vec_id", "embedding")
+        .localCheckpoint(true)
+      build(survivors, nlist, table, path, buckets, iters, sampleCap)
+      true
+    }
   }
 
   /** The saved quantizer, cell-ordered — the driver-side matrix every

@@ -19,6 +19,9 @@ import graft.operators.Similarity
   *                       the store was built with one (FAISS's
   *                       OPQMatrix pre-transform as an artifact
   *                       component) — d×d doubles, driver-trivial
+  *   - `<table>_stats` — (j, c, n, sum_err): build-time codeword usage
+  *                       + quantization-error baseline that
+  *                       [[staleness]] measures drift against
   *
   * `search` serves query batches from the saved codes (raw vectors are
   * touched only for the queries × rerank·k shortlisted rows the exact
@@ -34,6 +37,7 @@ object PqStore {
 
   def codesTable(table: String): String = s"${table}_codes"
   def rotTable(table: String): String = s"${table}_rot"
+  def statsTable(table: String): String = s"${table}_stats"
 
   def build(
       emb: DataFrame, m: Int, codewords: Int, table: String,
@@ -43,6 +47,7 @@ object PqStore {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${codesTable(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${rotTable(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
     Retire.reset(spark, table)
     val raw = emb.select("vec_id", "embedding")
     // with OPQ the WHOLE artifact lives in rotated space: codebooks
@@ -68,6 +73,66 @@ object PqStore {
     Similarity.pqEncode(base, books)
       .write.option("path", s"${path}_codes").mode("overwrite")
       .format("parquet").saveAsTable(codesTable(table))
+    // build-time per-(subspace, codeword) usage + quantization-error
+    // baseline for [[staleness]] — m·k rows, one extra corpus pass at
+    // build time (build is the offline step; serve paths never read it)
+    Similarity.pqCodeStats(base, books)
+      .write.option("path", s"${path}_stats").mode("overwrite")
+      .format("parquet").saveAsTable(statsTable(table))
+  }
+
+  private def collectStats(df: DataFrame): Seq[((Int, Int), (Long, Double))] =
+    df.select("j", "c", "n", "sum_err").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toSeq
+
+  /** Measure how far the live corpus has drifted from the frozen
+    * rotation + codebooks — see [[Staleness]]. Codes alone cannot
+    * reconstruct quantization error, so the caller supplies the raw
+    * vectors (the same `corpusVecs` contract [[search]] already has);
+    * rows without a surviving code (deleted, or never indexed) are
+    * semi-joined out before measuring. One corpus pass + two
+    * codebook-sized collects.
+    */
+  def staleness(
+      spark: SparkSession, table: String,
+      corpusVecs: DataFrame): Staleness = {
+    val books = loadBooks(spark, table)
+    val live = toArtifactSpace(spark, table,
+      corpusVecs.select("vec_id", "embedding")
+        .join(Retire.survivors(
+            spark, table, spark.table(codesTable(table)), "vec_id")
+          .select("vec_id"), Seq("vec_id"), "left_semi"))
+    Staleness.of(
+      collectStats(spark.table(statsTable(table))),
+      collectStats(Similarity.pqCodeStats(live, books)),
+      obsPerVec = books.length)
+  }
+
+  /** Rebuild rotation + codebooks + codes from the surviving vectors
+    * when either staleness signal clears its ceiling; returns whether
+    * a rebuild ran. Geometry (m, codewords) and the OPQ choice are
+    * carried over from the saved artifact. The survivors frame is
+    * materialized BEFORE [[build]] drops the tables it is read from.
+    */
+  def rebuildIfStale(
+      spark: SparkSession, table: String, path: String,
+      corpusVecs: DataFrame,
+      residualMax: Double = 1.25, skewMax: Double = 0.25,
+      iters: Int = 2): Boolean = {
+    val s = staleness(spark, table, corpusVecs)
+    if (!s.isStale(residualMax, skewMax)) false
+    else {
+      val books = loadBooks(spark, table)
+      val survivors = corpusVecs.select("vec_id", "embedding")
+        .join(Retire.survivors(
+            spark, table, spark.table(codesTable(table)), "vec_id")
+          .select("vec_id"), Seq("vec_id"), "left_semi")
+        .localCheckpoint(true)
+      build(survivors, books.length, books(0).length, table, path,
+        iters, opq = loadRotation(spark, table).isDefined)
+      true
+    }
   }
 
   /** The saved codebooks as Array(m)(k)(d/m). */

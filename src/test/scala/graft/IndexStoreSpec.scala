@@ -682,4 +682,95 @@ class IndexStoreSpec extends AnyFunSuite {
     // equal the char count)
     assert(wantTokens < words.map(_.length.toLong).sum)
   }
+
+  test("ivf store: staleness is flat on a fresh build, moves under a " +
+    "drifted extend, and rebuildIfStale applies the thresholds") {
+    import graft.plans.IvfIndexStore
+    Seq("ivf_s", "ivf_s_cells", "ivf_s_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-ivfs").toString + "/ivf"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    IvfIndexStore.build(emb, nlist = 8, "ivf_s", path, buckets = 4)
+    val fresh = IvfIndexStore.staleness(spark, "ivf_s")
+    // both sides read the identical saved rows through the identical
+    // per-row arithmetic; partial-agg merge order can differ, so the
+    // growth is flat to float tolerance while the count-based skew is
+    // exactly zero
+    assert(math.abs(fresh.residualGrowth - 1.0) < 1e-9, s"$fresh")
+    assert(fresh.occupancySkew === 0.0)
+    assert(fresh.builtVecs === fresh.liveVecs)
+    assert(!IvfIndexStore.rebuildIfStale(spark, "ivf_s", path, 4),
+      "a fresh build must not trigger a rebuild at default thresholds")
+    // drifted extend: hash-noise vectors with none of the corpus's
+    // cluster structure — far from every frozen centroid (residual
+    // grows) and unevenly spread over cells (skew grows)
+    val drifted = emb.select(
+      (col("vec_id") + 7000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(pmod(xxhash64(vec_id, i), 1000) / 500.0 - 1.0 as float))")
+        .as("embedding"))
+    IvfIndexStore.extend(drifted, "ivf_s", buckets = 4)
+    val after = IvfIndexStore.staleness(spark, "ivf_s")
+    assert(after.residualGrowth > fresh.residualGrowth,
+      s"noise vectors must grow the mean residual: $after")
+    assert(after.occupancySkew > 0.0, s"occupancy must move: $after")
+    assert(after.liveVecs === 2 * fresh.builtVecs)
+    // thresholds are exclusive ceilings, pinned on the DETERMINISTIC
+    // count-based skew (the residual ceiling gets a float-noise margin
+    // since rebuildIfStale re-measures): AT the measured skew → not
+    // stale; just below → stale
+    val residualSlack = after.residualGrowth * (1 + 1e-6)
+    assert(!IvfIndexStore.rebuildIfStale(spark, "ivf_s", path, 4,
+      residualMax = residualSlack, skewMax = after.occupancySkew))
+    assert(IvfIndexStore.rebuildIfStale(spark, "ivf_s", path, 4,
+      residualMax = residualSlack,
+      skewMax = after.occupancySkew * 0.99))
+    // the rebuilt quantizer fits the union corpus: staleness resets to
+    // flat and serving still works over all live vectors
+    val rebuilt = IvfIndexStore.staleness(spark, "ivf_s")
+    assert(math.abs(rebuilt.residualGrowth - 1.0) < 1e-9, s"$rebuilt")
+    assert(rebuilt.occupancySkew === 0.0)
+    assert(rebuilt.builtVecs === after.liveVecs)
+    assert(IvfIndexStore.knn(
+      drifted.limit(3), k = 1, nprobe = 2, "ivf_s").count() > 0)
+  }
+
+  test("pq store: staleness baseline survives the artifact round-trip " +
+    "and rebuildIfStale re-trains the frozen books under drift") {
+    import graft.plans.PqStore
+    val table = "pq_s"
+    Seq(table, s"${table}_codes", s"${table}_rot", s"${table}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val path = Files.createTempDirectory("graft-pqs").toString + "/pq"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    PqStore.build(emb, 8, 64, table, path)
+    val fresh = PqStore.staleness(spark, table, emb)
+    // the current-side pass re-quantizes in a different partition
+    // order, so sums agree to float tolerance, not bit-exactly
+    assert(math.abs(fresh.residualGrowth - 1.0) < 1e-9, s"$fresh")
+    assert(fresh.occupancySkew === 0.0)
+    val drifted = emb.select(
+      (col("vec_id") + 7000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(pmod(xxhash64(vec_id, i), 1000) / 500.0 - 1.0 as float))")
+        .as("embedding"))
+    PqStore.extend(drifted, table)
+    val union = emb.unionByName(drifted)
+    val after = PqStore.staleness(spark, table, union)
+    assert(after.residualGrowth > fresh.residualGrowth, s"$after")
+    assert(after.occupancySkew > 0.0, s"$after")
+    val residualSlack = after.residualGrowth * (1 + 1e-6)
+    assert(!PqStore.rebuildIfStale(spark, table, path, union,
+      residualMax = residualSlack, skewMax = after.occupancySkew))
+    assert(PqStore.rebuildIfStale(spark, table, path, union,
+      residualMax = residualSlack,
+      skewMax = after.occupancySkew * 0.99))
+    val rebuilt = PqStore.staleness(spark, table, union)
+    assert(math.abs(rebuilt.residualGrowth - 1.0) < 1e-9, s"$rebuilt")
+    assert(rebuilt.occupancySkew === 0.0)
+    assert(rebuilt.builtVecs === after.liveVecs)
+    // geometry carried over: same m, still no rotation table
+    assert(PqStore.loadBooks(spark, table).length === 8)
+    assert(PqStore.loadRotation(spark, table).isEmpty)
+  }
 }
