@@ -142,11 +142,19 @@ object Bench {
       if (anchorSamples.isEmpty || anchorSamples.min <= 0) 0.0
       else anchorSamples.max / anchorSamples.min
     val suspects = samples.toSeq.collect {
+      // the anchor band excludes the anchor's own discarded cold run,
+      // so the query side must judge WARM samples too (v.head is the
+      // cold iteration — per-plan codegen by design, not host load;
+      // with even iters its inclusion would make median() the cold max
+      // and flood the flag with false positives)
       case (k, v) if anchorBand > 0 && v.forall(_ >= 0) &&
-        // sub-second spreads are codegen/GC jitter, not host load
-        median(v) - v.min > 0.3 &&
-        median(v) / math.max(v.min, 1e-9) >
-          math.max(anchorBand, 1.3) => k
+        v.length > 1 && {
+          val warm = v.tail
+          // sub-second spreads are codegen/GC jitter, not host load
+          median(warm) - warm.min > 0.3 &&
+          median(warm) / math.max(warm.min, 1e-9) >
+            math.max(anchorBand, 1.3)
+        } => k
     }.sorted
     val anchorClause =
       if (anchorSamples.isEmpty) ""

@@ -174,11 +174,12 @@ object AHash64 {
   /** All 64 bit positions are reachable (frame 15, band 3 is bit 63),
     * so a clip whose ONLY above-mean bit is that one would hash to the
     * Undecodable sentinel and be silently dropped by every
-    * `=!= Undecodable` consumer; remap it one bit away — a single bit
-    * of Hamming noise, well inside the radius-4 near-dup gate.
+    * `=!= Undecodable` consumer — the same collision as the
+    * image/video family; delegate to the CANONICAL remap in
+    * [[PHash64.sealFp]] so the modalities cannot drift apart on
+    * sentinel handling.
     */
-  private[graft] def sealFp(fp: Long): Long =
-    if (fp == Undecodable) Undecodable + 1 else fp
+  private[graft] def sealFp(fp: Long): Long = PHash64.sealFp(fp)
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -126,7 +126,10 @@ object PHash64 {
   /** Bit 63 is a legitimate position, so a fingerprint whose only set
     * bit is 63 equals the Undecodable sentinel and would be silently
     * dropped; remap one bit away (single-bit Hamming noise, inside the
-    * near-dup radius gate).
+    * near-dup radius gate). CANONICAL remap for every fingerprint
+    * family that shares the Long.MinValue sentinel ([[AHash64]]
+    * delegates here) — one definition so the modalities cannot drift
+    * apart on sentinel handling.
     */
   private[graft] def sealFp(fp: Long): Long =
     if (fp == Undecodable) Undecodable + 1 else fp

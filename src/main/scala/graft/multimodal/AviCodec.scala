@@ -176,7 +176,11 @@ object AviCodec {
         while (p + 8 <= body + size) {
           val csz = le32(payload, p + 4)
           val cb = p + 8
-          if (csz < 0 || cb.toLong + csz > payload.length) return None
+          // bound against the movi LIST's own declared end, not the
+          // whole payload — a chunk spilling past its list would
+          // otherwise copy the NEXT top-level chunk's bytes into a
+          // frame raster instead of refusing the torn container
+          if (csz < 0 || cb.toLong + csz > body.toLong + size) return None
           if (tag(payload, p, "00db") || tag(payload, p, "00dc")) {
             if (csz.toLong != want) return None
             val rgb = new Array[Byte](meta.width * meta.height * 3)

@@ -279,8 +279,17 @@ object Dedup {
     * family, whose median-centered DCT bits flip in PAIRS under small
     * edits (radius 4 is pHash's natural gate where SimHash's is 3).
     */
-  def hammingPairs(
-      fps: DataFrame, maxHamming: Int, bits: Int = 64): DataFrame = {
+  /** The pigeonhole chunk tiling every banded Hamming family shares
+    * ([[hammingPairs]], [[vhashPairs]], [[hammingMatch]]): returns the
+    * `carry` columns plus (c, v) — `maxHamming + 1` chunks tiling the
+    * `bits`-wide `simhash` with sizes differing by at most one bit, so
+    * any pair within the radius shares at least one (c, v) verbatim.
+    * ONE definition: the chunk math IS the completeness argument, and
+    * three drifting copies of it would break a family silently.
+    */
+  private def pigeonholeChunks(
+      fps: DataFrame, carry: Seq[String],
+      maxHamming: Int, bits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
     val n = maxHamming + 1
@@ -291,10 +300,16 @@ object Dedup {
       struct(lit(c).as("c"),
         shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
     }
-    val chunks = fps.select(col("doc_id"), col("simhash"),
-      explode(array(chunkCols: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"),
-        col("ch.c").as("c"), col("ch.v").as("v"))
+    fps.select(carry.map(col) :+
+        explode(array(chunkCols: _*)).as("ch"): _*)
+      .select(carry.map(col) :+
+        col("ch.c").as("c") :+ col("ch.v").as("v"): _*)
+  }
+
+  def hammingPairs(
+      fps: DataFrame, maxHamming: Int, bits: Int = 64): DataFrame = {
+    val chunks =
+      pigeonholeChunks(fps, Seq("doc_id", "simhash"), maxHamming, bits)
     chunks.toDF("id_a", "fp_a", "c", "v")
       .join(chunks.toDF("id_b", "fp_b", "c", "v"), Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -326,20 +341,8 @@ object Dedup {
     */
   def vhashPairs(
       frames: DataFrame, maxHamming: Int, bits: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming + 1 <= bits,
-      s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
-    val n = maxHamming + 1
-    val chunkCols = (0 until n).map { c =>
-      val lo = c * bits / n
-      val len = (c + 1) * bits / n - lo
-      val mask = if (len == 64) -1L else (1L << len) - 1
-      struct(lit(c).as("c"),
-        shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
-    }
-    val chunks = frames.select(col("doc_id"), col("j"),
-      explode(array(chunkCols: _*)).as("ch"))
-      .select(col("doc_id"), col("j"),
-        col("ch.c").as("c"), col("ch.v").as("v"))
+    val chunks =
+      pigeonholeChunks(frames, Seq("doc_id", "j"), maxHamming, bits)
     val cand = chunks.toDF("id_a", "j", "c", "v")
       .join(chunks.toDF("id_b", "j", "c", "v"), Seq("j", "c", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -369,23 +372,10 @@ object Dedup {
   def hammingMatch(
       batch: DataFrame, index: DataFrame, maxHamming: Int,
       bits: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming + 1 <= bits,
-      s"radius $maxHamming needs ${maxHamming + 1} nonempty chunks")
-    val n = maxHamming + 1
     def chunksOf(fps: DataFrame, idName: String, fpName: String)
-        : DataFrame = {
-      val chunkCols = (0 until n).map { c =>
-        val lo = c * bits / n
-        val len = (c + 1) * bits / n - lo
-        val mask = if (len == 64) -1L else (1L << len) - 1
-        struct(lit(c).as("c"),
-          shiftright(col("simhash"), lo).bitwiseAND(mask).as("v"))
-      }
-      fps.select(col("doc_id"), col("simhash"),
-        explode(array(chunkCols: _*)).as("ch"))
-        .select(col("doc_id").as(idName), col("simhash").as(fpName),
-          col("ch.c").as("c"), col("ch.v").as("v"))
-    }
+        : DataFrame =
+      pigeonholeChunks(fps, Seq("doc_id", "simhash"), maxHamming, bits)
+        .toDF(idName, fpName, "c", "v")
     chunksOf(batch, "batch_id", "fp_b")
       .join(chunksOf(index, "index_id", "fp_i"), Seq("c", "v"))
       .select("batch_id", "index_id", "fp_b", "fp_i")

@@ -1222,31 +1222,45 @@ object TextAnalysis {
     * queries×10 lists. This is the production shape: rankings are
     * computed once, fusion and eval diagnostics are independent
     * consumers. The cached frames are localCheckpoint'd (lineage
-    * truncated) and context-keyed; on a real cluster an executor loss
-    * invalidates them — re-derive, don't recover.
+    * truncated) and context-keyed; a lost checkpoint block (executor
+    * loss, block eviction) cannot be recomputed THROUGH the frame, so
+    * a hit is validated with a cheap action first and a broken entry
+    * is dropped and re-derived instead of poisoning every later call.
     */
   private val hybridRankCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame)]
 
   private def hybridRankings(
-      s: SparkSession, d: String): (DataFrame, DataFrame) =
-    hybridRankCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + graft.plans.AggStore.artifactId(d),
-      _ => {
-        val docs = documents(s, d)
-        val tf = termFreq(docs).persist()
-        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val queryIds = docs.filter(col("doc_id") % 25 === 0)
-          .select("doc_id")
-        // both ranker helpers materialize eagerly (persist-collect-
-        // release + localCheckpoint), so the cached pair is safe to
-        // consume after tf unpersists
-        val lex = tfidfRetrievalFromVecs(
-          tfidfVectorsFromTf(tf, nDocs, 10), queryIds, 10)
-        val bm = bm25RetrievalFromTf(tf, queryIds, 10, 1.2, 0.75)
-        tf.unpersist()
-        (lex, bm)
-      })
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key =
+      s.sparkContext.applicationId + "|" + graft.plans.AggStore.artifactId(d)
+    def derive(): (DataFrame, DataFrame) = {
+      val docs = documents(s, d)
+      val tf = termFreq(docs).persist()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val queryIds = docs.filter(col("doc_id") % 25 === 0)
+        .select("doc_id")
+      // both ranker helpers materialize eagerly (persist-collect-
+      // release + localCheckpoint), so the cached pair is safe to
+      // consume after tf unpersists
+      val lex = tfidfRetrievalFromVecs(
+        tfidfVectorsFromTf(tf, nDocs, 10), queryIds, 10)
+      val bm = bm25RetrievalFromTf(tf, queryIds, 10, 1.2, 0.75)
+      tf.unpersist()
+      (lex, bm)
+    }
+    val hit = hybridRankCache.computeIfAbsent(key, _ => derive())
+    try {
+      // tiny frames (queries × 10) — the probe costs ~ms and proves
+      // the truncated-lineage blocks are still fetchable
+      hit._1.isEmpty; hit._2.isEmpty
+      hit
+    } catch {
+      case _: Throwable =>
+        hybridRankCache.remove(key, hit)
+        hybridRankCache.computeIfAbsent(key, _ => derive())
+    }
+  }
 
   val qRrfFusion: Q = (s, d) => {
     val (lex, bm) = hybridRankings(s, d)

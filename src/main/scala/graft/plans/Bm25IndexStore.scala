@@ -253,8 +253,11 @@ object Bm25IndexStore {
       case None => return None
       case Some(s) => s
     }
-    def live(df: DataFrame): DataFrame =
-      Retire.survivors(spark, table, df, "doc_id")
+    // the kernel invokes the masked closures several times (chunks,
+    // naive fallback); reuse ONE materialized frame built from the
+    // already-collected set instead of re-scanning + re-broadcasting
+    // the dead table at every site ([[Retire.liveVia]])
+    val live = Retire.liveVia(spark, deadSet, "doc_id")
     val post = spark.table(table)
     val qRows = qdf.select("query_id", "tkey", "df")
       .as[(Long, Long, Long)].collect()

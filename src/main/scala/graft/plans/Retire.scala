@@ -133,6 +133,24 @@ object Retire {
         Seq(keyCol), "left_anti")
     }
 
+  /** A reusable masking closure built from an ALREADY-COLLECTED dead
+    * set — for callers (the driver-planned WAND kernels) that invoke
+    * the mask several times per serve: [[survivors]] would re-scan and
+    * re-broadcast the dead table at every site, while this
+    * materializes the set once (localCheckpoint — a 16 MB block at the
+    * 2M [[DeadCollectCap]]) and every downstream plan broadcasts from
+    * those blocks, no parquet re-read.
+    */
+  def liveVia(
+      spark: SparkSession, deadSet: Set[Long],
+      keyCol: String): DataFrame => DataFrame =
+    if (deadSet.isEmpty) identity
+    else {
+      import spark.implicits._
+      val dd = deadSet.toSeq.toDF(keyCol).localCheckpoint(true)
+      df => df.join(broadcast(dd), Seq(keyCol), "left_anti")
+    }
+
   /** The dead set as a driver predicate for [[WandKernel]] pair
     * construction — None means "over cap, decline driver planning",
     * Some(empty) means "no deletions".

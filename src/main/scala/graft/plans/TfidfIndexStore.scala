@@ -500,8 +500,9 @@ object TfidfIndexStore {
       case None => return None
       case Some(s) => s
     }
-    def live(df: DataFrame): DataFrame =
-      Retire.survivors(spark, table, df, "doc_id")
+    // one materialized mask reused across the kernel's closure calls —
+    // see the Bm25 twin site ([[Retire.liveVia]])
+    val live = Retire.liveVia(spark, deadSet, "doc_id")
     val rows = qvec.select("query_id", "tkey", "wq", "df", "nq")
       .as[(Long, Long, Double, Long, Double)].collect()
     val qRows = rows.map { case (k, t, wq, df, nq) => (k, t, wq / nq, df) }

@@ -346,6 +346,15 @@ class MultimodalSpec extends AnyFunSuite {
     torn(idx + 4) = (torn(idx + 4) - 16).toByte
     assert(AviCodec.decodeFrames(torn).isEmpty)
     assert(AviCodec.decodeFrames(avi.dropRight(1)).isEmpty)
+    // a frame chunk crossing its movi LIST's declared end must refuse
+    // even when the bytes are still inside the payload (a truncated
+    // list size with a following chunk would otherwise copy the NEXT
+    // chunk's bytes into the raster)
+    val crossed = avi ++ Array.fill[Byte](64)(0x7f)
+    val mv = crossed.indexOfSlice("movi".getBytes)
+    assert(mv > 8)
+    crossed(mv - 4) = (crossed(mv - 4) - 16).toByte // shrink LIST size
+    assert(AviCodec.decodeFrames(crossed).isEmpty)
   }
 
   test("vHash: brightness-shifted re-encoded clip copies land within " +
