@@ -1267,6 +1267,74 @@ object TextAnalysis {
     rrfFusion(Seq(lex, bm), 5)
   }
 
+  /** Hybrid LEXICAL + VECTOR retrieval — the production hybrid-search
+    * shape (a keyword leg and a semantic leg fused by RRF, the default
+    * combiner in hybrid stacks precisely because rank-only votes need
+    * no score calibration between a BM25 scale and a cosine scale):
+    * the memoized BM25 top-10 leg fused with an embedding-cosine
+    * top-10 leg over the same query ids. `documents` and `embeddings`
+    * share the fixture id space, with the vector leg covering the
+    * EMBEDDED SUBSET — the ragged membership is the production
+    * situation (the lexical index covers the full corpus, the vector
+    * index the embedded slice) and RRF handles it natively: a doc
+    * reachable through one leg only simply carries one vote. The
+    * semantic leg is exact cosine so the row stays DuckDB-oracled
+    * end-to-end; at corpus scale that leg swaps for the persisted ANN
+    * artifacts (the `q_knn_ann_*` family prices exactly that path)
+    * with identical plumbing, since RRF consumes ranks alone.
+    */
+  val qHybridFusion: Q = (s, d) => {
+    val (_, bm) = hybridRankings(s, d)
+    val emb = graft.Tables.embeddings(s, d).select("vec_id", "embedding")
+    val knn = graft.operators.Similarity.bruteForceKnn(
+      emb, emb.filter(col("vec_id") % 25 === 0), 10)
+      .select("query_id", "rnk", "neighbor_id")
+    // the lexical leg restricted to queries that HAVE an embedding —
+    // votes for lexical-only queries would fuse against an absent
+    // semantic leg (per-query independence makes pre- and post-fusion
+    // filtering equivalent; filtering before keeps the vote union tiny)
+    val embQ = emb.select(col("vec_id").as("query_id"))
+    rrfFusion(Seq(
+      bm.join(broadcast(embQ), Seq("query_id"), "left_semi"), knn), 5)
+  }
+
+  // lazy: composes qRrfFusionSql, which is initialized later in this
+  // object (definition order follows the query family grouping)
+  lazy val qHybridFusionSql: String = {
+    val bmLegAnchor = "qq AS (SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 25 = 0),"
+    require(qRrfFusionSql.contains(bmLegAnchor),
+      "bm25 oracle block moved — update qHybridFusionSql")
+    // reuse qRrfFusionSql's BM25 blocks verbatim (toks…branked), swap
+    // the tfidf leg for the exact-cosine vector leg and restrict the
+    // lexical votes to embedded queries
+    qRrfFusionSql
+      .substring(0, qRrfFusionSql.indexOf("votes AS ("))
+      .replace("tranked AS", "tranked_unused AS") +
+      """vknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               b.vec_id) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id % 25 = 0),
+        |votes AS (
+        |  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS vote
+        |  FROM branked WHERE rnk <= 10
+        |    AND query_id IN (SELECT vec_id FROM embeddings)
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS vote
+        |  FROM vknn WHERE rnk <= 10),
+        |fused AS (SELECT query_id, neighbor_id,
+        |            round(sum(vote), 6) AS rrf
+        |          FROM votes GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, rrf,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY rrf DESC, neighbor_id) AS rnk
+        |           FROM fused)
+        |SELECT query_id, rnk, neighbor_id, rrf
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val qRrfFusionSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(
@@ -2757,6 +2825,7 @@ object TextAnalysis {
     "q_tfidf_wand" -> qTfidfWand,
     "q_rrf_fusion" -> qRrfFusion,
     "q_rrf_fusion_served" -> qRrfFusionServed,
+    "q_hybrid_fusion" -> qHybridFusion,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_lm_buckets" -> qLmBuckets)
 
@@ -2796,6 +2865,7 @@ object TextAnalysis {
     "q_tfidf_wand" -> qTfidfRetrievalSql,
     "q_rrf_fusion" -> qRrfFusionSql,
     "q_rrf_fusion_served" -> qRrfFusionSql,
+    "q_hybrid_fusion" -> qHybridFusionSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_lm_buckets" -> qLmBucketsSql)
 }

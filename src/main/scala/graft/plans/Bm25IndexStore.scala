@@ -422,16 +422,31 @@ object Bm25IndexStore {
           element_at(col("top"), topN).getField("_1"))
           .otherwise(lit(Double.MinValue)).as("theta"))
       .localCheckpoint(true)
-    // per-(query, term) cap: the P-th ORIGINAL impact — computed over
-    // ranks 1..P only (rank-0 extended rows are always candidates and
-    // must not deflate the cap), WITHOUT the self-match filter (a
-    // query's own doc occupies a prefix slot like any other)
-    val caps = prefix.filter(col("rnk_w") >= 1)
-      .groupBy("query_id", "tkey")
-      .agg(count(lit(1)).as("cnt"), min("w").as("minw"))
+    // per-(query, term) cap, GAP-TOLERANT (see WandKernel's cap-rule
+    // comment — compaction removes retired rows without re-ranking, so
+    // prefixes carry rank gaps): "no tail" comes from the FROZEN df
+    // alone (df ≤ P ⇒ the build-time list fit in the prefix; deletion
+    // only shrinks it), a tailed term's cap is the min SURVIVING
+    // rank-1..P impact (every surviving prefix row outranks the
+    // original P-th, which bounds every tail row), and a tailed term
+    // with ZERO surviving prefix rows leaves no sound cap — its
+    // queries route to the naive kernel. Rank-0 extended rows are
+    // always candidates and must not deflate the cap; no self-match
+    // filter (a query's own doc occupies a prefix slot like any other).
+    val caps0 = qdf
+      .join(broadcast(eligible), Seq("query_id"), "left_semi")
+      .join(prefix.filter(col("rnk_w") >= 1)
+          .groupBy("query_id", "tkey").agg(min("w").as("minw")),
+        Seq("query_id", "tkey"), "left")
       .select(col("query_id"), col("tkey"),
-        when(col("cnt") >= prefixP, col("minw"))
-          .otherwise(lit(0.0)).as("capw"))
+        when(col("df") <= prefixP, lit(0.0))
+          .otherwise(col("minw")).as("capw"))
+      .localCheckpoint(true)
+    val uncapped = caps0.filter(col("capw").isNull)
+      .select("query_id").distinct()
+    val caps = caps0
+      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
+      .filter(col("capw").isNotNull)
     val totals = caps.groupBy("query_id")
       .agg(sum("capw").as("cap_total"))
     val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
@@ -456,8 +471,16 @@ object Bm25IndexStore {
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     // ROUTE (scaladoc step 3) — [[WandKernel.routes]]: tail rule by
     // price, then WAND only when the FULL pruned volume (tail rows +
-    // scoring broadcast) at least halves the naive one
-    val routes = WandKernel.routes(qstats, est1, est2, nPref)
+    // scoring broadcast) at least halves the naive one; uncappable
+    // queries are forced ineligible here so they reach the naive
+    // branch exactly once (leaving them in would double-score them)
+    val routes = WandKernel.routes(
+      qstats.join(
+          broadcast(uncapped.withColumn("uncap", lit(true))),
+          Seq("query_id"), "left")
+        .withColumn("eligible", col("eligible") && col("uncap").isNull)
+        .drop("uncap"),
+      est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = live(post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")

@@ -407,18 +407,30 @@ object TfidfIndexStore {
           element_at(col("top"), topN).getField("_1"))
           .otherwise(lit(Double.MinValue)).as("theta"))
       .localCheckpoint(true)
-    // contribution cap per (query, term): (wq/‖q‖) · (P-th wn)
-    // caps over TRUE ranks only: rank-0 extended postings are always
-    // candidates and must not deflate the P-th impact (an understated
-    // cap would understate tail bounds — unsound); mirrors
-    // [[Bm25IndexStore.wandSearch]]'s cap filter
-    val capwn = prefix
-      .filter(col("rnk_w") >= 1)
-      .groupBy("query_id", "tkey")
-      .agg(count(lit(1)).as("cnt"), min("wn").as("minwn"))
+    // contribution cap per (query, term): (wq/‖q‖) · (P-th wn),
+    // GAP-TOLERANT (see [[Bm25IndexStore.wandSearch]]'s cap comment —
+    // compaction leaves rank gaps): "no tail" from the FROZEN df
+    // alone, cap = min SURVIVING rank-1..P impact otherwise, and a
+    // tailed term with zero surviving prefix rows (and wq > 0 — a
+    // zero-weight term cannot lift any doc) routes its queries naive.
+    // Caps over TRUE ranks only: rank-0 extended postings are always
+    // candidates and must not deflate the impact bound.
+    val capwn0 = qdf
+      .join(broadcast(eligible), Seq("query_id"), "left_semi")
+      .join(prefix.filter(col("rnk_w") >= 1)
+          .groupBy("query_id", "tkey").agg(min("wn").as("minwn")),
+        Seq("query_id", "tkey"), "left")
       .select(col("query_id"), col("tkey"),
-        when(col("cnt") >= prefixP, col("minwn"))
-          .otherwise(lit(0.0)).as("capwn"))
+        when(col("df") <= prefixP, lit(0.0))
+          .otherwise(col("minwn")).as("capwn"))
+      .localCheckpoint(true)
+    val uncapped = capwn0.filter(col("capwn").isNull)
+      .join(broadcast(qpost), Seq("query_id", "tkey"))
+      .filter(col("wq") > 0.0)
+      .select("query_id").distinct()
+    val capwn = capwn0
+      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
+      .filter(col("capwn").isNotNull)
     val caps = capwn
       .join(broadcast(qpost), Seq("query_id", "tkey"))
       .join(broadcast(qn), "query_id")
@@ -447,8 +459,15 @@ object TfidfIndexStore {
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     // routing + chosen tail probes — [[WandKernel.routes]] /
     // [[WandKernel.chosenCutoffs]] (the (1 + nt) broadcast pricing
-    // lives there)
-    val routes = WandKernel.routes(qstats, est1, est2, nPref)
+    // lives there); uncappable queries forced ineligible so they
+    // reach the naive branch exactly once
+    val routes = WandKernel.routes(
+      qstats.join(
+          broadcast(uncapped.withColumn("uncap", lit(true))),
+          Seq("query_id"), "left")
+        .withColumn("eligible", col("eligible") && col("uncap").isNull)
+        .drop("uncap"),
+      est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = live(post.filter(col("rnk_w") > prefixP)
       .join(broadcast(chosen), "tkey")

@@ -341,21 +341,36 @@ private[plans] object WandKernel {
     // a pair's partial may differ in ulps, which only moves the SEED
     // SET — any seed set yields a valid θ, the documented argument).
     val capStatsT =
-      scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+      scala.collection.mutable.HashMap.empty[Long, Double]
     prefixT.foreach { case (t, _, imp, r) =>
-      if (r >= 1) {
-        val cell = capStatsT.getOrElseUpdate(t,
-          Array(0.0, Double.MaxValue))
-        cell(0) += 1
-        if (imp < cell(1)) cell(1) = imp
-      }
+      if (r >= 1 && imp < capStatsT.getOrElse(t, Double.MaxValue))
+        capStatsT.update(t, imp)
     }
+    // GAP-TOLERANT cap rule — compaction removes retired docs' rows
+    // WITHOUT re-ranking, so a term's prefix can hold fewer than P
+    // surviving rows while a tail still exists. "No tail" therefore
+    // comes from the FROZEN df alone (df ≤ P ⇒ the build-time list fit
+    // in the prefix; deletion only shrinks it — sound), never from the
+    // surviving row count (the pre-fix rule priced such tails at cap 0
+    // and silently dropped their score mass — caught by the
+    // q_bm25_index_delete tri-SF sweep). When a tail exists the cap is
+    // the min surviving prefix impact: every surviving prefix row has
+    // rank ≤ P so impact ≥ the original P-th, which bounds every tail
+    // row. A tailed term with ZERO surviving prefix rows leaves no
+    // sound cap at all — its queries route to the naive kernel.
+    val uncappable: Set[Long] = queriesOfTerm.iterator.collect {
+      case (t, qs) if dfOfTerm(t) > prefixP && !capStatsT.contains(t) =>
+        qs
+    }.flatten.toSet
+    val cappable = eligible -- uncappable
+    if (cappable.isEmpty)
+      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
     val capImp =
       scala.collection.mutable.HashMap.empty[(Long, Long), Double]
     val capb =
       scala.collection.mutable.HashMap.empty[(Long, Long), Double]
-    capStatsT.foreach { case (t, cell) =>
-      val ci = if (cell(0) >= prefixP) cell(1) else 0.0
+    capStatsT.foreach { case (t, minImp) =>
+      val ci = if (dfOfTerm(t) <= prefixP) 0.0 else minImp
       queriesOfTerm(t).foreach { k =>
         capImp.update((k, t), ci)
         capb.update((k, t), qfOf.getOrElse((k, t), 0.0) * ci)
@@ -439,12 +454,12 @@ private[plans] object WandKernel {
         k -> es.map(e => dfOf.getOrElse((k, e._2), 0L)).sum }
       val npref = candPairs.groupBy(_._1)
         .map { case (k, ps) => k -> ps.length.toLong }
-      val useEss = eligible.iterator.map { k =>
+      val useEss = cappable.iterator.map { k =>
         k -> (est2.getOrElse(k, 0L) < est1.getOrElse(k, 0L)) }.toMap
-      val vol = eligible.iterator.map { k =>
+      val vol = cappable.iterator.map { k =>
         k -> (math.min(est1.getOrElse(k, 0L), est2.getOrElse(k, 0L)) +
           npref.getOrElse(k, 0L)) * (1L + nt(k)) }.toMap
-      val wandIds = eligible.filter(k => vol(k) * 2 < estn(k))
+      val wandIds = cappable.filter(k => vol(k) * 2 < estn(k))
       Algebra(cutoffs, essential, candPairs, useEss, wandIds,
         wandIds.iterator.map(vol).sum)
     }

@@ -699,7 +699,7 @@ object InvariantProps extends Properties("graft.invariants") {
   private case class WandCase(
       corpus: List[(Long, String)], extendB: List[(Long, String)],
       dead: List[Long], queryIds: List[Long],
-      prefixP: Int, bcast: Long)
+      prefixP: Int, bcast: Long, compact: Boolean)
 
   private val genWandCase: Gen[WandCase] = for {
     n <- Gen.choose(3, 14)
@@ -712,6 +712,11 @@ object InvariantProps extends Properties("graft.invariants") {
     qIds <- Gen.someOf(allIds :+ 999L) // 999 is never indexed
     prefixP <- Gen.oneOf(1, 2, 3, 8)
     bcast <- Gen.oneOf(1L, 40L, 4000000L)
+    // COMPACT is the input family the round-11 cap bug lived in: the
+    // physical rewrite leaves rank GAPS in the prefixes (a term whose
+    // whole top-P died keeps a tail with zero prefix rows), which
+    // tombstone-only masking never produces
+    compact <- Gen.oneOf(true, false)
   } yield {
     // the ubiquitous regime: every doc carries "ubiq" and one extra
     // doc is ONLY "ubiq" — df == n_docs gives it idf 0, so that doc is
@@ -722,7 +727,8 @@ object InvariantProps extends Properties("graft.invariants") {
       if (ubiq) base :+ ((n + 1).toLong, "ubiq") else base
     val ext = xTexts.zipWithIndex
       .map { case (t, i) => ((101 + i).toLong, t) }
-    WandCase(corpus, ext, dead.toList, qIds.toList, prefixP, bcast)
+    WandCase(corpus, ext, dead.toList, qIds.toList, prefixP, bcast,
+      compact)
   }
 
   property("wandSearch == search: both stores, both orchestrations, " +
@@ -752,6 +758,10 @@ object InvariantProps extends Properties("graft.invariants") {
           val d = c.dead.toDF("doc_id")
           Bm25IndexStore.delete(spark, bm, d)
           TfidfIndexStore.delete(spark, tfx, d)
+          if (c.compact) {
+            Bm25IndexStore.compact(spark, bm)
+            TfidfIndexStore.compact(spark, tfx)
+          }
         }
         def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
           df.collect().map(r =>
