@@ -392,15 +392,55 @@ object Bm25IndexStore {
     // where a dead doc's weight only loosens an upper bound —
     // compaction restores tightness, like rank-0 extended rows
     val prefixLive = live(prefix)
+    // per-(query, term) cap, GAP-TOLERANT (see WandKernel's cap-rule
+    // comment — compaction removes retired rows without re-ranking, so
+    // prefixes carry rank gaps): "no tail" comes from the FROZEN df
+    // alone (df ≤ P ⇒ the build-time list fit in the prefix; deletion
+    // only shrinks it), a tailed term's cap is the min SURVIVING
+    // rank-1..P impact (every surviving prefix row outranks the
+    // original P-th, which bounds every tail row), and a tailed term
+    // with ZERO surviving prefix rows leaves no sound cap — its
+    // queries route to the naive kernel. Rank-0 extended rows are
+    // always candidates and must not deflate the cap; no self-match
+    // filter (a query's own doc occupies a prefix slot like any other).
+    // Derived BEFORE the θ-seed pass so uncappable queries never pay
+    // the seed exact-scoring scan they cannot use.
+    val caps0 = qdf
+      .join(broadcast(eligible), Seq("query_id"), "left_semi")
+      .join(prefix.filter(col("rnk_w") >= 1)
+          .groupBy("query_id", "tkey").agg(min("w").as("minw")),
+        Seq("query_id", "tkey"), "left")
+      .select(col("query_id"), col("tkey"),
+        when(col("df") <= prefixP, lit(0.0))
+          .otherwise(col("minw")).as("capw"))
+      .localCheckpoint(true)
+    val uncapped = caps0.filter(col("capw").isNull)
+      .select("query_id").distinct()
+    val caps = caps0
+      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
     // θ comes from PARTIAL prefix scores, not a full scoring pass: the
     // sum of a pair's prefix contributions lower-bounds its true score,
     // so the k-th best partial is a valid (slightly looser) threshold —
     // and deriving it costs only the prefix rows already scanned,
     // where an exact-θ pass would re-touch every candidate posting
     val pairScores = prefixLive
+      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum("w").as("pscore"))
+    // a query whose entire prefix is tombstone-masked (or self) has no
+    // LIVE pairs: no θ-seed, no prefix candidates — and the routing
+    // below would price it at volume 0 and wand-route it into an EMPTY
+    // result (a pre-existing hole the compact-era stress pass caught:
+    // delete the rank-1 doc of a single-term query at P=1 and the
+    // query vanished from the output). No θ means no sound pruning, so
+    // such queries join the forced-naive set. The driver-planned path
+    // is immune — its missing-θ default is −∞, which degrades to a
+    // full tail scan.
+    val forceNaive = uncapped.unionByName(
+        eligible.join(pairScores.select("query_id").distinct(),
+          Seq("query_id"), "left_anti"))
+      .distinct().localCheckpoint(true)
     val candA = pairScores.select("query_id", "doc_id")
     // θ is the topN-th EXACT score of a small SEED set — the top
     // 4·topN docs per query by partial prefix score, fully scored
@@ -422,31 +462,6 @@ object Bm25IndexStore {
           element_at(col("top"), topN).getField("_1"))
           .otherwise(lit(Double.MinValue)).as("theta"))
       .localCheckpoint(true)
-    // per-(query, term) cap, GAP-TOLERANT (see WandKernel's cap-rule
-    // comment — compaction removes retired rows without re-ranking, so
-    // prefixes carry rank gaps): "no tail" comes from the FROZEN df
-    // alone (df ≤ P ⇒ the build-time list fit in the prefix; deletion
-    // only shrinks it), a tailed term's cap is the min SURVIVING
-    // rank-1..P impact (every surviving prefix row outranks the
-    // original P-th, which bounds every tail row), and a tailed term
-    // with ZERO surviving prefix rows leaves no sound cap — its
-    // queries route to the naive kernel. Rank-0 extended rows are
-    // always candidates and must not deflate the cap; no self-match
-    // filter (a query's own doc occupies a prefix slot like any other).
-    val caps0 = qdf
-      .join(broadcast(eligible), Seq("query_id"), "left_semi")
-      .join(prefix.filter(col("rnk_w") >= 1)
-          .groupBy("query_id", "tkey").agg(min("w").as("minw")),
-        Seq("query_id", "tkey"), "left")
-      .select(col("query_id"), col("tkey"),
-        when(col("df") <= prefixP, lit(0.0))
-          .otherwise(col("minw")).as("capw"))
-      .localCheckpoint(true)
-    val uncapped = caps0.filter(col("capw").isNull)
-      .select("query_id").distinct()
-    val caps = caps0
-      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
-      .filter(col("capw").isNotNull)
     val totals = caps.groupBy("query_id")
       .agg(sum("capw").as("cap_total"))
     val cutoffs = caps.join(totals, "query_id").join(theta, "query_id")
@@ -471,15 +486,16 @@ object Bm25IndexStore {
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     // ROUTE (scaladoc step 3) — [[WandKernel.routes]]: tail rule by
     // price, then WAND only when the FULL pruned volume (tail rows +
-    // scoring broadcast) at least halves the naive one; uncappable
-    // queries are forced ineligible here so they reach the naive
-    // branch exactly once (leaving them in would double-score them)
+    // scoring broadcast) at least halves the naive one; uncappable and
+    // live-prefix-empty queries are forced ineligible here so they
+    // reach the naive branch exactly once (leaving them in would
+    // double-score the former and EMPTY-result the latter)
     val routes = WandKernel.routes(
       qstats.join(
-          broadcast(uncapped.withColumn("uncap", lit(true))),
+          broadcast(forceNaive.withColumn("fnaive", lit(true))),
           Seq("query_id"), "left")
-        .withColumn("eligible", col("eligible") && col("uncap").isNull)
-        .drop("uncap"),
+        .withColumn("eligible", col("eligible") && col("fnaive").isNull)
+        .drop("fnaive"),
       est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = live(post.filter(col("rnk_w") > prefixP)

@@ -379,34 +379,6 @@ object TfidfIndexStore {
     // still feeds the CAPS below, where a dead doc's wn only loosens
     // an upper bound (compaction restores tightness)
     val prefixLive = live(prefix)
-    // θ from PARTIAL prefix cosines (prefix dot / true norms): a
-    // lower bound of each pair's full cosine, so the k-th best partial
-    // is a valid threshold at only the prefix rows' cost
-    val pairScores = prefixLive
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("wq") * col("w")).as("pdot"))
-      .join(norms, "doc_id")
-      .join(broadcast(qn), "query_id")
-      .select(col("query_id"), col("doc_id"),
-        (col("pdot") / (col("nq") * col("nrm"))).as("pscore"))
-      .localCheckpoint(true)
-    val candA = pairScores.select("query_id", "doc_id")
-    // θ = topN-th EXACT cosine of the top-4·topN partial seeds per
-    // query (the Bm25IndexStore.wandSearch refinement — a partial θ
-    // lets flat-impact tails under the cutoff)
-    val seeds = pairScores.groupBy("query_id")
-      .agg(TopKAgg.topK(4 * topN, col("pscore"), col("doc_id")).as("top"))
-      .select(col("query_id"),
-        explode(expr("transform(top, x -> x._2)")).as("doc_id"))
-    val theta = scoreCandidates(post, norms, qpost, qn, seeds)
-      .groupBy("query_id")
-      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"),
-        when(size(col("top")) >= topN,
-          element_at(col("top"), topN).getField("_1"))
-          .otherwise(lit(Double.MinValue)).as("theta"))
-      .localCheckpoint(true)
     // contribution cap per (query, term): (wq/‖q‖) · (P-th wn),
     // GAP-TOLERANT (see [[Bm25IndexStore.wandSearch]]'s cap comment —
     // compaction leaves rank gaps): "no tail" from the FROZEN df
@@ -414,7 +386,9 @@ object TfidfIndexStore {
     // tailed term with zero surviving prefix rows (and wq > 0 — a
     // zero-weight term cannot lift any doc) routes its queries naive.
     // Caps over TRUE ranks only: rank-0 extended postings are always
-    // candidates and must not deflate the impact bound.
+    // candidates and must not deflate the impact bound. Derived
+    // BEFORE the θ-seed pass so uncappable queries never pay the seed
+    // exact-scoring scan they cannot use.
     val capwn0 = qdf
       .join(broadcast(eligible), Seq("query_id"), "left_semi")
       .join(prefix.filter(col("rnk_w") >= 1)
@@ -431,6 +405,43 @@ object TfidfIndexStore {
     val capwn = capwn0
       .join(broadcast(uncapped), Seq("query_id"), "left_anti")
       .filter(col("capwn").isNotNull)
+    // θ from PARTIAL prefix cosines (prefix dot / true norms): a
+    // lower bound of each pair's full cosine, so the k-th best partial
+    // is a valid threshold at only the prefix rows' cost
+    val pairScores = prefixLive
+      .join(broadcast(uncapped), Seq("query_id"), "left_anti")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("pdot"))
+      .join(norms, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("pdot") / (col("nq") * col("nrm"))).as("pscore"))
+      .localCheckpoint(true)
+    // live-prefix-empty queries have no θ-seed and no prefix
+    // candidates: forced naive alongside the uncappable set, else the
+    // routing prices them at volume 0 and wand-routes them into an
+    // empty result (see [[Bm25IndexStore.wandSearch]]'s twin comment)
+    val forceNaive = uncapped.unionByName(
+        eligible.join(pairScores.select("query_id").distinct(),
+          Seq("query_id"), "left_anti"))
+      .distinct().localCheckpoint(true)
+    val candA = pairScores.select("query_id", "doc_id")
+    // θ = topN-th EXACT cosine of the top-4·topN partial seeds per
+    // query (the Bm25IndexStore.wandSearch refinement — a partial θ
+    // lets flat-impact tails under the cutoff)
+    val seeds = pairScores.groupBy("query_id")
+      .agg(TopKAgg.topK(4 * topN, col("pscore"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x._2)")).as("doc_id"))
+    val theta = scoreCandidates(post, norms, qpost, qn, seeds)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(topN, col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        when(size(col("top")) >= topN,
+          element_at(col("top"), topN).getField("_1"))
+          .otherwise(lit(Double.MinValue)).as("theta"))
+      .localCheckpoint(true)
     val caps = capwn
       .join(broadcast(qpost), Seq("query_id", "tkey"))
       .join(broadcast(qn), "query_id")
@@ -459,14 +470,14 @@ object TfidfIndexStore {
     val nPref = candA.groupBy("query_id").agg(count(lit(1)).as("npref"))
     // routing + chosen tail probes — [[WandKernel.routes]] /
     // [[WandKernel.chosenCutoffs]] (the (1 + nt) broadcast pricing
-    // lives there); uncappable queries forced ineligible so they
-    // reach the naive branch exactly once
+    // lives there); uncappable and live-prefix-empty queries forced
+    // ineligible so they reach the naive branch exactly once
     val routes = WandKernel.routes(
       qstats.join(
-          broadcast(uncapped.withColumn("uncap", lit(true))),
+          broadcast(forceNaive.withColumn("fnaive", lit(true))),
           Seq("query_id"), "left")
-        .withColumn("eligible", col("eligible") && col("uncap").isNull)
-        .drop("uncap"),
+        .withColumn("eligible", col("eligible") && col("fnaive").isNull)
+        .drop("fnaive"),
       est1, est2, nPref)
     val chosen = WandKernel.chosenCutoffs(cutoffs, essential, routes)
     val candB = live(post.filter(col("rnk_w") > prefixP)

@@ -399,11 +399,15 @@ private[plans] object WandKernel {
       }
     }
     // per-query pair lists, built once, reused by θ selection + seeds
+    // — CAPPABLE queries only: an uncappable query routes naive
+    // unconditionally, so seeding/scoring θ for it would be one dead
+    // exact-scoring action's worth of work per batch
     val pairsByQ = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
     pair.foreach { case ((k, doc), cell) =>
-      pairsByQ.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty) += ((doc, cell(0)))
+      if (cappable(k))
+        pairsByQ.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty) += ((doc, cell(0)))
     }
 
     /** The whole cutoff/essential/candidate/pricing algebra as a

@@ -333,4 +333,44 @@ class RetireSpec extends AnyFunSuite {
     assert(tableFiles(table) === before)
     assert(!spark.catalog.tableExists(Retire.deadTable(table)))
   }
+
+  test("wand serves a query whose entire LIVE prefix is masked: the " +
+    "rank-1 doc of one term deleted, the other term's rank-1 is the " +
+    "query itself (P=1) — both stores, both orchestrations") {
+    // the exact stress-found hole: at P=1 query 2's live prefix pairs
+    // are EMPTY (term `shared`'s rank-1 row is dead doc 1, term
+    // `ecks`'s rank-1 row is query 2 itself), so there is no θ-seed
+    // and no prefix candidate — the distributed routing used to price
+    // the query at volume 0, wand-route it, and return NOTHING, while
+    // search correctly finds doc 3 through `shared`'s tail. `shared`
+    // sits in 3 of 4 docs so its tf-idf idf stays positive (df ==
+    // n_docs terms are w > 0-filtered out of that store entirely).
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared"), (2L, "shared ecks"), (3L, "shared wye"),
+      (4L, "other")).toDF("doc_id", "text")
+    val (bm, bmPath) = fresh("wandgap_bm")
+    val (tfx, tfPath) = fresh("wandgap_tf")
+    Bm25IndexStore.build(corpus, bm, bmPath, buckets = 2)
+    TfidfIndexStore.build(corpus, 10, tfx, tfPath, buckets = 2)
+    Bm25IndexStore.delete(spark, bm, ids(1L))
+    TfidfIndexStore.delete(spark, tfx, ids(1L))
+    val q = corpus.filter(col("doc_id") === 2L)
+    val bmRef = rows4(Bm25IndexStore.search(spark, bm, q, 3))
+    val tfRef = rows4(TfidfIndexStore.search(spark, tfx, ids(2L), 3))
+    assert(bmRef.map(_._3).contains(3L),
+      "the reference must reach doc 3 through the masked term's tail")
+    assert(tfRef.map(_._3).contains(3L))
+    for (planned <- Seq(true, false)) {
+      try {
+        Bm25IndexStore.driverPlanningEnabled = planned
+        assert(rows4(Bm25IndexStore.wandSearch(
+          spark, bm, q, 3, prefixP = 1)) === bmRef,
+          s"bm25 planned=$planned")
+        assert(rows4(TfidfIndexStore.wandSearch(
+          spark, tfx, ids(2L), 3, prefixP = 1)) === tfRef,
+          s"tfidf planned=$planned")
+      } finally Bm25IndexStore.driverPlanningEnabled = true
+    }
+  }
 }
