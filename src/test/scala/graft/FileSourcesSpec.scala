@@ -118,8 +118,11 @@ class FileSourcesSpec extends AnyFunSuite {
     assert(viaOrc.toSeq === direct.toSeq)
     // the ORC scan gets the same optimizer treatment as parquet:
     // selected columns only in ReadSchema, filter pushed to the scan
+    // the SAME path derivation the query writes to (a hashCode-based
+    // variant here once pointed at a stale dir from an old session and
+    // the assertion silently pinned that instead of the fresh write)
     val orcPath = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      graft.plans.AggStore.artifactId(dir)
     val plan = spark.read.orc(orcPath)
       .filter(col("c_custkey") === 42L)
       .select("c_custkey", "c_name")
