@@ -382,15 +382,22 @@ object Multimodal {
     * [[qPhashRecall]] — the q_dedup_simhash / q_simhash_recall
     * adjudicated pattern.
     */
-  val qDedupPhash: Q = (s, d) => {
-    val fps = imageCorpus(s, d)
-      .select(col("doc_id"),
-        graft.functions.PHash64.fp(s, col("payload")).as("simhash"))
-      .filter(col("simhash") =!=
-        org.apache.spark.sql.functions.lit(
-          graft.functions.PHash64.Undecodable))
-    graft.operators.Dedup.hammingPairs(fps, 4).orderBy("id_a", "id_b")
-  }
+  val qDedupPhash: Q = (s, d) =>
+    phashPairList(s, d).orderBy("id_a", "id_b")
+
+  /** Memoized image pair list — the pair row and its recall ledger
+    * read one materialized list (the [[vhashPairList]] discipline).
+    */
+  private def phashPairList(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ppairs") {
+      val fps = imageCorpus(s, d)
+        .select(col("doc_id"),
+          graft.functions.PHash64.fp(s, col("payload")).as("simhash"))
+        .filter(col("simhash") =!=
+          org.apache.spark.sql.functions.lit(
+            graft.functions.PHash64.Undecodable))
+      graft.operators.Dedup.hammingPairs(fps, 4)
+    }
 
   /** Recall/precision of the pHash banding gate against the PLANTED
     * near-dup truth (the construction is a pure function of doc_id, so
@@ -402,8 +409,7 @@ object Multimodal {
     val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
-    val ph = qDedupPhash(s, d).select("id_a", "id_b")
-      .localCheckpoint(true)
+    val ph = phashPairList(s, d).select("id_a", "id_b")
     val nPh = ph.agg(count(lit(1)).as("n_phash"))
     truth.join(ph.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(
@@ -520,15 +526,24 @@ object Multimodal {
     * [[qAhashRecall]] — the q_dedup_phash / q_phash_recall adjudicated
     * pattern.
     */
-  val qDedupAhash: Q = (s, d) => {
-    val fps = audioCorpus(s, d)
-      .select(col("doc_id"),
-        graft.functions.AHash64.fp(s, col("payload")).as("simhash"))
-      .filter(col("simhash") =!=
-        org.apache.spark.sql.functions.lit(
-          graft.functions.AHash64.Undecodable))
-    graft.operators.Dedup.hammingPairs(fps, 4).orderBy("id_a", "id_b")
-  }
+  val qDedupAhash: Q = (s, d) =>
+    ahashPairList(s, d).orderBy("id_a", "id_b")
+
+  /** Memoized audio fingerprint frame — shared by the pair list and
+    * [[qDedupAhashIncremental]]'s index build (the [[videoFrames]]
+    * discipline: the sinusoid render + Goertzel pass is the family's
+    * dominant cost and is paid once per (context, dataset)).
+    */
+  private def audioFps(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "afps")(
+      graft.plans.AhashIndexStore.fingerprints(audioCorpus(s, d)))
+
+  /** Memoized audio pair list — the pair row and its recall ledger
+    * read one materialized list (the [[vhashPairList]] discipline).
+    */
+  private def ahashPairList(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "apairs")(
+      graft.operators.Dedup.hammingPairs(audioFps(s, d), 4))
 
   /** Recall/precision of the audio fingerprint's banding gate against
     * the PLANTED pitched/gain-shifted truth — pure in doc_id, so
@@ -539,8 +554,7 @@ object Multimodal {
     val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 2)
       .select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
-    val ah = qDedupAhash(s, d).select("id_a", "id_b")
-      .localCheckpoint(true)
+    val ah = ahashPairList(s, d).select("id_a", "id_b")
     val nAh = ah.agg(count(lit(1)).as("n_ahash"))
     truth.join(ah.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(
@@ -592,7 +606,8 @@ object Multimodal {
       .take(12)
     val table = s"graft_ahashidx_$tag"
     val path = s"${sys.props("java.io.tmpdir")}/graft_ahashidx_$tag"
-    graft.plans.AhashIndexStore.build(audioCorpus(s, d), table, path)
+    graft.plans.AhashIndexStore.buildFromFingerprints(
+      audioFps(s, d), table, path)
     import s.implicits._
     val batch = Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism)
@@ -685,6 +700,41 @@ object Multimodal {
     AviCodec.encodeFrames(64, 64, frames)
   }
 
+  /** Memoized fingerprint pass over [[videoCorpus]] — the
+    * (doc_id, j, simhash) frame rows ([[graft.plans.VhashIndexStore
+    * .frames]], ONE definition with the index store), rendered +
+    * decoded + DCT-hashed once per (context, dataset) and shared by
+    * the three video rows ([[qDedupVhash]], [[qVhashRecall]],
+    * [[qDedupVhashIncremental]]'s index build) — the hybrid-ranking
+    * discipline: the corpus-sized render is the dominant cost of the
+    * family and is paid once, each consumer stays an independent
+    * reader of the materialized frames. localCheckpoint'd (lineage
+    * truncated) and context-keyed; on a real cluster an executor loss
+    * invalidates the blocks — re-derive, don't recover.
+    */
+  private def videoFrames(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "vframes")(
+      graft.plans.VhashIndexStore.frames(videoCorpus(s, d)))
+
+  /** Memoized clip-level pair list over [[videoFrames]] — both the
+    * pair row and its recall ledger read this one materialized list
+    * (queries-consume-one-ranking, the hybrid-pair shape), so the
+    * banding + median verify is also paid once per (context, dataset).
+    */
+  private def vhashPairList(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "vpairs")(
+      graft.operators.Dedup.vhashPairs(videoFrames(s, d), 4))
+
+  /** The perceptual family's memo entries ride the shared session
+    * memo table ([[graft.plans.Memo]]): each is a small materialized
+    * frame shared by a fingerprint family's rows. The corpora are
+    * deterministic pure functions of doc_id, so a memoized value is
+    * identical to a recomputation.
+    */
+  private def memo(s: SparkSession, d: String, tag: String)(
+      f: => DataFrame): DataFrame =
+    graft.plans.Memo.frame(s, d, tag)(f)
+
   /** Clip-level perceptual near-dup pairs over the video corpus:
     * codegen'd per-frame pHashes per payload
     * ([[graft.functions.VHashFrames]] — AVI DIB decode + the image
@@ -696,14 +746,8 @@ object Multimodal {
     * ledgered by [[qVhashRecall]] — the adjudicated
     * q_dedup_phash / q_phash_recall pattern.
     */
-  val qDedupVhash: Q = (s, d) => {
-    val fps = videoCorpus(s, d)
-      .select(col("doc_id"),
-        graft.functions.VHashFrames.fps(s, col("payload")).as("fps"))
-      .filter(col("fps").isNotNull)
-      .select(col("doc_id"), posexplode(col("fps")).as(Seq("j", "simhash")))
-    graft.operators.Dedup.vhashPairs(fps, 4).orderBy("id_a", "id_b")
-  }
+  val qDedupVhash: Q = (s, d) =>
+    vhashPairList(s, d).orderBy("id_a", "id_b")
 
   /** Recall/precision of the vhash median gate against the PLANTED
     * clip-copy truth — the [[qPhashRecall]] ledger shape: DuckDB
@@ -714,8 +758,7 @@ object Multimodal {
     val truth = Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
       .select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
-    val vh = qDedupVhash(s, d).select("id_a", "id_b")
-      .localCheckpoint(true)
+    val vh = vhashPairList(s, d).select("id_a", "id_b")
     val nVh = vh.agg(count(lit(1)).as("n_vhash"))
     truth.join(vh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(
@@ -747,6 +790,55 @@ object Multimodal {
       |    / nullif((SELECT count(*) FROM vh), 0), 4) AS precision
       |FROM j""".stripMargin
 
+  /** Incremental VIDEO admission against a SAVED per-frame fingerprint
+    * index ([[graft.plans.VhashIndexStore]]) — the perceptual-dedup
+    * continual-ingest step for clips, COMPLETING the incremental
+    * family across all four modalities (text shingles / embeddings /
+    * audio / video). A FRESH artifact per run (admission EXTENDS the
+    * index — the [[qDedupAhashIncremental]] discipline), built from
+    * the memoized [[videoFrames]] so the corpus render is shared with
+    * the pair family. The batch: re-encoded brightness-shifted copies
+    * of every doc_id % 8 == 3 BASE clip (REJECTED — %8==3 clips have
+    * NO planted +1e6 copy in the index, so rejection exercises the
+    * perceptual median gate against the base rendering, not a
+    * byte-identical twin) plus fresh clips rendered from unseen ids
+    * (ADMITTED — distinct clips land far outside the gate, the
+    * [[qVhashRecall]] precision-1 argument). Output is the admitted
+    * doc_ids ONLY (frame fingerprints are engine-specific); the corpus
+    * is pure in doc_id, so DuckDB re-derives the set from `documents`
+    * alone.
+    */
+  val qDedupVhashIncremental: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val table = s"graft_vhashidx_$tag"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vhashidx_$tag"
+    graft.plans.VhashIndexStore.buildFromFrames(
+      videoFrames(s, d), table, path)
+    import s.implicits._
+    val batch = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val copies =
+          if (id % 8 == 3)
+            Seq((id + 2000000L, renderVideo(id, copy = true)))
+          else Nil
+        val fresh =
+          if (id % 8 == 5)
+            Seq((id + 3000000L, renderVideo(id + 3000000L, copy = false)))
+          else Nil
+        copies ++ fresh
+      }.toDF("doc_id", "payload")
+    graft.plans.VhashIndexStore.admitAndExtend(batch, table)
+      .select("doc_id").distinct().orderBy("doc_id")
+  }
+
+  val qDedupVhashIncrementalSql: String =
+    """SELECT doc_id + 3000000 AS doc_id FROM documents
+      |WHERE doc_id % 8 = 5
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -756,7 +848,8 @@ object Multimodal {
     "q_ahash_recall" -> qAhashRecall,
     "q_dedup_ahash_incremental" -> qDedupAhashIncremental,
     "q_dedup_vhash" -> qDedupVhash,
-    "q_vhash_recall" -> qVhashRecall)
+    "q_vhash_recall" -> qVhashRecall,
+    "q_dedup_vhash_incremental" -> qDedupVhashIncremental)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
@@ -764,5 +857,6 @@ object Multimodal {
     "q_phash_recall" -> qPhashRecallSql,
     "q_ahash_recall" -> qAhashRecallSql,
     "q_dedup_ahash_incremental" -> qDedupAhashIncrementalSql,
-    "q_vhash_recall" -> qVhashRecallSql)
+    "q_vhash_recall" -> qVhashRecallSql,
+    "q_dedup_vhash_incremental" -> qDedupVhashIncrementalSql)
 }

@@ -29,19 +29,31 @@ object AhashIndexStore {
     */
   val Radius = 4
 
-  private def fingerprints(clips: DataFrame): DataFrame =
+  /** (doc_id, simhash) fingerprint rows of a clips frame — ONE
+    * definition shared by build, admission, and the in-plan
+    * q_dedup_ahash family so the fingerprint pipeline cannot drift
+    * between the index and the pair queries.
+    */
+  def fingerprints(clips: DataFrame): DataFrame =
     clips.select(col("doc_id"),
       graft.functions.AHash64.fp(clips.sparkSession, col("payload"))
         .as("simhash"))
       .filter(col("simhash") =!=
         lit(graft.functions.AHash64.Undecodable))
 
-  def build(clips: DataFrame, table: String, path: String): Unit = {
-    val spark = clips.sparkSession
+  def build(clips: DataFrame, table: String, path: String): Unit =
+    buildFromFingerprints(fingerprints(clips), table, path)
+
+  /** Build from ALREADY-FINGERPRINTED (doc_id, simhash) rows — for
+    * callers that share one corpus fingerprint pass across consumers
+    * (the memoized q_dedup_ahash family).
+    */
+  def buildFromFingerprints(
+      fps: DataFrame, table: String, path: String): Unit = {
+    val spark = fps.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     Retire.reset(spark, table)
-    fingerprints(clips)
-      .write.option("path", path).mode("overwrite")
+    fps.write.option("path", path).mode("overwrite")
       .format("parquet").saveAsTable(table)
   }
 

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 /** Document retirement for the persisted index artifacts — the
   * delete/tombstone/compact layer shared by [[Bm25IndexStore]],
   * [[TfidfIndexStore]], [[ShingleIndexStore]], [[IvfIndexStore]],
-  * [[PqStore]] and [[AhashIndexStore]]. Before this layer the stores
+  * [[PqStore]], [[AhashIndexStore]] and [[VhashIndexStore]]. Before
+  * this layer the stores
   * were build/load/extend-only: a takedown, opt-out, or bad-batch
   * rollback meant a full rebuild (re-tokenizing / re-encoding the
   * corpus). Now:

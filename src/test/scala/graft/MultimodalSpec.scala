@@ -162,6 +162,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AhashIndexStore.admitAndExtend(replay, table).count() === 0)
   }
 
+  test("vhash index store: admission rejects exactly the re-encoded " +
+    "copies via the median gate against the BASE clips, admits fresh " +
+    "clips, grows the index by the admitted frame rows, and " +
+    "re-admission of admitted clips is a no-op") {
+    import graft.multimodal.{Multimodal => MM}
+    import graft.plans.VhashIndexStore
+    import spark.implicits._
+    val table = "vhash_idx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vhashidx").toString + "/idx"
+    // a base-only index (no planted +1e6 copies): every rejection below
+    // must come from the perceptual gate against the BASE rendering
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect().filter(_ % 16 == 0).take(24).toSeq
+    val clips = ids.map(id => (id, MM.renderVideo(id, copy = false)))
+      .toDF("doc_id", "payload").localCheckpoint(true)
+    VhashIndexStore.build(clips, table, path)
+    val pre = spark.table(table).count()
+    val batch = ids.flatMap { id =>
+      Seq((id + 2000000L, MM.renderVideo(id, copy = true))) ++
+        (if (id % 32 == 16)
+           Seq((id + 3000000L, MM.renderVideo(id + 3000000L, copy = false)))
+         else Nil)
+    }.toDF("doc_id", "payload")
+    val admitted = VhashIndexStore.admitAndExtend(batch, table)
+    val admittedIds = admitted.select("doc_id").distinct()
+      .as[Long].collect().sorted
+    val wantFresh = ids.filter(_ % 32 == 16).map(_ + 3000000L).sorted
+    assert(admittedIds === wantFresh,
+      "exactly the fresh clips admitted; every re-encoded copy rejected")
+    assert(admittedIds.nonEmpty)
+    assert(spark.table(table).count() === pre + admitted.count(),
+      "the index grows by exactly the admitted frame rows")
+    // incremental property: re-encoded copies of JUST-ADMITTED clips
+    // now reject against the extended index
+    val replay = ids.filter(_ % 32 == 16).map { id =>
+      (id + 4000000L, MM.renderVideo(id + 3000000L, copy = true))
+    }.toDF("doc_id", "payload")
+    assert(VhashIndexStore.admitAndExtend(replay, table).count() === 0)
+  }
+
   test("media table covers all docs with valid headers") {
     val media = Multimodal.mediaTable(spark, dir).cache()
     assert(media.count() === 500)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.{AhashIndexStore, Bm25IndexStore, IvfIndexStore,
-  PqStore, Retire, ShingleIndexStore, TfidfIndexStore}
+  PqStore, Retire, ShingleIndexStore, TfidfIndexStore, VhashIndexStore}
 
 /** Document retirement across the persisted index artifacts: delete
   * masks immediately through every serve path (including both WAND
@@ -313,6 +313,44 @@ class RetireSpec extends AnyFunSuite {
     assert(viaDelete === viaRebuild)
     // the admitted copies landed; compacting sweeps only the dead rows
     AhashIndexStore.compact(spark, table)
+    assert(!spark.catalog.tableExists(Retire.deadTable(table)))
+    val left = spark.table(table).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dead.forall(d => !left(d) && left(d + 1000000L)))
+  }
+
+  test("vhash: delete unblocks admission and equals a rebuild from " +
+    "survivors; compact drops ALL of a clip's frame rows") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val clipIds = docs.filter(col("doc_id") % 16 === 0).limit(24)
+      .select("doc_id").as[Long].collect().toSeq
+    val clips = clipIds
+      .map(id => (id, Multimodal.renderVideo(id, copy = false)))
+      .toDF("doc_id", "payload").localCheckpoint(true)
+    val (table, path) = fresh("vhash")
+    VhashIndexStore.build(clips, table, path)
+    // re-encoded near-dup copies of the indexed clips: all rejected
+    val copies = clipIds
+      .map(id => (id + 1000000L, Multimodal.renderVideo(id, copy = true)))
+      .toDF("doc_id", "payload").localCheckpoint(true)
+    assert(VhashIndexStore.admitAndExtend(copies, table).count() === 0)
+    val dead = clipIds.sorted.take(3)
+    VhashIndexStore.delete(spark, table, ids(dead: _*))
+    // exactly the copies of the deleted clips admit now — and the same
+    // set admits against an index rebuilt from the survivors
+    val (table2, path2) = fresh("vhash2")
+    VhashIndexStore.build(
+      clips.filter(!col("doc_id").isin(dead: _*)), table2, path2)
+    val viaDelete = VhashIndexStore.admitAndExtend(copies, table)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val viaRebuild = VhashIndexStore.admitAndExtend(copies, table2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaDelete === dead.map(_ + 1000000L).toSet)
+    assert(viaDelete === viaRebuild)
+    // the admitted copies' frame rows landed; compacting sweeps every
+    // frame row of the dead clips and nothing else
+    VhashIndexStore.compact(spark, table)
     assert(!spark.catalog.tableExists(Retire.deadTable(table)))
     val left = spark.table(table).select("doc_id").collect()
       .map(_.getLong(0)).toSet
