@@ -1161,6 +1161,44 @@ object ScaleProbe {
       val (m, _) = operators.TextAnalysis.bpeVocabLoopLocal(vocab, 32768)
       s"${m.size} merges over ${vocab.count()} words"
     }
+    // unigram hard-EM trainer: the corpus collapses to (word, freq)
+    // exactly like BPE, so the 10x-replica corpus yields the IDENTICAL
+    // word table (freqs x10) and identical rounds; each EM round is a
+    // distributed Viterbi over the word table with the vocab-sized
+    // piece map broadcast. zipf corpus = 1,920 distinct 5-7-char words
+    // with rich substring sharing (the seed cap and the prune both
+    // bite, unlike the 31-word natural fixture vocab).
+    t("unigram hard-EM: seed + 2 rounds + prune on 50k zipf docs " +
+      "(corpus pass + vocab-bounded rounds)")(
+      operators.Unigram.train(operators.Unigram.wordFreq(zipfDocs)).size)
+    // round cost scales with the WORD TABLE, not the corpus: a 200k-
+    // distinct-word synthetic vocab prices the per-round Viterbi map at
+    // two orders past the fixture vocab
+    t("unigram hard-EM: 200k-distinct-word synthetic vocab " +
+      "(per-round Viterbi cost at production vocab scale)") {
+      import spark.implicits._
+      val words = spark.range(200000L).map { id =>
+        def mx(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        val h1 = mx(id); val h2 = mx(id + 7777777L)
+        val len = 5 + (h1 & 7L).toInt
+        val sb = new StringBuilder
+        var i = 0
+        while (i < len) {
+          val bits = if (i < 8) h1 >>> (8 + i * 7) else h2 >>> ((i - 8) * 7)
+          sb += ('a' + ((bits & 63L) % 26).toInt).toChar
+          i += 1
+        }
+        (sb.toString, 1L + 1000000L / (id + 1L))
+      }.toDF("w", "freq")
+        .groupBy("w").agg(max("freq").as("freq"))
+        .localCheckpoint(true)
+      operators.Unigram.train(words).size
+    }
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text
     // 10-hot — worst case for it

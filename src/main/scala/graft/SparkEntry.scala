@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.jobs.SanefQueries
 import graft.multimodal.Multimodal
-import graft.operators.{Classifier, Clustering, Curation, Dedup, Quality, Relational, Reshape, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Clustering, Curation, Dedup, Quality, Relational, Reshape, Sampling, Similarity, TextAnalysis, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,9 +25,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Reshape.queries ++ SanefQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Curation.queries ++ Quality.queries ++
-      Clustering.queries ++ Sampling.queries ++ Classifier.queries
+      TextAnalysis.queries ++ Unigram.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Curation.queries ++
+      Quality.queries ++ Clustering.queries ++ Sampling.queries ++
+      Classifier.queries
 
   /** The SPARK_GRAFT_ONLY name filter shared by Bench and Verify (one
     * definition so the two mains can't interpret the env var
@@ -43,7 +44,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Reshape.oracles ++ SanefQueries.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Curation.oracles ++ Quality.oracles ++
-      Clustering.oracles ++ Sampling.oracles ++ Classifier.oracles
+      TextAnalysis.oracles ++ Unigram.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ Curation.oracles ++
+      Quality.oracles ++ Clustering.oracles ++ Sampling.oracles ++
+      Classifier.oracles
 }

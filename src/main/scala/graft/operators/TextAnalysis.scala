@@ -2096,7 +2096,7 @@ object TextAnalysis {
     * tie-break must replicate exactly (UTF-16 compareTo diverges on
     * supplementary characters).
     */
-  private def utf8Less(x: String, y: String): Boolean = {
+  private[graft] def utf8Less(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)

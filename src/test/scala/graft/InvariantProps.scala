@@ -786,4 +786,36 @@ object InvariantProps extends Properties("graft.invariants") {
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
+
+  property("unigram: distributed hard-EM E-step equals the local " +
+    "viterbi reference and conserves codepoint mass") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      Gen.choose(1L, 9L)))) { raw =>
+      import graft.operators.Unigram
+      val wf = raw.toMap // dedupe words; last freq wins, deterministic
+      val words = wf.toSeq.toDF("w", "freq")
+      val chars = wf.keys.flatMap(_.toCharArray.map(_.toString))
+        .toSeq.distinct
+      val multi = wf.keys.flatMap { w =>
+        for {
+          e <- 2 to w.length
+          l <- 2 to math.min(4, e)
+        } yield w.substring(e - l, e)
+      }.toSeq.distinct.sorted.take(8)
+      // deterministic coarse scores: grid multiples make ties common,
+      // exercising the longer-piece tie rule through the cluster path
+      val sc = (chars ++ multi)
+        .map(p => p -> -(100L * (1 + math.floorMod(p.hashCode, 5))))
+        .toMap
+      val got = Unigram.emCounts(words, sc)
+      val want = wf.toSeq
+        .flatMap { case (w, f) => Unigram.viterbi(w, sc).map((_, f)) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val mass = wf.map { case (w, f) => f * w.length }.sum
+      Prop(got == want) :| s"distributed $got != local $want" &&
+        Prop(got.map { case (p, c) => c * p.length }.sum == mass) :|
+        "segmentations must tile every word"
+    }
 }
