@@ -314,6 +314,42 @@ object Unigram {
       s, Tables.documents(s, d).select("doc_id", "text"), table)
   }
 
+  /** Per-(source, lang) fertility under the unigram tokenizer — the
+    * [[TextAnalysis.qTokenizerFertility]] report for the second
+    * tokenizer family, enabling the cross-tokenizer comparison every
+    * tokenizer swap ships with (fertility = pieces per word, weighted
+    * by token mass). Group sums are exact integers; the ratio is one
+    * IEEE division rounded 4dp, so the report composes the encode
+    * oracle wholesale as a derived table.
+    */
+  val qUnigramFertility: Q = (s, d) => {
+    val enc = qUnigramEncode(s, d)
+    Tables.documents(s, d).select("doc_id", "source", "lang")
+      .join(enc, "doc_id")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_pieces").as("n_pieces"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_pieces").cast("double") / col("n_words"), 4)))
+      .orderBy("source", "lang")
+  }
+
+  def qUnigramFertilitySql: String =
+    s"""SELECT d.source, d.lang, count(*) AS n_docs,
+      |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+      |  CASE WHEN sum(e.n_words) > 0 THEN
+      |    round(CAST(sum(e.n_pieces) AS DOUBLE) / sum(e.n_words), 4)
+      |  END AS fertility
+      |FROM documents d JOIN (
+      |$qUnigramEncodeSql
+      |) e USING (doc_id)
+      |GROUP BY d.source, d.lang
+      |ORDER BY d.source, d.lang""".stripMargin
+
   // -------------------------------------------------------------------
   // Machine-generated oracle
   // -------------------------------------------------------------------
@@ -454,10 +490,12 @@ object Unigram {
   val queries: Map[String, Q] = Map(
     "q_unigram_vocab" -> qUnigramVocab,
     "q_unigram_encode" -> qUnigramEncode,
-    "q_unigram_encode_served" -> qUnigramEncodeServed)
+    "q_unigram_encode_served" -> qUnigramEncodeServed,
+    "q_unigram_fertility" -> qUnigramFertility)
 
   val oracles: Map[String, String] = Map(
     "q_unigram_vocab" -> qUnigramVocabSql,
     "q_unigram_encode" -> qUnigramEncodeSql,
-    "q_unigram_encode_served" -> qUnigramEncodeSql)
+    "q_unigram_encode_served" -> qUnigramEncodeSql,
+    "q_unigram_fertility" -> qUnigramFertilitySql)
 }

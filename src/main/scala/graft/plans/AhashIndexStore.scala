@@ -68,6 +68,26 @@ object AhashIndexStore {
   def compact(spark: SparkSession, table: String): Unit =
     Retire.compact(spark, table, Seq(table -> "doc_id"))
 
+  /** Doc_ids of fingerprinted batch rows with a banded near-dup among
+    * the saved (surviving) fingerprints — the probe shared by
+    * [[admitAndExtend]] and the streaming admission gate
+    * ([[graft.streaming.DocStreams.admitByAudioFingerprint]]).
+    */
+  def matchFingerprints(fps: DataFrame, table: String,
+      maxHamming: Int = Radius): DataFrame = {
+    val spark = fps.sparkSession
+    graft.operators.Dedup
+      .hammingMatch(fps,
+        Retire.survivors(spark, table, spark.table(table), "doc_id"),
+        maxHamming)
+      .select(col("batch_id").as("doc_id")).distinct()
+  }
+
+  /** [[matchFingerprints]] over raw clip payloads. */
+  def matchBatch(batch: DataFrame, table: String,
+      maxHamming: Int = Radius): DataFrame =
+    matchFingerprints(fingerprints(batch), table, maxHamming)
+
   /** Admit the batch clips with NO banded near-dup in the saved index
     * (radius [[Radius]]), fold exactly them in, and return their
     * (doc_id, simhash) rows. Batch-internal duplicates are admitted
@@ -77,15 +97,10 @@ object AhashIndexStore {
     */
   def admitAndExtend(batch: DataFrame, table: String,
       maxHamming: Int = Radius): DataFrame = {
-    val spark = batch.sparkSession
     val fps = fingerprints(batch).localCheckpoint(true)
-    val rejected = graft.operators.Dedup
-      .hammingMatch(fps,
-        Retire.survivors(spark, table, spark.table(table), "doc_id"),
-        maxHamming)
-      .select(col("batch_id").as("doc_id")).distinct()
     val admitted = fps
-      .join(rejected, Seq("doc_id"), "left_anti")
+      .join(matchFingerprints(fps, table, maxHamming),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // materialize BEFORE the append below
     admitted.write.mode("append").format("parquet").saveAsTable(table)
     admitted

@@ -75,6 +75,26 @@ object VhashIndexStore {
   def compact(spark: SparkSession, table: String): Unit =
     Retire.compact(spark, table, Seq(table -> "doc_id"))
 
+  /** Doc_ids of fingerprinted batch clips with a median-gate near-dup
+    * among the saved (surviving) frames — the probe shared by
+    * [[admitAndExtend]] and the streaming admission gate
+    * ([[graft.streaming.DocStreams.admitByVideoFingerprint]]).
+    */
+  def matchFrames(fps: DataFrame, table: String,
+      maxHamming: Int = Radius): DataFrame = {
+    val spark = fps.sparkSession
+    graft.operators.Dedup
+      .vhashMatch(fps,
+        Retire.survivors(spark, table, spark.table(table), "doc_id"),
+        maxHamming)
+      .select(col("batch_id").as("doc_id")).distinct()
+  }
+
+  /** [[matchFrames]] over raw clip payloads. */
+  def matchBatch(batch: DataFrame, table: String,
+      maxHamming: Int = Radius): DataFrame =
+    matchFrames(frames(batch), table, maxHamming)
+
   /** Admit the batch clips with NO median-gate near-dup in the saved
     * index (radius [[Radius]]), fold exactly their frame rows in, and
     * return them. Batch-internal duplicates are admitted together (the
@@ -83,15 +103,9 @@ object VhashIndexStore {
     */
   def admitAndExtend(batch: DataFrame, table: String,
       maxHamming: Int = Radius): DataFrame = {
-    val spark = batch.sparkSession
     val fps = frames(batch).localCheckpoint(true)
-    val rejected = graft.operators.Dedup
-      .vhashMatch(fps,
-        Retire.survivors(spark, table, spark.table(table), "doc_id"),
-        maxHamming)
-      .select(col("batch_id").as("doc_id")).distinct()
     val admitted = fps
-      .join(rejected, Seq("doc_id"), "left_anti")
+      .join(matchFrames(fps, table, maxHamming), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // materialize BEFORE the append below
     admitted.write.mode("append").format("parquet").saveAsTable(table)
     admitted

@@ -292,6 +292,46 @@ object DocStreams {
       sink(batch.join(dup, Seq("vec_id"), "left_anti"), batchId)
     }
 
+  /** Streaming PERCEPTUAL admission against the saved audio
+    * fingerprint index — the media sibling of [[admitBySimilarity]],
+    * completing the streaming-gate matrix across modalities (text
+    * shingles / embeddings / audio / video): each micro-batch of
+    * (doc_id, payload) clips fingerprints ONLY itself
+    * ([[graft.plans.AhashIndexStore.matchBatch]] — the same probe the
+    * batch admission uses, so stream ≡ batch admission row-for-row)
+    * and clips within the banding gate of any saved clip drop before
+    * the sink. Same staleness contract as the whole family: the
+    * stream does NOT extend the index mid-run (a foreachBatch write
+    * to the table the same query reads would race its own scans) —
+    * fold admitted batches in between runs via
+    * `AhashIndexStore.admitAndExtend`; tombstones
+    * ([[graft.plans.Retire]]) mask mid-stream since every micro-batch
+    * replans against the table.
+    */
+  def admitByAudioFingerprint(
+      clips: DataFrame, table: String,
+      maxHamming: Int = graft.plans.AhashIndexStore.Radius)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dup = graft.plans.AhashIndexStore
+        .matchBatch(batch.select("doc_id", "payload"), table, maxHamming)
+      sink(batch.join(dup, Seq("doc_id"), "left_anti"), batchId)
+    }
+
+  /** [[admitByAudioFingerprint]] for VIDEO clips: the probe is the
+    * frame-aligned median gate over the saved per-frame fingerprints
+    * ([[graft.plans.VhashIndexStore.matchBatch]]).
+    */
+  def admitByVideoFingerprint(
+      clips: DataFrame, table: String,
+      maxHamming: Int = graft.plans.VhashIndexStore.Radius)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dup = graft.plans.VhashIndexStore
+        .matchBatch(batch.select("doc_id", "payload"), table, maxHamming)
+      sink(batch.join(dup, Seq("doc_id"), "left_anti"), batchId)
+    }
+
   /** Serving-time streaming RETRIEVAL over the saved BM25 artifact —
     * the query-side twin of the admission gates: queries arrive as a
     * stream of (doc_id, text) rows, every micro-batch runs the

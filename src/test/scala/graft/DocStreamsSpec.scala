@@ -663,6 +663,76 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed perceptual admission (audio + video) against the " +
+    "saved fingerprint indexes: copies rejected, fresh clips admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.{Multimodal => MM}
+    val dir = "/root/testdata/sf0.001"
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect().filter(_ % 16 == 0).take(16).toSeq
+
+    // ---- audio: pitched/gain-shifted copies reject, fresh admit ----
+    val aTable = "ahash_stream_admit"
+    spark.sql(s"DROP TABLE IF EXISTS $aTable")
+    val aPath = java.nio.file.Files
+      .createTempDirectory("graft-ahash-stream").toString + "/idx"
+    graft.plans.AhashIndexStore.build(
+      ids.map(id => (id, MM.renderClip(id, copy = false)))
+        .toDF("doc_id", "payload"), aTable, aPath)
+    val aRows = ids.flatMap { id =>
+      Seq((id + 1000000L, MM.renderClip(id, copy = true))) ++
+        (if (id % 32 == 16)
+           Seq((id + 2000000L, MM.renderClip(id + 2000000L, copy = false)))
+         else Nil)
+    }
+    val aAdm = scala.collection.mutable.ArrayBuffer[Long]()
+    val aIn = MemoryStream[(Long, Array[Byte])]
+    val q1 = DocStreams.admitByAudioFingerprint(
+      aIn.toDF().toDF("doc_id", "payload"), aTable) { (out, _) =>
+      aAdm.synchronized {
+        aAdm ++= out.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      aIn.addData(aRows.toIndexedSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(aAdm.toSet === aRows.map(_._1).filter(_ >= 2000000L).toSet,
+      "audio: every pitched copy rejected, every fresh clip admitted")
+    assert(aAdm.nonEmpty)
+
+    // ---- video: re-encoded brightness-shifted copies reject ----
+    val vTable = "vhash_stream_admit"
+    spark.sql(s"DROP TABLE IF EXISTS $vTable")
+    val vPath = java.nio.file.Files
+      .createTempDirectory("graft-vhash-stream").toString + "/idx"
+    graft.plans.VhashIndexStore.build(
+      ids.map(id => (id, MM.renderVideo(id, copy = false)))
+        .toDF("doc_id", "payload"), vTable, vPath)
+    val vRows = ids.flatMap { id =>
+      Seq((id + 1000000L, MM.renderVideo(id, copy = true))) ++
+        (if (id % 32 == 16)
+           Seq((id + 2000000L, MM.renderVideo(id + 2000000L, copy = false)))
+         else Nil)
+    }
+    val vAdm = scala.collection.mutable.ArrayBuffer[Long]()
+    val vIn = MemoryStream[(Long, Array[Byte])]
+    val q2 = DocStreams.admitByVideoFingerprint(
+      vIn.toDF().toDF("doc_id", "payload"), vTable) { (out, _) =>
+      vAdm.synchronized {
+        vAdm ++= out.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      vIn.addData(vRows.toIndexedSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(vAdm.toSet === vRows.map(_._1).filter(_ >= 2000000L).toSet,
+      "video: every re-encoded copy rejected, every fresh clip admitted")
+    assert(vAdm.nonEmpty)
+  }
+
   test("prepare is batch/stream agnostic: identical rows both ways") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
