@@ -1133,10 +1133,13 @@ object ScaleProbe {
     // makes this O(affected adjacencies · log P) — the re-sweeping
     // form was O(vocab × merges) ≈ 10¹¹ driver ops (hours); this row
     // prices the claim that the cap's routing is safe at any budget.
-    t("bpe incremental local: 32768 merges on ~1M-word synthetic vocab " +
-      "(driver pair-count maintenance)") {
+    // shared generator for the tokenizer-trainer probes: n ids → 5-12
+    // char splitmix64 words with a zipf-ish frequency head, collapsed
+    // to a distinct (w, freq) table (ONE definition — the BPE and
+    // unigram probes must price the same word distribution)
+    def syntheticVocab(n: Long): DataFrame = {
       import spark.implicits._
-      val vocab = spark.range(1000000L).map { id =>
+      spark.range(n).map { id =>
         def mx(z0: Long): Long = {
           var z = z0 + 0x9e3779b97f4a7c15L
           z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -1155,6 +1158,11 @@ object ScaleProbe {
         (sb.toString, 1L + 1000000L / (id + 1L)) // zipf-ish head
       }.toDF("w", "freq")
         .groupBy("w").agg(max("freq").as("freq"))
+        .localCheckpoint(true)
+    }
+    t("bpe incremental local: 32768 merges on ~1M-word synthetic vocab " +
+      "(driver pair-count maintenance)") {
+      val vocab = syntheticVocab(1000000L)
         .select(col("w"), col("freq"),
           filter(split(col("w"), ""), x => x =!= "").as("syms"))
         .localCheckpoint(true)
@@ -1176,28 +1184,7 @@ object ScaleProbe {
     // two orders past the fixture vocab
     t("unigram hard-EM: 200k-distinct-word synthetic vocab " +
       "(per-round Viterbi cost at production vocab scale)") {
-      import spark.implicits._
-      val words = spark.range(200000L).map { id =>
-        def mx(z0: Long): Long = {
-          var z = z0 + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        val h1 = mx(id); val h2 = mx(id + 7777777L)
-        val len = 5 + (h1 & 7L).toInt
-        val sb = new StringBuilder
-        var i = 0
-        while (i < len) {
-          val bits = if (i < 8) h1 >>> (8 + i * 7) else h2 >>> ((i - 8) * 7)
-          sb += ('a' + ((bits & 63L) % 26).toInt).toChar
-          i += 1
-        }
-        (sb.toString, 1L + 1000000L / (id + 1L))
-      }.toDF("w", "freq")
-        .groupBy("w").agg(max("freq").as("freq"))
-        .localCheckpoint(true)
-      operators.Unigram.train(words).size
+      operators.Unigram.train(syntheticVocab(200000L)).size
     }
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text

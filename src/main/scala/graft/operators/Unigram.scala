@@ -280,7 +280,6 @@ object Unigram {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("seg"), lit("")).as("seg"))
-      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------------------
@@ -293,11 +292,15 @@ object Unigram {
     trained(s, d).toDF("piece", "cnt", "score").orderBy("piece")
   }
 
-  /** Whole-corpus Viterbi encode under the trained vocabulary. */
+  /** Whole-corpus Viterbi encode under the trained vocabulary (the
+    * presentation sort lives HERE, not in the helper — aggregation
+    * consumers like [[qUnigramFertility]] discard row order).
+    */
   val qUnigramEncode: Q = (s, d) =>
     encodeWithVocab(
       Tables.documents(s, d).select("doc_id", "text"),
       trained(s, d).map(p => p.piece -> p.score).toMap)
+      .orderBy("doc_id")
 
   /** Artifact-served twin: persist the piece table
     * ([[graft.plans.UnigramStore]]), encode from the FROZEN artifact —
@@ -312,6 +315,7 @@ object Unigram {
     graft.plans.UnigramStore.save(s, trained(s, d), table, path)
     graft.plans.UnigramStore.encode(
       s, Tables.documents(s, d).select("doc_id", "text"), table)
+      .orderBy("doc_id")
   }
 
   /** Per-(source, lang) fertility under the unigram tokenizer — the
@@ -323,7 +327,12 @@ object Unigram {
     * oracle wholesale as a derived table.
     */
   val qUnigramFertility: Q = (s, d) => {
-    val enc = qUnigramEncode(s, d)
+    // the unsorted encode helper — the aggregation below discards any
+    // row order, so qUnigramEncode's presentation sort would be waste
+    // (the qTokenizerFertility precedent)
+    val enc = encodeWithVocab(
+      Tables.documents(s, d).select("doc_id", "text"),
+      trained(s, d).map(p => p.piece -> p.score).toMap)
     Tables.documents(s, d).select("doc_id", "source", "lang")
       .join(enc, "doc_id")
       .groupBy("source", "lang")

@@ -28,11 +28,43 @@ object Memo {
 
   /** The memoized frame for (session, dataset, tag), computing and
     * eagerly materializing `f` on first use.
+    *
+    * Deliberately NOT `computeIfAbsent`: memoized producers nest
+    * (a family's pair list derives from its memoized fingerprint
+    * frame), and a nested `computeIfAbsent` on the same
+    * ConcurrentHashMap throws IllegalStateException("Recursive
+    * update") whenever the two keys hash into the same bin — a
+    * run-dependent crash, since the applicationId prefix reshuffles
+    * bins per session. Two-phase get → compute OUTSIDE the map →
+    * putIfAbsent instead: a racing duplicate computation is possible
+    * but harmless (producers are deterministic; the losing value is
+    * dropped), and recursion is always safe.
+    *
+    * A cached entry is PROBED before reuse (the hybridRankings
+    * discipline): the frames are small, so `isEmpty` costs ~ms and
+    * proves the truncated-lineage checkpoint blocks are still
+    * fetchable — on a real cluster an executor loss poisons them, and
+    * the probe converts "every later consumer fails all session" into
+    * one re-derivation.
     */
   def frame(s: SparkSession, d: String, tag: String)(
-      f: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + AggStore.artifactId(d) +
-        "|" + tag,
-      _ => f.localCheckpoint(true))
+      f: => DataFrame): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + AggStore.artifactId(d) +
+      "|" + tag
+    def derive(): DataFrame = {
+      val v = f.localCheckpoint(true)
+      val prev = cache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+    cache.get(key) match {
+      case null => derive()
+      case hit =>
+        try { hit.isEmpty; hit }
+        catch {
+          case _: Throwable =>
+            cache.remove(key, hit)
+            derive()
+        }
+    }
+  }
 }

@@ -132,6 +132,7 @@ class UnigramSpec extends AnyFunSuite {
     val sc = Unigram.trained(spark, dir)
       .map(p => p.piece -> p.score).toMap
     val enc = Unigram.encodeWithVocab(docs, sc).collect()
+      .sortBy(_.getLong(0))
     val byId = docs.collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     enc.foreach { r =>
@@ -149,7 +150,7 @@ class UnigramSpec extends AnyFunSuite {
     graft.plans.UnigramStore.save(
       spark, Unigram.trained(spark, dir), table, path)
     val served = graft.plans.UnigramStore.encode(spark, docs, table)
-      .collect()
+      .collect().sortBy(_.getLong(0))
     assert(served.toSeq === enc.toSeq,
       "served encode ≡ in-plan encode, row for row")
   }
