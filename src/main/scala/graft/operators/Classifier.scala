@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -194,8 +194,20 @@ object Classifier {
     scoreWith(f, train(f))
   }
 
+  /** Memoized scored corpus shared by the four in-plan consumer rows
+    * (classifier / calibration / curriculum / weighted-sample) — the
+    * hybrid-ranking discipline: the 16-pass GD train + scoring is
+    * deterministic (integer gradients), so each consumer reads one
+    * materialized (doc_id, y, score, pred) frame instead of
+    * re-training per row. The artifact-amortized path remains
+    * [[qClassifierServed]].
+    */
+  private def scoredCorpus(s: SparkSession, d: String): DataFrame =
+    graft.plans.Memo.frame(s, d, "cls_scored")(
+      scoreCorpus(documents(s, d)))
+
   val qQualityClassifier: Q = (s, d) =>
-    scoreCorpus(documents(s, d)).orderBy("doc_id")
+    scoredCorpus(s, d).orderBy("doc_id")
 
   /** The same scoring served from the PERSISTED weight artifact
     * ([[graft.plans.ClsStore]]): train+save once, score the batch under
@@ -245,7 +257,7 @@ object Classifier {
   }
 
   val qClassifierCalibration: Q = (s, d) =>
-    calibrationSweep(scoreCorpus(documents(s, d))).orderBy("tau")
+    calibrationSweep(scoredCorpus(s, d)).orderBy("tau")
 
   // ---------------------------------------------------------------------
   // Quality curriculum — the downstream consumer of the graded score
@@ -265,7 +277,7 @@ object Classifier {
   // ---------------------------------------------------------------------
   val qCurriculumOrder: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val scored = scoreCorpus(documents(s, d))
+    val scored = scoredCorpus(s, d)
     val tierW = Window.orderBy(col("score").desc, col("doc_id").asc)
     val posW = Window.orderBy(col("tier").asc,
       md5(col("doc_id").cast("string")), col("doc_id").asc)
@@ -287,7 +299,7 @@ object Classifier {
   // composes into the ingest stream like the τ-gate.
   // ---------------------------------------------------------------------
   val qQualityWeightedSample: Q = (s, d) => {
-    val scored = scoreCorpus(documents(s, d))
+    val scored = scoredCorpus(s, d)
     val u = (conv(substring(
       md5(concat(col("doc_id").cast("string"), lit(":qws"))), 1, 8),
       16, 10).cast("long").cast("double") / lit(4294967296.0)).as("u")
