@@ -157,6 +157,94 @@ object Unigram {
     out
   }
 
+  /** Score of the implicit single-codepoint UNK piece in
+    * [[viterbiWithUnk]] — far below any real piece score (scores are
+    * round(ln(p)·1e6) ≥ −ln(total)·1e6 ≈ −3e7 even at 10¹² corpus
+    * occurrences), so real coverage always wins; a word of 1000 UNK
+    * positions sums to −10¹⁵, still far from Long overflow.
+    */
+  private val UnkScore = -1000000000000L
+
+  /** The usage-distribution bucket for out-of-vocabulary pieces —
+    * 7 codepoints, so it can never collide with a real piece
+    * ([[MaxPieceLen]] = 6).
+    */
+  val UnkKey = "<unk!!>"
+
+  /** [[viterbi]] with an UNK fallback: every position additionally
+    * carries an implicit single-codepoint piece at [[UnkScore]], so
+    * words with characters OUTSIDE the trained alphabet still segment
+    * (uncoverable positions consume one codepoint each — the
+    * byte-fallback accounting every production tokenizer applies).
+    * On fully-covered words the output is IDENTICAL to [[viterbi]]
+    * (UNK never beats a real piece). This is the staleness-measurement
+    * encoder: an uncoverable position IS the drift being measured,
+    * not an error.
+    */
+  private[graft] def viterbiWithUnk(
+      w: String, sc: collection.Map[String, Long]): Array[String] = {
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    val best = new Array[Long](n + 1)
+    val pick = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bs = best(i - 1) + UnkScore // the implicit UNK candidate
+      var bl = 1
+      val lm = math.min(MaxPieceLen, i)
+      var l = 1
+      while (l <= lm) {
+        sc.get(new String(cps, i - l, l)) match {
+          case Some(ps) =>
+            val cand = best(i - l) + ps
+            if (cand > bs || (cand == bs && l > bl)) { bs = cand; bl = l }
+          case None =>
+        }
+        l += 1
+      }
+      best(i) = bs
+      pick(i) = bl
+      i += 1
+    }
+    var e = n
+    var count = 0
+    while (e > 0) { count += 1; e -= pick(e) }
+    val out = new Array[String](count)
+    e = n
+    var k = count - 1
+    while (e > 0) {
+      out(k) = new String(cps, e - pick(e), pick(e))
+      k -= 1
+      e -= pick(e)
+    }
+    out
+  }
+
+  /** Freq-weighted piece-usage distribution of `words` under frozen
+    * scores, out-of-vocabulary pieces bucketed under [[UnkKey]]:
+    * (usage map, word observations, piece observations). The
+    * staleness baseline AND its live measurement both come from here
+    * (one definition, the [[graft.plans.Staleness]] discipline).
+    */
+  private[graft] def usage(
+      words: DataFrame, sc: Map[String, Long])
+      : (Map[String, Long], Long, Long) = {
+    val s = words.sparkSession
+    import s.implicits._
+    val b = s.sparkContext.broadcast(sc)
+    val rows = words.select(col("w"), col("freq")).as[(String, Long)]
+      .flatMap { case (w, f) =>
+        viterbiWithUnk(w, b.value)
+          .map(p => (if (b.value.contains(p)) p else UnkKey, f))
+      }
+      .toDF("piece", "f")
+      .groupBy("piece").agg(sum("f").as("uses"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nWords = words.agg(coalesce(sum("freq"), lit(0L)))
+      .collect()(0).getLong(0)
+    (rows, nWords, rows.valuesIterator.sum)
+  }
+
   /** Hard-EM E-step: freq-weighted piece counts over every word's
     * Viterbi segmentation — a distributed map over the word table with
     * the (vocab-sized) score map broadcast, aggregated and collected

@@ -28,6 +28,8 @@ object UnigramStore {
 
   def piecesTable(table: String): String = s"${table}_unigram_pieces"
 
+  def statsTable(table: String): String = s"${table}_unigram_stats"
+
   /** Save a trained vocabulary under `path`, registered as an external
     * table (piece, cnt, score).
     */
@@ -42,11 +44,91 @@ object UnigramStore {
       .format("parquet").saveAsTable(piecesTable(table))
   }
 
-  /** Train on `corpus` (doc_id, text) and save. */
+  /** Train on `corpus` (doc_id, text), save the piece table, and
+    * persist the build-time usage baseline ([[staleness]] reads it):
+    * the training corpus's piece-usage distribution and fertility
+    * under the FINAL vocabulary — one extra vocab-broadcast pass over
+    * the word table.
+    */
   def build(
-      corpus: DataFrame, table: String, path: String): Unit =
-    save(corpus.sparkSession,
-      Unigram.train(Unigram.wordFreq(corpus)), table, path)
+      corpus: DataFrame, table: String, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val words = Unigram.wordFreq(corpus)
+    val pieces = Unigram.train(words)
+    save(spark, pieces, table, path)
+    val (uses, nWords, _) =
+      Unigram.usage(words, pieces.map(p => p.piece -> p.score).toMap)
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
+    // the word-observation total rides a NULL-key row — no reserved
+    // string a pathological piece could collide with
+    (uses.toSeq.map { case (k, v) => (Option(k), v) } :+
+        (Option.empty[String] -> nWords))
+      .toDF("piece", "uses")
+      .coalesce(1)
+      .write.option("path", path + "_stats").mode("overwrite")
+      .format("parquet").saveAsTable(statsTable(table))
+  }
+
+  /** Measured drift of the FROZEN tokenizer against its build-time
+    * baseline — the [[Staleness]] policy extended to the tokenizer
+    * artifacts (the re-train knob the frozen-merges/frozen-pieces
+    * contract has always documented but left unmeasured):
+    *
+    *   - residualGrowth = batch fertility (pieces per word, UNK
+    *     positions counted one codepoint each — the byte-fallback
+    *     accounting) over build-time fertility. Grows when arriving
+    *     text segments worse — new domains, new languages, new
+    *     alphabets (pure-OOV words degrade to per-character UNKs, the
+    *     maximal fertility).
+    *   - occupancySkew = total-variation distance between the
+    *     build-time and batch piece-USAGE distributions (OOV mass
+    *     bucketed under [[graft.operators.Unigram.UnkKey]]). Grows
+    *     when usage piles onto pieces the training corpus rarely used
+    *     — drift that fertility alone can miss when piece LENGTHS
+    *     stay similar.
+    */
+  def staleness(
+      spark: SparkSession, batch: DataFrame, table: String): Staleness = {
+    val builtRows = spark.table(statsTable(table))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+          r.getLong(1)).toMap
+    val builtWords = builtRows.getOrElse(None, 0L)
+    val builtUses = builtRows.collect {
+      case (Some(k), v) => k -> v
+    }
+    val builtPieces = builtUses.valuesIterator.sum
+    val (uses, nWords, nPieces) =
+      Unigram.usage(Unigram.wordFreq(batch), loadScores(spark, table))
+    if (builtWords == 0L || nWords == 0L)
+      return Staleness(1.0, 0.0, builtWords, nWords)
+    val skew = 0.5 * (builtUses.keySet ++ uses.keySet).toSeq.map { k =>
+      math.abs(
+        builtUses.getOrElse(k, 0L).toDouble / builtPieces -
+          uses.getOrElse(k, 0L).toDouble / nPieces)
+    }.sum
+    Staleness(
+      (nPieces.toDouble / nWords) /
+        math.max(builtPieces.toDouble / builtWords, 1e-12),
+      skew, builtWords, nWords)
+  }
+
+  /** Re-train from `corpus` when either staleness signal (measured on
+    * that same corpus — the arriving distribution) clears its ceiling.
+    * Returns the measured staleness and whether a rebuild happened.
+    */
+  def rebuildIfStale(
+      corpus: DataFrame, table: String, path: String,
+      residualMax: Double = 1.25, skewMax: Double = 0.25)
+      : (Staleness, Boolean) = {
+    val spark = corpus.sparkSession
+    val st = staleness(spark, corpus, table)
+    if (st.isStale(residualMax, skewMax)) {
+      build(corpus, table, path + "_rb")
+      (st, true)
+    } else (st, false)
+  }
 
   /** The frozen score map — vocab-sized by construction. */
   def loadScores(

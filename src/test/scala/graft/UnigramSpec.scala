@@ -127,6 +127,57 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.encodeWithVocab(empty, Map.empty).count() === 0)
   }
 
+  test("tokenizer staleness: exactly flat on the training corpus, " +
+    "fires on an alphabet-drifted batch, rebuild flattens it — " +
+    "unigram and BPE stores") {
+    import spark.implicits._
+    import graft.plans.{BpeStore, UnigramStore}
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // drifted batch: digit words — entirely outside the training
+    // alphabet, so unigram degrades to per-character UNKs and BPE's
+    // merges never apply
+    val drifted = (1L to 300L)
+      .map(i => (i, s"${i * 97} ${i * 13} ${i * 7919}"))
+      .toDF("doc_id", "text")
+
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft-unistale").toString + "/idx"
+    UnigramStore.build(docs, "uni_stale_spec", p1)
+    val flat = UnigramStore.staleness(spark, docs, "uni_stale_spec")
+    assert(math.abs(flat.residualGrowth - 1.0) < 1e-9 &&
+      flat.occupancySkew < 1e-9,
+      s"same-corpus staleness must be exactly flat: $flat")
+    val st = UnigramStore.staleness(spark, drifted, "uni_stale_spec")
+    assert(st.isStale(1.25, 0.25), s"drift must fire: $st")
+    assert(st.residualGrowth > 2.0,
+      "digit words degrade to per-character UNKs — maximal fertility")
+    assert(st.occupancySkew > 0.5,
+      "usage mass moves onto the UNK bucket")
+    val (_, rebuilt) =
+      UnigramStore.rebuildIfStale(drifted, "uni_stale_spec", p1)
+    assert(rebuilt)
+    val post = UnigramStore.staleness(spark, drifted, "uni_stale_spec")
+    assert(math.abs(post.residualGrowth - 1.0) < 1e-9 &&
+      post.occupancySkew < 1e-9,
+      s"post-rebuild staleness must be flat: $post")
+
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-bpestale").toString + "/idx"
+    BpeStore.build(docs, 10, "bpe_stale_spec", p2)
+    BpeStore.saveStats(docs, "bpe_stale_spec", p2)
+    val bflat = BpeStore.staleness(spark, docs, "bpe_stale_spec")
+    assert(math.abs(bflat.residualGrowth - 1.0) < 1e-9 &&
+      bflat.occupancySkew < 1e-9)
+    val bst = BpeStore.staleness(spark, drifted, "bpe_stale_spec")
+    assert(bst.isStale(1.25, 0.25), s"BPE drift must fire: $bst")
+    val (_, brebuilt) =
+      BpeStore.rebuildIfStale(drifted, 10, "bpe_stale_spec", p2)
+    assert(brebuilt)
+    val bpost = BpeStore.staleness(spark, drifted, "bpe_stale_spec")
+    assert(math.abs(bpost.residualGrowth - 1.0) < 1e-9 &&
+      bpost.occupancySkew < 1e-9)
+  }
+
   test("encode tiles documents and the served twin is identical") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val sc = Unigram.trained(spark, dir)
