@@ -344,6 +344,11 @@ object Unigram {
     val s = docs.sparkSession
     import s.implicits._
     val b = s.sparkContext.broadcast(sc)
+    // materialized like bpeWordVocab: the distinct-word + Viterbi pass
+    // is the vocab-side seed (one word-keyed exchange over the corpus,
+    // paid once, lineage truncated) — the encode join below then
+    // streams the exploded corpus through a broadcast with no
+    // word-keyed exchange on the probe side (PlanShapeSpec pins it)
     val wseg = docs.select(explode(tokens(col("text"))).as("w")).distinct()
       .as[String]
       .map { w =>
@@ -351,6 +356,7 @@ object Unigram {
         (w, ps.mkString("·"), ps.length.toLong)
       }
       .toDF("w", "ws", "np")
+      .localCheckpoint(true)
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("idx", "w")))
       .join(broadcast(wseg), Seq("w"))

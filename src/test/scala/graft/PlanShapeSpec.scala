@@ -198,6 +198,19 @@ class PlanShapeSpec extends AnyFunSuite {
         s"not shuffle on the word key:\n${p.take(3000)}")
   }
 
+  test("unigram encode: the piece-segmented vocab side broadcasts " +
+    "into the word stream") {
+    val p = plan("q_unigram_encode")
+    // same contract as the BPE encode pin: the corpus-scale join
+    // (exploded words × per-word Viterbi segmentation) must be
+    // map-side; exploded words may NOT hash-exchange on the word key
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized segmentation table must broadcast:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning\\(w#".r.findFirstIn(p).isEmpty,
+      s"exploded corpus words must stream through the broadcast join, " +
+        s"not shuffle on the word key:\n${p.take(3000)}")
+  }
+
   test("line dedup: keep-first is an aggregation, not a sorted window") {
     val p = plan("q_line_dedup")
     // min(struct) + join back: exchanges are the seg-key agg/join and
