@@ -30,7 +30,11 @@ object BpeStore {
 
   /** Train on `corpus` (doc_id, text) and save the ordered merge table
     * (rnk, lhs, rhs, freq) under `path`, registered as an external
-    * table.
+    * table, plus the build-time usage baseline [[staleness]] reads
+    * (bundled — the two stores implement one policy, and a retrain
+    * that kept an old baseline would poison every later staleness
+    * reading; the extra cost is one vocab-broadcast segmentation pass
+    * over the word table).
     */
   def build(
       corpus: DataFrame, numMerges: Int, table: String,
@@ -40,6 +44,7 @@ object BpeStore {
     spark.sql(s"DROP TABLE IF EXISTS ${mergesTable(table)}")
     merges.write.option("path", path).mode("overwrite")
       .format("parquet").saveAsTable(mergesTable(table))
+    saveStats(corpus, table, path)
   }
 
   /** The saved merge list in rank order — numMerges rows by
@@ -69,94 +74,81 @@ object BpeStore {
 
   def statsTable(table: String): String = s"${table}_bpe_stats"
 
-  /** Freq-weighted symbol-usage distribution + totals of `docs` under
-    * the frozen merges — the measurement both the build baseline and
-    * [[staleness]] share (one definition).
+  /** Freq-weighted symbol-usage distribution + word total of a
+    * (w, freq) table under the frozen merges — the measurement the
+    * build baseline and [[staleness]] share (one definition; the word
+    * collapse itself is [[graft.operators.Unigram.wordFreq]], shared
+    * with the unigram store so the two fertility denominators can
+    * never diverge).
     */
-  private def usage(
-      spark: SparkSession, docs: DataFrame,
-      merges: Seq[(String, String)]): (Map[String, Long], Long, Long) = {
-    val words = docs
-      .select(explode(
-        graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
+  private def usageFromWords(
+      words: DataFrame,
+      merges: Seq[(String, String)]): (Map[String, Long], Long) = {
     val uses = words
       .select(col("freq"),
         explode(TextAnalysis.bpeSegmentWord(col("w"), merges)).as("sym"))
       .groupBy("sym").agg(sum("freq").as("uses"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nWords = words.agg(coalesce(sum("freq"),
-        org.apache.spark.sql.functions.lit(0L)))
+    val nWords = words.agg(coalesce(sum("freq"), lit(0L)))
       .collect()(0).getLong(0)
-    (uses, nWords, uses.valuesIterator.sum)
+    (uses, nWords)
   }
 
-  /** Persist the build-time usage baseline for [[staleness]] —
-    * call after [[build]] (kept separate so existing callers that
-    * never measure staleness pay nothing).
+  /** Persist the build-time usage baseline for [[staleness]].
+    * [[build]] calls this itself — the baseline must always refresh
+    * with the artifact (a retrain that kept an old baseline would
+    * poison every later staleness reading).
     */
   def saveStats(
-      corpus: DataFrame, table: String, path: String): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val (uses, nWords, _) =
-      usage(spark, corpus, loadMerges(spark, table))
-    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
-    // the word-observation total rides a NULL-key row — no reserved
-    // string a pathological corpus symbol could collide with
-    (uses.toSeq.map { case (k, v) => (Option(k), v) } :+
-        (Option.empty[String] -> nWords))
-      .toDF("sym", "uses")
-      .coalesce(1)
-      .write.option("path", path + "_stats").mode("overwrite")
-      .format("parquet").saveAsTable(statsTable(table))
+      corpus: DataFrame, table: String, path: String): Unit =
+    saveStatsFromWords(corpus.sparkSession,
+      graft.operators.Unigram.wordFreq(
+        corpus.select(col("doc_id"), col("text"))), table, path)
+
+  private def saveStatsFromWords(
+      spark: SparkSession, words: DataFrame, table: String,
+      path: String): Unit = {
+    val (uses, nWords) = usageFromWords(words, loadMerges(spark, table))
+    UsageStats.save(spark, uses, nWords,
+      statsTable(table), path + "_stats", "sym")
   }
 
   /** Measured drift of the frozen merge table against its build-time
     * baseline — [[UnigramStore.staleness]]'s semantics for the BPE
-    * family: residualGrowth = batch fertility (symbols per word) over
-    * build fertility (unseen words segment into more, shorter symbols
-    * — BPE needs no UNK tier, novel characters surface as themselves);
-    * occupancySkew = TV distance between build-time and batch
-    * symbol-usage distributions.
+    * family ([[UsageStats.fold]], one definition): residualGrowth =
+    * batch fertility (symbols per word) over build fertility (unseen
+    * words segment into more, shorter symbols — BPE needs no UNK
+    * tier, novel characters surface as themselves); occupancySkew =
+    * TV distance between build-time and batch symbol-usage
+    * distributions.
     */
   def staleness(
-      spark: SparkSession, batch: DataFrame, table: String): Staleness = {
-    val builtRows = spark.table(statsTable(table))
-      .collect().map(r =>
-        (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
-          r.getLong(1)).toMap
-    val builtWords = builtRows.getOrElse(None, 0L)
-    val builtUses = builtRows.collect {
-      case (Some(k), v) => k -> v
-    }
-    val builtSyms = builtUses.valuesIterator.sum
-    val (uses, nWords, nSyms) =
-      usage(spark, batch, loadMerges(spark, table))
-    if (builtWords == 0L || nWords == 0L)
-      return Staleness(1.0, 0.0, builtWords, nWords)
-    val skew = 0.5 * (builtUses.keySet ++ uses.keySet).toSeq.map { k =>
-      math.abs(
-        builtUses.getOrElse(k, 0L).toDouble / builtSyms -
-          uses.getOrElse(k, 0L).toDouble / nSyms)
-    }.sum
-    Staleness(
-      (nSyms.toDouble / nWords) /
-        math.max(builtSyms.toDouble / builtWords, 1e-12),
-      skew, builtWords, nWords)
+      spark: SparkSession, batch: DataFrame, table: String): Staleness =
+    stalenessFromWords(spark,
+      graft.operators.Unigram.wordFreq(
+        batch.select(col("doc_id"), col("text"))), table)
+
+  private def stalenessFromWords(
+      spark: SparkSession, words: DataFrame, table: String): Staleness = {
+    val (builtUses, builtWords) =
+      UsageStats.load(spark, statsTable(table))
+    val (uses, nWords) = usageFromWords(words, loadMerges(spark, table))
+    UsageStats.fold(builtUses, builtWords, uses, nWords)
   }
 
-  /** Re-train from `corpus` when either signal clears its ceiling. */
+  /** Re-train from `corpus` when either signal clears its ceiling;
+    * the rebuilt artifact (merges + refreshed baseline, [[build]]
+    * bundles both) lands at the next free versioned location
+    * ([[UsageStats.nextRebuildPath]] — never over a directory a live
+    * plan may still be reading).
+    */
   def rebuildIfStale(
       corpus: DataFrame, numMerges: Int, table: String, path: String,
       residualMax: Double = 1.25, skewMax: Double = 0.25)
       : (Staleness, Boolean) = {
-    val spark = corpus.sparkSession
-    val st = staleness(spark, corpus, table)
+    val st = staleness(corpus.sparkSession, corpus, table)
     if (st.isStale(residualMax, skewMax)) {
-      build(corpus, numMerges, table, path + "_rb")
-      saveStats(corpus, table, path + "_rb")
+      build(corpus, numMerges, table, UsageStats.nextRebuildPath(path))
       (st, true)
     } else (st, false)
   }

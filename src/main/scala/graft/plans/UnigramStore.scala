@@ -48,26 +48,28 @@ object UnigramStore {
     * persist the build-time usage baseline ([[staleness]] reads it):
     * the training corpus's piece-usage distribution and fertility
     * under the FINAL vocabulary — one extra vocab-broadcast pass over
-    * the word table.
+    * the word table. The baseline ALWAYS refreshes with the artifact
+    * (a retrain that kept an old baseline would poison every later
+    * staleness reading).
     */
   def build(
-      corpus: DataFrame, table: String, path: String): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val words = Unigram.wordFreq(corpus)
+      corpus: DataFrame, table: String, path: String): Unit =
+    buildFromWords(corpus.sparkSession,
+      Unigram.wordFreq(corpus), table, path)
+
+  /** [[build]] from an already-derived (w, freq) table — lets
+    * [[rebuildIfStale]] pay the corpus collapse once across the
+    * staleness measurement and the retrain.
+    */
+  def buildFromWords(
+      spark: SparkSession, words: DataFrame, table: String,
+      path: String): Unit = {
     val pieces = Unigram.train(words)
     save(spark, pieces, table, path)
     val (uses, nWords, _) =
       Unigram.usage(words, pieces.map(p => p.piece -> p.score).toMap)
-    spark.sql(s"DROP TABLE IF EXISTS ${statsTable(table)}")
-    // the word-observation total rides a NULL-key row — no reserved
-    // string a pathological piece could collide with
-    (uses.toSeq.map { case (k, v) => (Option(k), v) } :+
-        (Option.empty[String] -> nWords))
-      .toDF("piece", "uses")
-      .coalesce(1)
-      .write.option("path", path + "_stats").mode("overwrite")
-      .format("parquet").saveAsTable(statsTable(table))
+    UsageStats.save(spark, uses, nWords,
+      statsTable(table), path + "_stats", "piece")
   }
 
   /** Measured drift of the FROZEN tokenizer against its build-time
@@ -89,43 +91,36 @@ object UnigramStore {
     *     stay similar.
     */
   def staleness(
-      spark: SparkSession, batch: DataFrame, table: String): Staleness = {
-    val builtRows = spark.table(statsTable(table))
-      .collect().map(r =>
-        (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
-          r.getLong(1)).toMap
-    val builtWords = builtRows.getOrElse(None, 0L)
-    val builtUses = builtRows.collect {
-      case (Some(k), v) => k -> v
-    }
-    val builtPieces = builtUses.valuesIterator.sum
-    val (uses, nWords, nPieces) =
-      Unigram.usage(Unigram.wordFreq(batch), loadScores(spark, table))
-    if (builtWords == 0L || nWords == 0L)
-      return Staleness(1.0, 0.0, builtWords, nWords)
-    val skew = 0.5 * (builtUses.keySet ++ uses.keySet).toSeq.map { k =>
-      math.abs(
-        builtUses.getOrElse(k, 0L).toDouble / builtPieces -
-          uses.getOrElse(k, 0L).toDouble / nPieces)
-    }.sum
-    Staleness(
-      (nPieces.toDouble / nWords) /
-        math.max(builtPieces.toDouble / builtWords, 1e-12),
-      skew, builtWords, nWords)
+      spark: SparkSession, batch: DataFrame, table: String): Staleness =
+    stalenessFromWords(spark, Unigram.wordFreq(batch), table)
+
+  private def stalenessFromWords(
+      spark: SparkSession, words: DataFrame, table: String): Staleness = {
+    val (builtUses, builtWords) =
+      UsageStats.load(spark, statsTable(table))
+    val (uses, nWords, _) =
+      Unigram.usage(words, loadScores(spark, table))
+    UsageStats.fold(builtUses, builtWords, uses, nWords)
   }
 
   /** Re-train from `corpus` when either staleness signal (measured on
     * that same corpus — the arriving distribution) clears its ceiling.
-    * Returns the measured staleness and whether a rebuild happened.
+    * The corpus word collapse is paid ONCE across the measurement and
+    * the retrain; the rebuilt artifact lands at the next free
+    * versioned location ([[UsageStats.nextRebuildPath]] — never over
+    * a directory a live plan may still be reading). Returns the
+    * measured staleness and whether a rebuild happened.
     */
   def rebuildIfStale(
       corpus: DataFrame, table: String, path: String,
       residualMax: Double = 1.25, skewMax: Double = 0.25)
       : (Staleness, Boolean) = {
     val spark = corpus.sparkSession
-    val st = staleness(spark, corpus, table)
+    val words = Unigram.wordFreq(corpus)
+    val st = stalenessFromWords(spark, words, table)
     if (st.isStale(residualMax, skewMax)) {
-      build(corpus, table, path + "_rb")
+      buildFromWords(spark, words, table,
+        UsageStats.nextRebuildPath(path))
       (st, true)
     } else (st, false)
   }

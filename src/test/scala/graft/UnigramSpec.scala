@@ -163,8 +163,8 @@ class UnigramSpec extends AnyFunSuite {
 
     val p2 = java.nio.file.Files
       .createTempDirectory("graft-bpestale").toString + "/idx"
+    // build BUNDLES the baseline write — no separate saveStats step
     BpeStore.build(docs, 10, "bpe_stale_spec", p2)
-    BpeStore.saveStats(docs, "bpe_stale_spec", p2)
     val bflat = BpeStore.staleness(spark, docs, "bpe_stale_spec")
     assert(math.abs(bflat.residualGrowth - 1.0) < 1e-9 &&
       bflat.occupancySkew < 1e-9)
