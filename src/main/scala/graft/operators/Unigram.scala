@@ -412,6 +412,69 @@ object Unigram {
       .orderBy("doc_id")
   }
 
+  /** Per-document mean piece log-probability under the trained
+    * unigram LM — the tokenizer-native perplexity proxy (the
+    * piece-level sibling of q_unigram_logprob's word-level score, and
+    * what SentencePiece-style LM filtering actually computes): score =
+    * Σ ln p(piece) over the doc's Viterbi pieces / n_pieces. Computed
+    * from the INTEGER scores, so the cross-row reduction is an exact
+    * Long sum and the only float step is one division (/1e6/n) +
+    * rounding — engine-exact by the house integral-reduction
+    * discipline. Segmentation work is the encode shape: distinct
+    * words segment once (vocab-bounded), per-word (count, score-sum)
+    * broadcast-joins back to the exploded corpus.
+    */
+  val qUnigramDocLogprob: Q = (s, d) => {
+    import s.implicits._
+    val scMap = trained(s, d).map(p => p.piece -> p.score).toMap
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val b = s.sparkContext.broadcast(scMap)
+    val wsc = docs.select(explode(tokens(col("text"))).as("w")).distinct()
+      .as[String]
+      .map { w =>
+        val ps = viterbi(w, b.value)
+        (w, ps.length.toLong, ps.map(b.value).sum)
+      }
+      .toDF("w", "np", "ssum")
+      .localCheckpoint(true)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(wsc), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum("np").as("n_pieces"), sum("ssum").as("ssum"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("n_pieces") > 0,
+          round(col("ssum").cast("double") / 1e6 / col("n_pieces"), 4))
+          .as("mean_piece_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def qUnigramDocLogprobSql: String =
+    s"""WITH RECURSIVE
+      |$oraclePrelude,
+      |${dpBlock("f", "sc_fin")},
+      |wsc AS MATERIALIZED (
+      |  SELECT s.w, CAST(count(*) AS BIGINT) AS np,
+      |         CAST(sum(p.sc) AS BIGINT) AS ssum
+      |  FROM seg_f s JOIN sc_fin p ON p.piece = s.piece
+      |  GROUP BY s.w),
+      |u AS (
+      |  SELECT doc_id, l[CAST(i AS INT)] AS w
+      |  FROM toks CROSS JOIN
+      |    (SELECT unnest(range(1, (SELECT max(len(l)) FROM toks) + 1)) AS i) r
+      |  WHERE CAST(i AS INT) <= len(l)),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+      |         CAST(sum(ssum) AS BIGINT) AS ssum
+      |  FROM u JOIN wsc USING (w) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+      |  CASE WHEN a.n_pieces > 0 THEN
+      |    round(CAST(a.ssum AS DOUBLE) / 1000000.0 / a.n_pieces, 4)
+      |  END AS mean_piece_logprob
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Per-(source, lang) fertility under the unigram tokenizer — the
     * [[TextAnalysis.qTokenizerFertility]] report for the second
     * tokenizer family, enabling the cross-tokenizer comparison every
@@ -594,11 +657,13 @@ object Unigram {
     "q_unigram_vocab" -> qUnigramVocab,
     "q_unigram_encode" -> qUnigramEncode,
     "q_unigram_encode_served" -> qUnigramEncodeServed,
-    "q_unigram_fertility" -> qUnigramFertility)
+    "q_unigram_fertility" -> qUnigramFertility,
+    "q_unigram_doc_logprob" -> qUnigramDocLogprob)
 
   val oracles: Map[String, String] = Map(
     "q_unigram_vocab" -> qUnigramVocabSql,
     "q_unigram_encode" -> qUnigramEncodeSql,
     "q_unigram_encode_served" -> qUnigramEncodeSql,
-    "q_unigram_fertility" -> qUnigramFertilitySql)
+    "q_unigram_fertility" -> qUnigramFertilitySql,
+    "q_unigram_doc_logprob" -> qUnigramDocLogprobSql)
 }
