@@ -62,18 +62,44 @@ object Bench {
     def off(): Double = (System.nanoTime() - t0all) / 1e9
     val anchorTrack =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def sampleAnchor(): Unit =
+    // Second anchor, CPU-bound and Spark-free: a fixed-iteration scalar
+    // hash spin. The Spark anchor is fixed-overhead-dominated (scheduler
+    // + codegen floor ~0.3 s) so it under-reads host load swings and
+    // cross-round anchor arithmetic has contradicted raw totals; the
+    // spin has NO floor — its samples scale directly with CPU
+    // contention — so the pair separates "host was loaded" (both move)
+    // from "Spark session overhead drifted" (only the Spark anchor
+    // moves). Cross-round comparisons should use the per-query `mins`
+    // map (min-of-N, the noise-robust point estimate) with this spin
+    // band as the load disclaimer, not single-anchor normalization.
+    val cpuTrack =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // ~0.1 s on an unloaded core; volatile sink so the JIT cannot
+    // elide the loop
+    @volatile var cpuSink = 0L
+    def cpuSpin(): Double = {
+      val t0 = System.nanoTime()
+      var h = 1125899906842597L
+      var i = 0
+      while (i < 100000000) { h = h * 31 + i; i += 1 }
+      cpuSink = h
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sampleAnchor(): Unit = {
       SparkEntry.queries.get(AnchorQuery).foreach { fn =>
         // a broken anchor must not take the whole bench down — the suite
         // numbers still matter without it (anchor clause just drops out)
         scala.util.Try(time(fn)).toOption
           .foreach(s => anchorTrack += ((off(), s)))
       }
+      cpuTrack += ((off(), cpuSpin()))
+    }
     // one DISCARDED anchor run first: the cold sample pays per-plan
     // codegen/JIT, which would inflate the band (measured 6.8× on a
     // quiet host) and blind the spread flagger below to real load
     SparkEntry.queries.get(AnchorQuery).foreach(fn =>
       scala.util.Try(time(fn)))
+    cpuSpin() // discard: the spin's own JIT warm-up
     (1 to math.max(iters, 3)).foreach(_ => sampleAnchor())
     val queries = SparkEntry.queries
       .filter { case (name, _) => SparkEntry.onlySelected(name) }
@@ -164,6 +190,17 @@ object Bench {
         s""""max":${num(anchorSamples.max)},""" +
         s""""band":${num(anchorBand)},""" +
         s""""n":${anchorSamples.size}},"""
+    val cpuSamples = cpuTrack.map(_._2).toSeq
+    val cpuBand =
+      if (cpuSamples.isEmpty || cpuSamples.min <= 0) 0.0
+      else cpuSamples.max / cpuSamples.min
+    val cpuClause =
+      if (cpuSamples.isEmpty) ""
+      else s""""cpu_anchor":{"median":${num(median(cpuSamples))},""" +
+        s""""min":${num(cpuSamples.min)},""" +
+        s""""max":${num(cpuSamples.max)},""" +
+        s""""band":${num(cpuBand)},""" +
+        s""""n":${cpuSamples.size}},"""
     // stdout lists a bounded prefix of the suspects (the full list and
     // the evidence — per-iteration samples, start offsets, the anchor
     // track — live in the file artifact)
@@ -186,7 +223,7 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val header =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause$suspectClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$cpuClause$suspectClause""" +
         s""""failed":$failed,"iters":$iters,"sf":"$sfName","queries":{"""
     val trailerMax = // worst-case elided clause + closing braces
       s""""},"elided":{"count":${meds.size},"sec":${num(total)}}}""".length
@@ -233,14 +270,18 @@ object Bench {
     val trackJson = anchorTrack
       .map { case (t, s) => s"""{"t":${num(t)},"sec":${num(s)}}""" }
       .mkString("[", ",", "]")
+    val cpuTrackJson = cpuTrack
+      .map { case (t, s) => s"""{"t":${num(t)},"sec":${num(s)}}""" }
+      .mkString("[", ",", "]")
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause$commitClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$cpuClause$commitClause""" +
         s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
         s""""cold":$colds,"queries":$qs,"mins":$minsJson,""" +
         s""""samples":$samplesJson,"t_off":$offJson,""" +
-        s""""anchor_track":$trackJson,"suspect":$suspectsJson,""" +
+        s""""anchor_track":$trackJson,"cpu_track":$cpuTrackJson,""" +
+        s""""suspect":$suspectsJson,""" +
         s""""sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

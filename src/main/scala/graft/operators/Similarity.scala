@@ -1738,9 +1738,18 @@ object Similarity {
   // score distribution is the artifact reviewers actually read.
   //
   // Scale shape: the eval set is benchmark-sized (broadcast); the
-  // corpus streams through one map-side join + a per-doc top-1 window
-  // (WindowGroupLimit-bounded). Sims round to 4 dp before ranking with
-  // eval-id tie-break — rank order engine-exact, the house regime.
+  // corpus streams through one map-side join, and the per-doc top-1 is
+  // a map-side-combinable max(struct(sim, -eval_id)) aggregate — the
+  // |corpus|×|eval| expanded frame collapses to one row per doc INSIDE
+  // each scan partition (partial HashAggregate), so the only exchange
+  // carries |corpus| rows, never the expansion. A row_number window
+  // here would instead shuffle + sort the full 10^15-row product at
+  // 100 TB (10^11 docs × 10^4 eval rows) — the struct-max encodes the
+  // same (sim desc, eval_id asc) tie-break the oracle orders by, since
+  // struct comparison is lexicographic and -eval_id maximizes at the
+  // smallest eval id. Sims round to 4 dp before ranking — rank order
+  // engine-exact, the house regime (PlanShapeSpec pins no Window/Sort
+  // between the join and the aggregate).
   // ---------------------------------------------------------------------
   def semanticContamination(
       emb: DataFrame, evalFilter: Column, threshold: Double): DataFrame = {
@@ -1749,14 +1758,15 @@ object Similarity {
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
     val corpus = emb.filter(!evalFilter)
       .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("sim").desc, col("eval_id"))
     corpus.join(broadcast(eval))
-      .withColumn("sim", round(cos(col("cv"), col("ev")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("eval_id").as("nearest_eval_id"),
-        col("sim"), (col("sim") >= threshold).cast("int").as("flagged"))
+      .select(col("doc_id"), struct(
+        round(cos(col("cv"), col("ev")), 4).as("sim"),
+        (-col("eval_id")).as("neg_eval")).as("cand"))
+      .groupBy("doc_id").agg(max(col("cand")).as("best"))
+      .select(col("doc_id"),
+        (-col("best.neg_eval")).as("nearest_eval_id"),
+        col("best.sim").as("sim"),
+        (col("best.sim") >= threshold).cast("int").as("flagged"))
       .orderBy("doc_id")
   }
 

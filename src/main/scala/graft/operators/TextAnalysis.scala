@@ -2456,19 +2456,48 @@ object TextAnalysis {
     * invisible in results.
     */
   private def bpeVocabLoop(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeVocabLoopFromVocab(bpeWordVocab(docs), numMerges)
+
+  private def bpeVocabLoopFromVocab(vocab0: DataFrame, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val vocab0 = bpeWordVocab(docs)
     if (vocab0.count() <= BpeDriverVocabCap)
       bpeVocabLoopLocal(vocab0, numMerges)
     else if (numMerges <= BpeBatchLimit)
-      bpeVocabLoopSequential(docs, numMerges, vocab0)
-    else bpeVocabLoopBatched(docs, numMerges, vocab0 = vocab0)
+      bpeVocabLoopSequential(null, numMerges, vocab0)
+    else bpeVocabLoopBatched(null, numMerges, vocab0 = vocab0)
   }
+
+  /** [[bpeWordVocab]] from an already-collapsed (w, freq) table —
+    * same symbol seeding, minus the corpus pass. The collapse itself
+    * is [[graft.operators.Unigram.wordFreq]] (identical `tokens`
+    * explode + groupBy), so a caller holding that table gets the
+    * byte-identical vocabulary.
+    */
+  private[graft] def bpeWordVocabFromWords(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("freq"),
+        filter(split(col("w"), ""), x => x =!= "").as("syms"))
+      .localCheckpoint(true)
 
   def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     bpeVocabLoop(docs, numMerges)._1
+      .toDF("rnk", "lhs", "rhs", "freq")
+      .orderBy("rnk")
+  }
+
+  /** [[bpeLearn]] from an already-collapsed (w, freq) table — lets
+    * [[graft.plans.BpeStore.rebuildIfStale]] pay the corpus word
+    * collapse once across the staleness measurement and the retrain
+    * (the [[graft.plans.UnigramStore]] threading, one discipline for
+    * both tokenizer families).
+    */
+  def bpeLearnFromWords(words: DataFrame, numMerges: Int): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    bpeVocabLoopFromVocab(bpeWordVocabFromWords(words), numMerges)._1
       .toDF("rnk", "lhs", "rhs", "freq")
       .orderBy("rnk")
   }
@@ -2752,6 +2781,14 @@ object TextAnalysis {
     * artifacts — identical output by the stores' parity arguments, so
     * it carries the same composed oracle; the corpus-sized tokenize +
     * weigh cost lives in the (shared, build-once) artifacts.
+    *
+    * Kernel choice is MEASURED, not assumed: at k=3 over this
+    * doc-as-query batch the naive Σ-postings kernel beats `wandSearch`
+    * (warm 3.1-3.8 s vs 4.3-5.8 s, 5-iter sf0.1, cpu-anchor band ≤1.04
+    * both runs) — dense doc-queries route most of the batch back to
+    * the naive kernel anyway, so WAND pays its driver-side planning
+    * collect without pruning enough volume to earn it back. The k=10
+    * fusion twin below measures the opposite and serves through WAND.
     */
   val qRankerAgreementServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
@@ -2762,14 +2799,23 @@ object TextAnalysis {
       graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 3))
   }
 
-  /** [[qRrfFusion]] served from the same persisted artifacts. */
+  /** [[qRrfFusion]] served from the same persisted artifacts. Both
+    * legs go through the stores' `wandSearch` (MaxScore pruning) —
+    * the serving kernel, spec-pinned output-identical to the naive
+    * Σ-postings `search`, so the composed oracle carries over while
+    * the per-batch cost tracks the pruned candidate volume instead of
+    * Σ df. Measured at k=10 (the regime where pruning has volume to
+    * remove): warm 4.0-4.7 s vs the naive kernel's 6.7 s median in the
+    * r11 sweep — the inverse of the k=3 twin above, hence the split
+    * kernel choice.
+    */
   val qRrfFusionServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
     val queryDocs = documents(s, d).filter(col("doc_id") % 25 === 0)
     rrfFusion(Seq(
-      graft.plans.TfidfIndexStore.search(
+      graft.plans.TfidfIndexStore.wandSearch(
         s, tfx, queryDocs.select("doc_id"), 10),
-      graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 10)), 5)
+      graft.plans.Bm25IndexStore.wandSearch(s, bm, queryDocs, 10)), 5)
   }
 
   val qRankerAgreementSql: String =

@@ -316,10 +316,18 @@ object Unigram {
   /** Memoized trained vocabulary per (context, dataset) — the trainer
     * is deterministic (integer counts, total-order caps), so the memo
     * is identical to retraining; shared by the vocab row, the encode
-    * row, and the served twin's artifact build.
+    * row, and the served twin's artifact build. Unbounded and
+    * application-scoped like [[graft.plans.Memo]] (entries are
+    * vocab-sized, ~KB each); long-lived multi-tenant sessions evict
+    * via [[clearTrainedCache]] / [[graft.plans.Memo.clear]].
     */
   private val trainedCache = new java.util.concurrent
     .ConcurrentHashMap[String, Seq[Piece]]
+
+  /** Eviction hook for long-lived applications (see
+    * [[graft.plans.Memo.clear]]).
+    */
+  private[graft] def clearTrainedCache(): Unit = trainedCache.clear()
 
   private[graft] def trained(s: SparkSession, d: String): Seq[Piece] =
     trainedCache.computeIfAbsent(

@@ -38,13 +38,27 @@ object BpeStore {
     */
   def build(
       corpus: DataFrame, numMerges: Int, table: String,
-      path: String): Unit = {
-    val merges = TextAnalysis.bpeLearn(corpus, numMerges)
-    val spark = corpus.sparkSession
+      path: String): Unit =
+    buildFromWords(corpus.sparkSession,
+      graft.operators.Unigram.wordFreq(
+        corpus.select(col("doc_id"), col("text"))),
+      numMerges, table, path)
+
+  /** [[build]] from an already-derived (w, freq) table — lets
+    * [[rebuildIfStale]] pay the corpus word collapse once across the
+    * staleness measurement and the retrain ([[UnigramStore
+    * .buildFromWords]]'s threading, one discipline for both tokenizer
+    * families). The usage baseline refreshes from the SAME word table
+    * the merges trained on.
+    */
+  def buildFromWords(
+      spark: SparkSession, words: DataFrame, numMerges: Int,
+      table: String, path: String): Unit = {
+    val merges = TextAnalysis.bpeLearnFromWords(words, numMerges)
     spark.sql(s"DROP TABLE IF EXISTS ${mergesTable(table)}")
     merges.write.option("path", path).mode("overwrite")
       .format("parquet").saveAsTable(mergesTable(table))
-    saveStats(corpus, table, path)
+    saveStatsFromWords(spark, words, table, path)
   }
 
   /** The saved merge list in rank order — numMerges rows by
@@ -146,9 +160,13 @@ object BpeStore {
       corpus: DataFrame, numMerges: Int, table: String, path: String,
       residualMax: Double = 1.25, skewMax: Double = 0.25)
       : (Staleness, Boolean) = {
-    val st = staleness(corpus.sparkSession, corpus, table)
+    val spark = corpus.sparkSession
+    val words = graft.operators.Unigram.wordFreq(
+      corpus.select(col("doc_id"), col("text")))
+    val st = stalenessFromWords(spark, words, table)
     if (st.isStale(residualMax, skewMax)) {
-      build(corpus, numMerges, table, UsageStats.nextRebuildPath(path))
+      buildFromWords(spark, words, numMerges, table,
+        UsageStats.nextRebuildPath(path))
       (st, true)
     } else (st, false)
   }

@@ -20,11 +20,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session-local) and keyed by applicationId, so nothing leaks across
   * Spark applications; on a real cluster an executor loss invalidates
   * the blocks — re-derive, don't recover.
+  *
+  * LIFETIME: the map is unbounded and application-scoped — sized for
+  * the bench/verify lifecycle (one application, a handful of
+  * datasets; each entry is a small checkpointed frame). A long-lived
+  * session serving many datasets should call [[clear]] between
+  * tenants (or on a cadence) — there is deliberately no LRU, because
+  * silent eviction would turn the "memoized ≡ recomputed" contract
+  * into a latency lottery.
   */
 object Memo {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Drop every memoized frame (and its checkpoint blocks become
+    * unreferenced for GC) — the eviction hook for long-lived
+    * applications; also clears the tokenizer memo
+    * ([[graft.operators.Unigram.clearTrainedCache]]), keeping the two
+    * application-scoped memo stores on one lifecycle.
+    */
+  def clear(): Unit = {
+    cache.clear()
+    graft.operators.Unigram.clearTrainedCache()
+  }
 
   /** The memoized frame for (session, dataset, tag), computing and
     * eagerly materializing `f` on first use.
@@ -59,9 +78,12 @@ object Memo {
     cache.get(key) match {
       case null => derive()
       case hit =>
+        // NonFatal only: a lost checkpoint block surfaces as a Spark
+        // job failure (re-derive); OOM/interrupt must propagate, not
+        // masquerade as a cache miss that re-derives forever
         try { hit.isEmpty; hit }
         catch {
-          case _: Throwable =>
+          case scala.util.control.NonFatal(_) =>
             cache.remove(key, hit)
             derive()
         }

@@ -54,7 +54,11 @@ object UsageStats {
       nowUses: Map[String, Long], nowWords: Long): Staleness = {
     val builtObs = builtUses.valuesIterator.sum
     val nowObs = nowUses.valuesIterator.sum
-    if (builtWords == 0L || nowWords == 0L)
+    // obs guards mirror the word guards: an empty usage map paired
+    // with a nonzero word total must yield the no-drift identity, not
+    // a NaN skew / residual (division by zero obs below)
+    if (builtWords == 0L || nowWords == 0L ||
+        builtObs == 0L || nowObs == 0L)
       return Staleness(1.0, 0.0, builtWords, nowWords)
     val skew = 0.5 * (builtUses.keySet ++ nowUses.keySet).toSeq.map { k =>
       math.abs(

@@ -297,10 +297,13 @@ object DocStreams {
     * completing the streaming-gate matrix across modalities (text
     * shingles / embeddings / audio / video): each micro-batch of
     * (doc_id, payload) clips fingerprints ONLY itself
-    * ([[graft.plans.AhashIndexStore.matchBatch]] — the same probe the
-    * batch admission uses, so stream ≡ batch admission row-for-row)
-    * and clips within the banding gate of any saved clip drop before
-    * the sink. Same staleness contract as the whole family: the
+    * ([[graft.plans.AhashIndexStore.matchFingerprints]] — the same
+    * probe the batch admission uses, so stream ≡ batch admission
+    * row-for-row, INCLUDING undecodable payloads: the batch path's
+    * `admitAndExtend` anti-joins fingerprinted rows only, so the
+    * stream semi-joins the batch through its own fingerprints first —
+    * an undecodable clip drops on both paths) and clips within the
+    * banding gate of any saved clip drop before the sink. Same staleness contract as the whole family: the
     * stream does NOT extend the index mid-run (a foreachBatch write
     * to the table the same query reads would race its own scans) —
     * fold admitted batches in between runs via
@@ -313,9 +316,14 @@ object DocStreams {
       maxHamming: Int = graft.plans.AhashIndexStore.Radius)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val fps = graft.plans.AhashIndexStore
+        .fingerprints(batch.select("doc_id", "payload"))
+        .localCheckpoint(true)
       val dup = graft.plans.AhashIndexStore
-        .matchBatch(batch.select("doc_id", "payload"), table, maxHamming)
-      sink(batch.join(dup, Seq("doc_id"), "left_anti"), batchId)
+        .matchFingerprints(fps, table, maxHamming)
+      sink(batch
+        .join(fps.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(dup, Seq("doc_id"), "left_anti"), batchId)
     }
 
   /** [[admitByAudioFingerprint]] for VIDEO clips: the probe is the
@@ -327,9 +335,14 @@ object DocStreams {
       maxHamming: Int = graft.plans.VhashIndexStore.Radius)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val fr = graft.plans.VhashIndexStore
+        .frames(batch.select("doc_id", "payload"))
+        .localCheckpoint(true)
       val dup = graft.plans.VhashIndexStore
-        .matchBatch(batch.select("doc_id", "payload"), table, maxHamming)
-      sink(batch.join(dup, Seq("doc_id"), "left_anti"), batchId)
+        .matchFrames(fr, table, maxHamming)
+      sink(batch
+        .join(fr.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(dup, Seq("doc_id"), "left_anti"), batchId)
     }
 
   /** Serving-time streaming RETRIEVAL over the saved BM25 artifact —

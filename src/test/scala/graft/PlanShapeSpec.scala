@@ -223,14 +223,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the min-struct keeper aggregation:\n${p.take(3000)}")
   }
 
-  test("semantic decontamination: eval side broadcasts; top-1 is " +
-    "group-limited") {
+  test("semantic decontamination: eval side broadcasts; top-1 is a " +
+    "map-side-combinable aggregate, never a window over the expansion") {
     val p = plan("q_decontaminate_semantic")
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"),
       s"benchmark-sized eval side must broadcast:\n${p.take(3000)}")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-doc top-1 must prune under WindowGroupLimit before the " +
-        s"full window:\n${p.take(3000)}")
+    // the |corpus|×|eval| expanded frame must collapse to one row per
+    // doc INSIDE the scan partition (partial max(struct)) — a
+    // row_number window here would exchange + sort the full product
+    // (10^15 rows at 100 TB); only the presentation orderBy may sort
+    assert(!p.contains("Window"),
+      s"per-doc top-1 must be an aggregation, not a window over the " +
+        s"broadcast-expanded frame:\n${p.take(3000)}")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"expected a partial (map-side) max(struct) before the doc_id " +
+        s"exchange:\n${p.take(3000)}")
   }
 }
