@@ -1186,6 +1186,29 @@ object ScaleProbe {
       "(per-round Viterbi cost at production vocab scale)") {
       operators.Unigram.train(syntheticVocab(200000L)).size
     }
+    // unigram ENCODE (the production read path, q_unigram_encode_served
+    // minus the store round-trip): at a FIXED frozen vocab, cost must
+    // scale ~linearly with the corpus — the distinct-word Viterbi seed
+    // is vocab-bounded and the encode join streams the exploded corpus
+    // through a broadcast (PlanShapeSpec pins no word-key exchange on
+    // the probe side), so the 10x row should land near 10x the 1x row
+    // (modulo the fixed seed cost), never super-linear
+    locally {
+      val sc = operators.Unigram
+        .train(operators.Unigram.wordFreq(
+          Tables.documents(spark, d).select("doc_id", "text")))
+        .map(p => p.piece -> p.score).toMap
+      val base = Tables.documents(spark, d).select("doc_id", "text")
+      t("unigram encode 5k docs under frozen vocab (1x corpus)")(
+        operators.Unigram.encodeWithVocab(base, sc)
+          .agg(sum("n_words"), sum("n_pieces"),
+            sum(length(col("seg")))).first)
+      t("unigram encode 50k docs under frozen vocab (10x corpus, " +
+        "same vocab — linear-in-corpus claim)")(
+        operators.Unigram.encodeWithVocab(docs, sc)
+          .agg(sum("n_words"), sum("n_pieces"),
+            sum(length(col("seg")))).first)
+    }
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text
     // 10-hot — worst case for it

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * scoring arithmetic, and cutoff algebra — and delegate the rest
   * here so a bound or routing fix lands in exactly one place.
   */
-private[plans] object WandKernel {
+private[graft] object WandKernel {
 
   /** One 4dp rounding quantum: candidate thresholds step down by this
     * so a doc whose RAW score sits just under θ but ROUNDS to θ is
@@ -41,6 +41,21 @@ private[plans] object WandKernel {
     * orchestration serves.
     */
   val DriverPairCells = 8000000L
+
+  /** Test seam (InvariantProps' refusal-boundary law): when set,
+    * replaces [[DriverPairCells]] inside [[serveDriverPlanned]] so the
+    * law can place the cap BETWEEN the frozen-df estimate and the
+    * true rank-0-extended expansion and pin the refusal either side.
+    * Production never touches it.
+    */
+  private[graft] var pairCellsCapOverride: Option[Long] = None
+
+  /** Test seam: whether the LAST [[serveDriverPlanned]] call refused
+    * (returned None — the store falls back to the distributed
+    * orchestration). Observable evidence for the refusal law; not
+    * read by production code.
+    */
+  private[graft] var lastRefusedDriverPlanning = false
 
   /** PRE-ROUTE on the df table alone (no postings scan): even in a
     * query's optimistic best case — every prefix slot a distinct
@@ -271,6 +286,12 @@ private[plans] object WandKernel {
       pairCellsCap: Long = DriverPairCells,
       isDead: Long => Boolean = _ => false): Option[DataFrame] = {
     import spark.implicits._
+    lastRefusedDriverPlanning = false
+    def refuse(): Option[DataFrame] = {
+      lastRefusedDriverPlanning = true
+      None
+    }
+    val cellsCap = pairCellsCapOverride.getOrElse(pairCellsCap)
     val byQ = qRows.groupBy(_._1)
     val estn = byQ.map { case (k, rs) => k -> rs.map(_._4).sum }
     val estpre = byQ.map { case (k, rs) =>
@@ -289,7 +310,7 @@ private[plans] object WandKernel {
     // `prefixCollectCap`). They were one check when the collect was
     // per-(query, term); splitting them is what lets shared-vocabulary
     // batches twice as large stay driver-planned.
-    if (eligible.iterator.map(estpre).sum > pairCellsCap) return None
+    if (eligible.iterator.map(estpre).sum > cellsCap) return refuse()
     // action 2: the ONE prefix scan, hard-bounded by the limit — over
     // DISTINCT ELIGIBLE TERMS, not (query, term) pairs: queries
     // sharing a term (the stopword slots of a keyword batch) would
@@ -308,12 +329,12 @@ private[plans] object WandKernel {
     val dfOfTerm = qRows.iterator.map(r => r._2 -> r._4).toMap
     if (queriesOfTerm.keysIterator.map(t =>
         math.min(prefixP.toLong, dfOfTerm(t))).sum > prefixCollectCap)
-      return None
+      return refuse()
     val prefixT = scanPrefix(
         queriesOfTerm.keysIterator.toSeq.toDF("tkey"))
       .limit(prefixCollectCap.toInt + 1)
       .as[(Long, Long, Double, Int)].collect()
-    if (prefixT.length > prefixCollectCap) return None
+    if (prefixT.length > prefixCollectCap) return refuse()
     // EXACT expansion re-check, now that the true prefix row counts
     // are known: the estpre pre-check above prices frozen df, which
     // rank-0 EXTENDED postings evade (extend never rewrites df), so a
@@ -329,7 +350,7 @@ private[plans] object WandKernel {
         rowsOfTerm.update(t, rowsOfTerm.getOrElse(t, 0L) + 1L) }
       val expanded = rowsOfTerm.iterator.map { case (t, n) =>
         n * queriesOfTerm(t).size }.sum
-      if (expanded > pairCellsCap) return None
+      if (expanded > cellsCap) return refuse()
     }
     // θ-independent state: partial pair scores (self excluded), caps
     // over TRUE ranks (rank-0 extended rows are always candidates),

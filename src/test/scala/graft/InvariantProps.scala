@@ -787,6 +787,93 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  // --- WAND driver-planning refusal boundary ------------------------
+  // The round-11 fix closed the rank-0-extension hole: the estpre
+  // pre-check prices FROZEN df, which extend()ed postings evade (df
+  // stays 0 for out-of-build-vocabulary terms), so a heavily extended
+  // artifact with a shared OOV query term can expand to far more
+  // driver pair cells than the estimate — the exact re-check
+  // (WandKernel.scala, `expanded > cellsCap`) must refuse AFTER the
+  // collect but BEFORE any pair state is built. This law constructs
+  // exactly that artifact family and places the cap (via the
+  // [[graft.plans.WandKernel.pairCellsCapOverride]] seam) in all three
+  // regimes — below the estimate, BETWEEN estimate and true expansion
+  // (the straddle only the re-check can catch), and above both —
+  // asserting (a) refusal happens exactly when the cap demands it and
+  // (b) wandSearch output stays ≡ search on BOTH sides of every
+  // boundary (refusal = silent fallback to the distributed path,
+  // never a behavior change).
+
+  private case class RefusalCase(nCorpus: Int, nExt: Int, nQ: Int)
+
+  private val genRefusalCase: Gen[RefusalCase] = for {
+    nCorpus <- Gen.choose(16, 24)
+    nExt <- Gen.choose(6, 10)
+    nQ <- Gen.choose(3, 5)
+  } yield RefusalCase(nCorpus, nExt, nQ)
+
+  property("WAND refusal boundary: rank-0-extended shared-vocabulary " +
+    "batches refuse driver planning exactly past the cap, and output " +
+    "stays == search either side") =
+    Prop.forAll(genRefusalCase) { c =>
+      import graft.plans.{Bm25IndexStore, Retire, WandKernel}
+      val tag = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-wandcap").toString
+      val bm = s"wandcap_bm_$tag"
+      // build corpus: doc i = "the w$i" — df(the) = nCorpus makes the
+      // query's estn large enough for driver-planning eligibility
+      val corpus = (1 to c.nCorpus).map(i => (i.toLong, s"the w$i"))
+        .toDF("doc_id", "text")
+      // extend batch: every doc carries the SHARED OOV term — frozen
+      // df never counts it, so its prefix rows (rank 0, always <= P)
+      // are invisible to the estpre estimate
+      val ext = (1 to c.nExt)
+        .map(i => ((100 + i).toLong, s"the oovshared x$i"))
+      val queryDocs = ext.take(c.nQ).toDF("doc_id", "text")
+      try {
+        Bm25IndexStore.build(corpus, bm, s"$tmp/bm", buckets = 2)
+        Bm25IndexStore.extend(ext.toDF("doc_id", "text"), bm, buckets = 2)
+        val P = 1
+        // per eligible query: estpre = min(P, df(the)) + 0 + 0 = 1
+        val estpreSum = c.nQ.toLong
+        // true prefix rows: "the" = 1 build row at rank 1 + nExt
+        // rank-0 rows, each x nQ queries; "oovshared" = nExt rank-0
+        // rows x nQ; each per-query x$i = 1 rank-0 row x 1
+        val expanded =
+          (1L + c.nExt) * c.nQ + c.nExt.toLong * c.nQ + c.nQ
+        val straddle = estpreSum + (expanded - estpreSum) / 2
+        def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+            .toSeq
+        val ref = rows(Bm25IndexStore.search(spark, bm, queryDocs, 3))
+        def serveAt(cap: Long): (Seq[(Long, Int, Long, Double)], Boolean) =
+          try {
+            WandKernel.pairCellsCapOverride = Some(cap)
+            val out = rows(Bm25IndexStore.wandSearch(
+              spark, bm, queryDocs, 3, prefixP = P))
+            (out, WandKernel.lastRefusedDriverPlanning)
+          } finally WandKernel.pairCellsCapOverride = None
+        val (below, refusedBelow) = serveAt(estpreSum - 1)
+        val (mid, refusedMid) = serveAt(straddle)
+        val (above, refusedAbove) = serveAt(expanded + 8)
+        // (a) the refusal fires exactly when the cap demands it:
+        // below the estimate the cheap pre-check refuses; in the
+        // straddle only the exact post-collect re-check can (the
+        // pre-check passes by construction); above the expansion
+        // driver planning serves
+        val refusalLaw = refusedBelow && refusedMid && !refusedAbove
+        // (b) outputs identical to search in all three regimes
+        val outputLaw = below == ref && mid == ref && above == ref
+        refusalLaw && outputLaw
+      } finally {
+        Seq(bm, s"${bm}_df", s"${bm}_stats", Retire.deadTable(bm))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+
   property("unigram: distributed hard-EM E-step equals the local " +
     "viterbi reference and conserves codepoint mass") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
