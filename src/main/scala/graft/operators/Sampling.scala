@@ -129,6 +129,92 @@ object Sampling {
       |  cum_before % $SeqBudget AS offset_in_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Pack cells for [[qPackWholeDocs]]; shared with the oracle. */
+  val PackCells = 8L
+
+  /** Whole-document packing — the SFT/instruction-tuning shape: an
+    * example must land INTACT in exactly one training sequence, unlike
+    * [[qSeqPacking]]'s concatenate-and-chunk where documents straddle
+    * window boundaries. Exact bin packing is inherently sequential;
+    * the scan-expressible production plan is SHELF packing over a
+    * length-descending order: within a pack cell, docs sort by
+    * (n_tokens DESC, doc_id) and each doc joins the shelf
+    * floor(cum_before / budget). Descending order places the big
+    * documents first so the late (small) docs fill shelf tails — the
+    * first-fit-decreasing approximation with O(1) scan state. A doc
+    * longer than the budget is flagged truncated (whole-doc semantics
+    * cannot split it; the consumer clips). A shelf can exceed the
+    * budget by at most its last-arriving doc; `fill` reports
+    * min(tokens, budget)/budget so the padding the trainer will pay is
+    * visible per shelf. Output is the shelf MANIFEST (cell, seq,
+    * counts, fill) — the planner artifact a packing loader consumes.
+    *
+    * Scale shape: the only window partitions by pack CELL (md5(doc_id)
+    * band, the engine-portable hash convention) — sort state is
+    * per-cell and cells scale with the corpus (production dials
+    * [[PackCells]] to executor memory); packing quality is cell-local
+    * and its padding loss amortizes at any corpus size. No global
+    * exchange, no single-task window.
+    */
+  def packWholeDocs(
+      docs: DataFrame, budget: Long, cells: Long): DataFrame = {
+    val cell = pmod(
+      conv(substring(
+        md5(concat_ws(":", lit("packcell"), col("doc_id"))), 1, 13),
+        16, 10).cast("long"),
+      lit(cells))
+    val toks = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      cell.as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+      .groupBy("cell", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("doc_tokens"),
+        sum((col("n_tokens") > budget).cast("long")).as("n_truncated"))
+      .select(col("cell"), col("seq_id"), col("n_docs"),
+        col("doc_tokens"), col("n_truncated"),
+        round(least(col("doc_tokens"), lit(budget)).cast("double") /
+          budget.toDouble, 4).as("fill"))
+      .orderBy("cell", "seq_id")
+  }
+
+  val qPackWholeDocs: Q = (s, d) =>
+    packWholeDocs(documents(s, d), SeqBudget, PackCells)
+
+  val qPackWholeDocsSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |             x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5('packcell:' || doc_id), 1, 13)
+      |      AS BIGINT) % $PackCells AS cell
+      |  FROM documents),
+      |c AS (
+      |  SELECT cell, doc_id, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (
+      |      PARTITION BY cell ORDER BY n_tokens DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS cum_before
+      |  FROM t),
+      |sh AS (
+      |  SELECT cell, cum_before // $SeqBudget AS seq_id,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS doc_tokens,
+      |    CAST(count(*) FILTER (WHERE n_tokens > $SeqBudget)
+      |      AS BIGINT) AS n_truncated
+      |  FROM c GROUP BY 1, 2)
+      |SELECT cell, seq_id, n_docs, doc_tokens, n_truncated,
+      |  round(least(doc_tokens, $SeqBudget) / $SeqBudget.0, 4) AS fill
+      |FROM sh ORDER BY cell, seq_id""".stripMargin
+
   /** Per-stratum document target for rebalancing; shared with the oracle. */
   val StratumTarget = 120L
 
@@ -628,6 +714,7 @@ object Sampling {
     "q_pack_manifest" -> qPackManifest,
     "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_seq_packing" -> qSeqPacking,
+    "q_pack_whole_docs" -> qPackWholeDocs,
     "q_doc_chunks" -> qDocChunks,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_lang_budget" -> qLangBudget,
@@ -640,6 +727,7 @@ object Sampling {
     "q_pack_manifest" -> qPackManifestSql,
     "q_split_leakage_safe" -> qSplitLeakageSafeSql,
     "q_seq_packing" -> qSeqPackingSql,
+    "q_pack_whole_docs" -> qPackWholeDocsSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,
     "q_lang_budget" -> qLangBudgetSql,

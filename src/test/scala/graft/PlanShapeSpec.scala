@@ -223,6 +223,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the min-struct keeper aggregation:\n${p.take(3000)}")
   }
 
+  test("whole-doc packing: the shelf window partitions by pack cell, " +
+    "never a single-task global window") {
+    val p = plan("q_pack_whole_docs")
+    // the cumulative-sum window must exchange on hashpartitioning(cell)
+    // — Window over SinglePartition is the accidental-serialization
+    // shape the cell key exists to prevent
+    assert("Exchange hashpartitioning\\(cell#".r.findFirstIn(p).nonEmpty,
+      s"shelf window must partition by the pack cell:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may collapse the corpus to one task:\n${p.take(3000)}")
+  }
+
   test("semantic decontamination: eval side broadcasts; top-1 is a " +
     "map-side-combinable aggregate, never a window over the expansion") {
     val p = plan("q_decontaminate_semantic")

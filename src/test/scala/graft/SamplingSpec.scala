@@ -374,4 +374,40 @@ class SamplingSpec extends AnyFunSuite {
     val maxLoad = at10.values.groupBy(identity).values.map(_.size).max
     assert(maxLoad <= 3 * at10.size / 10, s"max shard load $maxLoad")
   }
+
+  test("whole-doc packing: conservation, intactness, fill bounds, " +
+    "and the shelf-overflow bound") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = graft.Tables.documents(spark, dir)
+    val budget = Sampling.SeqBudget
+    val manifest = Sampling
+      .packWholeDocs(docs, budget, Sampling.PackCells).collect()
+    val totalTokens = docs
+      .agg(sum(size(tokens(col("text"))).cast("long")))
+      .first.getLong(0)
+    // conservation: every token of every doc lands in exactly one
+    // shelf (docs never straddle — the defining SFT property)
+    assert(manifest.map(_.getLong(3)).sum === totalTokens)
+    assert(manifest.map(_.getLong(2)).sum === docs.count())
+    // fill is capped at 1 and positive; a truncated doc only appears
+    // where the doc itself exceeds the budget
+    manifest.foreach { r =>
+      val fill = r.getDouble(5)
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+    // shelf-overflow bound: length-descending order means a shelf
+    // exceeds the budget by LESS than its own smallest (= last) doc,
+    // which is itself <= budget unless flagged truncated; so any
+    // untruncated shelf holds < 2x budget
+    manifest.filter(_.getLong(4) === 0L).foreach { r =>
+      assert(r.getLong(3) < 2 * budget,
+        s"untruncated shelf ${r.getLong(0)}/${r.getLong(1)} " +
+          s"holds ${r.getLong(3)} tokens")
+    }
+    // determinism: a second run is byte-identical (pure in doc_id)
+    val again = Sampling
+      .packWholeDocs(docs, budget, Sampling.PackCells).collect()
+    assert(manifest.toSeq === again.toSeq)
+  }
 }
