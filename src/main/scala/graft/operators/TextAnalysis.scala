@@ -2788,7 +2788,12 @@ object TextAnalysis {
     * both runs) — dense doc-queries route most of the batch back to
     * the naive kernel anyway, so WAND pays its driver-side planning
     * collect without pruning enough volume to earn it back. The k=10
-    * fusion twin below measures the opposite and serves through WAND.
+    * fusion twin measures the same direction (naive 2.8-4.0 s vs WAND
+    * 4.3-6.3 s warm, 6-iter controlled runs), so BOTH served fusion
+    * rows keep the naive kernel; WAND's winning regime — selective
+    * keyword queries over a Zipf corpus — is priced by its own
+    * registered pair (`q_bm25_zipf` 16.8 s vs `q_bm25_zipf_wand`
+    * 6.8 s, a 2.5× win in the closing sweep).
     */
   val qRankerAgreementServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
@@ -2799,23 +2804,26 @@ object TextAnalysis {
       graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 3))
   }
 
-  /** [[qRrfFusion]] served from the same persisted artifacts. Both
-    * legs go through the stores' `wandSearch` (MaxScore pruning) —
-    * the serving kernel, spec-pinned output-identical to the naive
-    * Σ-postings `search`, so the composed oracle carries over while
-    * the per-batch cost tracks the pruned candidate volume instead of
-    * Σ df. Measured at k=10 (the regime where pruning has volume to
-    * remove): warm 4.0-4.7 s vs the naive kernel's 6.7 s median in the
-    * r11 sweep — the inverse of the k=3 twin above, hence the split
-    * kernel choice.
+  /** [[qRrfFusion]] served from the same persisted artifacts,
+    * through the naive Σ-postings kernel — a MEASURED choice, twice:
+    * the r12 round first swapped both legs to `wandSearch` on the
+    * strength of the r11 driver sweep (naive 6.7 s there), then
+    * head-to-head 6-iter controlled runs on a quiet host (cpu-anchor
+    * band ≤1.13) showed that number was a loaded-window artifact —
+    * naive serves this batch at 2.8-4.0 s warm vs WAND's 4.3-6.3 s.
+    * Dense 800-doc-as-query batches are exactly WAND's losing regime:
+    * per-query routing sends most of the batch to the naive kernel
+    * anyway, after paying the driver-side planning collect. The
+    * kernels are spec-pinned output-identical, so this is purely a
+    * cost choice; WAND's winning regime is priced by the zipf pair.
     */
   val qRrfFusionServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
     val queryDocs = documents(s, d).filter(col("doc_id") % 25 === 0)
     rrfFusion(Seq(
-      graft.plans.TfidfIndexStore.wandSearch(
+      graft.plans.TfidfIndexStore.search(
         s, tfx, queryDocs.select("doc_id"), 10),
-      graft.plans.Bm25IndexStore.wandSearch(s, bm, queryDocs, 10)), 5)
+      graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 10)), 5)
   }
 
   val qRankerAgreementSql: String =

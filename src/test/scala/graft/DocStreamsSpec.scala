@@ -685,7 +685,10 @@ class DocStreamsSpec extends AnyFunSuite {
         (if (id % 32 == 16)
            Seq((id + 2000000L, MM.renderClip(id + 2000000L, copy = false)))
          else Nil)
-    }
+    } :+ ((9999999L, Array[Byte](1, 2, 3))) // undecodable: must DROP
+    // (the batch path's admitAndExtend anti-joins fingerprinted rows
+    // only, so undecodable clips silently drop there — the stream gate
+    // semi-joins through its own fingerprints to match row-for-row)
     val aAdm = scala.collection.mutable.ArrayBuffer[Long]()
     val aIn = MemoryStream[(Long, Array[Byte])]
     val q1 = DocStreams.admitByAudioFingerprint(
@@ -698,8 +701,10 @@ class DocStreamsSpec extends AnyFunSuite {
       aIn.addData(aRows.toIndexedSeq: _*)
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(aAdm.toSet === aRows.map(_._1).filter(_ >= 2000000L).toSet,
-      "audio: every pitched copy rejected, every fresh clip admitted")
+    assert(aAdm.toSet ===
+      aRows.map(_._1).filter(id => id >= 2000000L && id != 9999999L).toSet,
+      "audio: every pitched copy rejected, every fresh clip admitted, " +
+        "undecodable dropped (stream == batch)")
     assert(aAdm.nonEmpty)
 
     // ---- video: re-encoded brightness-shifted copies reject ----
@@ -715,7 +720,7 @@ class DocStreamsSpec extends AnyFunSuite {
         (if (id % 32 == 16)
            Seq((id + 2000000L, MM.renderVideo(id + 2000000L, copy = false)))
          else Nil)
-    }
+    } :+ ((9999999L, Array[Byte](4, 5, 6))) // undecodable: must DROP
     val vAdm = scala.collection.mutable.ArrayBuffer[Long]()
     val vIn = MemoryStream[(Long, Array[Byte])]
     val q2 = DocStreams.admitByVideoFingerprint(
@@ -728,8 +733,10 @@ class DocStreamsSpec extends AnyFunSuite {
       vIn.addData(vRows.toIndexedSeq: _*)
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(vAdm.toSet === vRows.map(_._1).filter(_ >= 2000000L).toSet,
-      "video: every re-encoded copy rejected, every fresh clip admitted")
+    assert(vAdm.toSet ===
+      vRows.map(_._1).filter(id => id >= 2000000L && id != 9999999L).toSet,
+      "video: every re-encoded copy rejected, every fresh clip admitted, " +
+        "undecodable dropped (stream == batch)")
     assert(vAdm.nonEmpty)
   }
 
