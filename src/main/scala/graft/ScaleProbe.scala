@@ -416,6 +416,23 @@ object ScaleProbe {
       Tables.embeddings(spark, d).select("vec_id", "embedding"), 10, Seq("vec_id"), 10000000L)
     t("ann 20k vectors")(operators.Similarity.annKnn(
       emb, col("vec_id") % 997 === 0, 5).count())
+    // semantic decontamination at 10×: the round-12 plan (map-side
+    // max(struct) over the broadcast-expanded frame) must scale
+    // LINEARLY in the corpus at fixed eval size — the partial
+    // aggregate collapses the expansion inside each scan partition,
+    // so the only exchange carries corpus-cardinality rows; the
+    // row_number-window plan it replaced shuffled the full product
+    // and was session-pressure-sensitive (11.3 s vs 0.8 s across r11
+    // sweeps at ONE sf). Eval side = the %10 slice of the BASE ids
+    // only (replicas keep the eval set fixed as the corpus grows,
+    // the production shape: benchmarks don't grow with the crawl).
+    t("semantic decontamination 20k vectors x fixed 200-row eval " +
+      "(max-struct aggregate, no window)")(
+      operators.Similarity.semanticContamination(
+        emb, col("vec_id") % 10 === 0 && col("vec_id") < 10000000L,
+        operators.Similarity.SemanticContamThreshold)
+        .agg(sum(col("sim") + col("flagged")),
+          sum("nearest_eval_id")).first)
     t("embedding near-dup 20k vectors (lsh)")(
       operators.Similarity.embeddingNearDupPairs(emb, 0.9).count())
     // nlist tracks √n (10× data → ~3× cells); candidates/query stay
@@ -1209,6 +1226,15 @@ object ScaleProbe {
           .agg(sum("n_words"), sum("n_pieces"),
             sum(length(col("seg")))).first)
     }
+    // whole-doc shelf packing at 10×: the only window partitions by
+    // pack cell, so 10× docs = 10× rows through the SAME 8 cells —
+    // per-cell sort state grows linearly but stays a per-cell local
+    // sort (production dials PackCells up with the corpus; the probe
+    // pins that nothing beyond the cell window appears at 10×)
+    t("whole-doc packing 50k docs (cell-partitioned shelf window)")(
+      operators.Sampling.packWholeDocs(docs, 4096L, 8L)
+        .agg(sum(col("n_docs") + col("doc_tokens") + col("n_truncated")),
+          sum("fill")).first)
     // data card: per-source state is O(sources); the text-key dup agg is
     // the only corpus-sized exchange, and 10 replicas make every text
     // 10-hot — worst case for it

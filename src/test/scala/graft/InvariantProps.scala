@@ -874,6 +874,40 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  property("whole-doc packing: conservation, overflow bound, and " +
+    "determinism on random corpora") =
+    Prop.forAll(
+      Gen.choose(1L, 5000L),
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0, 40),
+        Gen.oneOf(true, false)))) { (budget, raw) =>
+      import graft.operators.Sampling
+      // random corpus: doc i has k_i words ("w w w ..."); the boolean
+      // occasionally inflates a doc PAST the budget to exercise the
+      // truncation flag; empty docs (k=0) must pack as zero-token rows
+      val docs = raw.zipWithIndex.map { case ((k, big), i) =>
+        val n = if (big) k.toLong * 97 else k.toLong
+        (i.toLong, Seq.fill(n.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val manifest = Sampling.packWholeDocs(docs, budget, 4L).collect()
+      val totalTokens = raw.map { case (k, big) =>
+        if (big) k.toLong * 97 else k.toLong }.sum
+      val conserve =
+        manifest.map(_.getLong(3)).sum == totalTokens &&
+        manifest.map(_.getLong(2)).sum == raw.length.toLong
+      // an untruncated shelf holds < 2x budget: length-descending
+      // order means the overflow is bounded by the shelf's own last
+      // (smallest) doc, itself <= budget when nothing is flagged
+      val overflow = manifest
+        .filter(_.getLong(4) == 0L)
+        .forall(_.getLong(3) < 2 * budget)
+      val fills = manifest.forall { r =>
+        val f = r.getDouble(5); f >= 0.0 && f <= 1.0 }
+      val again = Sampling.packWholeDocs(docs, budget, 4L).collect()
+      conserve && overflow && fills &&
+        manifest.toSeq == again.toSeq
+    }
+
   property("unigram: distributed hard-EM E-step equals the local " +
     "viterbi reference and conserves codepoint mass") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
