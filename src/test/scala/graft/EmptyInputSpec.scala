@@ -86,6 +86,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(prep.columns.toSeq ===
       Seq("doc_id", "source", "ingest_ts", "text", "n_tokens", "fp"))
 
+    // round-12: whole-doc packing over nothing = an empty manifest
+    val pack = operators.Sampling.packWholeDocs(docs, 4096L, 8L)
+    assert(pack.count() === 0)
+    assert(pack.columns.toSeq === Seq("cell", "seq_id", "n_docs",
+      "doc_tokens", "n_truncated", "fill"))
+
+    // round-12: semantic contamination with an empty corpus keeps the
+    // output contract (the aggregate path must not need a seed row)
+    val semc = operators.Similarity.semanticContamination(
+      emb, col("vec_id") % 10 === 0, 0.4)
+    assert(semc.count() === 0)
+    assert(semc.columns.toSeq ===
+      Seq("doc_id", "nearest_eval_id", "sim", "flagged"))
+
     // round-3 operators
     val toks = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     val ps = operators.Sampling.exclusivePrefixSum(
