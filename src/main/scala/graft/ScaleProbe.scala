@@ -1130,17 +1130,20 @@ object ScaleProbe {
     t("bpe batched: 1000 merges on 50k zipf docs (passes recorded — " +
       "sequential would take 1000)") {
       val (m, _) =
-        operators.TextAnalysis.bpeVocabLoopBatched(bpeZipfDocs, 1000)
+        operators.TextAnalysis.bpeVocabLoopBatched(
+          operators.TextAnalysis.bpeWordVocab(bpeZipfDocs), 1000)
       s"${m.size} merges in ${operators.TextAnalysis.bpeLastPasses.get()}" +
         " corpus-vocab passes"
     }
     t("bpe sequential: 32 merges on 50k zipf docs (per-merge " +
       "extrapolation anchor for the batched row)")(
-      operators.TextAnalysis.bpeVocabLoopSequential(bpeZipfDocs, 32)
+      operators.TextAnalysis.bpeVocabLoopSequential(
+        operators.TextAnalysis.bpeWordVocab(bpeZipfDocs), 32)
         ._1.size)
     t("bpe batched exhaustion: natural 50k docs, budget 1000 " +
       "(closed word vocab merges out)") {
-      val (m, _) = operators.TextAnalysis.bpeVocabLoopBatched(docs, 1000)
+      val (m, _) = operators.TextAnalysis.bpeVocabLoopBatched(
+        operators.TextAnalysis.bpeWordVocab(docs), 1000)
       s"${m.size} merges (exhausted) in " +
         s"${operators.TextAnalysis.bpeLastPasses.get()} passes"
     }

@@ -16,6 +16,20 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** The engine-portable 52-bit deterministic hash: first 13 hex chars
+    * of md5("<seed>:<id>") as a non-negative BIGINT — computable
+    * byte-identically in DuckDB as
+    * `CAST('0x' || substr(md5(seed || ':' || id), 1, 13) AS BIGINT)`,
+    * which is why every seeded-determinism operator (weighted
+    * sampling, shuffle order, pack cells, classifier splits) keys off
+    * this one shape instead of a per-site variant: a convention change
+    * has ONE Scala definition to touch (each oracle string still
+    * spells its SQL twin, pinned by its own hash row).
+    */
+  def portableHash52(seed: String, id: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), id)), 1, 13), 16, 10)
+      .cast("long")
+
   /** Word n-gram shingles from a MATERIALIZED token-array column:
     * `["a b c", "b c d", ...]`. Empty array for docs shorter than n
     * tokens.

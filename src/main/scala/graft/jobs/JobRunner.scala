@@ -28,8 +28,17 @@ import org.apache.spark.sql.SparkSession
 object JobRunner {
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+    // master precedence: GRAFT_MASTER (explicit env override) >
+    // spark-submit's --master (arrives as the spark.master system
+    // property — hardcoding .master() here would silently override it
+    // and run a cluster submission single-node inside the driver) >
+    // local[*] for bare `java`/sbt launches
+    val builder = SparkSession.builder()
+    sys.env.get("GRAFT_MASTER")
+      .orElse(if (sys.props.contains("spark.master")) None
+              else Some("local[*]"))
+      .foreach(builder.master)
+    val spark = builder
       .appName("graft-sanef")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -158,11 +158,7 @@ object Sampling {
     */
   def packWholeDocs(
       docs: DataFrame, budget: Long, cells: Long): DataFrame = {
-    val cell = pmod(
-      conv(substring(
-        md5(concat_ws(":", lit("packcell"), col("doc_id"))), 1, 13),
-        16, 10).cast("long"),
-      lit(cells))
+    val cell = pmod(portableHash52("packcell", col("doc_id")), lit(cells))
     val toks = docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -508,9 +504,8 @@ object Sampling {
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
       seed: Int): DataFrame = {
-    val u = (conv(
-      substring(md5(concat_ws(":", lit(seed), col(idCol))), 1, 13),
-      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val u = (portableHash52(seed.toString, col(idCol)).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0)
     df.where(col(weightCol) > 0)
       .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
       .orderBy("es_key")

@@ -2274,10 +2274,10 @@ object TextAnalysis {
   /** The reference one-merge-per-job loop — kept as the semantic
     * baseline the batched trainer is spec-pinned against.
     */
-  private[graft] def bpeVocabLoopSequential(docs: DataFrame, numMerges: Int,
-      vocab0: DataFrame = null)
+  private[graft] def bpeVocabLoopSequential(
+      vocab0: DataFrame, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = if (vocab0 != null) vocab0 else bpeWordVocab(docs)
+    var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
@@ -2346,10 +2346,10 @@ object TextAnalysis {
     * batches near the cap (PipelineOpsSpec exercises both).
     */
   private[graft] def bpeVocabLoopBatched(
-      docs: DataFrame, numMerges: Int, batchLimit: Int = BpeBatchLimit,
-      vocab0: DataFrame = null)
+      vocab0: DataFrame, numMerges: Int,
+      batchLimit: Int = BpeBatchLimit)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = if (vocab0 != null) vocab0 else bpeWordVocab(docs)
+    var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var rank = 1
@@ -2464,8 +2464,8 @@ object TextAnalysis {
     if (vocab0.count() <= BpeDriverVocabCap)
       bpeVocabLoopLocal(vocab0, numMerges)
     else if (numMerges <= BpeBatchLimit)
-      bpeVocabLoopSequential(null, numMerges, vocab0)
-    else bpeVocabLoopBatched(null, numMerges, vocab0 = vocab0)
+      bpeVocabLoopSequential(vocab0, numMerges)
+    else bpeVocabLoopBatched(vocab0, numMerges)
   }
 
   /** [[bpeWordVocab]] from an already-collapsed (w, freq) table —

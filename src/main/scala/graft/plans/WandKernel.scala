@@ -46,16 +46,26 @@ private[graft] object WandKernel {
     * replaces [[DriverPairCells]] inside [[serveDriverPlanned]] so the
     * law can place the cap BETWEEN the frozen-df estimate and the
     * true rank-0-extended expansion and pin the refusal either side.
+    * ThreadLocal, not a plain var: driver planning runs on the calling
+    * thread, and a process-global override would leak a tiny test cap
+    * into any concurrently-served production query (and a concurrent
+    * call would race the law's read of the refusal flag below).
     * Production never touches it.
     */
-  private[graft] var pairCellsCapOverride: Option[Long] = None
+  private[graft] val pairCellsCapOverride =
+    new ThreadLocal[Option[Long]] {
+      override def initialValue(): Option[Long] = None
+    }
 
-  /** Test seam: whether the LAST [[serveDriverPlanned]] call refused
-    * (returned None — the store falls back to the distributed
-    * orchestration). Observable evidence for the refusal law; not
-    * read by production code.
+  /** Test seam: whether this THREAD's last [[serveDriverPlanned]]
+    * call refused (returned None — the store falls back to the
+    * distributed orchestration). Observable evidence for the refusal
+    * law; not read by production code.
     */
-  private[graft] var lastRefusedDriverPlanning = false
+  private[graft] val lastRefusedDriverPlanning =
+    new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = false
+    }
 
   /** PRE-ROUTE on the df table alone (no postings scan): even in a
     * query's optimistic best case — every prefix slot a distinct
@@ -286,12 +296,12 @@ private[graft] object WandKernel {
       pairCellsCap: Long = DriverPairCells,
       isDead: Long => Boolean = _ => false): Option[DataFrame] = {
     import spark.implicits._
-    lastRefusedDriverPlanning = false
+    lastRefusedDriverPlanning.set(false)
     def refuse(): Option[DataFrame] = {
-      lastRefusedDriverPlanning = true
+      lastRefusedDriverPlanning.set(true)
       None
     }
-    val cellsCap = pairCellsCapOverride.getOrElse(pairCellsCap)
+    val cellsCap = pairCellsCapOverride.get().getOrElse(pairCellsCap)
     val byQ = qRows.groupBy(_._1)
     val estn = byQ.map { case (k, rs) => k -> rs.map(_._4).sum }
     val estpre = byQ.map { case (k, rs) =>

@@ -321,14 +321,17 @@ object DocStreams {
         .localCheckpoint(true)
       val dup = graft.plans.AhashIndexStore
         .matchFingerprints(fps, table, maxHamming)
+      // left_semi dedups the probe side by definition — no distinct()
       sink(batch
-        .join(fps.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(fps.select("doc_id"), Seq("doc_id"), "left_semi")
         .join(dup, Seq("doc_id"), "left_anti"), batchId)
     }
 
   /** [[admitByAudioFingerprint]] for VIDEO clips: the probe is the
     * frame-aligned median gate over the saved per-frame fingerprints
-    * ([[graft.plans.VhashIndexStore.matchBatch]]).
+    * ([[graft.plans.VhashIndexStore.matchFrames]]), and the same
+    * semi-join through the batch's own decodable frames keeps
+    * stream ≡ batch for undecodable payloads (see the audio twin).
     */
   def admitByVideoFingerprint(
       clips: DataFrame, table: String,
@@ -341,7 +344,7 @@ object DocStreams {
       val dup = graft.plans.VhashIndexStore
         .matchFrames(fr, table, maxHamming)
       sink(batch
-        .join(fr.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(fr.select("doc_id"), Seq("doc_id"), "left_semi")
         .join(dup, Seq("doc_id"), "left_anti"), batchId)
     }
 

@@ -368,7 +368,8 @@ class EmptyInputSpec extends AnyFunSuite {
 
     // batched BPE trainer: zero words → exhaustion on the first pass
     val (merges, vocab) =
-      operators.TextAnalysis.bpeVocabLoopBatched(docs, 10)
+      operators.TextAnalysis.bpeVocabLoopBatched(
+        operators.TextAnalysis.bpeWordVocab(docs), 10)
     assert(merges.isEmpty)
     assert(vocab.count() === 0)
 

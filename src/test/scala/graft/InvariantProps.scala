@@ -662,7 +662,7 @@ object InvariantProps extends Properties("graft.invariants") {
         .select(col("w"), col("freq"),
           filter(split(col("w"), ""), x => x =!= "").as("syms"))
         .localCheckpoint(true)
-      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(null, n, vocab0)
+      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(vocab0, n)
       val (ml, vl) = TextAnalysis.bpeVocabLoopLocal(vocab0, n)
       def segs(v: DataFrame): Map[String, Seq[String]] =
         v.select("w", "syms").as[(String, Seq[String])].collect().toMap
@@ -851,11 +851,11 @@ object InvariantProps extends Properties("graft.invariants") {
         val ref = rows(Bm25IndexStore.search(spark, bm, queryDocs, 3))
         def serveAt(cap: Long): (Seq[(Long, Int, Long, Double)], Boolean) =
           try {
-            WandKernel.pairCellsCapOverride = Some(cap)
+            WandKernel.pairCellsCapOverride.set(Some(cap))
             val out = rows(Bm25IndexStore.wandSearch(
               spark, bm, queryDocs, 3, prefixP = P))
-            (out, WandKernel.lastRefusedDriverPlanning)
-          } finally WandKernel.pairCellsCapOverride = None
+            (out, WandKernel.lastRefusedDriverPlanning.get())
+          } finally WandKernel.pairCellsCapOverride.remove()
         val (below, refusedBelow) = serveAt(estpreSum - 1)
         val (mid, refusedMid) = serveAt(straddle)
         val (above, refusedAbove) = serveAt(expanded + 8)

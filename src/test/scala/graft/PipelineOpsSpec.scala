@@ -1055,8 +1055,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     "exactly, on interaction-heavy and batch-friendly corpora") {
     import spark.implicits._
     def compare(docs: org.apache.spark.sql.DataFrame, n: Int): Unit = {
-      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(docs, n)
-      val (mb, vb) = TextAnalysis.bpeVocabLoopBatched(docs, n)
+      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(
+        TextAnalysis.bpeWordVocab(docs), n)
+      val (mb, vb) = TextAnalysis.bpeVocabLoopBatched(
+        TextAnalysis.bpeWordVocab(docs), n)
       assert(mb === ms)
       def segs(v: org.apache.spark.sql.DataFrame) =
         v.select("w", "syms").as[(String, Seq[String])].collect().toMap
