@@ -19,12 +19,13 @@ object TextFunctions {
   /** The engine-portable 52-bit deterministic hash: first 13 hex chars
     * of md5("<seed>:<id>") as a non-negative BIGINT — computable
     * byte-identically in DuckDB as
-    * `CAST('0x' || substr(md5(seed || ':' || id), 1, 13) AS BIGINT)`,
-    * which is why every seeded-determinism operator (weighted
-    * sampling, shuffle order, pack cells, classifier splits) keys off
-    * this one shape instead of a per-site variant: a convention change
-    * has ONE Scala definition to touch (each oracle string still
-    * spells its SQL twin, pinned by its own hash row).
+    * `CAST('0x' || substr(md5(seed || ':' || id), 1, 13) AS BIGINT)`.
+    * Shared by the 13-hex-char sites (weighted sampling's u-draw, the
+    * pack cells) so that shape has ONE Scala definition; the shuffle
+    * order (full md5 hex string) and the classifier's quality-weighted
+    * split (8-hex / 2^32 variant) are deliberate different shapes with
+    * their own oracle twins — each oracle string spells its SQL twin,
+    * pinned by its own hash row.
     */
   def portableHash52(seed: String, id: Column): Column =
     conv(substring(md5(concat_ws(":", lit(seed), id)), 1, 13), 16, 10)

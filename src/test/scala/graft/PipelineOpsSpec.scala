@@ -1055,10 +1055,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     "exactly, on interaction-heavy and batch-friendly corpora") {
     import spark.implicits._
     def compare(docs: org.apache.spark.sql.DataFrame, n: Int): Unit = {
-      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(
-        TextAnalysis.bpeWordVocab(docs), n)
-      val (mb, vb) = TextAnalysis.bpeVocabLoopBatched(
-        TextAnalysis.bpeWordVocab(docs), n)
+      val vocab0 = TextAnalysis.bpeWordVocab(docs)
+      val (ms, vs) = TextAnalysis.bpeVocabLoopSequential(vocab0, n)
+      val (mb, vb) = TextAnalysis.bpeVocabLoopBatched(vocab0, n)
       assert(mb === ms)
       def segs(v: org.apache.spark.sql.DataFrame) =
         v.select("w", "syms").as[(String, Seq[String])].collect().toMap
@@ -1066,8 +1065,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       // the driver-local trainer (the under-cap regime bpeLearn/
       // bpeEncode actually take on these vocabularies) replays the
       // same sequence and final segmentation too
-      val (ml, vl) = TextAnalysis.bpeVocabLoopLocal(
-        TextAnalysis.bpeWordVocab(docs), n)
+      val (ml, vl) = TextAnalysis.bpeVocabLoopLocal(vocab0, n)
       assert(ml === ms)
       assert(segs(vl) === segs(vs))
     }
