@@ -874,6 +874,47 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  property("semantic contamination: the max-struct aggregate equals " +
+    "the brute-force nearest-eval scan, ties and zero-norms included") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.listOfN(4, Gen.oneOf(-1.0f, 0.0f, 1.0f, 2.0f)))) { raw =>
+      import graft.operators.Similarity
+      // coarse grid components force exact cosine TIES across evals
+      // (the (sim desc, eval_id asc) tie-break is what the round-12
+      // max(struct) rewrite must reproduce) and all-zero vectors
+      // exercise the kernel's zero-norm -> 0.0 convention
+      val vecs = raw.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toArray) }
+      val emb = vecs.toDF("vec_id", "embedding")
+      val got = Similarity.semanticContamination(
+          emb, col("vec_id") % 3 === 0, 0.4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+        .toSeq
+      val evals = vecs.filter(_._1 % 3 == 0)
+      val corpus = vecs.filter(_._1 % 3 != 0)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; nx += x * x; ny += y * y; i += 1
+        }
+        if (nx == 0.0 || ny == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      def r4(d: Double): Double =
+        BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val want = corpus.map { case (id, cv) =>
+        val best = evals
+          .map { case (eid, ev) => (r4(cos(cv, ev)), eid) }
+          .minBy { case (sim, eid) => (-sim, eid) }
+        (id, best._2, best._1, if (best._1 >= 0.4) 1 else 0)
+      }.sortBy(_._1)
+      (evals.isEmpty && got.isEmpty) || got == want
+    }
+
   property("whole-doc packing: conservation, overflow bound, and " +
     "determinism on random corpora") =
     Prop.forAll(
