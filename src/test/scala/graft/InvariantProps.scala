@@ -874,6 +874,33 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  property("usage-staleness fold: finite on every input, the no-drift " +
+    "identity on degenerate sides, flat on identical measurements") =
+    Prop.forAll(
+      Gen.mapOf(Gen.zip(Gen.alphaStr.map(_.take(4)),
+        Gen.choose(0L, 50L))),
+      Gen.mapOf(Gen.zip(Gen.alphaStr.map(_.take(4)),
+        Gen.choose(0L, 50L))),
+      Gen.choose(0L, 1000L), Gen.choose(0L, 1000L)) { (bu, nu, bw, nw) =>
+      import graft.plans.UsageStats
+      val st = UsageStats.fold(bu, bw, nu, nw)
+      val finite = !st.residualGrowth.isNaN && !st.residualGrowth.isInfinite &&
+        !st.occupancySkew.isNaN && !st.occupancySkew.isInfinite
+      // ADVICE r11: an empty usage map with a nonzero word total must
+      // yield the no-drift identity, never a NaN from 0/0
+      val degen =
+        bw == 0L || nw == 0L ||
+        bu.valuesIterator.sum == 0L || nu.valuesIterator.sum == 0L
+      val identity = !degen ||
+        (st.residualGrowth == 1.0 && st.occupancySkew == 0.0)
+      // identical measurements on both sides = exactly flat
+      val same = UsageStats.fold(bu, bw, bu, bw)
+      val flat = bw == 0L || bu.valuesIterator.sum == 0L ||
+        (same.residualGrowth == 1.0 && same.occupancySkew == 0.0)
+      finite && identity && flat &&
+        st.occupancySkew >= 0.0 && st.occupancySkew <= 1.0 + 1e-12
+    }
+
   property("semantic contamination: the max-struct aggregate equals " +
     "the brute-force nearest-eval scan, ties and zero-norms included") =
     Prop.forAll(Gen.nonEmptyListOf(

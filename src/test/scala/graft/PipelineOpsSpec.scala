@@ -1227,4 +1227,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       mine.select("lang").distinct().count())
     card.unpersist(); docs.unpersist()
   }
+
+  test("bpeLearnFromWords over the shared word table replays bpeLearn " +
+    "exactly (the rebuildIfStale threading contract)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").limit(200)
+    val viaDocs = TextAnalysis.bpeLearn(docs, 12)
+      .collect().map(_.toString).toSeq
+    val viaWords = TextAnalysis.bpeLearnFromWords(
+        graft.operators.Unigram.wordFreq(docs), 12)
+      .collect().map(_.toString).toSeq
+    assert(viaWords === viaDocs,
+      "one word collapse must yield the byte-identical merge table")
+  }
 }
