@@ -33,7 +33,11 @@ RUN curl -fsSL -o "$SPARK_HOME/jars/mssql-jdbc-${MSSQL_JDBC_VERSION}.jar" \
 
 # The engine jar (thin — Spark provides every dependency) and the
 # env-var submit wrapper (the reference's SANEF_Uploader.sh shape).
-COPY target/scala-2.13/*.jar /app/graft.jar
+# EXACT artifact name, not a glob: `COPY *.jar <file>` silently depends
+# on a clean target dir — a stale jar from a previous version bump
+# beside the fresh `sbt package` output fails the build (or copies the
+# wrong jar). The name is pinned by build.sbt's name + version.
+COPY target/scala-2.13/sanefelectiondashboardetlspark_2.13-0.1.0.jar /app/graft.jar
 COPY bin/graft-submit.sh /app/graft-submit.sh
 
 # Non-root runtime user, as the reference (Dockerfile:29-35). The

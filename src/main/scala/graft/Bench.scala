@@ -15,6 +15,15 @@ import org.apache.spark.sql.SparkSession
   * elevated anchor samples in its window, one inflated sample over a
   * clean min — without a judge re-bench.
   *
+  * r13 additions close the adjudication loop mechanically: every
+  * suspect row AUTO-REQUEUES at sweep end (fresh bracketing anchors,
+  * two re-run samples, and a recorded "load"/"persists" verdict in the
+  * `requeue` map); a third, I/O-bound anchor (`io_anchor`/`io_track` —
+  * a fixed 64 MB page-cache read) covers the contention shape the cpu
+  * spin is blind to; and the `contention.bursty` flag self-classifies
+  * the sweep window (Spark- or io-anchor band moving >15%/30% past the
+  * cpu band = bursty I/O/scheduler contention, the r12 signature).
+  *
   * Env knobs:
   *  - SPARK_GRAFT_SF_DIR   data dir (default sf0.1)
   *  - SPARK_GRAFT_CPUS     local[N] parallelism (default 32 — the
@@ -85,6 +94,53 @@ object Bench {
       cpuSink = h
       (System.nanoTime() - t0) / 1e9
     }
+    // Third anchor, I/O-BOUND and Spark-free (r12 verdict ask #4): a
+    // pure cpu spin is blind to I/O/scheduler contention — in the r12
+    // driver sweep it read 1.06× quiet while min-of-N showed the
+    // window ran 1.21× and the Spark anchor 1.19× — so the trio
+    // separates three load shapes: all three move (host fully loaded),
+    // io+spark move but cpu flat (bursty I/O/scheduler contention —
+    // the r12 signature), only spark moves (session overhead drift).
+    // The read is a fixed 64 MB slice of a data parquet through a
+    // FRESH channel each sample (page-cache-warm after the first, so
+    // it prices syscall + memory-bandwidth + scheduler contention, not
+    // disk): ~0.02-0.05 s quiet.
+    val ioFile = {
+      val d = new java.io.File(sfDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          f.length() > 0)
+        .sortBy(-_.length()).headOption
+    }
+    val ioTrack =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    @volatile var ioSink = 0L
+    def ioSpin(): Option[Double] = ioFile.map { f =>
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var left = 64L << 20
+        var acc = 0L
+        while (left > 0) {
+          buf.clear()
+          val n = ch.read(buf)
+          // WRAP on EOF so the sample always prices a full 64 MB even
+          // at tiny SFs — a sub-ms read of a small file is pure timer
+          // jitter, not a contention signal (measured: band 1.97 on a
+          // quiet host at sf0.01 before the wrap)
+          if (n < 0) ch.position(0L)
+          else {
+            var i = 0
+            while (i < n) { acc ^= buf.get(i).toLong << (i % 8); i += 8 }
+            left -= n
+          }
+        }
+        ioSink = acc
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    }
     def sampleAnchor(): Unit = {
       SparkEntry.queries.get(AnchorQuery).foreach { fn =>
         // a broken anchor must not take the whole bench down — the suite
@@ -93,6 +149,8 @@ object Bench {
           .foreach(s => anchorTrack += ((off(), s)))
       }
       cpuTrack += ((off(), cpuSpin()))
+      scala.util.Try(ioSpin()).toOption.flatten
+        .foreach(s => ioTrack += ((off(), s)))
     }
     // one DISCARDED anchor run first: the cold sample pays per-plan
     // codegen/JIT, which would inflate the band (measured 6.8× on a
@@ -100,6 +158,7 @@ object Bench {
     SparkEntry.queries.get(AnchorQuery).foreach(fn =>
       scala.util.Try(time(fn)))
     cpuSpin() // discard: the spin's own JIT warm-up
+    scala.util.Try(ioSpin()) // discard: cold page cache + JIT
     (1 to math.max(iters, 3)).foreach(_ => sampleAnchor())
     val queries = SparkEntry.queries
       .filter { case (name, _) => SparkEntry.onlySelected(name) }
@@ -131,7 +190,12 @@ object Bench {
       }
     }
     sampleAnchor() // close the track at sweep end
+    // headline bands cover the SWEEP only — the requeue below appends
+    // its bracketing anchors to the tracks (visible in *_track for the
+    // judge) but must not retro-dilate the band the suspect flag used
     val anchorSamples = anchorTrack.map(_._2).toSeq
+    val cpuSamples = cpuTrack.map(_._2).toSeq
+    val ioSamples = ioTrack.map(_._2).toSeq
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -181,7 +245,64 @@ object Bench {
           median(warm) / math.max(warm.min, 1e-9) >
             math.max(anchorBand, 1.3)
         } => k
-    }.sorted
+    }.sorted ++
+      // test hook: force rows onto the suspect list so the requeue
+      // machinery is exercisable on demand (a real suspect needs a
+      // loaded host window, which no test can conjure deterministically)
+      sys.env.get("SPARK_GRAFT_FORCE_SUSPECT").toSeq
+        .flatMap(_.split(',')).filter(samples.contains).sorted
+    // AUTO-REQUEUE (r12 verdict ask #1): every suspect row re-runs at
+    // sweep end, bracketed by fresh anchor samples, and the artifact
+    // records the requeue samples + a mechanical verdict — so a judge
+    // classifies load-vs-regression from THIS file alone, no
+    // cross-artifact archaeology, no human anchor-track reading.
+    //   "load"     — the requeue reproduces the sweep min (within 15%
+    //                + the 0.3 s jitter floor): the inflated in-sweep
+    //                sample was the host, the min is the number.
+    //   "persists" — the re-run under (presumably) calmer anchors is
+    //                still slow: NOT explainable as a one-window
+    //                burst; treat as a real finding.
+    //   "err"      — the re-run failed.
+    // Cap at 10 requeued rows (a fully-loaded sweep could flag dozens
+    // and double its own runtime); the elided count is recorded.
+    val RequeueCap = 10
+    // the suspect's SWEEP WINDOW anchor evidence: the max elevation
+    // (sample / track min) each anchor saw inside [start, start+dur],
+    // bracketing points included — "was the host loaded while THIS
+    // row's samples ran", per row, from the artifact alone
+    def windowRatio(track: Seq[(Double, Double)],
+        t0: Double, t1: Double): Double =
+      if (track.isEmpty || track.map(_._2).min <= 0) 0.0
+      else {
+        val mn = track.map(_._2).min
+        val in = track.filter(p => p._1 >= t0 && p._1 <= t1).map(_._2)
+        val before = track.filter(_._1 < t0).lastOption.map(_._2)
+        val after = track.find(_._1 > t1).map(_._2)
+        val xs = in ++ before ++ after
+        if (xs.isEmpty) 0.0 else xs.max / mn
+      }
+    // tracks frozen pre-requeue for the window evidence (the requeue's
+    // own bracketing anchors must not shift the sweep windows' mins)
+    val sweepTracks = Seq(anchorTrack.toSeq, cpuTrack.toSeq, ioTrack.toSeq)
+    val requeue: Seq[(String, Seq[Double], String, Seq[Double])] =
+      suspects.take(RequeueCap).map { k =>
+        val t0 = startOff(k)
+        val t1 = t0 + samples(k).filter(_ >= 0).sum
+        val win = sweepTracks.map(tr => windowRatio(tr, t0, t1))
+        sampleAnchor()
+        val fn = SparkEntry.queries(k)
+        val rs = (1 to 2).map { _ =>
+          try time(fn) catch { case _: Throwable => -1.0 }
+        }
+        sampleAnchor()
+        val verdict =
+          if (rs.exists(_ < 0)) "err"
+          else {
+            val sweepMin = samples(k).filter(_ >= 0).min
+            if (rs.min <= sweepMin * 1.15 + 0.3) "load" else "persists"
+          }
+        (k, rs, verdict, win)
+      }
     val anchorClause =
       if (anchorSamples.isEmpty) ""
       else s""""anchor":{"query":"$AnchorQuery",""" +
@@ -190,7 +311,6 @@ object Bench {
         s""""max":${num(anchorSamples.max)},""" +
         s""""band":${num(anchorBand)},""" +
         s""""n":${anchorSamples.size}},"""
-    val cpuSamples = cpuTrack.map(_._2).toSeq
     val cpuBand =
       if (cpuSamples.isEmpty || cpuSamples.min <= 0) 0.0
       else cpuSamples.max / cpuSamples.min
@@ -201,11 +321,49 @@ object Bench {
         s""""max":${num(cpuSamples.max)},""" +
         s""""band":${num(cpuBand)},""" +
         s""""n":${cpuSamples.size}},"""
-    // stdout lists a bounded prefix of the suspects (the full list and
-    // the evidence — per-iteration samples, start offsets, the anchor
-    // track — live in the file artifact)
+    val ioBand =
+      if (ioSamples.isEmpty || ioSamples.min <= 0) 0.0
+      else ioSamples.max / ioSamples.min
+    val ioClause =
+      if (ioSamples.isEmpty) ""
+      else s""""io_anchor":{"median":${num(median(ioSamples))},""" +
+        s""""min":${num(ioSamples.min)},""" +
+        s""""max":${num(ioSamples.max)},""" +
+        s""""band":${num(ioBand)},""" +
+        s""""n":${ioSamples.size}},"""
+    // SELF-CLASSIFYING contention flag (r12 verdict ask #4): the cpu
+    // spin cannot see I/O/scheduler contention (r12 driver sweep: spin
+    // 1.06× while min-of-N showed 1.21×), so Spark-anchor or io-anchor
+    // elevation the spin does NOT corroborate is itself the "bursty
+    // contention" signal — no judge arithmetic needed. SUSTAINED
+    // (median/min) ratios, not max/min bands: one excursion sample
+    // sets a band's max, and even the quiet r12 closing sweep carried
+    // a 2.27 spark band on a 1.32 cpu band. Calibration on that
+    // sweep's tracks: spark med/min 1.50 over cpu 1.10 = 1.36 (it DID
+    // contain a loaded opening window — visible in its own track), a
+    // fully quiet window reads ~1.0-1.1; threshold 1.25. The flag is
+    // per-sweep advisory — the per-row adjudication is the requeue's
+    // window ratios + verdict below.
+    def sust(xs: Seq[Double]): Double =
+      if (xs.isEmpty || xs.min <= 0) 0.0 else median(xs) / xs.min
+    val sparkSust = sust(anchorSamples)
+    val cpuSust = sust(cpuSamples)
+    val ioSust = sust(ioSamples)
+    val bursty = cpuSust > 0 &&
+      (sparkSust / math.max(cpuSust, 1.0) > 1.25 ||
+        (ioSust > 0 && ioSust / math.max(cpuSust, 1.0) > 1.25))
+    val contentionClause =
+      if (cpuSust <= 0) ""
+      else s""""contention":{"bursty":$bursty,""" +
+        s""""spark_sust":${num(sparkSust)},"cpu_sust":${num(cpuSust)},""" +
+        s""""io_sust":${num(ioSust)}},"""
+    // stdout lists a bounded prefix of the suspects plus the requeue
+    // verdict tally (the full lists and the evidence — per-iteration
+    // samples, requeue samples, start offsets, the three anchor
+    // tracks — live in the file artifact)
     val suspectClause =
-      s""""suspect":{"count":${suspects.size},"head":[""" +
+      s""""suspect":{"count":${suspects.size},""" +
+        s""""persists":${requeue.count(_._3 == "persists")},"head":[""" +
         suspects.take(4).map("\"" + _ + "\"").mkString(",") + "]},"
     // stdout gets ONLY the contract fields, and within a hard byte budget:
     // the driver keeps a 2000-char tail of the output (BENCH_r01/r02 both
@@ -223,7 +381,8 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val header =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause$cpuClause$suspectClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$cpuClause""" +
+        s"""$contentionClause$suspectClause""" +
         s""""failed":$failed,"iters":$iters,"sf":"$sfName","queries":{"""
     val trailerMax = // worst-case elided clause + closing braces
       s""""},"elided":{"count":${meds.size},"sec":${num(total)}}}""".length
@@ -273,15 +432,31 @@ object Bench {
     val cpuTrackJson = cpuTrack
       .map { case (t, s) => s"""{"t":${num(t)},"sec":${num(s)}}""" }
       .mkString("[", ",", "]")
+    val ioTrackJson = ioTrack
+      .map { case (t, s) => s"""{"t":${num(t)},"sec":${num(s)}}""" }
+      .mkString("[", ",", "]")
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the in-artifact requeue receipt: per suspect, its sweep-end
+    // re-run samples and the mechanical load-vs-persists verdict; the
+    // bracketing anchor samples are the tail of the three *_track
+    // arrays (their t offsets sit past the last swept query's)
+    val requeueJson = requeue.map { case (k, rs, v, win) =>
+      "\"" + k + "\":{\"samples\":[" + rs.map(num).mkString(",") +
+        s"""],"verdict":"$v","window":{""" +
+        s""""spark":${num(win(0))},"cpu":${num(win(1))},""" +
+        s""""io":${num(win(2))}}}"""
+    }.mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""min_total":${num(minTotal)},$anchorClause$cpuClause$commitClause""" +
+        s""""min_total":${num(minTotal)},$anchorClause$cpuClause""" +
+        s"""$ioClause$contentionClause$commitClause""" +
         s""""failed":$failed,"iters":$iters,"cold_total":${num(coldTotal)},""" +
         s""""cold":$colds,"queries":$qs,"mins":$minsJson,""" +
         s""""samples":$samplesJson,"t_off":$offJson,""" +
         s""""anchor_track":$trackJson,"cpu_track":$cpuTrackJson,""" +
-        s""""suspect":$suspectsJson,""" +
+        s""""io_track":$ioTrackJson,""" +
+        s""""suspect":$suspectsJson,"requeue":$requeueJson,""" +
+        s""""requeue_elided":${math.max(0, suspects.size - RequeueCap)},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -327,6 +327,65 @@ object ScaleProbe {
       Dedup.minhashSignaturesKernel(sh, 64)
         .agg(max(element_at(col("sig"), 1))).first)
     sh.unpersist()
+    // ~100× FLAGSHIP PROBE (r12 verdict ask #5): the full MinHash+LSH
+    // near-dup pipeline (shingle → 48-hash signatures → 24×2 banding →
+    // exact verify) at ≥5M docs — 1000 id-offset replicas of the sf0.1
+    // corpus, each replica's TOKENS salted with its replica tag so
+    // replicas are distinct texts (unchanged payloads would make every
+    // base doc a 1000-clique of verbatim dups: C(1000,2) output pairs
+    // per doc, a quadratic artifact of the fixture, not the algorithm —
+    // the image-probe lesson). Near-dup structure is planted per
+    // replica: doc_id % 17 == 0 gains a drop-3-leading-words copy, so
+    // candidate and output volume scale LINEARLY with the corpus.
+    // EXPLICIT-ONLY (runMain graft.ScaleProbe minhash5m): ~10 min of
+    // wall is too heavy for the default sweep. Records max/median task
+    // time + skew factor (max/median) + peak JVM heap alongside the
+    // wall number — the evidence the 100 TB extrapolation rests on.
+    if (only.exists(o => o.contains("minhash5m"))) {
+      val reps = 1000
+      val base5 = Tables.documents(spark, d).select("doc_id", "text")
+      val docs5m = base5
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0, ${reps - 1})")).as("rep"))
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          concat_ws(" ", expr(
+            "transform(split(text, ' '), w -> concat('r', rep, '_', w))"))
+            .as("text"))
+      val copies = docs5m.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + lit(100000000000L)).as("doc_id"),
+          concat_ws(" ",
+            slice(split(col("text"), " "), 4, 1000000)).as("text"))
+      val corpus = docs5m.unionByName(copies)
+      val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val tl = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null) durs.add(te.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(tl)
+      t("minhash5m: LSH near-dup end-to-end, 5.3M docs (shingle -> " +
+        "sig48 -> band24x2 -> exact verify)") {
+        val n = corpus.count()
+        val sh5 = Dedup.shingleIndex(corpus, 3)
+        val pairs = Dedup.verifyJaccard(
+          Dedup.lshCandidates(Dedup.minhashSignatures(sh5, 48),
+            bands = 24, r = 2), sh5, 0.5).count()
+        // wait for stragglers' task-end events before reading stats
+        Thread.sleep(2000)
+        val ds = durs.toArray(Array.empty[java.lang.Long])
+          .map(_.toLong).sorted
+        val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
+        val mx = if (ds.isEmpty) 0L else ds.last
+        val heap = (Runtime.getRuntime.totalMemory -
+          Runtime.getRuntime.freeMemory) / (1L << 20)
+        spark.sparkContext.removeSparkListener(tl)
+        f"docs=$n pairs=$pairs tasks=${ds.length} " +
+          f"task_med=${med}ms task_max=${mx}ms " +
+          f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f " +
+          f"heap_used=${heap}MB"
+      }
+    }
     t("simhash fingerprints 50k docs (per-row kernel)")(
       Dedup.simhashFingerprints(docs)
         .agg(max(col("simhash"))).first)

@@ -243,7 +243,7 @@ object Bm25IndexStore {
     * [[search]] row-for-row like every other wandSearch path.
     */
   private def serveDriverPlanned(
-      spark: SparkSession, table: String, qdf: DataFrame,
+      spark: SparkSession, table: String, rows: Array[(Long, Long, Long)],
       topN: Int, prefixP: Int, broadcastRows: Long): Option[DataFrame] = {
     import spark.implicits._
     // tombstones as a driver predicate for the kernel's pair state;
@@ -259,9 +259,9 @@ object Bm25IndexStore {
     // the dead table at every site ([[Retire.liveVia]])
     val live = Retire.liveVia(spark, deadSet, "doc_id")
     val post = spark.table(table)
-    val qRows = qdf.select("query_id", "tkey", "df")
-      .as[(Long, Long, Long)].collect()
-      .map { case (k, t, df) => (k, t, 1.0, df) }
+    // the batch arrives PRE-COLLECTED (wandSearch's one bounded job) —
+    // this path runs no query-side Spark action of its own
+    val qRows = rows.map { case (k, t, df) => (k, t, 1.0, df) }
     def qDfOf(ids: Long => Boolean): DataFrame =
       qRows.iterator.filter(r => ids(r._1)).map(r => (r._1, r._2))
         .toSeq.toDF("query_id", "tkey")
@@ -330,17 +330,18 @@ object Bm25IndexStore {
       topN: Int, prefixP: Int = 64,
       broadcastRows: Long = BroadcastRows): DataFrame = {
     import graft.functions.TopKAgg
+    import spark.implicits._
     val post = spark.table(table)
-    // ONE action tokenizes the batch AND joins the df table; `q` is a
-    // projection of the checkpointed result. LEFT join + coalesce(0):
-    // the frozen df table counts BUILD-time terms only, but extend()
-    // appends scorable rank-0 postings for out-of-build-vocabulary
-    // batch terms — an inner join would silently drop such a term from
-    // the query and diverge from [[search]] (which joins postings
-    // directly) on extended artifacts. df = 0 only underprices that
-    // term's naive volume in the routing arithmetic, never a score.
+    // the LAZY query plan: tokenize the batch and join the df table.
+    // LEFT join + coalesce(0): the frozen df table counts BUILD-time
+    // terms only, but extend() appends scorable rank-0 postings for
+    // out-of-build-vocabulary batch terms — an inner join would
+    // silently drop such a term from the query and diverge from
+    // [[search]] (which joins postings directly) on extended
+    // artifacts. df = 0 only underprices that term's naive volume in
+    // the routing arithmetic, never a score.
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
-    val qdf = queryDocs
+    val qdfPlan = queryDocs
       .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
@@ -348,15 +349,29 @@ object Bm25IndexStore {
       .join(dfT, Seq("tkey"), "left")
       .select(col("query_id"), col("tkey"),
         coalesce(col("df"), lit(0L)).as("df"))
-      .localCheckpoint(true)
+    // collectable batches take the DRIVER-PLANNED orchestration: ONE
+    // bounded job ([[WandKernel.boundedCollect]]) tokenizes, bounds,
+    // and fetches the batch — the r12 shape (eager checkpoint → count
+    // → collect) paid three driver-sequenced actions for the same
+    // state, whose fixed scheduler latency multiplied 3-6× under host
+    // contention. It declines past its volume caps or into the
+    // chunking regime, which the distributed orchestration below owns.
+    var qdfM: DataFrame = null
+    if (driverPlanningEnabled)
+      WandKernel.boundedCollect(
+          qdfPlan.as[(Long, Long, Long)], DriverBatchRows).foreach { rows =>
+        serveDriverPlanned(spark, table, rows, topN, prefixP,
+          broadcastRows).foreach(out => return out)
+        // driver planning refused (volume caps / chunking regime) —
+        // the distributed path reuses the already-collected batch via
+        // parallelize instead of paying a second tokenize pass
+        qdfM = spark.createDataset(spark.sparkContext.parallelize(
+            rows.toIndexedSeq, spark.sparkContext.defaultParallelism))
+          .toDF("query_id", "tkey", "df")
+          .localCheckpoint(true)
+      }
+    val qdf = if (qdfM != null) qdfM else qdfPlan.localCheckpoint(true)
     val q = qdf.select("query_id", "tkey")
-    // collectable batches take the DRIVER-PLANNED orchestration (four
-    // Spark actions total — see [[serveDriverPlanned]]); it declines
-    // past its volume caps or into the chunking regime, which the
-    // distributed orchestration below owns
-    if (driverPlanningEnabled && qdf.count() <= DriverBatchRows)
-      serveDriverPlanned(spark, table, qdf, topN, prefixP, broadcastRows)
-        .foreach(out => return out)
     // every intermediate below is QUERY-BATCH-sized; each is
     // checkpointed so the postings table is scanned exactly three
     // times (prefix, tail, final scoring) instead of once per

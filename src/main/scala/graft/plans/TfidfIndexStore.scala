@@ -326,14 +326,42 @@ object TfidfIndexStore {
     // search()' contract; df = 0 merely underprices that term's naive
     // volume, a routing imprecision, never a score change
     val dfT = spark.table(dfTable(table)).select(col("tkey"), col("df"))
-    // nq rides along in the same checkpoint so the driver-planned
-    // orchestration collects the whole query state in one action
-    val qvec = queryVectors(spark, table, queryIds)
+    // nq rides along in the same frame so the driver-planned
+    // orchestration fetches the whole query state in one bounded job
+    val qvecPlan = queryVectors(spark, table, queryIds)
       .join(dfT, Seq("tkey"), "left")
       .join(broadcast(qn), "query_id")
-      .select(col("tkey"), col("query_id"), col("wq"),
+      .select(col("query_id"), col("tkey"), col("wq"),
         coalesce(col("df"), lit(0L)).as("df"), col("nq"))
-      .localCheckpoint(true)
+    // collectable batches take the DRIVER-PLANNED orchestration —
+    // [[WandKernel.serveDriverPlanned]] instantiated with the cosine
+    // algebra (see [[serveDriverPlanned]] below); it declines past its
+    // volume caps or into the chunking regime, which the distributed
+    // orchestration below owns. The all-ineligible refusal
+    // (dense-overlap corpora) happens INSIDE the kernel on driver
+    // arithmetic — on dense corpora the whole WAND overhead is then
+    // the ONE bounded mirror-fetch job ([[WandKernel.boundedCollect]];
+    // the r12 shape paid checkpoint + count + collect for the same
+    // state), and an eligible batch pays at most four Spark actions
+    // instead of the distributed form's driver-sequenced stage
+    // cascade (the Bm25IndexStore measurement: 9.4 → 4.6 s).
+    var qvecM: DataFrame = null
+    if (Bm25IndexStore.driverPlanningEnabled) {
+      import spark.implicits._
+      WandKernel.boundedCollect(
+          qvecPlan.as[(Long, Long, Double, Long, Double)],
+          Bm25IndexStore.DriverBatchRows).foreach { rows =>
+        serveDriverPlanned(spark, table, post, norms, rows,
+          topN, prefixP, broadcastRows)
+          .foreach(out => return out)
+        // refused — the distributed path reuses the collected batch
+        qvecM = spark.createDataset(spark.sparkContext.parallelize(
+            rows.toIndexedSeq, spark.sparkContext.defaultParallelism))
+          .toDF("query_id", "tkey", "wq", "df", "nq")
+          .localCheckpoint(true)
+      }
+    }
+    val qvec = if (qvecM != null) qvecM else qvecPlan.localCheckpoint(true)
     val qpost = qvec.select("tkey", "query_id", "wq")
     val qdf = qvec.select("query_id", "tkey", "df")
     def live(df: DataFrame): DataFrame =
@@ -349,21 +377,6 @@ object TfidfIndexStore {
           round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
       WandKernel.finalTopK(naiveScores, topN, "cosine")
     }
-    // collectable batches take the DRIVER-PLANNED orchestration —
-    // [[WandKernel.serveDriverPlanned]] instantiated with the cosine
-    // algebra (see [[serveDriverPlanned]] below); it declines past its
-    // volume caps or into the chunking regime, which the distributed
-    // orchestration below owns. The all-ineligible refusal
-    // (dense-overlap corpora) happens INSIDE the kernel on driver
-    // arithmetic — on dense corpora the whole WAND overhead is then
-    // the mirror fetch alone, and an eligible batch pays four Spark
-    // actions instead of the distributed form's driver-sequenced
-    // stage cascade (the Bm25IndexStore measurement: 9.4 → 4.6 s).
-    if (Bm25IndexStore.driverPlanningEnabled &&
-        qvec.count() <= Bm25IndexStore.DriverBatchRows)
-      serveDriverPlanned(spark, table, post, norms, qvec, qpost, qn,
-        topN, prefixP, broadcastRows)
-        .foreach(out => return out)
     // batch-sized intermediates are checkpointed — three postings
     // scans total (prefix, tail, final scoring), not one per
     // referencing broadcast subplan
@@ -521,7 +534,7 @@ object TfidfIndexStore {
     */
   private def serveDriverPlanned(
       spark: SparkSession, table: String, post: DataFrame,
-      norms: DataFrame, qvec: DataFrame, qpost: DataFrame, qn: DataFrame,
+      norms: DataFrame, rows: Array[(Long, Long, Double, Long, Double)],
       topN: Int, prefixP: Int, broadcastRows: Long): Option[DataFrame] = {
     import spark.implicits._
     // tombstones as a driver predicate; over-cap declines driver
@@ -533,9 +546,14 @@ object TfidfIndexStore {
     // one materialized mask reused across the kernel's closure calls —
     // see the Bm25 twin site ([[Retire.liveVia]])
     val live = Retire.liveVia(spark, deadSet, "doc_id")
-    val rows = qvec.select("query_id", "tkey", "wq", "df", "nq")
-      .as[(Long, Long, Double, Long, Double)].collect()
+    // the batch arrives PRE-COLLECTED (wandSearch's one bounded job);
+    // the scoring closures' query-side frames rebuild from it locally
+    // — no mirror re-fetch, no query-side Spark action in this path
     val qRows = rows.map { case (k, t, wq, df, nq) => (k, t, wq / nq, df) }
+    val qpost = rows.iterator.map(r => (r._2, r._1, r._3)).toSeq
+      .toDF("tkey", "query_id", "wq")
+    val qn = rows.iterator.map(r => (r._1, r._5)).toSeq.distinct
+      .toDF("query_id", "nq")
     def naivePlan(ids: Set[Long]): DataFrame = {
       val qp = rows.iterator.filter(r => ids(r._1))
         .map(r => (r._2, r._1, r._3)).toSeq.toDF("tkey", "query_id", "wq")

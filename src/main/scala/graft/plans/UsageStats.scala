@@ -54,12 +54,22 @@ object UsageStats {
       nowUses: Map[String, Long], nowWords: Long): Staleness = {
     val builtObs = builtUses.valuesIterator.sum
     val nowObs = nowUses.valuesIterator.sum
-    // obs guards mirror the word guards: an empty usage map paired
-    // with a nonzero word total must yield the no-drift identity, not
-    // a NaN skew / residual (division by zero obs below)
-    if (builtWords == 0L || nowWords == 0L ||
-        builtObs == 0L || nowObs == 0L)
+    // BUILT-side degenerates (and an empty live corpus) have no drift
+    // to measure — the no-drift identity, not a NaN skew / residual
+    // (division by zero obs below). A build with words always has obs
+    // (merges/pieces apply at least once to their own build corpus),
+    // so builtObs == 0 only reaches here on an empty/synthetic build.
+    if (builtWords == 0L || nowWords == 0L || builtObs == 0L)
       return Staleness(1.0, 0.0, builtWords, nowWords)
+    // live words with ZERO observed merge/piece uses is the MAXIMALLY
+    // drifted corpus (nothing in the artifact applies anymore), not a
+    // degenerate one: residual 0 (live fertility is exactly zero) and
+    // skew 1 (total variation between the built distribution and an
+    // all-mass-elsewhere live one), so isStale fires on its skew
+    // ceiling and rebuildIfStale retrains — the old identity pinned
+    // this state as permanently not-stale.
+    if (nowObs == 0L)
+      return Staleness(0.0, 1.0, builtWords, nowWords)
     val skew = 0.5 * (builtUses.keySet ++ nowUses.keySet).toSeq.map { k =>
       math.abs(
         builtUses.getOrElse(k, 0L).toDouble / builtObs -

@@ -67,6 +67,58 @@ private[graft] object WandKernel {
       override def initialValue(): java.lang.Boolean = false
     }
 
+  /** Test seam: this THREAD's last driver-planned ROUTE SPLIT —
+    * (batch queries, pre-route-eligible, wand-routed). The regime-
+    * selector spec reads it to pin that the in-kernel per-query
+    * routing — the data-computable dense-vs-sparse rule the served
+    * retrieval rows rely on — sends dense doc-as-query batches to the
+    * naive kernel (wand-routed = 0) and selective keyword batches to
+    * WAND (wand-routed > 0). Not read by production code.
+    */
+  private[graft] val lastRouteStats =
+    new ThreadLocal[(Int, Int, Int)] {
+      override def initialValue(): (Int, Int, Int) = (0, 0, 0)
+    }
+
+  /** ONE-job bounded collect — the driver-planned paths' query-batch
+    * fetch. The previous shape (eager checkpoint → `count` → `collect`)
+    * cost THREE driver-sequenced actions before any serving work, and
+    * the obvious `limit(cap+1).collect()` replacement is no better:
+    * executeTake scales partitions up incrementally (1 → 4 → 16 → …),
+    * each step its own sequential job. Every small action pays a fixed
+    * scheduler latency that multiplies under host contention — the
+    * measured 3-6× loaded-window balloon on the serving rows — so this
+    * fetches AND bounds in ONE job: every partition returns its rows
+    * capped at a per-task budget of ~4× the even share (cap+1 when
+    * that is smaller), with just the count past the budget. Driver
+    * accumulation is therefore ≤ ~4·(cap+1) rows even in the refusal
+    * case. Returns None (refuse — the caller's distributed path
+    * serves) when the total exceeds `cap` or any single partition
+    * overran its budget: a >4×-skewed partition under the global cap
+    * is pathological for a hash-partitioned frame, and refusing is
+    * sound — the fallback is a performance path, never a correctness
+    * one.
+    */
+  def boundedCollect[T: scala.reflect.ClassTag](
+      ds: org.apache.spark.sql.Dataset[T], cap: Long): Option[Array[T]] = {
+    val rdd = ds.rdd
+    val nParts = math.max(1, rdd.getNumPartitions)
+    val perTask = math.min(cap + 1L, 4L * (cap / nParts + 1L))
+    val res = ds.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[T]) => {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+        var cnt = 0L
+        while (it.hasNext) {
+          val r = it.next(); cnt += 1L
+          if (cnt <= perTask) buf += r
+        }
+        (cnt, if (cnt <= perTask) buf.toArray else null)
+      })
+    val total = res.iterator.map(_._1).sum
+    if (total > cap || res.exists(_._2 == null)) None
+    else Some(res.iterator.flatMap(_._2.iterator).toArray)
+  }
+
   /** PRE-ROUTE on the df table alone (no postings scan): even in a
     * query's optimistic best case — every prefix slot a distinct
     * candidate, zero tail rows — its WAND volume is Σ min(P, df)
@@ -234,10 +286,12 @@ private[graft] object WandKernel {
     * is not enormous. Here the SAME algebra runs locally between at
     * most FOUR Spark actions:
     *
-    *   1. the checkpointed query frame is collected (the caller's
-    *      `qRows`); eligibility/pricing arithmetic is local (an
-    *      all-ineligible batch returns the naive plan immediately —
-    *      one scan);
+    *   1. ONE bounded job fetches the query rows — the caller's
+    *      [[boundedCollect]]; no eager checkpoint, no separate count
+    *      action (the r12 shape paid three driver-sequenced actions
+    *      here, which is where the loaded-window latency multiplied);
+    *      eligibility/pricing arithmetic is local (an all-ineligible
+    *      batch returns the naive plan immediately — one scan);
     *   2. ONE prefix scan, collected (bounded by Σ min(P, df), checked
     *      before the scan; `limit` is the HARD bound — see below);
     *   3. ONE candidate-bounded scan exact-scores the θ seeds (only
@@ -269,8 +323,9 @@ private[graft] object WandKernel {
     * `scanPrefix`: the DISTINCT eligible (tkey) keys → the LAZY prefix
     * frame (tkey, doc_id, impact, rnk_w) — per-query expansion happens
     * on the driver, so shared terms are scanned and collected once;
-    * the kernel attaches the `limit` hard bound and collects — the
-    * Σ min(P, df) pre-check is an early refusal, NOT the memory bound:
+    * the kernel fetches it in ONE job under [[boundedCollect]]'s
+    * per-task hard budget — the Σ min(P, df) pre-check is an early
+    * refusal, NOT the memory bound:
     * rank-0 extended postings all pass `rnk_w <= P` while the frozen
     * df table never counts them, so a heavily extended artifact can
     * exceed the estimate arbitrarily; an overrun falls back to the
@@ -312,6 +367,9 @@ private[graft] object WandKernel {
     val eligible = byQ.keysIterator
       .filter(k => estpre(k) * (1L + nt(k)) * 2 < estn(k)).toSet
     val allQ = byQ.keySet
+    // route-split default (everything naive); the serve() returns
+    // below overwrite the wand-routed count — see [[lastRouteStats]]
+    lastRouteStats.set((allQ.size, eligible.size, 0))
     if (eligible.isEmpty)
       return Some(finalTopK(naivePlan(allQ), topN, scoreName))
     // two distinct refusals: the EXPANDED pair-state volume (driver
@@ -340,11 +398,19 @@ private[graft] object WandKernel {
     if (queriesOfTerm.keysIterator.map(t =>
         math.min(prefixP.toLong, dfOfTerm(t))).sum > prefixCollectCap)
       return refuse()
-    val prefixT = scanPrefix(
-        queriesOfTerm.keysIterator.toSeq.toDF("tkey"))
-      .limit(prefixCollectCap.toInt + 1)
-      .as[(Long, Long, Double, Int)].collect()
-    if (prefixT.length > prefixCollectCap) return refuse()
+    // ONE bounded job, not limit(cap+1).collect(): executeTake scales
+    // partitions up incrementally (1 → 4 → 16 → …), each step its own
+    // sequential job — the per-action latency the loaded-window
+    // balloon multiplies. boundedCollect keeps the hard driver bound
+    // (≤ ~4·cap rows transiently even on rank-0-extended overruns —
+    // the frozen-df estimate never counts those rows) and refuses in
+    // the same cases the limit-then-recheck shape did.
+    val prefixT = boundedCollect(
+      scanPrefix(queriesOfTerm.keysIterator.toSeq.toDF("tkey"))
+        .as[(Long, Long, Double, Int)], prefixCollectCap) match {
+      case None => return refuse()
+      case Some(rows) => rows
+    }
     // EXACT expansion re-check, now that the true prefix row counts
     // are known: the estpre pre-check above prices frozen df, which
     // rank-0 EXTENDED postings evade (extend never rewrites df), so a
@@ -531,7 +597,10 @@ private[graft] object WandKernel {
       algebra(k => thetaPartial.getOrElse(k, Double.MinValue))
     if (aPartial.wandIds.isEmpty)
       return Some(finalTopK(naivePlan(allQ), topN, scoreName))
-    if (aPartial.volSum <= broadcastRows) return Some(serve(aPartial))
+    if (aPartial.volSum <= broadcastRows) {
+      lastRouteStats.set((allQ.size, eligible.size, aPartial.wandIds.size))
+      return Some(serve(aPartial))
+    }
     // partial θ let too much through — pay ONE candidate-bounded scan
     // for the exact-seed θ (always ≥ the partial θ, so strictly fewer
     // candidates) and retry
@@ -554,6 +623,7 @@ private[graft] object WandKernel {
       return Some(finalTopK(naivePlan(allQ), topN, scoreName))
     // the chunking regime belongs to the distributed path
     if (aExact.volSum > broadcastRows) return None
+    lastRouteStats.set((allQ.size, eligible.size, aExact.wandIds.size))
     Some(serve(aExact))
   }
 

@@ -316,15 +316,24 @@ object DocStreams {
       maxHamming: Int = graft.plans.AhashIndexStore.Radius)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // persist + eager materialize, NOT localCheckpoint: checkpoint
+      // blocks release only when the ContextCleaner GCs the frame, so
+      // an unbounded foreachBatch loop accumulates executor storage
+      // between driver GCs — unpersist in `finally` keeps per-batch
+      // storage bounded deterministically (the batch stores pay this
+      // per CALL; only the streaming loop compounds it)
       val fps = graft.plans.AhashIndexStore
         .fingerprints(batch.select("doc_id", "payload"))
-        .localCheckpoint(true)
-      val dup = graft.plans.AhashIndexStore
-        .matchFingerprints(fps, table, maxHamming)
-      // left_semi dedups the probe side by definition — no distinct()
-      sink(batch
-        .join(fps.select("doc_id"), Seq("doc_id"), "left_semi")
-        .join(dup, Seq("doc_id"), "left_anti"), batchId)
+        .persist()
+      try {
+        fps.count() // materialize once; both consumers below read cache
+        val dup = graft.plans.AhashIndexStore
+          .matchFingerprints(fps, table, maxHamming)
+        // left_semi dedups the probe side by definition — no distinct()
+        sink(batch
+          .join(fps.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(dup, Seq("doc_id"), "left_anti"), batchId)
+      } finally fps.unpersist(false)
     }
 
   /** [[admitByAudioFingerprint]] for VIDEO clips: the probe is the
@@ -338,14 +347,19 @@ object DocStreams {
       maxHamming: Int = graft.plans.VhashIndexStore.Radius)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     clips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // persist/unpersist per batch, not localCheckpoint — see the
+      // audio twin's bounded-storage comment
       val fr = graft.plans.VhashIndexStore
         .frames(batch.select("doc_id", "payload"))
-        .localCheckpoint(true)
-      val dup = graft.plans.VhashIndexStore
-        .matchFrames(fr, table, maxHamming)
-      sink(batch
-        .join(fr.select("doc_id"), Seq("doc_id"), "left_semi")
-        .join(dup, Seq("doc_id"), "left_anti"), batchId)
+        .persist()
+      try {
+        fr.count()
+        val dup = graft.plans.VhashIndexStore
+          .matchFrames(fr, table, maxHamming)
+        sink(batch
+          .join(fr.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(dup, Seq("doc_id"), "left_anti"), batchId)
+      } finally fr.unpersist(false)
     }
 
   /** Serving-time streaming RETRIEVAL over the saved BM25 artifact —

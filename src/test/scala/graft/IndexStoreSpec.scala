@@ -605,6 +605,128 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally graft.plans.Bm25IndexStore.driverPlanningEnabled = true
   }
 
+  /** Spark JOBS started while `body` runs — the unit that pays fixed
+    * scheduler latency per driver round-trip, which is what multiplies
+    * under host contention (the r12 `q_bm25_wand` loaded-window
+    * balloon). Listener delivery is async, so the count is read only
+    * after it has been stable for several polls.
+    */
+  private def countJobs(body: => Unit): Int = {
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        names.add(j.stageInfos.lastOption.map(_.name).getOrElse("?")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = names.size()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      info(s"jobs: ${names.toArray.mkString(" | ")}")
+      names.size()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("wandSearch driver-planned serve is action-coalesced: the pinned " +
+    "job budget holds in both regimes (dense all-ineligible and " +
+    "eligible-with-tail-work) and output still equals search") {
+    import graft.plans.Bm25IndexStore
+    val docs = base
+    val (table, path) = freshTable("bm25act")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Bm25IndexStore.build(docs, table, path, buckets = 4)
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val plain = rows(Bm25IndexStore.search(spark, table, queries, 3))
+    assert(plain.nonEmpty)
+    // AQE off for the measurement so one action == one job (AQE
+    // materializes each exchange as its own job and would blur the
+    // action count the pin exists to guard). The counted window is
+    // PLAN CONSTRUCTION only — the driver-sequenced planning jobs the
+    // loaded-window balloon multiplies; the single result action (and
+    // its sort-sampling / broadcast-future side jobs) is the same for
+    // every serve shape and is asserted on separately via equality.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var dense: DataFrame = null
+      var tail: DataFrame = null
+      // DENSE regime (default prefix on the 31-term natural corpus):
+      // every query fails the df-only pre-route, so planning is ONE
+      // bounded batch-fetch job plus the df-table broadcast future its
+      // join materializes. The r12 shape paid three driver-sequenced
+      // actions here (checkpoint + count + collect) — this pin keeps
+      // the coalescing from regressing.
+      val denseJobs = countJobs {
+        dense = Bm25IndexStore.wandSearch(spark, table, queries, 3)
+      }
+      assert(rows(dense) === plain, "dense-regime serve must equal search")
+      assert(denseJobs <= 2,
+        s"dense driver-planned planning must stay ≤ 2 jobs, got $denseJobs")
+      // ELIGIBLE regime (2-deep prefix): + one bounded prefix-fetch
+      // job (and its broadcast future) — 4 total here; a θ-seed
+      // scoring job only when the partial θ lets too much volume
+      // through (not on this fixture).
+      val tailJobs = countJobs {
+        tail = Bm25IndexStore.wandSearch(spark, table, queries, 3,
+          prefixP = 2)
+      }
+      assert(rows(tail) === plain, "eligible-regime serve must equal search")
+      assert(tailJobs <= 4,
+        s"eligible driver-planned planning must stay ≤ 4 jobs, got $tailJobs")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("the in-kernel regime selector (df-only pre-route + per-query " +
+    "pricing) routes dense doc-as-query batches naive and selective " +
+    "keyword queries to WAND — the served-retrieval kernel choice is " +
+    "data-computed, not hand-pinned") {
+    import graft.plans.{Bm25IndexStore, WandKernel}
+    import spark.implicits._
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // DENSE regime: the natural corpus (31-term vocabulary, every term
+    // in ~78% of docs) queried by whole documents — the served-fusion
+    // rows' shape. The pre-route must refuse every query and the serve
+    // must degenerate to the naive kernel.
+    val (dTable, dPath) = freshTable("bm25seld")
+    spark.sql(s"DROP TABLE IF EXISTS ${dTable}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${dTable}_stats")
+    Bm25IndexStore.build(base, dTable, dPath, buckets = 4)
+    val dq = base.filter(col("doc_id") % 25 === 0)
+    val dres = rows(Bm25IndexStore.wandSearch(spark, dTable, dq, 3))
+    val (dn, dElig, dWand) = WandKernel.lastRouteStats.get()
+    assert(dn > 0 && dWand === 0,
+      s"dense doc-as-query batch must route fully naive, got ($dn, $dElig, $dWand)")
+    assert(dres === rows(Bm25IndexStore.search(spark, dTable, dq, 3)))
+    // SELECTIVE regime: a zipf-ish corpus (one corpus-wide stopword,
+    // one df-1 rare term per doc) queried by short rare+stop keyword
+    // pairs — θ rides the rare term past the cap sum and the stopword
+    // tail never joins; the pricing must WAND-route these.
+    val (sTable, sPath) = freshTable("bm25sels")
+    spark.sql(s"DROP TABLE IF EXISTS ${sTable}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${sTable}_stats")
+    val corpus = (1 to 120).map(i => (i.toLong, s"stop rare$i"))
+      .toDF("doc_id", "text")
+    Bm25IndexStore.build(corpus, sTable, sPath, buckets = 4)
+    val sq = (1 to 5).map(i => (2000L + i, s"rare${i * 7} stop"))
+      .toDF("doc_id", "text")
+    val sres = rows(
+      Bm25IndexStore.wandSearch(spark, sTable, sq, 1, prefixP = 2))
+    val (sn, sElig, sWand) = WandKernel.lastRouteStats.get()
+    assert(sWand > 0,
+      s"selective keyword batch must wand-route, got ($sn, $sElig, $sWand)")
+    assert(sres === rows(Bm25IndexStore.search(spark, sTable, sq, 1)))
+  }
+
   test("tfidf store: all-zero-score docs (every term in every doc) " +
     "drop from the index instead of entering as NaN postings") {
     import graft.plans.TfidfIndexStore

@@ -886,18 +886,22 @@ object InvariantProps extends Properties("graft.invariants") {
       val st = UsageStats.fold(bu, bw, nu, nw)
       val finite = !st.residualGrowth.isNaN && !st.residualGrowth.isInfinite &&
         !st.occupancySkew.isNaN && !st.occupancySkew.isInfinite
-      // ADVICE r11: an empty usage map with a nonzero word total must
-      // yield the no-drift identity, never a NaN from 0/0
-      val degen =
-        bw == 0L || nw == 0L ||
-        bu.valuesIterator.sum == 0L || nu.valuesIterator.sum == 0L
-      val identity = !degen ||
+      // ADVICE r11/r12: BUILT-side degenerates (and an empty live
+      // corpus) yield the no-drift identity, never a NaN from 0/0 —
+      // but a live corpus with words and ZERO observed uses is the
+      // maximally drifted state (0.0, 1.0), so rebuildIfStale fires
+      val builtDegen =
+        bw == 0L || nw == 0L || bu.valuesIterator.sum == 0L
+      val allDead = !builtDegen && nu.valuesIterator.sum == 0L
+      val identity = !builtDegen ||
         (st.residualGrowth == 1.0 && st.occupancySkew == 0.0)
+      val maxDrift = !allDead ||
+        (st.residualGrowth == 0.0 && st.occupancySkew == 1.0)
       // identical measurements on both sides = exactly flat
       val same = UsageStats.fold(bu, bw, bu, bw)
       val flat = bw == 0L || bu.valuesIterator.sum == 0L ||
         (same.residualGrowth == 1.0 && same.occupancySkew == 0.0)
-      finite && identity && flat &&
+      finite && identity && maxDrift && flat &&
         st.occupancySkew >= 0.0 && st.occupancySkew <= 1.0 + 1e-12
     }
 
