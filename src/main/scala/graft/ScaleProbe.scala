@@ -343,7 +343,11 @@ object ScaleProbe {
     // wall number — the evidence the 100 TB extrapolation rests on.
     if (only.exists(o => o.contains("minhash5m"))) {
       val reps = 1000
+      // repartition BEFORE the 1000× explode: the base corpus is one
+      // parquet file (1-2 input partitions), so without this the whole
+      // 530M-row generation runs in two tasks
       val base5 = Tables.documents(spark, d).select("doc_id", "text")
+        .repartition(64)
       val docs5m = base5
         .select(col("doc_id"), col("text"),
           explode(expr(s"sequence(0, ${reps - 1})")).as("rep"))
@@ -364,13 +368,21 @@ object ScaleProbe {
         }
       }
       spark.sparkContext.addSparkListener(tl)
-      t("minhash5m: LSH near-dup end-to-end, 5.3M docs (shingle -> " +
-        "sig48 -> band24x2 -> exact verify)") {
-        val n = corpus.count()
-        val sh5 = Dedup.shingleIndex(corpus, 3)
-        val pairs = Dedup.verifyJaccard(
-          Dedup.lshCandidates(Dedup.minhashSignatures(sh5, 48),
-            bands = 24, r = 2), sh5, 0.5).count()
+      // STAGED timings (each stage its own [scale] row): a failure
+      // names its stage, and the per-stage costs are the evidence the
+      // 100 TB extrapolation actually needs
+      t("minhash5m: corpus materialize (5.3M docs)")(corpus.count())
+      val sh5 = Dedup.shingleIndex(corpus, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("minhash5m: shingle index rows")(sh5.count())
+      val sigs = Dedup.minhashSignatures(sh5, 48)
+      t("minhash5m: 48-hash signatures (agg only)")(
+        sigs.agg(max(element_at(col("sig"), 1))).first)
+      val cand = Dedup.lshCandidates(sigs, bands = 24, r = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("minhash5m: lsh banded candidates")(cand.count())
+      t("minhash5m: exact verify -> pairs + task stats") {
+        val pairs = Dedup.verifyJaccard(cand, sh5, 0.5).count()
         // wait for stragglers' task-end events before reading stats
         Thread.sleep(2000)
         val ds = durs.toArray(Array.empty[java.lang.Long])
@@ -380,11 +392,12 @@ object ScaleProbe {
         val heap = (Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) / (1L << 20)
         spark.sparkContext.removeSparkListener(tl)
-        f"docs=$n pairs=$pairs tasks=${ds.length} " +
+        f"pairs=$pairs tasks=${ds.length} " +
           f"task_med=${med}ms task_max=${mx}ms " +
           f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f " +
           f"heap_used=${heap}MB"
       }
+      sh5.unpersist(); cand.unpersist()
     }
     t("simhash fingerprints 50k docs (per-row kernel)")(
       Dedup.simhashFingerprints(docs)

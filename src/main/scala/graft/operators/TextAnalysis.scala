@@ -2782,18 +2782,25 @@ object TextAnalysis {
     * it carries the same composed oracle; the corpus-sized tokenize +
     * weigh cost lives in the (shared, build-once) artifacts.
     *
-    * Kernel choice is MEASURED, not assumed: at k=3 over this
-    * doc-as-query batch the naive Σ-postings kernel beats `wandSearch`
-    * (warm 3.1-3.8 s vs 4.3-5.8 s, 5-iter sf0.1, cpu-anchor band ≤1.04
-    * both runs) — dense doc-queries route most of the batch back to
-    * the naive kernel anyway, so WAND pays its driver-side planning
-    * collect without pruning enough volume to earn it back. The k=10
-    * fusion twin measures the same direction (naive 2.8-4.0 s vs WAND
-    * 4.3-6.3 s warm, 6-iter controlled runs), so BOTH served fusion
-    * rows keep the naive kernel; WAND's winning regime — selective
-    * keyword queries over a Zipf corpus — is priced by its own
-    * registered pair (`q_bm25_zipf` 16.8 s vs `q_bm25_zipf_wand`
-    * 6.8 s, a 2.5× win in the closing sweep).
+    * KERNEL CHOICE — the regime selector IS `wandSearch`'s in-kernel
+    * df-only pre-route (per-query, data-computed; IndexStoreSpec's
+    * regime-selector test pins it choosing naive on dense doc-as-query
+    * batches and WAND on selective keyword queries). Routing THIS row
+    * through it was re-measured in r13 AFTER the planning collects
+    * were coalesced to one bounded job: wandSearch 3.3-4.3 s warm vs
+    * naive `search` 2.0-2.6 s (6-iter sf0.1, cpu-anchor bands ≤ 1.05
+    * both runs; r12 measured the same direction pre-coalescing). The
+    * gap is structural, not fixable by a cheaper selector: any
+    * data-computed routing decision must read the batch's term-df
+    * profile, and for an 800-doc doc-as-query batch that fetch
+    * (tokenize + df join, ×2 stores) is ~half the whole query's cost —
+    * evidence the selector's naive verdict then discards. For rows
+    * whose regime is STATICALLY known (whole documents over the dense
+    * 31-term corpus can never pass the pre-route), hard-wiring the
+    * selector's answer skips paying for its evidence; unknown-regime
+    * serving goes through `wandSearch`, where the selector earns its
+    * cost (the zipf pair prices that winning regime: `q_bm25_zipf`
+    * ~17 s naive vs `q_bm25_zipf_wand` ~5.5-6 s).
     */
   val qRankerAgreementServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
@@ -2804,18 +2811,17 @@ object TextAnalysis {
       graft.plans.Bm25IndexStore.search(s, bm, queryDocs, 3))
   }
 
-  /** [[qRrfFusion]] served from the same persisted artifacts,
-    * through the naive Σ-postings kernel — a MEASURED choice, twice:
-    * the r12 round first swapped both legs to `wandSearch` on the
-    * strength of the r11 driver sweep (naive 6.7 s there), then
-    * head-to-head 6-iter controlled runs on a quiet host (cpu-anchor
-    * band ≤1.13) showed that number was a loaded-window artifact —
-    * naive serves this batch at 2.8-4.0 s warm vs WAND's 4.3-6.3 s.
-    * Dense 800-doc-as-query batches are exactly WAND's losing regime:
-    * per-query routing sends most of the batch to the naive kernel
-    * anyway, after paying the driver-side planning collect. The
-    * kernels are spec-pinned output-identical, so this is purely a
-    * cost choice; WAND's winning regime is priced by the zipf pair.
+  /** [[qRrfFusion]] served from the same persisted artifacts, through
+    * the naive Σ-postings kernel — a MEASURED choice, three times now
+    * (r12 pre-coalescing: naive 2.8-4.0 s vs WAND 4.3-6.3 s; r13
+    * post-coalescing: naive min 2.47 s vs WAND min 3.76 s, cpu bands
+    * ≤ 1.05). See [[qRankerAgreementServed]] for the full selector
+    * story: the in-kernel pre-route IS the data-computed selector
+    * (spec-pinned on both regimes), its verdict for dense doc-as-query
+    * batches is always naive, and paying its evidence fetch per serve
+    * costs more than the verdict saves — so the statically-known-dense
+    * served rows hard-wire the verdict. Kernels are spec-pinned
+    * output-identical; the zipf pair prices WAND's winning regime.
     */
   val qRrfFusionServed: Q = (s, d) => {
     val (tfx, bm) = retrievalStores(s, d)
