@@ -160,9 +160,15 @@ object Retire {
     dead(spark, table) match {
       case None => Some(Set.empty)
       case Some(d) =>
-        val rows = d.limit(DeadCollectCap.toInt + 1).collect()
-        if (rows.length > DeadCollectCap) None
-        else Some(rows.map(_.getLong(0)).toSet)
+        // ONE bounded job ([[WandKernel.boundedCollect]]), not
+        // limit(cap+1).collect(): executeTake's incremental partition
+        // scale-up costs up to four sequential jobs per serve — the
+        // per-action latency the r12 loaded-window balloon multiplied
+        import spark.implicits._
+        WandKernel.boundedCollect(
+            d.select(col(d.columns.head).cast("long")).as[Long],
+            DeadCollectCap)
+          .map(_.toSet)
     }
 
   /** Drop the tombstones — the last step of a store's compact, after
