@@ -361,10 +361,28 @@ object ScaleProbe {
             slice(split(col("text"), " "), 4, 1000000)).as("text"))
       val corpus = docs5m.unionByName(copies)
       val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      // (stageId, duration) so a straggler ATTRIBUTES to its stage —
+      // "skew 52.7" alone says nothing about where the long pole lives
+      val stageDurs = new java.util.concurrent
+        .ConcurrentLinkedQueue[(Int, Long)]()
+      val stageNames = new java.util.concurrent
+        .ConcurrentHashMap[Int, String]()
       val tl = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null) durs.add(te.taskInfo.duration); ()
+          if (te.taskInfo != null) {
+            durs.add(te.taskInfo.duration)
+            stageDurs.add((te.stageId, te.taskInfo.duration))
+          }
+          ()
+        }
+        override def onStageSubmitted(
+            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          stageNames.put(ss.stageInfo.stageId,
+            ss.stageInfo.name.takeWhile(_ != '(').trim + " " +
+              ss.stageInfo.details.linesIterator
+                .find(_.contains("graft")).getOrElse("").trim)
+          ()
         }
       }
       spark.sparkContext.addSparkListener(tl)
@@ -392,6 +410,17 @@ object ScaleProbe {
         val heap = (Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) / (1L << 20)
         spark.sparkContext.removeSparkListener(tl)
+        // the three worst stages by max task — names the long pole
+        import scala.jdk.CollectionConverters._
+        val byStage = stageDurs.asScala.toSeq.groupBy(_._1)
+          .map { case (sid, ts) =>
+            val s = ts.map(_._2).sorted
+            (sid, s.last, s(s.length / 2), s.length)
+          }.toSeq.sortBy(-_._2).take(3)
+        byStage.foreach { case (sid, sMax, sMed, n) =>
+          println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
+            f"tasks=$n  ${stageNames.getOrDefault(sid, "?").take(120)}")
+        }
         f"pairs=$pairs tasks=${ds.length} " +
           f"task_med=${med}ms task_max=${mx}ms " +
           f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f " +
