@@ -245,12 +245,15 @@ object Bench {
           median(warm) / math.max(warm.min, 1e-9) >
             math.max(anchorBand, 1.3)
         } => k
-    }.sorted ++
+    }.sorted.concat(
       // test hook: force rows onto the suspect list so the requeue
       // machinery is exercisable on demand (a real suspect needs a
       // loaded host window, which no test can conjure deterministically)
       sys.env.get("SPARK_GRAFT_FORCE_SUSPECT").toSeq
-        .flatMap(_.split(',')).filter(samples.contains).sorted
+        .flatMap(_.split(',')).filter(samples.contains).sorted)
+      // a forced name that is ALSO naturally flagged must not requeue
+      // twice (duplicate keys in the requeue JSON map)
+      .distinct
     // AUTO-REQUEUE (r12 verdict ask #1): every suspect row re-runs at
     // sweep end, bracketed by fresh anchor samples, and the artifact
     // records the requeue samples + a mechanical verdict — so a judge
