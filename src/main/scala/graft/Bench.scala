@@ -107,10 +107,17 @@ object Bench {
     // disk): ~0.02-0.05 s quiet.
     val ioFile = {
       val d = new java.io.File(sfDir)
-      Option(d.listFiles()).getOrElse(Array.empty)
+      val entries = Option(d.listFiles()).getOrElse(Array.empty)
+      val flat = entries.filter(f =>
+        f.isFile && f.getName.endsWith(".parquet") && f.length() > 0)
+      // directory-style parquet (table.parquet/part-*.parquet) — the
+      // layout Spark itself writes — keeps the anchor alive too
+      val nested = entries.filter(f =>
+        f.isDirectory && f.getName.endsWith(".parquet"))
+        .flatMap(dir => Option(dir.listFiles()).getOrElse(Array.empty))
         .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
           f.length() > 0)
-        .sortBy(-_.length()).headOption
+      (flat ++ nested).sortBy(-_.length()).headOption
     }
     val ioTrack =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
@@ -298,12 +305,16 @@ object Bench {
           try time(fn) catch { case _: Throwable => -1.0 }
         }
         sampleAnchor()
+        val okSweep = samples(k).filter(_ >= 0)
         val verdict =
           if (rs.exists(_ < 0)) "err"
-          else {
-            val sweepMin = samples(k).filter(_ >= 0).min
-            if (rs.min <= sweepMin * 1.15 + 0.3) "load" else "persists"
-          }
+          // a FORCED suspect whose sweep iterations all failed has no
+          // sweep min to compare against (natural suspects always do —
+          // the flagger requires all-nonnegative samples); a successful
+          // re-run of an all-failed row is itself the interesting fact
+          else if (okSweep.isEmpty) "recovered"
+          else if (rs.min <= okSweep.min * 1.15 + 0.3) "load"
+          else "persists"
         (k, rs, verdict, win)
       }
     val anchorClause =

@@ -388,7 +388,9 @@ object ScaleProbe {
       spark.sparkContext.addSparkListener(tl)
       // STAGED timings (each stage its own [scale] row): a failure
       // names its stage, and the per-stage costs are the evidence the
-      // 100 TB extrapolation actually needs
+      // 100 TB extrapolation actually needs. try/finally: a failing
+      // stage must not leak the listener onto every later probe.
+      try {
       t("minhash5m: corpus materialize (5.3M docs)")(corpus.count())
       val sh5 = Dedup.shingleIndex(corpus, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -409,7 +411,6 @@ object ScaleProbe {
         val mx = if (ds.isEmpty) 0L else ds.last
         val heap = (Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) / (1L << 20)
-        spark.sparkContext.removeSparkListener(tl)
         // the three worst stages by max task — names the long pole
         import scala.jdk.CollectionConverters._
         val byStage = stageDurs.asScala.toSeq.groupBy(_._1)
@@ -427,6 +428,7 @@ object ScaleProbe {
           f"heap_used=${heap}MB"
       }
       sh5.unpersist(); cand.unpersist()
+      } finally spark.sparkContext.removeSparkListener(tl)
     }
     t("simhash fingerprints 50k docs (per-row kernel)")(
       Dedup.simhashFingerprints(docs)

@@ -364,7 +364,12 @@ object Bm25IndexStore {
           broadcastRows).foreach(out => return out)
         // driver planning refused (volume caps / chunking regime) —
         // the distributed path reuses the already-collected batch via
-        // parallelize instead of paying a second tokenize pass
+        // parallelize instead of paying a second tokenize pass.
+        // (A batch boundedCollect itself refuses — > DriverBatchRows
+        // rows, i.e. corpus-scale — re-runs the query plan once for
+        // the checkpoint below: one extra batch-linear pass, paid only
+        // in the regime where the distributed serve dominates it, and
+        // bounded further by the fetch's cancel-on-overrun.)
         qdfM = spark.createDataset(spark.sparkContext.parallelize(
             rows.toIndexedSeq, spark.sparkContext.defaultParallelism))
           .toDF("query_id", "tkey", "df")

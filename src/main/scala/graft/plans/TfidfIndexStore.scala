@@ -355,6 +355,9 @@ object TfidfIndexStore {
           topN, prefixP, broadcastRows)
           .foreach(out => return out)
         // refused — the distributed path reuses the collected batch
+        // (an over-cap batch, where boundedCollect itself refuses,
+        // re-runs the mirror-fetch plan once for the checkpoint below —
+        // see the Bm25 twin's tradeoff note)
         qvecM = spark.createDataset(spark.sparkContext.parallelize(
             rows.toIndexedSeq, spark.sparkContext.defaultParallelism))
           .toDF("query_id", "tkey", "wq", "df", "nq")

@@ -88,35 +88,79 @@ private[graft] object WandKernel {
     * each step its own sequential job. Every small action pays a fixed
     * scheduler latency that multiplies under host contention — the
     * measured 3-6× loaded-window balloon on the serving rows — so this
-    * fetches AND bounds in ONE job: every partition returns its rows
-    * capped at a per-task budget of ~4× the even share (cap+1 when
-    * that is smaller), with just the count past the budget. Driver
-    * accumulation is therefore ≤ ~4·(cap+1) rows even in the refusal
-    * case. Returns None (refuse — the caller's distributed path
-    * serves) when the total exceeds `cap` or any single partition
-    * overran its budget: a >4×-skewed partition under the global cap
-    * is pathological for a hash-partitioned frame, and refusing is
-    * sound — the fallback is a performance path, never a correctness
-    * one.
+    * fetches AND bounds in ONE job, with three hard guarantees:
+    *
+    *   - refusal is EXACTLY `count > cap` — no partitioning-shape
+    *     sensitivity (the prefix scan is BUCKETED by term, so a
+    *     term-concentrated batch legitimately packs one partition;
+    *     an even-share-based per-task budget would falsely refuse it);
+    *   - driver memory is bounded at ~cap rows: results stream through
+    *     an incremental handler that stops buffering the moment the
+    *     running total refuses, instead of collecting every task's
+    *     rows first and checking after;
+    *   - refusal work is bounded: a task stops scanning at its
+    *     (cap+1)-th row (a single over-cap partition already decides
+    *     the global verdict), and the driver CANCELS the job as soon
+    *     as the running total crosses the cap, so an over-cap fetch
+    *     never pays a full scan before falling back.
+    *
+    * Returns None to refuse — the caller's distributed path serves;
+    * the fallback is a performance path, never a correctness one.
     */
   def boundedCollect[T: scala.reflect.ClassTag](
       ds: org.apache.spark.sql.Dataset[T], cap: Long): Option[Array[T]] = {
     val rdd = ds.rdd
-    val nParts = math.max(1, rdd.getNumPartitions)
-    val perTask = math.min(cap + 1L, 4L * (cap / nParts + 1L))
-    val res = ds.sparkSession.sparkContext.runJob(rdd,
+    if (rdd.getNumPartitions == 0) return Some(Array.empty[T])
+    val sc = ds.sparkSession.sparkContext
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    @volatile var refused = false
+    var total = 0L
+    val lock = new Object
+    val action = sc.submitJob[T, (Long, Array[T]), Unit](
+      rdd,
       (it: Iterator[T]) => {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+        val b = scala.collection.mutable.ArrayBuffer.empty[T]
         var cnt = 0L
-        while (it.hasNext) {
+        var over = false
+        while (!over && it.hasNext) {
           val r = it.next(); cnt += 1L
-          if (cnt <= perTask) buf += r
+          // cap+1 in ONE partition decides the global refusal — stop
+          // scanning and ship the verdict, not the rows
+          if (cnt > cap) over = true else b += r
         }
-        (cnt, if (cnt <= perTask) buf.toArray else null)
-      })
-    val total = res.iterator.map(_._1).sum
-    if (total > cap || res.exists(_._2 == null)) None
-    else Some(res.iterator.flatMap(_._2.iterator).toArray)
+        (cnt, if (over) null else b.toArray)
+      },
+      0 until rdd.getNumPartitions,
+      (_: Int, res: (Long, Array[T])) => lock.synchronized {
+        if (!refused) {
+          total += res._1
+          if (res._2 == null || total > cap) refused = true
+          else buf ++= res._2
+        }
+      },
+      ())
+    // await completion, cancelling the remaining tasks the moment the
+    // running total refuses (the poll interval only delays the CANCEL,
+    // never the accept path — completion is observed immediately)
+    try {
+      while (!action.isCompleted && !refused) Thread.sleep(2)
+      if (refused) {
+        action.cancel()
+        None
+      } else {
+        // completed un-refused: surface task failures as the plain
+        // collect would, then hand back the buffered rows
+        scala.concurrent.Await.result(
+          action, scala.concurrent.duration.Duration.Inf)
+        lock.synchronized {
+          if (refused) None else Some(buf.toArray)
+        }
+      }
+    } catch {
+      case e: Throwable if refused =>
+        // cancellation surfacing through the future after we refused
+        None
+    }
   }
 
   /** PRE-ROUTE on the df table alone (no postings scan): even in a

@@ -30,28 +30,22 @@ object InvariantProps extends Properties("graft.invariants") {
     Gen.nonEmptyListOf(Gen.choose(1L, 40L)).map(_.distinct)
 
   property("boundedCollect: one-job fetch returns exactly the rows " +
-    "under the cap; refusal is sound past the cap or a per-task " +
-    "budget overrun, never a silent truncation") =
+    "under the cap and refuses EXACTLY past it — no partitioning-shape " +
+    "sensitivity, never a silent truncation") =
     Prop.forAll(Gen.listOf(Gen.choose(0L, 1000L)),
       Gen.choose(1, 8), Gen.choose(0L, 60L)) { (xs, nParts, cap) =>
       import graft.plans.WandKernel
-      // hash-partition on the value so both materializations (the law's
-      // per-partition census and boundedCollect's own ds.rdd) see the
-      // SAME deterministic distribution — round-robin repartition would
-      // not guarantee that
+      // hash-partitioning concentrates duplicates — with few distinct
+      // values whole inputs pack into one partition, exactly the
+      // bucketed-layout shape the refusal rule must NOT be sensitive to
       val ds = xs.toDS().repartition(nParts, col("value"))
-      val counts = ds.rdd.glom().map(_.length.toLong).collect()
-      val n = math.max(1, counts.length)
-      val perTask = math.min(cap + 1L, 4L * (cap / n + 1L))
       WandKernel.boundedCollect(ds, cap) match {
         case Some(arr) =>
           // accepted: EXACTLY the input multiset, and the cap held
           arr.sorted.toSeq == xs.sorted && xs.length <= cap
         case None =>
-          // refused: only when the total really exceeds the cap or a
-          // partition really overran its budget (sound — the callers'
-          // distributed fallback serves)
-          xs.length > cap || counts.exists(_ > perTask)
+          // refused: if and only if the total really exceeds the cap
+          xs.length > cap
       }
     }
 
