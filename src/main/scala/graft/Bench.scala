@@ -35,6 +35,9 @@ import org.apache.spark.sql.SparkSession
   *                         iteration aid; unset = full suite)
   *  - SPARK_GRAFT_BENCH_OUT file for the JSON line (default
   *                         bench_latest.json in the cwd)
+  *  - SPARK_GRAFT_FORCE_SUSPECT comma-separated query names forced
+  *                         onto the suspect list (test hook — exercises
+  *                         the auto-requeue machinery on demand)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
