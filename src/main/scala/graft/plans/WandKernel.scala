@@ -42,6 +42,25 @@ private[graft] object WandKernel {
     */
   val DriverPairCells = 8000000L
 
+  /** Probe counters — the serving-path scale probe's structural
+    * evidence (ScaleProbe `wandserve`): how often the one-job bounded
+    * fetch refused, how often driver planning served vs refused to the
+    * distributed orchestration, and how often exact scoring left the
+    * single-chunk fast path. Plain AtomicLong increments on already-
+    * driver-side code paths (never per row), never read by production
+    * logic — the probe snapshots deltas around a serve loop.
+    */
+  private[graft] val statBoundedCalls =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val statBoundedRefusals =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val statDriverPlannedServes =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val statDriverPlanningRefusals =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val statChunkedScoreFallbacks =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Test seam (InvariantProps' refusal-boundary law): when set,
     * replaces [[DriverPairCells]] inside [[serveDriverPlanned]] so the
     * law can place the cap BETWEEN the frozen-df estimate and the
@@ -104,11 +123,26 @@ private[graft] object WandKernel {
     *     as the running total crosses the cap, so an over-cap fetch
     *     never pays a full scan before falling back.
     *
+    * ROW ORDER IS UNSPECIFIED — rows arrive in task-COMPLETION order,
+    * unlike the partition-ordered `collect()` this replaced. Every
+    * current consumer folds the rows into hash maps (and the θ-seed
+    * fp-sum reordering is covered by the ulp/seed-set argument); a
+    * future caller that needs collect-like ordering must sort or use
+    * plain `collect`. A non-refusal task FAILURE propagates exactly as
+    * `collect` would (the await rethrows the job's SparkException; the
+    * poll loop observes the failed future and terminates — spec-pinned
+    * in IndexStoreSpec).
+    *
     * Returns None to refuse — the caller's distributed path serves;
     * the fallback is a performance path, never a correctness one.
     */
   def boundedCollect[T: scala.reflect.ClassTag](
       ds: org.apache.spark.sql.Dataset[T], cap: Long): Option[Array[T]] = {
+    statBoundedCalls.incrementAndGet()
+    def refusedResult: Option[Array[T]] = {
+      statBoundedRefusals.incrementAndGet()
+      None
+    }
     val rdd = ds.rdd
     if (rdd.getNumPartitions == 0) return Some(Array.empty[T])
     val sc = ds.sparkSession.sparkContext
@@ -146,20 +180,20 @@ private[graft] object WandKernel {
       while (!action.isCompleted && !refused) Thread.sleep(2)
       if (refused) {
         action.cancel()
-        None
+        refusedResult
       } else {
         // completed un-refused: surface task failures as the plain
         // collect would, then hand back the buffered rows
         scala.concurrent.Await.result(
           action, scala.concurrent.duration.Duration.Inf)
         lock.synchronized {
-          if (refused) None else Some(buf.toArray)
+          if (refused) refusedResult else Some(buf.toArray)
         }
       }
     } catch {
       case e: Throwable if refused =>
         // cancellation surfacing through the future after we refused
-        None
+        refusedResult
     }
   }
 
@@ -307,6 +341,7 @@ private[graft] object WandKernel {
     // prefix pairs) rides the one scoring job, two driver-sequenced
     // jobs fewer than the general path
     if (estRows <= broadcastRows) return reduceChunk(cand)
+    statChunkedScoreFallbacks.incrementAndGet()
     val candM = cand.localCheckpoint(true)
     val bRows = candM.join(broadcast(qCnt), "query_id")
       .agg(coalesce(sum("nt"), lit(0L))).first.getLong(0)
@@ -398,7 +433,12 @@ private[graft] object WandKernel {
     lastRefusedDriverPlanning.set(false)
     def refuse(): Option[DataFrame] = {
       lastRefusedDriverPlanning.set(true)
+      statDriverPlanningRefusals.incrementAndGet()
       None
+    }
+    def served(df: DataFrame): Option[DataFrame] = {
+      statDriverPlannedServes.incrementAndGet()
+      Some(df)
     }
     val cellsCap = pairCellsCapOverride.get().getOrElse(pairCellsCap)
     val byQ = qRows.groupBy(_._1)
@@ -415,7 +455,7 @@ private[graft] object WandKernel {
     // below overwrite the wand-routed count — see [[lastRouteStats]]
     lastRouteStats.set((allQ.size, eligible.size, 0))
     if (eligible.isEmpty)
-      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+      return served(finalTopK(naivePlan(allQ), topN, scoreName))
     // two distinct refusals: the EXPANDED pair-state volume (driver
     // memory for the per-(query, doc) cells — [[DriverPairCells]]) and,
     // below, the distinct-term COLLECT volume (Spark→driver transfer —
@@ -505,7 +545,7 @@ private[graft] object WandKernel {
     }.flatten.toSet
     val cappable = eligible -- uncappable
     if (cappable.isEmpty)
-      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+      return served(finalTopK(naivePlan(allQ), topN, scoreName))
     val capImp =
       scala.collection.mutable.HashMap.empty[(Long, Long), Double]
     val capb =
@@ -640,10 +680,10 @@ private[graft] object WandKernel {
     val aPartial =
       algebra(k => thetaPartial.getOrElse(k, Double.MinValue))
     if (aPartial.wandIds.isEmpty)
-      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+      return served(finalTopK(naivePlan(allQ), topN, scoreName))
     if (aPartial.volSum <= broadcastRows) {
       lastRouteStats.set((allQ.size, eligible.size, aPartial.wandIds.size))
-      return Some(serve(aPartial))
+      return served(serve(aPartial))
     }
     // partial θ let too much through — pay ONE candidate-bounded scan
     // for the exact-seed θ (always ≥ the partial θ, so strictly fewer
@@ -664,11 +704,11 @@ private[graft] object WandKernel {
         }
     val aExact = algebra(k => theta.getOrElse(k, Double.MinValue))
     if (aExact.wandIds.isEmpty)
-      return Some(finalTopK(naivePlan(allQ), topN, scoreName))
+      return served(finalTopK(naivePlan(allQ), topN, scoreName))
     // the chunking regime belongs to the distributed path
-    if (aExact.volSum > broadcastRows) return None
+    if (aExact.volSum > broadcastRows) return refuse()
     lastRouteStats.set((allQ.size, eligible.size, aExact.wandIds.size))
-    Some(serve(aExact))
+    served(serve(aExact))
   }
 
   /** Global top-`topN` per query over the unioned wand + naive score

@@ -610,13 +610,28 @@ class IndexStoreSpec extends AnyFunSuite {
     * under host contention (the r12 `q_bm25_wand` loaded-window
     * balloon). Listener delivery is async, so the count is read only
     * after it has been stable for several polls.
+    *
+    * BROADCAST-EXCHANGE / SUBQUERY side jobs are EXCLUDED from the
+    * count (r13 ADVICE low): Spark runs those on its own thread pool
+    * via SQLExecution.withThreadLocalCaptured — visible as the
+    * "broadcast exchange (runId …)" job description where the version
+    * sets one, and as the withThreadLocalCaptured/CompletableFuture
+    * call-site stage name where it doesn't (Spark 4.1 here). How many
+    * of those a Spark version materializes at planning time is
+    * Spark's business, not this engine's, and a version upgrade must
+    * not fail the pin without a real regression in the
+    * DRIVER-SEQUENCED action count the pin guards.
     */
   private def countJobs(body: => Unit): Int = {
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        names.add(j.stageInfos.lastOption.map(_.name).getOrElse("?")); ()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val stage = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        names.add(s"$stage [${desc.take(40)}]"); ()
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -629,8 +644,13 @@ class IndexStoreSpec extends AnyFunSuite {
         val c = names.size()
         if (c == last) stable += 1 else { stable = 0; last = c }
       }
-      info(s"jobs: ${names.toArray.mkString(" | ")}")
-      names.size()
+      import scala.jdk.CollectionConverters._
+      val all = names.asScala.toSeq
+      val counted = all.filterNot(n => n.contains("broadcast exchange")
+        || n.contains("withThreadLocalCaptured"))
+      info(s"jobs (counted ${counted.size}/${all.size}): " +
+        all.mkString(" | "))
+      counted.size
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
@@ -661,10 +681,12 @@ class IndexStoreSpec extends AnyFunSuite {
       var tail: DataFrame = null
       // DENSE regime (default prefix on the 31-term natural corpus):
       // every query fails the df-only pre-route, so planning is ONE
-      // bounded batch-fetch job plus the df-table broadcast future its
-      // join materializes. The r12 shape paid three driver-sequenced
-      // actions here (checkpoint + count + collect) — this pin keeps
-      // the coalescing from regressing.
+      // bounded batch-fetch job (the df-table broadcast future its
+      // join materializes is a Spark-side job, excluded by countJobs).
+      // The r12 shape paid three driver-sequenced actions here
+      // (checkpoint + count + collect) — this pin keeps the
+      // coalescing from regressing; headroom of 1 over the measured
+      // count absorbs fixture drift, not a path regression.
       val denseJobs = countJobs {
         dense = Bm25IndexStore.wandSearch(spark, table, queries, 3)
       }
@@ -672,17 +694,57 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(denseJobs <= 2,
         s"dense driver-planned planning must stay ≤ 2 jobs, got $denseJobs")
       // ELIGIBLE regime (2-deep prefix): + one bounded prefix-fetch
-      // job (and its broadcast future) — 4 total here; a θ-seed
+      // job — 2 counted here (broadcast futures excluded); a θ-seed
       // scoring job only when the partial θ lets too much volume
-      // through (not on this fixture).
+      // through (not on this fixture). Pin at 3 = measured + θ-seed
+      // headroom.
       val tailJobs = countJobs {
         tail = Bm25IndexStore.wandSearch(spark, table, queries, 3,
           prefixP = 2)
       }
       assert(rows(tail) === plain, "eligible-regime serve must equal search")
-      assert(tailJobs <= 4,
-        s"eligible driver-planned planning must stay ≤ 4 jobs, got $tailJobs")
+      assert(tailJobs <= 3,
+        s"eligible driver-planned planning must stay ≤ 3 jobs, got $tailJobs")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("boundedCollect failure path: a non-refusal task failure " +
+    "propagates as plain collect would, the poll loop terminates " +
+    "promptly, and no job leaks") {
+    import spark.implicits._
+    import graft.plans.WandKernel
+    // 8 partitions, one of which throws mid-scan — a genuine task
+    // failure, NOT a cap refusal (the cap is far above the row count)
+    val ds = spark.range(0, 800, 1, 8).as[Long].map { x =>
+      if (x == 437L) throw new RuntimeException("graft-bounded-boom")
+      x
+    }
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      WandKernel.boundedCollect(ds, 10000L)
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(waited < 60.0, "the await must terminate, not hang the poll")
+    // the task's own exception must surface through the await — walk
+    // the cause chain like a caller diagnosing a plain collect would
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => String.valueOf(t.getMessage)).mkString(" <- ")
+    assert(chain.contains("graft-bounded-boom"),
+      s"the task failure must propagate, got: $chain")
+    // no job leak: the failed job must drain from the active set (a
+    // stuck cancel/poll would leave it active and starve later serves)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var active = spark.sparkContext.statusTracker.getActiveJobIds()
+    while (active.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      active = spark.sparkContext.statusTracker.getActiveJobIds()
+    }
+    assert(active.isEmpty, s"jobs leaked: ${active.mkString(",")}")
+    // the kernel stays serviceable on the same session after a failure
+    assert(WandKernel.boundedCollect(
+      spark.range(0, 100, 1, 4).as[Long], 1000L)
+      .map(_.sorted.toSeq) === Some((0L until 100L).toSeq))
   }
 
   test("the in-kernel regime selector (df-only pre-route + per-query " +
