@@ -1638,6 +1638,14 @@ object ScaleProbe {
       }
       t("docsoak: 100 micro-batches x 200 clips through the audio " +
         "admission gate (storage curve must stay flat)") {
+        // the law is NO GROWTH OVER THE PRE-STREAM BASELINE: this
+        // probe file's own top-level fixtures hold a constant set of
+        // localCheckpoints/persists (6 when run standalone), and the
+        // per-batch fps.unpersist is non-blocking, so a snapshot may
+        // transiently see one extra entry — what must NOT happen is
+        // the monotone climb the pre-r13 localCheckpoint shape showed
+        // (one pinned frame per micro-batch until a driver GC)
+        val baseCached = spark.sparkContext.getRDDStorageInfo.length
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Array[Byte])]
         val admitted = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1675,12 +1683,15 @@ object ScaleProbe {
           else storageCurve.map(_._2).max
         val head10 = batchWall.take(10).sum / 10
         val tail10 = batchWall.takeRight(10).sum / 10
-        require(maxCached <= 2,
-          s"executor storage must stay flat across the soak — " +
-            s"$maxCached RDDs were still cached after a batch " +
+        require(maxCached <= baseCached + 2 &&
+          storageCurve.last._1 <= baseCached + 1,
+          s"executor storage must stay flat across the soak — baseline " +
+            s"$baseCached cached RDDs, saw max $maxCached, " +
+            s"ended at ${storageCurve.last._1} " +
             s"(curve tail: ${storageCurve.takeRight(5).mkString(", ")})")
-        f"admitted=${admitted.get()} batches=100 " +
-          f"max_cached_rdds=$maxCached max_cached_bytes=$maxBytes " +
+        f"admitted=${admitted.get()} batches=100 baseline=$baseCached " +
+          f"max_cached_rdds=$maxCached end=${storageCurve.last._1} " +
+          f"max_cached_bytes=$maxBytes " +
           f"wall/batch head10=${head10}%.2fs tail10=${tail10}%.2fs"
       }
     }
