@@ -1404,18 +1404,20 @@ object ScaleProbe {
     // (boundedCollect calls/refusals, driver-planned serves vs
     // refusals, chunked-scoring fallbacks), and stage-attributed task
     // stats. Three batch sizes span the cap boundaries ON PURPOSE:
-    //   1k   — stays DRIVER-PLANNED (pair cells ≈ 0.13M ≪ 8M; priced
-    //          scoring volume ≈ 2M ≤ the 4M single-chunk budget): the
-    //          spec-pinned job budget, now at 10× the corpus the spec
-    //          pins it on;
-    //   10k  — driver planning must REFUSE on the priced broadcast
-    //          volume (≈ 23M > 4M) and the distributed orchestration's
-    //          chunked exact scoring serves — the budget bounding
-    //          executor state instead of OOMing (the pre-cap failure
-    //          mode the r11 dense corpora hit);
-    //   100k — refuses earlier (pair cells ≈ 13M > 8M) and serves
-    //          distributed; candidate volume must stay LINEAR in the
-    //          batch and the heavy stages skew-free.
+    //   1k   — stays DRIVER-PLANNED single-chunk (pair cells ≈ 0.13M
+    //          ≪ 8M; priced scoring volume ≈ 2M ≤ the 4M single-chunk
+    //          budget): the spec-pinned job budget, now at 10× the
+    //          corpus the spec pins it on;
+    //   10k  — pair cells fit but the priced broadcast volume overruns
+    //          the single-chunk budget (≈ 23M > 4M): serves
+    //          DRIVER-PLANNED with CHUNKED exact scoring (r14 — this
+    //          regime refused to the distributed cascade before, at
+    //          42 s / 14+94 jobs on this exact probe), executor state
+    //          still bounded at one live chunk;
+    //   100k — refuses on PAIR CELLS (≈ 13M > 8M driver memory) and
+    //          serves through the distributed orchestration; candidate
+    //          volume must stay LINEAR in the batch and the heavy
+    //          stages skew-free.
     // Every refusal here is the cap DOING ITS JOB — the fallback is a
     // performance path, never a correctness one (iff-law + equality
     // specs), so no cap needs raising unless the wall says so.
@@ -1525,6 +1527,38 @@ object ScaleProbe {
         "distributed + chunked scoring)", 10000L, 70000000L)
       serveProbe("100k two-term queries (pair-cells refusal -> " +
         "distributed; linear-in-batch claim)", 100000L, 80000000L)
+      // controlled same-session A/B for the 10k chunked regime (the
+      // r14 flow change: over-budget volume now serves driver-planned
+      // chunked instead of refusing to the distributed orchestration).
+      // Single cross-run walls on this host swing ±25%, so the only
+      // sound comparison is interleaved ABAB in ONE session: each arm
+      // warms once (codegen), then 3 alternating pairs; report
+      // min/median per arm. The seam is the spec's own
+      // driverPlanningEnabled flag — both arms are output-identical
+      // (equality law), this prices them.
+      t("wandserve: 10k-query A/B — driver-planned CHUNKED vs " +
+        "distributed orchestration (interleaved, min/med per arm)") {
+        val qAb = twoTermQueries(10000L, 90000000L)
+        def once(planned: Boolean): Double = {
+          graft.plans.Bm25IndexStore.driverPlanningEnabled = planned
+          try {
+            val t0 = System.nanoTime()
+            val n = Bm25IndexStore
+              .wandSearch(spark, "probe_bm25z10", qAb, 5).count()
+            require(n == 50000L, s"A/B serve returned $n rows")
+            (System.nanoTime() - t0) / 1e9
+          } finally
+            graft.plans.Bm25IndexStore.driverPlanningEnabled = true
+        }
+        once(true); once(false) // discard: per-plan codegen warm-up
+        val walls = (1 to 3).flatMap(_ =>
+          Seq(true -> once(true), false -> once(false)))
+        def arm(p: Boolean): String = {
+          val xs = walls.collect { case (`p`, w) => w }.sorted
+          f"min=${xs.head}%.1fs med=${xs(xs.length / 2)}%.1fs"
+        }
+        s"planned-chunked ${arm(true)} | distributed ${arm(false)}"
+      }
     }
     // ===== PPJoin/prefix-filter probe at 1M docs with ZIPF dfs (r13
     // VERDICT #3). EXPLICIT-ONLY (runMain graft.ScaleProbe ppjoin1m).

@@ -354,15 +354,16 @@ object Bm25IndexStore {
     // and fetches the batch — the r12 shape (eager checkpoint → count
     // → collect) paid three driver-sequenced actions for the same
     // state, whose fixed scheduler latency multiplied 3-6× under host
-    // contention. It declines past its volume caps or into the
-    // chunking regime, which the distributed orchestration below owns.
+    // contention. It declines past its DRIVER-STATE caps (pair cells /
+    // collect budgets), which the distributed orchestration below
+    // owns; an over-budget scoring volume chunks IN-PLACE (r14).
     var qdfM: DataFrame = null
     if (driverPlanningEnabled)
       WandKernel.boundedCollect(
           qdfPlan.as[(Long, Long, Long)], DriverBatchRows).foreach { rows =>
         serveDriverPlanned(spark, table, rows, topN, prefixP,
           broadcastRows).foreach(out => return out)
-        // driver planning refused (volume caps / chunking regime) —
+        // driver planning refused (driver-state caps) —
         // the distributed path reuses the already-collected batch via
         // parallelize instead of paying a second tokenize pass.
         // (A batch boundedCollect itself refuses — > DriverBatchRows

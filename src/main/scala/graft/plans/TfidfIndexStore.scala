@@ -336,8 +336,9 @@ object TfidfIndexStore {
     // collectable batches take the DRIVER-PLANNED orchestration —
     // [[WandKernel.serveDriverPlanned]] instantiated with the cosine
     // algebra (see [[serveDriverPlanned]] below); it declines past its
-    // volume caps or into the chunking regime, which the distributed
-    // orchestration below owns. The all-ineligible refusal
+    // driver-state caps (pair cells / collect budgets), which the
+    // distributed orchestration below owns — an over-budget scoring
+    // volume chunks in-place (r14). The all-ineligible refusal
     // (dense-overlap corpora) happens INSIDE the kernel on driver
     // arithmetic — on dense corpora the whole WAND overhead is then
     // the ONE bounded mirror-fetch job ([[WandKernel.boundedCollect]];

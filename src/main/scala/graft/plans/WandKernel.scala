@@ -395,8 +395,13 @@ private[graft] object WandKernel {
     * slack absorbs summation-order noise in the cutoff algebra (the
     * same argument the distributed form relies on). Output therefore
     * matches the store's `search` row-for-row. Returns None when a
-    * volume cap or the chunking budget trips — the distributed
-    * orchestration (which chunks) serves those.
+    * DRIVER-STATE cap trips (the pair-cells expansion or a collect
+    * budget) — the distributed orchestration serves those. A priced
+    * scoring volume past the single-chunk budget is NOT a refusal
+    * (r14): the serve runs the same hash-disjoint [[chunkedScores]]
+    * loop driver-planned, since the overrun lives in executor-side
+    * broadcast state the chunking already bounds, not in driver
+    * memory.
     *
     * `qRows`: one (query_id, tkey, qf, df) row per matched query term.
     * `scanPrefix`: the DISTINCT eligible (tkey) keys → the LAZY prefix
@@ -664,7 +669,23 @@ private[graft] object WandKernel {
         if (chosen.isEmpty) candA
         else candA.unionByName(
           scanTail(chosen.toDF("query_id", "tkey", "cut"))).distinct()
-      val wandScores = scoreCand(cand)
+      // exact scoring under the hard chunk budget. The selective
+      // regime fits one chunk and keeps the previous inline plan; a
+      // MID-SIZE batch whose priced volume overruns the budget now
+      // serves CHUNKED from the driver-planned path (r14) instead of
+      // refusing to the distributed orchestration — the chunks are
+      // the SAME [[chunkedScores]] machinery (hash-disjoint, per-chunk
+      // top-k, lossless — spec-pinned), executor state stays bounded
+      // at one live chunk broadcast either way, and the serve pays
+      // ~nChunks eager actions instead of the distributed planning
+      // cascade (measured on the 10k-query × 500k-doc probe: the
+      // distributed route cost 42 s / 14 driver-sequenced + 94 side
+      // jobs; see BASELINE round-14).
+      val wandScores =
+        if (a.volSum <= broadcastRows) scoreCand(cand)
+        else chunkedScores(cand,
+          a.wandIds.iterator.map(k => (k, nt(k))).toSeq.toDF("query_id", "nt"),
+          broadcastRows, topN, a.volSum)(scoreCand)
       val naiveIds = allQ -- a.wandIds
       val scores =
         if (naiveIds.isEmpty) wandScores
@@ -705,8 +726,10 @@ private[graft] object WandKernel {
     val aExact = algebra(k => theta.getOrElse(k, Double.MinValue))
     if (aExact.wandIds.isEmpty)
       return served(finalTopK(naivePlan(allQ), topN, scoreName))
-    // the chunking regime belongs to the distributed path
-    if (aExact.volSum > broadcastRows) return refuse()
+    // still over the single-chunk budget under the tighter θ: serve
+    // CHUNKED (inside serve() above) — driver state is already
+    // pair-cells-bounded, so nothing here needs the distributed
+    // orchestration's per-stage Spark planning
     lastRouteStats.set((allQ.size, eligible.size, aExact.wandIds.size))
     served(serve(aExact))
   }

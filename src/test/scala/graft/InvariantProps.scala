@@ -697,9 +697,11 @@ object InvariantProps extends Properties("graft.invariants") {
   // extend batch (including out-of-build-vocabulary terms), a delete
   // set, the query batch, and the prefix/broadcast budgets — and pins
   // wandSearch == search for BOTH stores through BOTH orchestrations.
-  // A tiny broadcastRows forces the driver-planned path to decline
-  // into chunking and the distributed path to split its scoring
-  // broadcast, so the cap machinery fires at spec scale.
+  // A tiny broadcastRows forces the driver-planned path to serve
+  // through the chunked scoring loop in place (r14 — it refused to
+  // the distributed orchestration before) and the distributed path to
+  // split its scoring broadcast, so the cap machinery fires at spec
+  // scale on both sides of every budget boundary.
 
   private val genWandWord: Gen[String] = Gen.frequency(
     5 -> Gen.oneOf("the", "of", "and"),
