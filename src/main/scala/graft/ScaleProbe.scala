@@ -1523,8 +1523,8 @@ object ScaleProbe {
       }
       serveProbe("1k two-term queries vs 500k docs (driver-planned " +
         "regime at 10× corpus)", 1000L, 60000000L)
-      serveProbe("10k two-term queries (priced-volume refusal -> " +
-        "distributed + chunked scoring)", 10000L, 70000000L)
+      serveProbe("10k two-term queries (over-budget priced volume -> " +
+        "driver-planned CHUNKED scoring, r14 flow)", 10000L, 70000000L)
       serveProbe("100k two-term queries (pair-cells refusal -> " +
         "distributed; linear-in-batch claim)", 100000L, 80000000L)
       // controlled same-session A/B for the 10k chunked regime (the
