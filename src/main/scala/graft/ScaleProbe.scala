@@ -1729,6 +1729,160 @@ object ScaleProbe {
           f"wall/batch head10=${head10}%.2fs tail10=${tail10}%.2fs"
       }
     }
+    // ===== ANN at 1M vectors (r14): the EMBEDDING-side twin of the
+    // minhash5m build probe. EXPLICIT-ONLY (runMain graft.ScaleProbe
+    // ann1m). The registered ANN rows run at 20k vectors; the 100 TB
+    // claim ("IVF cells, nlist-bounded driver state, no cartesian")
+    // deserves a direct receipt at ~50× that. Corpus: 1.0M dim-64
+    // vectors in 512 PLANTED clusters (centroid by cluster-keyed
+    // xxhash64, ±0.35 uniform noise per component — deterministic, no
+    // RNG), so exact ground truth has real cluster structure for IVF
+    // to find instead of the degenerate replicate-the-fixture shape
+    // where every query's true neighbors are its own clones. Laws:
+    //   (a) nlist=√N sampled-cap build — driver state is nlist×64
+    //       doubles + one 65,536-row train sample, NOT corpus-sized;
+    //   (b) the serve scans a measured FRACTION of the corpus
+    //       (Σ probed-cell sizes / (nQ × N) ≈ nprobe/nlist, the
+    //       explicit scan-vs-recall dial) — required ≤ 0.15 at
+    //       nprobe=32;
+    //   (c) recall@10 vs the exact brute-force baseline ≥ 0.8 at
+    //       nprobe=32 on this clustered corpus (measured alongside
+    //       the honest brute-force wall the dial exists to avoid);
+    //   (d) the heavy stages stay skew-free (task stats attributed).
+    if (only.exists(_.contains("ann1m"))) {
+      import spark.implicits._
+      val nVec = 1000000L
+      val vecs1m = spark.range(nVec).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(" +
+          "(pmod(xxhash64(pmod(id, 512) * 64 + j), 2001) - 1000) / 1000.0" +
+          " + (pmod(xxhash64(id * 64 + j + 31), 2001) - 1000) / 2857.0" +
+          " AS FLOAT))").as("embedding"))
+        .repartition(64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val annTasks = new java.util.concurrent
+        .ConcurrentLinkedQueue[(Int, Long)]()
+      val annStages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val al = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null)
+            annTasks.add((te.stageId, te.taskInfo.duration))
+          ()
+        }
+        override def onStageSubmitted(
+            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          annStages.put(ss.stageInfo.stageId,
+            ss.stageInfo.name.takeWhile(_ != '(').trim)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(al)
+      val annTable = "probe_ann1m"
+      val annPath = java.nio.file.Files
+        .createTempDirectory("graft-ann1m").toString + "/ivf"
+      try {
+        t("ann1m: corpus materialize (1.0M dim-64 vectors, 512 " +
+          "planted clusters)")(vecs1m.count())
+        // nlist = 1024 ≈ √N (the textbook setting); train on a 65,536-
+        // row hash-ordered sample (the sampled-build path whose recall
+        // parity the 20k probe pins) — the full-corpus cost here is the
+        // ONE assignment pass, linear and codegen'd
+        t("ann1m: IVF build nlist=1024 (sampled train 65,536 rows, " +
+          "assign 1M, bucketed save)")(
+          plans.IvfIndexStore.build(vecs1m, 1024, annTable, annPath,
+            buckets = 32, iters = 2, sampleCap = 65536))
+        val queries1m = vecs1m.filter(col("vec_id") % 3907 === 0)
+          .localCheckpoint(true) // 257 queries, pinned off the persist
+        var gt: DataFrame = null
+        t("ann1m: exact brute-force top-10 (257 queries × 1M — the " +
+          "honest baseline the IVF dial exists to avoid)") {
+          gt = operators.Similarity
+            .bruteForceKnn(vecs1m, queries1m, 10)
+            .select("query_id", "neighbor_id").localCheckpoint(true)
+          gt.count()
+        }
+        def serveAndRecall(nprobe: Int): (Long, Double) = {
+          var ann: DataFrame = null
+          t(f"ann1m: store knn nprobe=$nprobe (broadcast queries × " +
+            f"bucketed cells)") {
+            ann = plans.IvfIndexStore
+              .knn(queries1m, 10, nprobe, annTable)
+              .select("query_id", "neighbor_id").localCheckpoint(true)
+            ann.count()
+          }
+          val hits = ann.join(gt, Seq("query_id", "neighbor_id"))
+            .count()
+          val tot = gt.count()
+          (hits, hits.toDouble / tot)
+        }
+        // nprobe=1 exists to show the dial has a GRADIENT: a cluster
+        // that k-means split across cells loses the mates outside the
+        // query's single home cell, so recall must dip below the
+        // saturated nprobe=8/32 arms (no floor required — the dip IS
+        // the receipt)
+        val r1 = serveAndRecall(1)
+        val r8 = serveAndRecall(8)
+        val r32 = serveAndRecall(32)
+        // the scan-fraction receipt: Σ probed-cell sizes over the
+        // query batch vs nQ × N — the dial's measured position, from
+        // the SAME centroids/cells the serve read (small driver jobs:
+        // nlist-row group counts + a 257-row probe explode)
+        val cents = plans.IvfIndexStore.loadCentroids(spark, annTable)
+        val cellSizes = spark
+          .table(plans.IvfIndexStore.cellsTable(annTable))
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val nQ = queries1m.count()
+        def scanFraction(nprobe: Int): Double = {
+          val probed = queries1m.select(col("vec_id").as("query_id"),
+            explode(graft.functions.IvfCells.cells(
+              spark, col("embedding"), cents, nprobe)).as("cell"))
+          val cand = probed.join(cellSizes, "cell")
+            .agg(sum("n")).first.getLong(0)
+          cand.toDouble / (nQ.toDouble * nVec)
+        }
+        val f1 = scanFraction(1)
+        val f8 = scanFraction(8)
+        val f32 = scanFraction(32)
+        println(f"[scale] ann1m: recall@10 nprobe=1 ${r1._2}%.4f " +
+          f"(scan ${f1 * 100}%.2f%%) | nprobe=8 ${r8._2}%.4f " +
+          f"(scan ${f8 * 100}%.2f%%) | nprobe=32 " +
+          f"${r32._2}%.4f (scan ${f32 * 100}%.2f%%) — " +
+          f"${nQ} queries, hits ${r1._1}/${r8._1}/${r32._1}")
+        require(r32._2 >= 0.8,
+          f"nprobe=32 recall@10 must reach 0.8 on the planted-cluster " +
+            f"corpus, got ${r32._2}%.4f")
+        require(f32 <= 0.15,
+          f"nprobe=32 must scan ≤ 15%% of the corpus per query " +
+            f"(nprobe/nlist ≈ 3%%), got ${f32 * 100}%.2f%%")
+        require(r8._2 >= r1._2 - 1e-9 && r32._2 >= r8._2 - 1e-9,
+          "more probes must never lose recall")
+        // task stats OUTSIDE the timers, stability-polled
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val c = annTasks.size()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        import scala.jdk.CollectionConverters._
+        val ds = annTasks.asScala.map(_._2).toSeq.sorted
+        val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
+        println(f"[scale] ann1m task stats: tasks=${ds.length} " +
+          f"task_med=${med}ms task_max=${if (ds.isEmpty) 0L else ds.last}ms " +
+          f"skew=${if (med > 0) ds.last.toDouble / med else 0.0}%.1f")
+        val byStage = annTasks.asScala.toSeq.groupBy(_._1)
+          .map { case (sid, ts) =>
+            val s = ts.map(_._2).sorted
+            (sid, s.last, s(s.length / 2), s.length)
+          }.toSeq.sortBy(-_._2).take(4)
+        byStage.foreach { case (sid, sMax, sMed, n) =>
+          println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
+            f"tasks=$n  ${annStages.getOrDefault(sid, "?").take(100)}")
+        }
+      } finally {
+        spark.sparkContext.removeSparkListener(al)
+        vecs1m.unpersist()
+      }
+    }
     spark.stop()
   }
 }
