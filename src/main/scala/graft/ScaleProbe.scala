@@ -1883,6 +1883,87 @@ object ScaleProbe {
         vecs1m.unpersist()
       }
     }
+    // ===== Sequence packing at 1M docs (r14): the two packing paths'
+    // scale receipt. EXPLICIT-ONLY (runMain graft.ScaleProbe pack1m).
+    // The registered rows and the 10× probe run ≤50k docs; the scale
+    // claims are structural — exclusivePrefixSum's driver state is
+    // O(#partitions) (a 64-row collect + broadcast offsets, never
+    // corpus rows), and packWholeDocs' only window partitions by pack
+    // CELL, dialed here from the fixture's 8 to 64 (the production
+    // move: cells track executor memory, sort state stays per-cell).
+    // Laws (require'd): token CONSERVATION through both paths — the
+    // prefix sum's max(cum)+last = Σ n_tokens computed independently,
+    // and the shelf manifest's Σ doc_tokens / Σ n_docs equal the
+    // corpus totals exactly — plus a skew receipt on the cell window.
+    if (only.exists(_.contains("pack1m"))) {
+      val docs1m = replicate(
+        Tables.documents(spark, d).select("doc_id", "text"),
+        200, Seq("doc_id"), 10000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pkTasks = new java.util.concurrent
+        .ConcurrentLinkedQueue[(Int, Long)]()
+      val pkl = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null)
+            pkTasks.add((te.stageId, te.taskInfo.duration))
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(pkl)
+      try {
+        var nDocs = 0L
+        t("pack1m: corpus materialize (200 replicas of sf0.1 docs)")(
+          { nDocs = docs1m.count(); nDocs })
+        val toks1m = docs1m.select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        val totTokens = toks1m.agg(sum("n_tokens")).first.getLong(0)
+        t("pack1m: two-level exclusive prefix sum (64 range " +
+          "partitions, driver state = 64 offsets)") {
+          val ps = operators.Sampling
+            .exclusivePrefixSum(toks1m, "doc_id", "n_tokens", 64, "cum")
+          val tail = ps.orderBy(col("cum").desc).limit(1)
+            .select(col("cum") + col("n_tokens")).first.getLong(0)
+          require(tail == totTokens,
+            s"prefix-sum conservation: last cum+n ($tail) must equal " +
+              s"Σ n_tokens ($totTokens)")
+          tail
+        }
+        t("pack1m: whole-doc shelf packing (budget 4096, cells " +
+          "dialed 8 → 64 for the 20× corpus)") {
+          val m = operators.Sampling.packWholeDocs(docs1m, 4096L, 64L)
+            .agg(sum("n_docs").as("nd"), sum("doc_tokens").as("dt"),
+              count(lit(1)).as("shelves"), avg("fill").as("mean_fill"))
+            .first
+          require(m.getLong(0) == nDocs && m.getLong(1) == totTokens,
+            s"shelf-manifest conservation: ${m.getLong(0)} docs / " +
+              s"${m.getLong(1)} tokens vs corpus $nDocs / $totTokens")
+          f"shelves=${m.getLong(2)} mean_fill=${m.getDouble(3)}%.4f"
+        }
+        // skew receipt OUTSIDE the timers, stability-polled
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val c = pkTasks.size()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        import scala.jdk.CollectionConverters._
+        val heavy = pkTasks.asScala.toSeq.groupBy(_._1)
+          .map { case (sid, ts) =>
+            val s = ts.map(_._2).sorted
+            (sid, s.last, s(s.length / 2), s.length)
+          }.toSeq.sortBy(-_._2).take(3)
+        heavy.foreach { case (sid, sMax, sMed, n) =>
+          println(f"[scale] pack1m stage $sid: max=${sMax}ms " +
+            f"med=${sMed}ms tasks=$n skew=${
+              if (sMed > 0) sMax.toDouble / sMed else 0.0}%.2f")
+        }
+      } finally {
+        spark.sparkContext.removeSparkListener(pkl)
+        docs1m.unpersist()
+      }
+    }
     spark.stop()
   }
 }
