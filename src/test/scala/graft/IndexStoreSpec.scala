@@ -708,6 +708,69 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("over-budget priced volume serves driver-planned CHUNKED (r14 " +
+    "flow): the regime engages (counter), planning does NOT refuse, " +
+    "output equals search, and the serve costs no more driver-" +
+    "sequenced jobs than the distributed orchestration it replaced") {
+    import graft.plans.{Bm25IndexStore, WandKernel}
+    import spark.implicits._
+    // the WIN-regime zipf fixture (the regime-selector test's): a
+    // dense corpus demotes every query to naive under the exact θ and
+    // the chunk loop never runs — chunking is a WAND-routed-batch
+    // phenomenon, so the pin must measure one
+    val (table, path) = freshTable("bm25chunk")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_df")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    val corpus = (1 to 120).map(i => (i.toLong, s"stop rare$i"))
+      .toDF("doc_id", "text")
+    Bm25IndexStore.build(corpus, table, path, buckets = 4)
+    val queries = (1 to 5).map(i => (2000L + i, s"rare${i * 7} stop"))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val plain = rows(Bm25IndexStore.search(spark, table, queries, 1))
+    assert(plain.nonEmpty)
+    // broadcastRows=1 puts ANY wand-routed priced volume over the
+    // single-chunk budget (vol ≥ 1+nt per routed query), so the serve
+    // must run the hash-disjoint chunk loop IN the driver-planned
+    // path — before r14 this refused to the distributed
+    // orchestration. AQE off so one action == one job, as in the pin
+    // test above.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val chunked0 = WandKernel.statChunkedScoreFallbacks.get()
+      val refused0 = WandKernel.statDriverPlanningRefusals.get()
+      var planned: DataFrame = null
+      val plannedJobs = countJobs {
+        planned = Bm25IndexStore.wandSearch(spark, table, queries, 1,
+          prefixP = 2, broadcastRows = 1L)
+      }
+      assert(rows(planned) === plain,
+        "chunked driver-planned serve must equal search")
+      assert(WandKernel.statChunkedScoreFallbacks.get() > chunked0,
+        "the chunk loop must actually engage (counter delta)")
+      assert(WandKernel.statDriverPlanningRefusals.get() === refused0,
+        "an over-budget volume must NOT refuse driver planning (r14)")
+      // the flow change's whole justification, pinned: at the same
+      // budget on the same fixture, the in-place chunked serve costs
+      // no more driver-sequenced jobs than the distributed
+      // orchestration's planning cascade (probe-scale margin is ~2×;
+      // equality is allowed so a tiny fixture can't flake the pin)
+      var dist: DataFrame = null
+      val distJobs = countJobs {
+        Bm25IndexStore.driverPlanningEnabled = false
+        try dist = Bm25IndexStore.wandSearch(spark, table, queries, 1,
+          prefixP = 2, broadcastRows = 1L)
+        finally Bm25IndexStore.driverPlanningEnabled = true
+      }
+      assert(rows(dist) === plain,
+        "distributed chunked serve must equal search")
+      assert(plannedJobs <= distJobs,
+        s"driver-planned chunked ($plannedJobs jobs) must not exceed " +
+          s"the distributed orchestration ($distJobs jobs)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("boundedCollect failure path: a non-refusal task failure " +
     "propagates as plain collect would, the poll loop terminates " +
     "promptly, and no job leaks") {
