@@ -32,8 +32,9 @@ import org.apache.spark.sql.SparkSession
   * what window it was decided in; a loaded first pass RETRIES once
   * after the whole requeue tail, and a verdict whose deciding window
   * is still loaded carries the " (loaded-window)" suffix. The zipf
-  * pricing pair runs at 1 iteration (its claim is the naive/WAND
-  * ratio, not the seconds — see SingleIter below).
+  * pricing pair runs ONE untimed warm-up + ONE timed iteration (its
+  * claim is the warm naive/WAND ratio, not the seconds — see
+  * SingleIter below).
   *
   * Env knobs:
   *  - SPARK_GRAFT_SF_DIR   data dir (default sf0.1)
@@ -195,9 +196,13 @@ object Bench {
     // RATIO-PRICED rows (r13 VERDICT #5): the zipf pricing pair's
     // claim is the naive/WAND RATIO, not absolute seconds, yet at 3
     // iterations the pair alone was ~18% of a loaded sweep's total
-    // (3 × up to 38 s each). One iteration (min == median == the one
-    // sample) keeps the ratio receipt while decoupling the headline
-    // total's variance from the pair. Single-sample rows are never
+    // (3 × up to 38 s each). Each runs ONE UNTIMED WARM-UP (the first
+    // execution pays the memoized zipf-store build plus per-plan
+    // codegen — a shared constant that, reported, would compress the
+    // pair's ratio toward 1) and then ONE timed iteration: min ==
+    // median == the one WARM sample, so the ratio receipt is
+    // warm-vs-warm while the headline total's variance stays
+    // decoupled from the pair. Single-sample rows are never
     // suspect-flagged (no warm spread to flag) — deliberate: the
     // pair's adjudication is the ratio between its two rows, which a
     // shared loaded window leaves intact.
@@ -209,6 +214,11 @@ object Bench {
     val samples: Map[String, Seq[Double]] = queries.map { case (name, fn) =>
       if (qi > 0 && qi % resampleEvery == 0) sampleAnchor()
       qi += 1
+      // SingleIter warm-up runs BEFORE the window offset is recorded:
+      // the suspect/requeue machinery attributes the timed sample's
+      // window, not the store-build constant the warm-up absorbs
+      if (SingleIter(name))
+        try { time(fn); () } catch { case _: Throwable => () }
       startOff(name) = off()
       name -> (1 to (if (SingleIter(name)) 1 else iters)).map { _ =>
         // a failed query must be visible in the JSON, not reported as a
@@ -344,6 +354,9 @@ object Bench {
     // retry's verdict then decides, and a verdict whose deciding
     // window is STILL loaded carries the " (loaded-window)" suffix so
     // a judge knows its weight without cross-artifact archaeology.
+    // A bracket ratio of -1 in the artifact means the anchor sample
+    // itself was missing around the re-run — recorded as-is and
+    // treated as loaded (see runRequeue).
     val BracketLoaded = 1.25
     // test hook (see header): name → max pass number to force loaded
     val forceLoaded: Map[String, Int] =
@@ -363,12 +376,19 @@ object Bench {
         try time(fn) catch { case _: Throwable => -1.0 }
       }
       sampleAnchor()
+      // a MISSING bracket sample (the anchor itself failed around the
+      // re-run — executor loss/OOM, the same conditions that make a
+      // window loaded) must read LOADED, not quiet: 0.0 here would
+      // disable the retry + "(loaded-window)" tag exactly when the
+      // host is most disturbed. A missing sweep-track denominator
+      // (mn <= 0) is the same story — the window cannot be certified
+      // quiet, so it is not.
       val bracket = tracks.zip(pre).zip(sweepMins).map {
         case ((tr, n0), mn) =>
           val bs = tr.drop(n0).map(_._2)
-          if (bs.isEmpty || mn <= 0) 0.0 else bs.min / mn
+          if (bs.isEmpty || mn <= 0) -1.0 else bs.min / mn
       }
-      val loaded = bracket.exists(_ > BracketLoaded) ||
+      val loaded = bracket.exists(r => r > BracketLoaded || r < 0) ||
         forceLoaded.get(k).exists(pass <= _)
       val okSweep = samples(k).filter(_ >= 0)
       val verdict =

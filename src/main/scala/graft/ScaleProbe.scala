@@ -22,6 +22,77 @@ object ScaleProbe {
       idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
     }.reduce(_ unionByName _)
 
+  /** Shared probe plumbing — the stage-attribution pattern every scale
+    * probe repeats (one instance per probe block, added/removed around
+    * the timed work): (stageId, duration) per task so a straggler
+    * attributes to its stage, plus the stage's name and its graft
+    * call-site line where one exists ("skew 52.7" alone says nothing
+    * about where the long pole lives).
+    */
+  private final class TaskStatsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (te.taskInfo != null)
+        tasks.add((te.stageId, te.taskInfo.duration))
+      ()
+    }
+    override def onStageSubmitted(
+        ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      stages.put(ss.stageInfo.stageId,
+        ss.stageInfo.name.takeWhile(_ != '(').trim + " " +
+          ss.stageInfo.details.linesIterator
+            .find(_.contains("graft")).getOrElse("").trim)
+      ()
+    }
+    def clear(): Unit = { tasks.clear(); stages.clear() }
+  }
+
+  /** Listener delivery is async (r13 ADVICE low — a fixed sleep both
+    * inflated timed walls and dropped stragglers): poll until `size`
+    * has been stable for three 200 ms ticks.
+    */
+  private def drainStable(size: () => Int): Unit = {
+    var last = -1; var stable = 0
+    while (stable < 3) {
+      Thread.sleep(200)
+      val c = size()
+      if (c == last) stable += 1 else { stable = 0; last = c }
+    }
+  }
+
+  /** The `top` worst stages by max task: (stageId, max, med, n). */
+  private def worstStages(l: TaskStatsListener, top: Int)
+      : Seq[(Int, Long, Long, Int)] = {
+    import scala.jdk.CollectionConverters._
+    l.tasks.asScala.toSeq.groupBy(_._1).map { case (sid, ts) =>
+      val s = ts.map(_._2).sorted
+      (sid, s.last, s(s.length / 2), s.length)
+    }.toSeq.sortBy(-_._2).take(top)
+  }
+
+  /** The shared receipt shape: drain, pooled stats line, then the
+    * worst stages. Pooled skew is CROSS-stage (tiny planning jobs vs
+    * the heavy scan) — the per-stage lines carry the real skew claim.
+    */
+  private def printTaskStats(label: String, l: TaskStatsListener,
+      top: Int = 3): Unit = {
+    drainStable(() => l.tasks.size())
+    import scala.jdk.CollectionConverters._
+    val ds = l.tasks.asScala.map(_._2).toSeq.sorted
+    val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
+    val mx = if (ds.isEmpty) 0L else ds.last
+    println(f"[scale] $label task stats: tasks=${ds.length} " +
+      f"task_med=${med}ms task_max=${mx}ms " +
+      f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f")
+    worstStages(l, top).foreach { case (sid, sMax, sMed, n) =>
+      println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
+        f"tasks=$n  ${l.stages.getOrDefault(sid, "?").take(120)}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     only = args
     val spark = SparkSession.builder().master("local[32]")
@@ -360,31 +431,7 @@ object ScaleProbe {
           concat_ws(" ",
             slice(split(col("text"), " "), 4, 1000000)).as("text"))
       val corpus = docs5m.unionByName(copies)
-      val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-      // (stageId, duration) so a straggler ATTRIBUTES to its stage —
-      // "skew 52.7" alone says nothing about where the long pole lives
-      val stageDurs = new java.util.concurrent
-        .ConcurrentLinkedQueue[(Int, Long)]()
-      val stageNames = new java.util.concurrent
-        .ConcurrentHashMap[Int, String]()
-      val tl = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null) {
-            durs.add(te.taskInfo.duration)
-            stageDurs.add((te.stageId, te.taskInfo.duration))
-          }
-          ()
-        }
-        override def onStageSubmitted(
-            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          stageNames.put(ss.stageInfo.stageId,
-            ss.stageInfo.name.takeWhile(_ != '(').trim + " " +
-              ss.stageInfo.details.linesIterator
-                .find(_.contains("graft")).getOrElse("").trim)
-          ()
-        }
-      }
+      val tl = new TaskStatsListener
       spark.sparkContext.addSparkListener(tl)
       // STAGED timings (each stage its own [scale] row): a failure
       // names its stage, and the per-stage costs are the evidence the
@@ -403,41 +450,13 @@ object ScaleProbe {
       t("minhash5m: lsh banded candidates")(cand.count())
       t("minhash5m: exact verify -> pairs")(
         Dedup.verifyJaccard(cand, sh5, 0.5).count())
-      // task stats OUTSIDE the timed block (r13 ADVICE low): the
-      // listener bus is async, so poll the queue size until it has
-      // been stable for several ticks — a fixed in-timer sleep both
-      // inflated the reported stage wall by 2 s and silently dropped
-      // any straggler whose task-end event arrived past it
-      locally {
-        var last = -1
-        var stable = 0
-        while (stable < 3) {
-          Thread.sleep(200)
-          val c = durs.size()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        val ds = durs.toArray(Array.empty[java.lang.Long])
-          .map(_.toLong).sorted
-        val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
-        val mx = if (ds.isEmpty) 0L else ds.last
-        val heap = (Runtime.getRuntime.totalMemory -
-          Runtime.getRuntime.freeMemory) / (1L << 20)
-        // the three worst stages by max task — names the long pole
-        import scala.jdk.CollectionConverters._
-        val byStage = stageDurs.asScala.toSeq.groupBy(_._1)
-          .map { case (sid, ts) =>
-            val s = ts.map(_._2).sorted
-            (sid, s.last, s(s.length / 2), s.length)
-          }.toSeq.sortBy(-_._2).take(3)
-        byStage.foreach { case (sid, sMax, sMed, n) =>
-          println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
-            f"tasks=$n  ${stageNames.getOrDefault(sid, "?").take(120)}")
-        }
-        println(f"[scale] minhash5m task stats (untimed): " +
-          f"tasks=${ds.length} task_med=${med}ms task_max=${mx}ms " +
-          f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f " +
-          f"heap_used=${heap}MB")
-      }
+      // task stats OUTSIDE the timed block (r13 ADVICE low): shared
+      // drain + print, plus the heap line this probe alone carries
+      // (the provisioning finding lives in its BASELINE section)
+      printTaskStats("minhash5m (untimed)", tl)
+      println(f"[scale] minhash5m heap_used=${
+        (Runtime.getRuntime.totalMemory -
+          Runtime.getRuntime.freeMemory) / (1L << 20)}MB")
       sh5.unpersist(); cand.unpersist()
       } finally spark.sparkContext.removeSparkListener(tl)
     }
@@ -1448,35 +1467,21 @@ object ScaleProbe {
             .as("text"))
           .localCheckpoint(true)
       val jobNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      val servTasks = new java.util.concurrent
-        .ConcurrentLinkedQueue[(Int, Long)]()
-      val servStages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-      val sl = new org.apache.spark.scheduler.SparkListener {
+      val jl = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobNames.add(j.stageInfos.lastOption.map(_.name).getOrElse("?")); ()
-        }
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null)
-            servTasks.add((te.stageId, te.taskInfo.duration))
-          ()
-        }
-        override def onStageSubmitted(
-            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          servStages.put(ss.stageInfo.stageId,
-            ss.stageInfo.name.takeWhile(_ != '(').trim)
-          ()
+          // stage name + job description: which one marks a Spark-side
+          // broadcast/subquery job is version-dependent (IndexStoreSpec
+          // countJobs filters BOTH; this probe must apply the same
+          // rule or its jobs= receipt overstates the pinned count)
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          jobNames.add(j.stageInfos.lastOption.map(_.name).getOrElse("?") +
+            s" [${desc.take(40)}]"); ()
         }
       }
-      def drainStable(size: () => Int): Unit = {
-        var last = -1; var stable = 0
-        while (stable < 3) {
-          Thread.sleep(200)
-          val c = size()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-      }
+      val tsl = new TaskStatsListener
       val counters = Seq(
         "bounded_calls" -> WandKernel.statBoundedCalls,
         "bounded_refused" -> WandKernel.statBoundedRefusals,
@@ -1486,8 +1491,9 @@ object ScaleProbe {
       def serveProbe(label: String, nq: Long, off: Long): Unit = {
         val q = twoTermQueries(nq, off)
         val c0 = counters.map(_._2.get())
-        jobNames.clear(); servTasks.clear(); servStages.clear()
-        spark.sparkContext.addSparkListener(sl)
+        jobNames.clear(); tsl.clear()
+        spark.sparkContext.addSparkListener(jl)
+        spark.sparkContext.addSparkListener(tsl)
         try {
           t(s"wandserve: $label") {
             val n = Bm25IndexStore
@@ -1496,29 +1502,29 @@ object ScaleProbe {
             n
           }
           drainStable(() => jobNames.size())
-          drainStable(() => servTasks.size())
-        } finally spark.sparkContext.removeSparkListener(sl)
+          drainStable(() => tsl.tasks.size())
+        } finally {
+          spark.sparkContext.removeSparkListener(jl)
+          spark.sparkContext.removeSparkListener(tsl)
+        }
         import scala.jdk.CollectionConverters._
         val all = jobNames.asScala.toSeq
-        val counted = all.filterNot(_.contains("withThreadLocalCaptured"))
+        val counted = all.filterNot(n =>
+          n.contains("withThreadLocalCaptured") ||
+            n.contains("broadcast exchange"))
         val deltas = counters.map(_._2.get()).zip(c0).map(p => p._1 - p._2)
         val stats = counters.map(_._1).zip(deltas)
           .map(p => s"${p._1}=${p._2}").mkString(" ")
-        val ds = servTasks.asScala.map(_._2).toSeq.sorted
+        val ds = tsl.tasks.asScala.map(_._2).toSeq.sorted
         val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
         val mx = if (ds.isEmpty) 0L else ds.last
         println(f"[scale]   $label: jobs=${counted.size} " +
           f"(+${all.size - counted.size} bcast/subq) $stats " +
           f"tasks=${ds.length} task_med=${med}ms task_max=${mx}ms " +
           f"skew=${if (med > 0) mx.toDouble / med else 0.0}%.1f")
-        val byStage = servTasks.asScala.toSeq.groupBy(_._1)
-          .map { case (sid, ts) =>
-            val s = ts.map(_._2).sorted
-            (sid, s.last, s(s.length / 2), s.length)
-          }.toSeq.sortBy(-_._2).take(3)
-        byStage.foreach { case (sid, sMax, sMed, n) =>
+        worstStages(tsl, 3).foreach { case (sid, sMax, sMed, n) =>
           println(f"[scale]     stage $sid: max=${sMax}ms med=${sMed}ms " +
-            f"tasks=$n  ${servStages.getOrDefault(sid, "?").take(100)}")
+            f"tasks=$n  ${tsl.stages.getOrDefault(sid, "?").take(120)}")
         }
       }
       serveProbe("1k two-term queries vs 500k docs (driver-planned " +
@@ -1583,23 +1589,7 @@ object ScaleProbe {
           concat_ws(" ",
             slice(split(col("text"), " "), 4, 1000000)).as("text"))
       val corpus1m = zipf1m.unionByName(copies1m)
-      val ppTasks = new java.util.concurrent
-        .ConcurrentLinkedQueue[(Int, Long)]()
-      val ppStages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-      val pl = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null)
-            ppTasks.add((te.stageId, te.taskInfo.duration))
-          ()
-        }
-        override def onStageSubmitted(
-            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          ppStages.put(ss.stageInfo.stageId,
-            ss.stageInfo.name.takeWhile(_ != '(').trim)
-          ()
-        }
-      }
+      val pl = new TaskStatsListener
       spark.sparkContext.addSparkListener(pl)
       try {
         var nDocs1m = 0L
@@ -1622,28 +1612,8 @@ object ScaleProbe {
         println(f"[scale] ppjoin1m: candidates=$nCand " +
           f"(${nCand.toDouble / nDocs1m}%.2f/doc) vs quadratic bound " +
           f"${quad}%.3g — ratio ${nCand / quad}%.2e")
-        // task stats OUTSIDE the timers, stability-polled
-        var last = -1; var stable = 0
-        while (stable < 3) {
-          Thread.sleep(200)
-          val c = ppTasks.size()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        import scala.jdk.CollectionConverters._
-        val ds = ppTasks.asScala.map(_._2).toSeq.sorted
-        val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
-        println(f"[scale] ppjoin1m task stats: tasks=${ds.length} " +
-          f"task_med=${med}ms task_max=${if (ds.isEmpty) 0L else ds.last}ms " +
-          f"skew=${if (med > 0) ds.last.toDouble / med else 0.0}%.1f")
-        val byStage = ppTasks.asScala.toSeq.groupBy(_._1)
-          .map { case (sid, ts) =>
-            val s = ts.map(_._2).sorted
-            (sid, s.last, s(s.length / 2), s.length)
-          }.toSeq.sortBy(-_._2).take(3)
-        byStage.foreach { case (sid, sMax, sMed, n) =>
-          println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
-            f"tasks=$n  ${ppStages.getOrDefault(sid, "?").take(100)}")
-        }
+        // task stats OUTSIDE the timers — shared drain + print
+        printTaskStats("ppjoin1m", pl)
       } finally spark.sparkContext.removeSparkListener(pl)
     }
     // ===== Streaming admission SOAK (r13 VERDICT #6): the r13
@@ -1759,23 +1729,7 @@ object ScaleProbe {
           " AS FLOAT))").as("embedding"))
         .repartition(64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val annTasks = new java.util.concurrent
-        .ConcurrentLinkedQueue[(Int, Long)]()
-      val annStages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-      val al = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null)
-            annTasks.add((te.stageId, te.taskInfo.duration))
-          ()
-        }
-        override def onStageSubmitted(
-            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          annStages.put(ss.stageInfo.stageId,
-            ss.stageInfo.name.takeWhile(_ != '(').trim)
-          ()
-        }
-      }
+      val al = new TaskStatsListener
       spark.sparkContext.addSparkListener(al)
       val annTable = "probe_ann1m"
       val annPath = java.nio.file.Files
@@ -1792,9 +1746,9 @@ object ScaleProbe {
           plans.IvfIndexStore.build(vecs1m, 1024, annTable, annPath,
             buckets = 32, iters = 2, sampleCap = 65536))
         val queries1m = vecs1m.filter(col("vec_id") % 3907 === 0)
-          .localCheckpoint(true) // 257 queries, pinned off the persist
+          .localCheckpoint(true) // 256 queries, pinned off the persist
         var gt: DataFrame = null
-        t("ann1m: exact brute-force top-10 (257 queries × 1M — the " +
+        t("ann1m: exact brute-force top-10 (256 queries × 1M — the " +
           "honest baseline the IVF dial exists to avoid)") {
           gt = operators.Similarity
             .bruteForceKnn(vecs1m, queries1m, 10)
@@ -1826,7 +1780,7 @@ object ScaleProbe {
         // the scan-fraction receipt: Σ probed-cell sizes over the
         // query batch vs nQ × N — the dial's measured position, from
         // the SAME centroids/cells the serve read (small driver jobs:
-        // nlist-row group counts + a 257-row probe explode)
+        // nlist-row group counts + a 256-row probe explode)
         val cents = plans.IvfIndexStore.loadCentroids(spark, annTable)
         val cellSizes = spark
           .table(plans.IvfIndexStore.cellsTable(annTable))
@@ -1856,28 +1810,8 @@ object ScaleProbe {
             f"(nprobe/nlist ≈ 3%%), got ${f32 * 100}%.2f%%")
         require(r8._2 >= r1._2 - 1e-9 && r32._2 >= r8._2 - 1e-9,
           "more probes must never lose recall")
-        // task stats OUTSIDE the timers, stability-polled
-        var last = -1; var stable = 0
-        while (stable < 3) {
-          Thread.sleep(200)
-          val c = annTasks.size()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        import scala.jdk.CollectionConverters._
-        val ds = annTasks.asScala.map(_._2).toSeq.sorted
-        val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
-        println(f"[scale] ann1m task stats: tasks=${ds.length} " +
-          f"task_med=${med}ms task_max=${if (ds.isEmpty) 0L else ds.last}ms " +
-          f"skew=${if (med > 0) ds.last.toDouble / med else 0.0}%.1f")
-        val byStage = annTasks.asScala.toSeq.groupBy(_._1)
-          .map { case (sid, ts) =>
-            val s = ts.map(_._2).sorted
-            (sid, s.last, s(s.length / 2), s.length)
-          }.toSeq.sortBy(-_._2).take(4)
-        byStage.foreach { case (sid, sMax, sMed, n) =>
-          println(f"[scale]   stage $sid: max=${sMax}ms med=${sMed}ms " +
-            f"tasks=$n  ${annStages.getOrDefault(sid, "?").take(100)}")
-        }
+        // task stats OUTSIDE the timers — shared drain + print
+        printTaskStats("ann1m", al, top = 4)
       } finally {
         spark.sparkContext.removeSparkListener(al)
         vecs1m.unpersist()
@@ -1900,16 +1834,7 @@ object ScaleProbe {
         Tables.documents(spark, d).select("doc_id", "text"),
         200, Seq("doc_id"), 10000000L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pkTasks = new java.util.concurrent
-        .ConcurrentLinkedQueue[(Int, Long)]()
-      val pkl = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskInfo != null)
-            pkTasks.add((te.stageId, te.taskInfo.duration))
-          ()
-        }
-      }
+      val pkl = new TaskStatsListener
       spark.sparkContext.addSparkListener(pkl)
       try {
         var nDocs = 0L
@@ -1941,24 +1866,8 @@ object ScaleProbe {
               s"${m.getLong(1)} tokens vs corpus $nDocs / $totTokens")
           f"shelves=${m.getLong(2)} mean_fill=${m.getDouble(3)}%.4f"
         }
-        // skew receipt OUTSIDE the timers, stability-polled
-        var last = -1; var stable = 0
-        while (stable < 3) {
-          Thread.sleep(200)
-          val c = pkTasks.size()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        import scala.jdk.CollectionConverters._
-        val heavy = pkTasks.asScala.toSeq.groupBy(_._1)
-          .map { case (sid, ts) =>
-            val s = ts.map(_._2).sorted
-            (sid, s.last, s(s.length / 2), s.length)
-          }.toSeq.sortBy(-_._2).take(3)
-        heavy.foreach { case (sid, sMax, sMed, n) =>
-          println(f"[scale] pack1m stage $sid: max=${sMax}ms " +
-            f"med=${sMed}ms tasks=$n skew=${
-              if (sMed > 0) sMax.toDouble / sMed else 0.0}%.2f")
-        }
+        // skew receipt OUTSIDE the timers — shared drain + print
+        printTaskStats("pack1m", pkl)
       } finally {
         spark.sparkContext.removeSparkListener(pkl)
         docs1m.unpersist()
