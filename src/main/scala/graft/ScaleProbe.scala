@@ -73,6 +73,68 @@ object ScaleProbe {
     }.toSeq.sortBy(-_._2).take(top)
   }
 
+  /** Window-quality stamp for the explicit probes' receipts — the
+    * same Spark-free cpu spin + 64 MB page-cache parquet read the
+    * bench anchors use (quiet bands on this host: cpu ≈ 0.10-0.12 s,
+    * io ≈ 0.02-0.05 s; see Bench.scala). A probe wall means little
+    * without the window it ran in (the ann1m brute-force baseline
+    * measured 23.2 s and 46.6 s across two runs of IDENTICAL code) —
+    * stamping start AND end lets a reader discount a loaded run the
+    * way the sweep's anchor tracks do. First call self-warms (JIT +
+    * page cache), mirroring the bench's discarded cold samples.
+    */
+  @volatile private var stampSink = 0L
+  private def cpuStamp(): Double = {
+    val t0 = System.nanoTime()
+    var h = 1125899906842597L
+    var i = 0
+    while (i < 100000000) { h = h * 31 + i; i += 1 }
+    stampSink = h
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def ioStamp(): Option[Double] = {
+    val d = new java.io.File("/root/testdata/sf0.1")
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    val file = (entries.filter(f =>
+      f.isFile && f.getName.endsWith(".parquet") && f.length() > 0) ++
+      entries.filter(f => f.isDirectory && f.getName.endsWith(".parquet"))
+        .flatMap(dir => Option(dir.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          f.length() > 0)).sortBy(-_.length()).headOption
+    file.map { f =>
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var left = 64L << 20
+        var acc = 0L
+        while (left > 0) {
+          buf.clear()
+          val n = ch.read(buf)
+          if (n < 0) ch.position(0L) // wrap: always price a full 64 MB
+          else {
+            var i = 0
+            while (i < n) { acc ^= buf.get(i).toLong << (i % 8); i += 8 }
+            left -= n
+          }
+        }
+        stampSink ^= acc
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+  private lazy val stampWarm: Unit = {
+    cpuStamp(); scala.util.Try(ioStamp()); ()
+  }
+  private def windowStamp(tag: String): Unit = {
+    stampWarm
+    val cpu = cpuStamp()
+    val io = scala.util.Try(ioStamp()).toOption.flatten
+    println(f"[scale] window $tag: cpu=${cpu}%.3fs io=${
+      io.map(v => f"$v%.3fs").getOrElse("n/a")}")
+  }
+
   /** The shared receipt shape: drain, pooled stats line, then the
     * worst stages. Pooled skew is CROSS-stage (tiny planning jobs vs
     * the heavy scan) — the per-stage lines carry the real skew claim.
@@ -413,6 +475,7 @@ object ScaleProbe {
     // time + skew factor (max/median) + peak JVM heap alongside the
     // wall number — the evidence the 100 TB extrapolation rests on.
     if (only.exists(o => o.contains("minhash5m"))) {
+      windowStamp("minhash5m start")
       val reps = 1000
       // repartition BEFORE the 1000× explode: the base corpus is one
       // parquet file (1-2 input partitions), so without this the whole
@@ -458,6 +521,7 @@ object ScaleProbe {
         (Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) / (1L << 20)}MB")
       sh5.unpersist(); cand.unpersist()
+      windowStamp("minhash5m end")
       } finally spark.sparkContext.removeSparkListener(tl)
     }
     t("simhash fingerprints 50k docs (per-row kernel)")(
@@ -1441,6 +1505,7 @@ object ScaleProbe {
     // performance path, never a correctness one (iff-law + equality
     // specs), so no cap needs raising unless the wall says so.
     if (only.exists(_.contains("wandserve"))) {
+      windowStamp("wandserve start")
       import graft.plans.{Bm25IndexStore, WandKernel}
       val zipf10 = spark.range(500000).select(col("id").as("doc_id"),
         concat_ws(" ", expr(
@@ -1565,6 +1630,7 @@ object ScaleProbe {
         }
         s"planned-chunked ${arm(true)} | distributed ${arm(false)}"
       }
+      windowStamp("wandserve end")
     }
     // ===== PPJoin/prefix-filter probe at 1M docs with ZIPF dfs (r13
     // VERDICT #3). EXPLICIT-ONLY (runMain graft.ScaleProbe ppjoin1m).
@@ -1577,6 +1643,7 @@ object ScaleProbe {
     // bound n(n−1)/2, plus stage-attributed task stats (the skew
     // question — rarest-prefix postings must not concentrate).
     if (only.exists(_.contains("ppjoin1m"))) {
+      windowStamp("ppjoin1m start")
       val zipf1m = spark.range(1000000).select(col("id").as("doc_id"),
         concat_ws(" ", expr(
           "transform(sequence(0, 59), i -> concat('w', " +
@@ -1614,6 +1681,7 @@ object ScaleProbe {
           f"${quad}%.3g — ratio ${nCand / quad}%.2e")
         // task stats OUTSIDE the timers — shared drain + print
         printTaskStats("ppjoin1m", pl)
+        windowStamp("ppjoin1m end")
       } finally spark.sparkContext.removeSparkListener(pl)
     }
     // ===== Streaming admission SOAK (r13 VERDICT #6): the r13
@@ -1626,6 +1694,7 @@ object ScaleProbe {
     // until a driver GC. Wall per batch is recorded first-10 vs
     // last-10 as the no-slowdown twin.
     if (only.exists(_.contains("docsoak"))) {
+      windowStamp("docsoak start")
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val aTable = "probe_soak_ahash"
@@ -1698,6 +1767,7 @@ object ScaleProbe {
           f"max_cached_bytes=$maxBytes " +
           f"wall/batch head10=${head10}%.2fs tail10=${tail10}%.2fs"
       }
+      windowStamp("docsoak end")
     }
     // ===== ANN at 1M vectors (r14): the EMBEDDING-side twin of the
     // minhash5m build probe. EXPLICIT-ONLY (runMain graft.ScaleProbe
@@ -1720,6 +1790,7 @@ object ScaleProbe {
     //       the honest brute-force wall the dial exists to avoid);
     //   (d) the heavy stages stay skew-free (task stats attributed).
     if (only.exists(_.contains("ann1m"))) {
+      windowStamp("ann1m start")
       import spark.implicits._
       val nVec = 1000000L
       val vecs1m = spark.range(nVec).select(col("id").as("vec_id"),
@@ -1812,6 +1883,7 @@ object ScaleProbe {
           "more probes must never lose recall")
         // task stats OUTSIDE the timers — shared drain + print
         printTaskStats("ann1m", al, top = 4)
+        windowStamp("ann1m end")
       } finally {
         spark.sparkContext.removeSparkListener(al)
         vecs1m.unpersist()
@@ -1830,6 +1902,7 @@ object ScaleProbe {
     // and the shelf manifest's Σ doc_tokens / Σ n_docs equal the
     // corpus totals exactly — plus a skew receipt on the cell window.
     if (only.exists(_.contains("pack1m"))) {
+      windowStamp("pack1m start")
       val docs1m = replicate(
         Tables.documents(spark, d).select("doc_id", "text"),
         200, Seq("doc_id"), 10000000L)
@@ -1868,6 +1941,7 @@ object ScaleProbe {
         }
         // skew receipt OUTSIDE the timers — shared drain + print
         printTaskStats("pack1m", pkl)
+        windowStamp("pack1m end")
       } finally {
         spark.sparkContext.removeSparkListener(pkl)
         docs1m.unpersist()
