@@ -131,8 +131,18 @@ object ScaleProbe {
     stampWarm
     val cpu = cpuStamp()
     val io = scala.util.Try(ioStamp()).toOption.flatten
+    // single-threaded latency stamps are BLIND to aggregate-bandwidth
+    // contention (a co-runner eating half the cores leaves them in
+    // band while a 32-thread probe runs ~2× slow — observed on the
+    // minhash5m validation run: quiet stamps, 15.0 loadavg); the
+    // 1/5/15-min load averages carry that signal
+    val load = scala.util.Try(
+      java.nio.file.Files.readString(
+        java.nio.file.Path.of("/proc/loadavg"))
+        .split(" ").take(3).mkString("/")).getOrElse("n/a")
     println(f"[scale] window $tag: cpu=${cpu}%.3fs io=${
-      io.map(v => f"$v%.3fs").getOrElse("n/a")}")
+      io.map(v => f"$v%.3fs").getOrElse("n/a")} loadavg=$load/${
+      Runtime.getRuntime.availableProcessors}cores")
   }
 
   /** The shared receipt shape: drain, pooled stats line, then the
