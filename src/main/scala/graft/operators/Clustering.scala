@@ -52,12 +52,11 @@ object Clustering {
       pairs: DataFrame, aCol: String, bCol: String,
       driverFinishEdges: Long = 1000000L): DataFrame = {
     // canonical edge form: u < v, deduplicated
-    var edges = pairs
+    val edgesPlan = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
 
     // O(1)-per-round convergence probe: (row count, order-independent
     // hash XOR — summing random 64-bit hashes overflows under ANSI mode,
@@ -99,29 +98,44 @@ object Clustering {
         .distinct()
     }
 
-    var sig = signature(edges)
-
-    if (sig._1 <= driverFinishEdges) {
-      val s = pairs.sparkSession
-      import s.implicits._
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      // iterative find + path compression: adversarial edge orders can
-      // chain parents O(n) deep, which would overflow a recursive stack
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
-        var c = x
-        while (c != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      return parent.keys.toSeq.map(k => (k, find(k)))
-        .toDF("node", "cluster_id")
+    // ONE bounded job decides the driver-finish path AND fetches its
+    // edges (the r14 shape paid three driver-sequenced actions here:
+    // eager checkpoint → signature → collect — each a fixed scheduler
+    // latency point that multiplies under host load). boundedCollect
+    // refuses exactly when the deduplicated edge count exceeds the
+    // driver bound — the same threshold the signature check applied —
+    // and its task-completion row order is harmless: union-find merges
+    // by pointing the larger root at the smaller, so the final root of
+    // every component is its minimum node id regardless of edge order.
+    val s = pairs.sparkSession
+    import s.implicits._
+    graft.plans.WandKernel.boundedCollect(
+        edgesPlan.as[(Long, Long)], driverFinishEdges) match {
+      case Some(rows) =>
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        // iterative find + path compression: adversarial edge orders can
+        // chain parents O(n) deep, which would overflow a recursive stack
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { case (u, v) =>
+          val (ra, rb) = (find(u), find(v))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        return parent.keys.toSeq.map(k => (k, find(k)))
+          .toDF("node", "cluster_id")
+      case None => // over the driver bound — distributed rounds below
     }
 
+    // the refused (over-bound) case pays one re-derivation of the edge
+    // plan for the checkpoint — only on graphs where the log-round loop
+    // dominates it anyway
+    var edges = edgesPlan.localCheckpoint(true)
+    var sig = signature(edges)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged) {
@@ -382,7 +396,6 @@ object Clustering {
   // ---------------------------------------------------------------------
   val qClusterHistogram: Q = (s, d) => {
     val corpus = Dedup.corpusNear(s, d)
-    val nTotal = corpus.count().toDouble
     // the labels frame is tiny (clustered docs only) but its lineage is
     // the whole MinHash→CC iteration — materialize once for its two
     // consumers (the size histogram and the clustered-doc count)
@@ -393,14 +406,23 @@ object Clustering {
     val clustered = csize.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
-    val nClustered = cc.count()
-    val singleton = corpus.sparkSession.range(1).select(
-      lit(1L).as("cluster_size"),
-      lit(nTotal.toLong - nClustered).as("n_clusters"),
-      lit(nTotal.toLong - nClustered).as("n_docs"))
+    // both scalar inputs ride the final plan as broadcast one-row
+    // aggregates (r15: the previous shape paid two extra driver
+    // actions — corpus.count() and cc.count() — per execution for
+    // numbers the plan can attach itself; same arithmetic, same
+    // output, two fewer fixed-latency sync points)
+    val tot = corpus.agg(count(lit(1)).as("n_total"))
+    val singleton = cc.agg(count(lit(1)).as("n_clustered"))
+      .crossJoin(broadcast(tot))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
     clustered.unionByName(singleton)
+      .crossJoin(broadcast(tot))
       .withColumn("frac_docs",
-        round(col("n_docs").cast("double") / lit(nTotal), 4))
+        round(col("n_docs").cast("double") / col("n_total").cast("double"),
+          4))
+      .select("cluster_size", "n_clusters", "n_docs", "frac_docs")
       .orderBy("cluster_size")
   }
 

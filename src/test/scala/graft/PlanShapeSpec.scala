@@ -83,9 +83,12 @@ class PlanShapeSpec extends AnyFunSuite {
         p.take(3000))
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-sized join side may sort-merge:\n${p.take(3000)}")
-    // the postings table is never hash-repartitioned for the probe
-    // joins; the remaining exchanges are the (query,doc) candidate agg,
-    // the per-query TopKAgg, and the output ordering
+    // r15 shape: the ONLY pair-carrying exchange is the doc_id
+    // repartition of the term-matched postings (Σ-distinct-term-df
+    // rows, always ≤ the pair volume the r14 shape shuffled through
+    // its candidate agg — the agg now rides that partitioning
+    // exchange-free); the other hash exchange is the per-query
+    // TopKAgg, and the output ordering is a range exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"postings side gained a join exchange:\n${p.take(3000)}")
   }
