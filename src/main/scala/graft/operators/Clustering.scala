@@ -168,29 +168,32 @@ object Clustering {
     * drift apart per consumer. Returns (doc_id, cluster_id).
     */
   def nearDupClusterLabels(s: SparkSession, d: String): DataFrame =
-    connectedComponents(nearDupPairs(s, d), "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
+    // memoized (r15): four registered rows consume these labels — the
+    // [[graft.plans.Memo]] pair-mining discipline, like the pairs below
+    graft.plans.Memo.frame(s, d, "neardup_labels")(
+      connectedComponents(nearDupPairs(s, d), "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id"))
 
   /** The near-dup EDGE list of the corpusNear fixture (id_a < id_b),
     * materialized via `localCheckpoint` — word-trigram Jaccard >= 0.5.
     * Shared by the components/cluster consumers above and the triangle
     * census below, so every graph query scores pairs identically.
     */
-  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val (sh, raw) = Dedup.cachedCappedIndex(
-      Dedup.corpusNear(s, d), 3, Dedup.ShingleDfCap)
-    // Subquadratic pair finder: MinHash banding generates candidates,
-    // exact Jaccard verifies — the same (48 hashes, 24 bands, r=2)
-    // setting as q_dedup_minhash, whose output is spec-asserted equal to
-    // the exact self-join pairs on this fixture (recall 1 at j>=0.5), so
-    // the recursive-CTE oracle carries over unchanged while the pair
-    // stage drops from O(sum df²) to candidates-only.
-    val cand = Dedup.lshCandidates(
-      Dedup.minhashSignatures(sh, 48), bands = 24, r = 2)
-    val pairs = Dedup.verifyJaccard(cand, sh, 0.5).localCheckpoint(true)
-    raw.unpersist(); sh.unpersist()
-    pairs
-  }
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    // memoized (r15): the pair list feeds the labels above plus the
+    // triangle and k-core rows — computed once per (context, dataset)
+    graft.plans.Memo.frame(s, d, "neardup_pairs") {
+      val sh = Dedup.memoCappedIndex(s, d)
+      // Subquadratic pair finder: MinHash banding generates candidates,
+      // exact Jaccard verifies — the same (48 hashes, 24 bands, r=2)
+      // setting as q_dedup_minhash, whose output is spec-asserted equal
+      // to the exact self-join pairs on this fixture (recall 1 at
+      // j>=0.5), so the recursive-CTE oracle carries over unchanged
+      // while the pair stage drops from O(sum df²) to candidates-only.
+      val cand = Dedup.lshCandidates(
+        Dedup.minhashSignatures(sh, 48), bands = 24, r = 2)
+      Dedup.verifyJaccard(cand, sh, 0.5)
+    }
 
   /** Near-dup clusters over the corpusNear fixture: word-trigram Jaccard
     * >= 0.5 pairs → connected components → per-cluster canonical pick
@@ -396,11 +399,9 @@ object Clustering {
   // ---------------------------------------------------------------------
   val qClusterHistogram: Q = (s, d) => {
     val corpus = Dedup.corpusNear(s, d)
-    // the labels frame is tiny (clustered docs only) but its lineage is
-    // the whole MinHash→CC iteration — materialize once for its two
-    // consumers (the size histogram and the clustered-doc count)
-    // instead of re-running the pipeline per action
-    val cc = nearDupClusterLabels(s, d).localCheckpoint(true)
+    // the labels frame arrives memoized + checkpointed, so both
+    // consumers (size histogram, clustered-doc count) read blocks
+    val cc = nearDupClusterLabels(s, d)
     val csize = cc.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     val clustered = csize.groupBy("cluster_size")
