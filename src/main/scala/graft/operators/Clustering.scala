@@ -369,8 +369,11 @@ object Clustering {
     val corpus = Dedup.corpusNear(s, d)
     val base = corpus.filter(col("doc_id") < 1000000L)
     val batch = corpus.filter(col("doc_id") >= 1000000L)
-    val shBase = Dedup.shingleIndex(base, 3).localCheckpoint(true)
-    val shBatch = Dedup.shingleIndex(batch, 3).localCheckpoint(true)
+    // LAZY checkpoints (r15): each index's first consumer materializes
+    // the blocks inside its own job — the eager form paid two extra
+    // driver-sequenced actions per execution for the same blocks
+    val shBase = Dedup.shingleIndex(base, 3).localCheckpoint(false)
+    val shBatch = Dedup.shingleIndex(batch, 3).localCheckpoint(false)
     val labels0 = connectedComponents(
       Dedup.jaccardPairs(shBase, 0.5).select("id_a", "id_b"),
       "id_a", "id_b")
