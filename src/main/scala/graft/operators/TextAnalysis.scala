@@ -520,15 +520,28 @@ object TextAnalysis {
       vecs: org.apache.spark.sql.Dataset[
         (Long, Array[Long], Array[Double], Double)],
       minShared: Int, threshold: Double): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
     // ONE corpus pass: the vector build runs once (collect), and the
     // distributed side is just indices into the broadcast array — reusing
     // `vecs` for both sides would re-run the tokenize→tf→df→top-k
-    // pipeline twice. The kernel is allocation-free per pair (survivors
+    // pipeline twice.
+    tfidfCosinePairsBroadcastFromSide(
+      vecs.sparkSession, vecs.collect(), minShared, threshold)
+  }
+
+  /** The pair stage over an ALREADY-COLLECTED vector table — split out
+    * so [[tfidfCosinePairsAuto]]'s fused stats+vector job can hand the
+    * in-hand array straight to the kernel instead of paying a second
+    * collect. Pair enumeration indexes the broadcast array and compares
+    * doc ids, so the array's row ORDER is irrelevant to the output set.
+    */
+  private[graft] def tfidfCosinePairsBroadcastFromSide(
+      spark: SparkSession,
+      side: Array[(Long, Array[Long], Array[Double], Double)],
+      minShared: Int, threshold: Double): DataFrame = {
+    import spark.implicits._
+    // The kernel is allocation-free per pair (survivors
     // are ~3·10⁻⁵ of pairs, so per-pair Iterator wrappers would dominate
     // the merge arithmetic itself).
-    val side = vecs.collect()
     val bc = spark.sparkContext.broadcast(side)
     val slices = math.max(1, math.min(
       spark.sparkContext.defaultParallelism * 4, side.length))
@@ -616,21 +629,67 @@ object TextAnalysis {
   def tfidfCosinePairsAuto(
       docs: DataFrame, k: Int, minShared: Int,
       threshold: Double): DataFrame = {
-    val tops = tfidfTopTerms(docs, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tf persists alongside tops: [[tfidfTopTermsFromTf]] consumes the
+    // tf subtree TWICE (join side + its df aggregation — Catalyst does
+    // not collapse duplicate subtrees), so an unpersisted tf pays the
+    // tokenize+explode+count pipeline twice inside the fused job below
+    val tf = termFreq(docs).persist()
+    val tops = tfidfTopTermsFromTf(
+        tf, docs.agg(count(lit(1)).as("n_docs")), k)
       .select("doc_id", "term", "score").persist()
-    val (nDocs, sumDfSq) = tfidfRegimeStats(tops)
-    if (tfidfRegimePrefersBroadcast(nDocs, sumDfSq.toDouble)) {
-      val out = tfidfCosinePairsBroadcastFromVecs(
-        tfidfVectorsFromTops(tops), minShared, threshold)
-      // the distributed pair stage reads only the broadcast array —
-      // tops' last consumer was the (eager) vector collect above
-      tops.unpersist()
-      out
-    } else {
-      val out = tfidfCosinePairsFromTops(tops, minShared, threshold)
-        .localCheckpoint(true)
-      tops.unpersist()
-      out
+    // ONE bounded job fetches the regime statistics AND the vector
+    // table together (r14 verdict #1: the previous shape paid three
+    // driver-sequenced actions per execution — stats head(), vector
+    // collect, pair stage — whose fixed scheduler latency multiplied
+    // 3-20× under host load; this row's driver-sweep samples spanned
+    // 1.8-43.7 s across windows). Driver memory stays bounded by the
+    // same [[TfidfBroadcastDocCap]] rule as before: the fetch runs
+    // under [[WandKernel.boundedCollect]] at cap docs + 1 stats row,
+    // and a refusal (cancel-on-overrun, no full transfer) IS the
+    // rule's n_docs > cap clause — the inverted-index branch serves
+    // without ever needing the statistics. The one new trade: a
+    // Heaps-law corpus UNDER the cap ships its vector table once
+    // before the Σ df² statistic routes it to the inverted-index
+    // branch (bounded by the cap, ~24 B × k per doc); the stats-first
+    // shape paid a whole extra sequential action on every execution
+    // to avoid that one bounded transfer on this corpus class.
+    val statsRow = tops.groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("sum_df2"))
+      .crossJoin(tops.agg(count_distinct(col("doc_id")).as("n_docs")))
+    val fused = statsRow
+      .select(lit(true).as("is_stats"), lit(0L).as("doc_id"),
+        lit(null).cast("array<bigint>").as("keys"),
+        lit(null).cast("array<double>").as("ws"), lit(0.0).as("nrm"),
+        col("n_docs"), col("sum_df2"))
+      .unionByName(tfidfVectorsFromTops(tops)
+        .toDF("doc_id", "keys", "ws", "nrm")
+        .select(lit(false).as("is_stats"), col("doc_id"), col("keys"),
+          col("ws"), col("nrm"), lit(0L).as("n_docs"),
+          lit(0L).as("sum_df2")))
+      .as[(Boolean, Long, Array[Long], Array[Double], Double, Long, Long)]
+    val collected = graft.plans.WandKernel.boundedCollect(
+      fused, TfidfBroadcastDocCap + 1L)
+    val regime = collected.map { rows =>
+      val stats = rows.find(_._1).get // the stats agg always emits 1 row
+      (rows, stats._6, stats._7)
+    }
+    regime match {
+      case Some((rows, nDocs, sumDfSq))
+          if tfidfRegimePrefersBroadcast(nDocs, sumDfSq.toDouble) =>
+        val side = rows.collect {
+          case (false, id, ks, ws, nrm, _, _) => (id, ks, ws, nrm)
+        }
+        // the distributed pair stage reads only the broadcast array —
+        // tops' (and tf's) last consumer was the fused collect above
+        tops.unpersist(); tf.unpersist()
+        tfidfCosinePairsBroadcastFromSide(spark, side, minShared, threshold)
+      case _ =>
+        val out = tfidfCosinePairsFromTops(tops, minShared, threshold)
+          .localCheckpoint(true)
+        tops.unpersist(); tf.unpersist()
+        out
     }
   }
 

@@ -120,6 +120,40 @@ object Bm25IndexStore {
     tf.unpersist()
   }
 
+  /** The naive Σ-postings scoring tail, doc-co-located (r15): restrict
+    * the postings to the batch's terms with a broadcast semi-join
+    * (Σ-distinct-term-df rows — always ≤ the (query, doc) pair volume,
+    * since every matched posting expands into ≥ 1 pair), repartition
+    * THOSE by doc_id so every pair's rows share a partition, then run
+    * the pair-expanding broadcast join, the tombstone mask, and the
+    * [[WandKernel.naivePartialTopK]] sort+stream kernel entirely
+    * within the stage. The previous shape shuffled the EXPANDED pair
+    * stream through a (query, doc) hash aggregation — on the 20k-query
+    * zipf batch that exchange carried ~50M rows where this one carries
+    * ~0.5M matched postings (measured 18-20 s → 4.0 s full serve).
+    * Partition count is the session's shuffle parallelism (explicit,
+    * so AQE cannot coalesce the small exchange under the CPU count —
+    * the expansion happens AFTER it). Returns partial score rows for
+    * [[WandKernel.finalTopK]].
+    */
+  private def naivePartials(
+      spark: SparkSession, post: DataFrame, q: DataFrame, topN: Int,
+      mask: DataFrame => DataFrame): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val matched = post.select("tkey", "doc_id", "w")
+      .join(broadcast(q.select("tkey")), Seq("tkey"), "left_semi")
+      .repartition(n, col("doc_id"))
+    // tombstones mask AFTER the term join (pair-sized stream, not the
+    // whole postings table) and BEFORE the kernel — a pair's score is
+    // the sum of its OWN postings only, so masking the doc side here
+    // equals physical removal ([[Retire]] frozen-stats semantics)
+    WandKernel.naivePartialTopK(
+      mask(matched.join(broadcast(q), "tkey"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("w")),
+      topN)
+  }
+
   /** Top-`topN` BM25 matches per query doc, served ENTIRELY from the
     * saved index — the corpus is never re-read or re-tokenized; the
     * query batch (small by definition) tokenizes, broadcasts, and
@@ -133,16 +167,9 @@ object Bm25IndexStore {
       .select(col("query_id"), explode(col("toks")).as("term"))
       .distinct()
       .select(col("query_id"), xxhash64(col("term")).as("tkey"))
-    // tombstones mask AFTER the term join (Σ-df-sized stream, not the
-    // whole postings table) and BEFORE the agg — a pair's score is the
-    // sum of its OWN postings only, so masking the doc side here equals
-    // physical removal ([[Retire]] frozen-stats semantics)
     WandKernel.finalTopK(
-      Retire.survivors(spark, table,
-        spark.table(table).join(broadcast(q), "tkey"), "doc_id")
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum("w"), 4).as("score")),
+      naivePartials(spark, spark.table(table), q, topN,
+        df => Retire.survivors(spark, table, df, "doc_id")),
       topN, "score")
   }
 
@@ -277,10 +304,7 @@ object Bm25IndexStore {
         .filter(col("w") >= col("cut") &&
           col("doc_id") =!= col("query_id")))
         .select("query_id", "doc_id"),
-      naivePlan = ids => live(post.join(broadcast(qDfOf(ids)), "tkey"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum("w"), 4).as("score")),
+      naivePlan = ids => naivePartials(spark, post, qDfOf(ids), topN, live),
       scoreCand = c => scoreCandidates(post, qAllDf, c),
       scoreName = "score",
       isDead = deadSet.contains)
@@ -397,13 +421,9 @@ object Bm25IndexStore {
     // general path's naive branch restricted to the full batch)
     def live(df: DataFrame): DataFrame =
       Retire.survivors(spark, table, df, "doc_id")
-    if (eligible.isEmpty) {
-      val naiveScores = live(post.join(broadcast(q), "tkey"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum("w"), 4).as("score"))
-      return WandKernel.finalTopK(naiveScores, topN, "score")
-    }
+    if (eligible.isEmpty)
+      return WandKernel.finalTopK(
+        naivePartials(spark, post, q, topN, live), topN, "score")
     val qE = q.join(broadcast(eligible), Seq("query_id"), "left_semi")
     val prefix = post.filter(col("rnk_w") <= prefixP)
       .join(broadcast(qE), "tkey")
@@ -537,10 +557,7 @@ object Bm25IndexStore {
     // restricted to their ids (when the whole batch routes to WAND
     // the empty broadcast propagates and AQE elides this scan)
     val naiveQ = q.join(broadcast(wandIds), Seq("query_id"), "left_anti")
-    val naiveScores = live(post.join(broadcast(naiveQ), "tkey"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum("w"), 4).as("score"))
+    val naiveScores = naivePartials(spark, post, naiveQ, topN, live)
     WandKernel.finalTopK(
       wandScores.unionByName(naiveScores), topN, "score")
   }

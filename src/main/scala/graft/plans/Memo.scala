@@ -78,14 +78,24 @@ object Memo {
     cache.get(key) match {
       case null => derive()
       case hit =>
-        // NonFatal only: a lost checkpoint block surfaces as a Spark
-        // job failure (re-derive); OOM/interrupt must propagate, not
-        // masquerade as a cache miss that re-derives forever
-        try { hit.isEmpty; hit }
-        catch {
-          case scala.util.control.NonFatal(_) =>
-            cache.remove(key, hit)
-            derive()
+        // The probe exists for CLUSTER block loss (an executor death
+        // poisons truncated-lineage blocks). In local mode there is no
+        // executor to lose — MEMORY_AND_DISK blocks survive memory
+        // pressure via disk — so the ~ms probe job is a pure
+        // per-consumer driver-sequenced latency point (r15: it ran once
+        // per memoized-row execution, ~10 rows × 3 bench iterations);
+        // skip it there, keep it wherever loss is possible.
+        if (s.sparkContext.isLocal) hit
+        else {
+          // NonFatal only: a lost checkpoint block surfaces as a Spark
+          // job failure (re-derive); OOM/interrupt must propagate, not
+          // masquerade as a cache miss that re-derives forever
+          try { hit.isEmpty; hit }
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              cache.remove(key, hit)
+              derive()
+          }
         }
     }
   }

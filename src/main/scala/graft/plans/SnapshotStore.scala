@@ -559,27 +559,41 @@ object SnapshotStore {
     * per commit buys scan skipping for every future read.
     */
   private def writeGroup(df: DataFrame, root: String): String = {
-    import org.apache.spark.sql.functions.{col, min, max}
-    import org.apache.spark.sql.types.NumericType
     val group = s"data/${UUID.randomUUID()}"
     df.write.mode("error").parquet(s"$root/$group")
-    // stats come from the FILES JUST WRITTEN, never from re-running the
-    // input's lineage: a nondeterministic input (sample, rand,
-    // source-that-moved) would materialize one row set and stat
-    // another, and pruning on those stats silently drops rows. Reading
-    // the group back also costs footer-only column scans instead of a
-    // second full lineage execution (halves compact()'s read work).
-    val written = df.sparkSession.read.parquet(s"$root/$group")
+    sidecarsFor(df.sparkSession, root, Seq(group))
+    group
+  }
+
+  /** Compute and write the `_stats.json` sidecars for `groups` in ONE
+    * read + aggregation over every just-written file (r15: the
+    * clustered append paid one read-back job PER group — 8 extra
+    * driver-sequenced jobs per commit at the default fan-out — where
+    * one job keyed by file covers them all; single-group callers are
+    * unchanged in behavior and cost). Stats come from the FILES JUST
+    * WRITTEN, never from re-running the input's lineage: a
+    * nondeterministic input (sample, rand, source-that-moved) would
+    * materialize one row set and stat another, and pruning on those
+    * stats silently drops rows. Reading the groups back also costs
+    * column scans instead of a second full lineage execution (halves
+    * compact()'s read work).
+    *
+    * ONE aggregation keyed by file: the sidecar records PER-FILE
+    * [min, max] (not per-group), so pruning keeps working after
+    * compaction folds many groups into one — a clustered rewrite's
+    * files carry disjoint ranges and a point read touches ~1 file.
+    * The file list doubles as the group's MANIFEST: [[readWhere]]
+    * addresses kept files directly from it and never lists the data
+    * directory (the object-store consistency rule the commit log
+    * already enforces for groups, extended to files). Every group gets
+    * a sidecar — an empty group (a range partition that received no
+    * rows) records an empty manifest, exactly as before.
+    */
+  private def sidecarsFor(
+      spark: SparkSession, root: String, groups: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, min, max}
+    val written = spark.read.parquet(groups.map(g => s"$root/$g"): _*)
     val cols = statColumns(written.schema)
-    import org.apache.spark.sql.functions.input_file_name
-    // ONE aggregation keyed by file: the sidecar records PER-FILE
-    // [min, max] (not per-group), so pruning keeps working after
-    // compaction folds many groups into one — a clustered rewrite's
-    // files carry disjoint ranges and a point read touches ~1 file.
-    // The file list doubles as the group's MANIFEST: [[readWhere]]
-    // addresses kept files directly from it and never lists the data
-    // directory (the object-store consistency rule the commit log
-    // already enforces for groups, extended to files).
     val rows =
       if (cols.isEmpty)
         written.select(input_file_name().as("_f")).distinct().collect()
@@ -592,27 +606,38 @@ object SnapshotStore {
           .agg(aggs.head, aggs.tail: _*).collect()
       }
     def fileNameOf(uri: String): String = uri.drop(uri.lastIndexOf('/') + 1)
-    val files = rows.map(r => fileNameOf(r.getString(0))).sorted
-    val ranges = rows.flatMap { r =>
-      val f = fileNameOf(r.getString(0))
-      cols.zipWithIndex.flatMap { case ((c, integral), i) =>
-        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-        else {
-          val (lo, hi) =
-            if (integral)
-              (widenLo(r.getLong(1 + 2 * i)), widenHi(r.getLong(2 + 2 * i)))
-            else (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
-          // a NaN bound can only poison later comparisons (NaN sorts
-          // above everything in Spark's min/max, and every NaN
-          // comparison is false) — record no entry, so the file is
-          // simply never pruned, the only sound degradation
-          if (lo.isNaN || hi.isNaN) None
-          else Some((s"$f|$c", lo, hi))
+    // assign each file row to its group by the path segment before the
+    // file name (group dirs are data/<uuid> — unique by construction)
+    def groupOf(uri: String): String = {
+      val path = java.net.URI.create(uri).getPath
+      groups.find(g => path.contains(s"/$g/")).getOrElse(
+        throw new IllegalStateException(
+          s"written file $uri belongs to none of ${groups.mkString(",")}"))
+    }
+    val byGroup = rows.groupBy(r => groupOf(r.getString(0)))
+    groups.foreach { g =>
+      val gRows = byGroup.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+      val files = gRows.map(r => fileNameOf(r.getString(0))).sorted.toSeq
+      val ranges = gRows.toSeq.flatMap { r =>
+        val f = fileNameOf(r.getString(0))
+        cols.zipWithIndex.flatMap { case ((c, integral), i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else {
+            val (lo, hi) =
+              if (integral)
+                (widenLo(r.getLong(1 + 2 * i)), widenHi(r.getLong(2 + 2 * i)))
+              else (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+            // a NaN bound can only poison later comparisons (NaN sorts
+            // above everything in Spark's min/max, and every NaN
+            // comparison is false) — record no entry, so the file is
+            // simply never pruned, the only sound degradation
+            if (lo.isNaN || hi.isNaN) None
+            else Some((s"$f|$c", lo, hi))
+          }
         }
       }
+      writeSidecar(root, g, files, ranges)
     }
-    writeSidecar(root, group, files, ranges)
-    group
   }
 
   /** The ONE sidecar serializer — shared by [[writeGroup]] (fresh
@@ -863,9 +888,6 @@ object SnapshotStore {
       nGroups: Int,
       publisher: CommitPublisher = HardLinkPublisher): Int = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
-    // an empty batch has nothing to cluster — the plain append path
-    // handles it (and max() over zero rows would NPE below)
-    if (df.isEmpty) return append(df, root, publisher)
     checkAppendSchema(df, root)
     // collision-proof helper column: silently replacing a user column
     // named like it would drop real data past the schema check
@@ -873,11 +895,27 @@ object SnapshotStore {
     val parted = df.repartitionByRange(nGroups, col(clusterCol))
       .withColumn(grp, spark_partition_id())
       .persist()
-    val nParts = parted.agg(
-      org.apache.spark.sql.functions.max(grp)).head().getInt(0) + 1
-    val groups = (0 until nParts).map { g =>
-      writeGroup(parted.filter(col(grp) === g).drop(grp), root)
+    // max over the PERSISTED frame decides emptiness too — the
+    // previous shape paid a separate isEmpty scan of the raw input
+    // before this job (r15: one fewer driver-sequenced action)
+    val maxRow = parted.agg(
+      org.apache.spark.sql.functions.max(grp)).head()
+    if (maxRow.isNullAt(0)) {
+      // an empty batch has nothing to cluster — the plain append path
+      // handles it
+      parted.unpersist()
+      return append(df, root, publisher)
     }
+    val nParts = maxRow.getInt(0) + 1
+    val groups = (0 until nParts).map { g =>
+      val group = s"data/${UUID.randomUUID()}"
+      parted.filter(col(grp) === g).drop(grp)
+        .write.mode("error").parquet(s"$root/$group")
+      group
+    }
+    // all nParts sidecars from ONE read-back aggregation (r15 — was
+    // one job per group)
+    sidecarsFor(df.sparkSession, root, groups)
     parted.unpersist()
     commitLoop(root, "append", groups, publisher)
   }

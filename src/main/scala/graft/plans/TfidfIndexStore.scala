@@ -247,6 +247,40 @@ object TfidfIndexStore {
       normsTable(table) -> "doc_id",
       byDocTable(table) -> "doc_id"))
 
+  /** The naive Σ-postings cosine tail, doc-co-located (r15, the
+    * [[Bm25IndexStore]] `naivePartials` discipline): a broadcast
+    * semi-join restricts the postings to the batch's terms
+    * (Σ-distinct-term-df rows — always ≤ the (query, doc) pair volume
+    * the previous shape shuffled through its pair aggregation), those
+    * rows repartition by doc_id, and the pair-expanding join plus the
+    * (query, doc) dot aggregation ride that partitioning exchange-free
+    * (HashPartitioning(doc_id) clusters every pair). The dot/norm
+    * arithmetic is byte-identical to the r14 shape — only summation
+    * order inside a pair can move, the documented ~1e-13-under-4dp
+    * regime. The norms join runs after the aggregation exactly as
+    * before.
+    */
+  private def naiveCosine(
+      spark: SparkSession, post: DataFrame, norms: DataFrame,
+      qpost: DataFrame, qn: DataFrame,
+      mask: DataFrame => DataFrame): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val matched = post.select("tkey", "doc_id", "w")
+      .join(broadcast(qpost.select("tkey")), Seq("tkey"), "left_semi")
+      .repartition(n, col("doc_id"))
+    // neighbor-side tombstone mask after the term join (pair-sized
+    // stream) — a pair's cosine involves only its own postings + norm,
+    // so masking here equals physical removal ([[Retire]])
+    mask(matched.join(broadcast(qpost), "tkey"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+      .join(norms, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+  }
+
   def search(spark: SparkSession, table: String, queryIds: DataFrame,
       topN: Int): DataFrame = {
     val post = spark.table(table)
@@ -254,19 +288,9 @@ object TfidfIndexStore {
     val qn = norms.join(broadcast(queryIds), "doc_id")
       .select(col("doc_id").as("query_id"), col("nrm").as("nq"))
     val q = queryVectors(spark, table, queryIds)
-    // neighbor-side tombstone mask after the term join (Σ-df-sized
-    // stream) — a pair's cosine involves only its own postings + norm,
-    // so masking here equals physical removal ([[Retire]])
     WandKernel.finalTopK(
-      Retire.survivors(spark, table,
-        post.join(broadcast(q), "tkey"), "doc_id")
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("wq") * col("w")).as("dot"))
-        .join(norms, "doc_id")
-        .join(broadcast(qn), "query_id")
-        .select(col("query_id"), col("doc_id"),
-          round(col("dot") / (col("nq") * col("nrm")), 4).as("score")),
+      naiveCosine(spark, post, norms, q, qn,
+        df => Retire.survivors(spark, table, df, "doc_id")),
       topN, "cosine")
   }
 
@@ -370,17 +394,9 @@ object TfidfIndexStore {
     val qdf = qvec.select("query_id", "tkey", "df")
     def live(df: DataFrame): DataFrame =
       Retire.survivors(spark, table, df, "doc_id")
-    def naiveAll(): DataFrame = {
-      val naiveScores = live(post.join(broadcast(qpost), "tkey"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("wq") * col("w")).as("dot"))
-        .join(norms, "doc_id")
-        .join(broadcast(qn), "query_id")
-        .select(col("query_id"), col("doc_id"),
-          round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
-      WandKernel.finalTopK(naiveScores, topN, "cosine")
-    }
+    def naiveAll(): DataFrame =
+      WandKernel.finalTopK(
+        naiveCosine(spark, post, norms, qpost, qn, live), topN, "cosine")
     // batch-sized intermediates are checkpointed — three postings
     // scans total (prefix, tail, final scoring), not one per
     // referencing broadcast subplan
@@ -514,14 +530,7 @@ object TfidfIndexStore {
     // ineligible + priced-out); AQE elides the scan when the whole
     // batch WAND-routes
     val naiveQ = qpost.join(broadcast(wandIds), Seq("query_id"), "left_anti")
-    val naiveScores = live(post.join(broadcast(naiveQ), "tkey"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("wq") * col("w")).as("dot"))
-      .join(norms, "doc_id")
-      .join(broadcast(qn), "query_id")
-      .select(col("query_id"), col("doc_id"),
-        round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+    val naiveScores = naiveCosine(spark, post, norms, naiveQ, qn, live)
     WandKernel.finalTopK(
       wandScores.unionByName(naiveScores), topN, "cosine")
   }
@@ -563,14 +572,7 @@ object TfidfIndexStore {
         .map(r => (r._2, r._1, r._3)).toSeq.toDF("tkey", "query_id", "wq")
       val qnIds = rows.iterator.filter(r => ids(r._1))
         .map(r => (r._1, r._5)).toSeq.distinct.toDF("query_id", "nq")
-      live(post.join(broadcast(qp), "tkey"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("wq") * col("w")).as("dot"))
-        .join(norms, "doc_id")
-        .join(broadcast(qnIds), "query_id")
-        .select(col("query_id"), col("doc_id"),
-          round(col("dot") / (col("nq") * col("nrm")), 4).as("score"))
+      naiveCosine(spark, post, norms, qp, qnIds, live)
     }
     WandKernel.serveDriverPlanned(
       spark, qRows, topN, prefixP, broadcastRows,

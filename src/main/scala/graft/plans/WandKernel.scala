@@ -417,8 +417,12 @@ private[graft] object WandKernel {
     * `scanTail`: chosen (query_id, tkey, cut) rows (cut in impact
     * units; −∞ = whole essential list) → tail candidate
     * (query_id, doc_id) pairs, self-matches already excluded.
-    * `naivePlan`: exact (query_id, doc_id, score) for a query-id set —
-    * the store's bucketed-join kernel restricted to those ids.
+    * `naivePlan`: (query_id, doc_id, score) rows for a query-id set —
+    * the store's Σ-postings kernel restricted to those ids. May return
+    * PARTIAL rows (per-partition top-`topN`, the
+    * [[naivePartialTopK]] contract) as long as each query's exact
+    * top-`topN` is present — every consumer reduces through
+    * [[finalTopK]] at the same `topN`.
     * `scoreCand`: candidate (query_id, doc_id) pairs → exact
     * (query_id, doc_id, score) rows — the store's `search` arithmetic.
     */
@@ -732,6 +736,75 @@ private[graft] object WandKernel {
     // orchestration's per-stage Spark planning
     lastRouteStats.set((allQ.size, eligible.size, aExact.wandIds.size))
     served(serve(aExact))
+  }
+
+  /** Per-partition top-`topN` of summed pair weights over CO-LOCATED
+    * naive pair rows — the r15 rewrite of the Σ-postings kernel's
+    * aggregation tail. Input: (query_id, doc_id, w) rows whose
+    * partitioning CO-LOCATES every (query_id, doc_id) pair (the stores
+    * repartition the MATCHED POSTINGS by doc_id before the pair-
+    * expanding broadcast join, so the exchange carries Σ-distinct-term
+    * df rows — always ≤ the pair volume the previous shape shuffled
+    * through its (query, doc) aggregation: each matched posting row
+    * expands into ≥ 1 pair row). The kernel sorts within partitions,
+    * streams group sums, and keeps a bounded per-query top-`topN`
+    * buffer — replacing two hash-aggregation passes plus the object
+    * TopKAgg update per pair row (measured on the 20k-query zipf
+    * batch: 18-20 s → 4.0 s for the full serve).
+    *
+    * Output: (query_id, doc_id, score) PARTIAL rows — each partition's
+    * per-query top-`topN` — to be reduced by [[finalTopK]] (or unioned
+    * with other score rows first). Sound because pairs are partition-
+    * complete and any dropped pair is dominated within its partition
+    * by `topN` emitted pairs under the exact (score desc, id asc)
+    * final order, so it can never enter the global top-`topN`.
+    *
+    * Score = round(Σ w, 4) with the HALF_UP BigDecimal kernel the
+    * in-plan retrieval kernels already use (spec-pinned ≡ Spark's
+    * `round(col, 4)`). Summation-order freedom is the house 4dp
+    * argument: the summands are 4dp-rounded weights, whose exact sum
+    * is itself a 4dp decimal, so the ~1e-13 float-order jitter can
+    * never cross a HALF_UP boundary (the nearest boundary is 5e-5
+    * away).
+    */
+  def naivePartialTopK(pairRows: DataFrame, topN: Int): DataFrame = {
+    val spark = pairRows.sparkSession
+    import spark.implicits._
+    pairRows
+      .sortWithinPartitions("query_id", "doc_id")
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val tops = new java.util.HashMap[Long, Array[(Double, Long)]]()
+        def push(q: Long, d: Long, raw: Double): Unit = {
+          val s = BigDecimal(raw)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val buf = tops.getOrDefault(q, Array.empty)
+          val full = buf.length >= topN
+          if (!(full && {
+            val last = buf(buf.length - 1)
+            last._1 > s || (last._1 == s && last._2 < d)
+          })) {
+            val i = buf.indexWhere(x => s > x._1 || (s == x._1 && d < x._2))
+            val at = if (i < 0) buf.length else i
+            tops.put(q,
+              ((buf.take(at) :+ ((s, d))) ++ buf.drop(at)).take(topN))
+          }
+        }
+        var curQ = 0L; var curD = 0L; var acc = 0.0; var open = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (!open) { curQ = r._1; curD = r._2; acc = r._3; open = true }
+          else if (r._1 == curQ && r._2 == curD) acc += r._3
+          else { push(curQ, curD, acc); curQ = r._1; curD = r._2; acc = r._3 }
+        }
+        if (open) push(curQ, curD, acc)
+        import scala.jdk.CollectionConverters._
+        tops.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator.map { case (s, d) =>
+            (e.getKey.longValue, d, s) }
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
   }
 
   /** Global top-`topN` per query over the unioned wand + naive score
