@@ -59,6 +59,20 @@ import org.apache.spark.sql.SparkSession
   *                         retry adjudicates in its natural window)
   */
 object Bench {
+  /** Suspect-flag threshold for a row's warm median/min spread, as a
+    * function of the sweep's observed anchor band. r15 failure mode:
+    * the raw `max(anchorBand, 1.3)` let ONE 9.5× anchor excursion
+    * raise the bar so high that nothing was ever suspect — a sweep
+    * full of 3-7× ballooned medians self-adjudicated zero rows. The
+    * band term is therefore CLAMPED at 3.0: a noisier-than-3× window
+    * still flags rows whose spread exceeds 3× (the requeue machinery
+    * then classifies load vs regression per row — exactly the case it
+    * exists for), while the 1.3 floor keeps quiet-window jitter
+    * unflagged as before.
+    */
+  private[graft] def suspectBandThreshold(anchorBand: Double): Double =
+    math.max(math.min(anchorBand, 3.0), 1.3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -291,7 +305,7 @@ object Bench {
           // sub-second spreads are codegen/GC jitter, not host load
           median(warm) - warm.min > 0.3 &&
           median(warm) / math.max(warm.min, 1e-9) >
-            math.max(anchorBand, 1.3)
+            suspectBandThreshold(anchorBand)
         } => k
     }.sorted.concat(
       // test hook: force rows onto the suspect list so the requeue
