@@ -565,31 +565,172 @@ object SnapshotStore {
     group
   }
 
-  /** Compute and write the `_stats.json` sidecars for `groups` in ONE
-    * read + aggregation over every just-written file (r15: the
-    * clustered append paid one read-back job PER group — 8 extra
-    * driver-sequenced jobs per commit at the default fan-out — where
-    * one job keyed by file covers them all; single-group callers are
-    * unchanged in behavior and cost). Stats come from the FILES JUST
-    * WRITTEN, never from re-running the input's lineage: a
+  /** Compute and write the `_stats.json` sidecars for `groups` from
+    * the just-written files' PARQUET FOOTERS — driver-side metadata
+    * reads, ZERO Spark jobs (r16: the r15 shape still paid one
+    * read-back aggregation job per COMMIT; the footer already carries
+    * exact per-row-group min/max for every numeric column Spark
+    * writes, so re-scanning the data for the same numbers was a pure
+    * driver-sequenced sync point — the job-count tax every commit of
+    * the snapshot lifecycle rows paid). Stats still come from the
+    * FILES JUST WRITTEN, never from re-running the input's lineage: a
     * nondeterministic input (sample, rand, source-that-moved) would
     * materialize one row set and stat another, and pruning on those
-    * stats silently drops rows. Reading the groups back also costs
-    * column scans instead of a second full lineage execution (halves
-    * compact()'s read work).
+    * stats silently drops rows.
     *
-    * ONE aggregation keyed by file: the sidecar records PER-FILE
-    * [min, max] (not per-group), so pruning keeps working after
-    * compaction folds many groups into one — a clustered rewrite's
-    * files carry disjoint ranges and a point read touches ~1 file.
-    * The file list doubles as the group's MANIFEST: [[readWhere]]
-    * addresses kept files directly from it and never lists the data
-    * directory (the object-store consistency rule the commit log
-    * already enforces for groups, extended to files). Every group gets
-    * a sidecar — an empty group (a range partition that received no
-    * rows) records an empty manifest, exactly as before.
+    * Soundness is unchanged: footer min/max are exact for the
+    * supported physical types (signed INT32/INT64, FLOAT, DOUBLE —
+    * everything [[statColumns]] classifies, except DECIMAL); integral
+    * bounds still widen OUTWARD past 2^53 ([[widenLo]]/[[widenHi]]);
+    * a NaN bound or a stats-less chunk yields NO entry, so the file
+    * is simply never pruned ("stats only ever EXCLUDE"). Any column
+    * this reader cannot bound soundly (decimal's unscaled encoding)
+    * falls back to [[sidecarsForViaJob]] — the r15 one-job read-back —
+    * for the whole group set, so the two producers can never mix
+    * within a commit.
+    *
+    * The sidecar format is IDENTICAL: per-file `file|col` [min, max]
+    * ranges plus the `_files` MANIFEST of data-carrying files —
+    * [[readWhere]] addresses kept files directly from it and never
+    * lists the data directory. An empty group (an empty-batch append)
+    * records an empty manifest, exactly as before.
     */
   private def sidecarsFor(
+      spark: SparkSession, root: String, groups: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val computed = groups.map { g =>
+      val dir = Paths.get(root, g)
+      val files = listDir(dir).map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith("."))
+        .sorted
+      val stats = files.map(f => f -> footerStats(conf, dir.resolve(f)))
+      if (stats.exists(_._2.isEmpty)) None
+      else Some((g,
+        // manifest = data-CARRYING files, matching the read-back
+        // aggregation's input_file_name semantics (a zero-row file
+        // contributes no group there either)
+        stats.collect { case (f, Some((rows, _))) if rows > 0 => f },
+        stats.flatMap { case (f, st) =>
+          st.toSeq.flatMap(_._2.map { case (c, lo, hi) =>
+            (s"$f|$c", lo, hi)
+          })
+        }))
+    }
+    if (computed.forall(_.isDefined))
+      computed.flatten.foreach { case (g, files, ranges) =>
+        writeSidecar(root, g, files, ranges)
+      }
+    else sidecarsForViaJob(spark, root, groups)
+  }
+
+  /** One file's (row count, per-column [min, max]) from its parquet
+    * footer. None = a column's type/encoding cannot be bounded soundly
+    * from the footer (decimal, unsigned ints) — the caller must use
+    * the Spark read-back path instead. Columns that are simply not
+    * stat-eligible (strings, dates, timestamps, nested) are skipped,
+    * mirroring [[statColumns]]; a column whose chunks lack statistics
+    * or whose bounds are NaN records no entry (file never pruned).
+    */
+  private def footerStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path): Option[(Long, Seq[(String, Double, Double)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val meta = reader.getFooter
+      val schema = meta.getFileMetaData.getSchema
+      // classify top-level primitive columns: true integral, false
+      // fractional, absent = not stat-eligible; an UNSOUND type
+      // (decimal's unscaled encoding, unsigned ints) aborts the whole
+      // file so the caller takes the Spark read-back path
+      val classOf = scala.collection.mutable.HashMap
+        .empty[String, Boolean]
+      var unsound = false
+      schema.getFields.asScala.foreach { f =>
+        if (f.isPrimitive) {
+          val p = f.asPrimitiveType()
+          val ann = p.getLogicalTypeAnnotation
+          val prim = p.getPrimitiveTypeName
+          ann match {
+            case _: DecimalLogicalTypeAnnotation => unsound = true
+            case i: IntLogicalTypeAnnotation if !i.isSigned =>
+              unsound = true
+            case _: IntLogicalTypeAnnotation
+                if prim == PrimitiveTypeName.INT32 ||
+                  prim == PrimitiveTypeName.INT64 =>
+              classOf(f.getName) = true
+            case null
+                if prim == PrimitiveTypeName.INT32 ||
+                  prim == PrimitiveTypeName.INT64 =>
+              classOf(f.getName) = true
+            case null
+                if prim == PrimitiveTypeName.FLOAT ||
+                  prim == PrimitiveTypeName.DOUBLE =>
+              classOf(f.getName) = false
+            case _ => // date/timestamp/string/... — not stat-eligible
+          }
+        }
+      }
+      if (unsound) return None
+      var rows = 0L
+      // per-column fold state: (lo, hi) as Long for integral columns,
+      // Double for fractional; `dead` = a chunk without usable bounds
+      // was seen — the column records no entry
+      val loL = scala.collection.mutable.HashMap.empty[String, Long]
+      val hiL = scala.collection.mutable.HashMap.empty[String, Long]
+      val loD = scala.collection.mutable.HashMap.empty[String, Double]
+      val hiD = scala.collection.mutable.HashMap.empty[String, Double]
+      val dead = scala.collection.mutable.HashSet.empty[String]
+      meta.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          classOf.get(name).foreach { integral =>
+            val st = c.getStatistics
+            if (st == null) dead += name
+            else if (st.hasNonNullValue) {
+              if (integral) {
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                loL(name) = loL.get(name).fold(mn)(math.min(_, mn))
+                hiL(name) = hiL.get(name).fold(mx)(math.max(_, mx))
+              } else {
+                val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
+                val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
+                if (mn.isNaN || mx.isNaN) dead += name
+                else {
+                  loD(name) = loD.get(name).fold(mn)(math.min(_, mn))
+                  hiD(name) = hiD.get(name).fold(mx)(math.max(_, mx))
+                }
+              }
+            } // all-null chunk: contributes nothing, like the agg path
+          }
+        }
+      }
+      val ranges = classOf.toSeq.sortBy(_._1).flatMap {
+        case (name, _) if dead(name) => None
+        case (name, true) if loL.contains(name) =>
+          Some((name, widenLo(loL(name)), widenHi(hiL(name))))
+        case (name, false) if loD.contains(name) =>
+          Some((name, loD(name), hiD(name)))
+        case _ => None // all-null column: no entry, file never pruned
+      }
+      Some((rows, ranges))
+    } finally reader.close()
+  }
+
+  /** The r15 read-back form — ONE Spark aggregation keyed by file over
+    * every just-written group. Retained as the fallback for stat
+    * columns whose footer encoding [[footerStats]] cannot bound
+    * soundly (decimal); behavior and output format are identical.
+    */
+  private def sidecarsForViaJob(
       spark: SparkSession, root: String, groups: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, min, max}
     val written = spark.read.parquet(groups.map(g => s"$root/$g"): _*)
@@ -892,31 +1033,44 @@ object SnapshotStore {
     // collision-proof helper column: silently replacing a user column
     // named like it would drop real data past the schema check
     val grp = s"__grp_${UUID.randomUUID().toString.take(8)}"
-    val parted = df.repartitionByRange(nGroups, col(clusterCol))
+    // ONE partitionBy write lands every range partition as its own
+    // grp=<i> subdirectory of a staging dir under the table root
+    // (r16). The r15 shape paid one persist+max probe plus nGroups
+    // SEPARATE write jobs — ~10 driver-sequenced actions per clustered
+    // commit where this pays the range sampling pass + one write; the
+    // subdirectories then become the commit's data groups by atomic
+    // same-filesystem renames, and emptiness falls out of which
+    // partition dirs exist. Identical layout: each task holds exactly
+    // one grp value, so every group is the same single sorted file the
+    // per-group writes produced (partitionBy strips grp from the file,
+    // as drop(grp) did). Staging lives INSIDE root so an abandoned
+    // write is ordinary uncommitted garbage, never torn data.
+    val staging = Paths.get(root, s".inflight-${UUID.randomUUID()}")
+    df.repartitionByRange(nGroups, col(clusterCol))
       .withColumn(grp, spark_partition_id())
-      .persist()
-    // max over the PERSISTED frame decides emptiness too — the
-    // previous shape paid a separate isEmpty scan of the raw input
-    // before this job (r15: one fewer driver-sequenced action)
-    val maxRow = parted.agg(
-      org.apache.spark.sql.functions.max(grp)).head()
-    if (maxRow.isNullAt(0)) {
+      .write.partitionBy(grp).mode("error").parquet(staging.toString)
+    val parts = listDir(staging)
+      .filter(_.getFileName.toString.startsWith(s"$grp="))
+      .sortBy(_.getFileName.toString.drop(grp.length + 1).toInt)
+    def sweepStaging(): Unit = {
+      val w = Files.walk(staging)
+      val paths = try w.iterator.asScala.toVector finally w.close()
+      paths.reverse.foreach(Files.deleteIfExists(_))
+    }
+    if (parts.isEmpty) {
       // an empty batch has nothing to cluster — the plain append path
       // handles it
-      parted.unpersist()
+      sweepStaging()
       return append(df, root, publisher)
     }
-    val nParts = maxRow.getInt(0) + 1
-    val groups = (0 until nParts).map { g =>
+    Files.createDirectories(Paths.get(root, "data"))
+    val groups = parts.map { p =>
       val group = s"data/${UUID.randomUUID()}"
-      parted.filter(col(grp) === g).drop(grp)
-        .write.mode("error").parquet(s"$root/$group")
+      Files.move(p, Paths.get(root, group))
       group
     }
-    // all nParts sidecars from ONE read-back aggregation (r15 — was
-    // one job per group)
+    sweepStaging()
     sidecarsFor(df.sparkSession, root, groups)
-    parted.unpersist()
     commitLoop(root, "append", groups, publisher)
   }
 
@@ -1447,6 +1601,12 @@ object SnapshotStore {
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
+    // crashed clustered appends leave a .inflight-* staging dir under
+    // the ROOT (never referenced by any commit); sweep them past the
+    // same grace window that protects in-flight writers
+    val staleStaging = listDir(Paths.get(root))
+      .filter(_.getFileName.toString.startsWith(".inflight-"))
+      .filter(oldEnough)
     // leftover .trash-* dirs are crashed prior vacuums — always doomed
     val (trash, live) =
       entries.partition(_.getFileName.toString.startsWith(".trash-"))
@@ -1464,7 +1624,7 @@ object SnapshotStore {
       Files.move(p, t)
       t
     }
-    (trash ++ renamed).foreach { dir =>
+    (trash ++ renamed ++ staleStaging).foreach { dir =>
       val w = Files.walk(dir)
       val paths = try w.iterator.asScala.toVector finally w.close()
       paths.reverse.foreach(Files.deleteIfExists(_))
