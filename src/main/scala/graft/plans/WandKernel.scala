@@ -197,14 +197,35 @@ private[graft] object WandKernel {
     }
   }
 
+  /** Volume advantage WAND must show before a query routes to it:
+    * use_wand ⇔ vol × RouteVolFactor < estn. r14 set 2 ("pruning must
+    * at least halve the volume") when the naive kernel shuffled the
+    * EXPANDED pair stream; the r15 doc_id co-location made naive
+    * rows ~an order of magnitude cheaper than WAND's exact-scoring
+    * broadcast rows, so the 2× bar systematically mis-priced wall
+    * clock (measured, 50k-doc zipf corpus, estn/vol ≈ 10 workloads:
+    * naive 2.95 s vs WAND 7.10 s at 500 queries; 44.2 vs 61.4 s at
+    * 50k — WAND lost every probed scale it was routed to). 16 is the
+    * measured breakeven from those receipts (c_score ≈ 10-16× c_naive
+    * per priced row, plus the fixed driver-planning actions): WAND now
+    * engages only where pruning shrinks the volume by an order of
+    * magnitude and a half — the needle-in-haystack keyword regime
+    * where its candidate-bounded volume is corpus-independent
+    * insurance — and every shallower batch takes the co-located naive
+    * kernel that measurably wins there. Output-invariant by the
+    * pruning-exactness laws (IndexStoreSpec pins wandSearch ≡ search
+    * on both regimes).
+    */
+  val RouteVolFactor = 16L
+
   /** PRE-ROUTE on the df table alone (no postings scan): even in a
     * query's optimistic best case — every prefix slot a distinct
     * candidate, zero tail rows — its WAND volume is Σ min(P, df)
     * candidates × (1 + nt) scoring rows; a query that already fails
-    * the 2× bar there can never WAND-serve, so it skips the entire
-    * θ/cap/cutoff pipeline. On dense-overlap corpora NO query is
-    * eligible and WAND's whole overhead collapses to this one
-    * df-table aggregation in front of the naive kernel.
+    * the [[RouteVolFactor]] bar there can never WAND-serve, so it
+    * skips the entire θ/cap/cutoff pipeline. On dense-overlap corpora
+    * NO query is eligible and WAND's whole overhead collapses to this
+    * one df-table aggregation in front of the naive kernel.
     *
     * ONE checkpointed frame carries everything per-query the later
     * stages read — `eligible` (the pre-route verdict), `estn` (the
@@ -218,7 +239,8 @@ private[graft] object WandKernel {
       .agg(sum(least(col("df"), lit(prefixP.toLong))).as("estpre"),
         sum("df").as("estn"), count(lit(1)).as("nt"))
       .withColumn("eligible",
-        col("estpre") * (lit(1L) + col("nt")) * 2 < col("estn"))
+        col("estpre") * (lit(1L) + col("nt")) * RouteVolFactor <
+          col("estn"))
       .select("query_id", "estn", "nt", "eligible")
       .localCheckpoint(true)
 
@@ -248,7 +270,9 @@ private[graft] object WandKernel {
   }
 
   /** ROUTE: tail rule by price, then WAND only when the FULL pruned
-    * volume at least halves the naive one. The pruned volume is est
+    * volume beats the naive one by [[RouteVolFactor]] (the measured
+    * per-row cost ratio between the exact-scoring broadcast and the
+    * co-located naive kernel). The pruned volume is est
     * (tail rows emitted) PLUS the exact-scoring broadcast, ≤
     * (est + npref) candidates × nt terms — the nt factor is what a
     * Σ-df-only price missed, measured as 25+ CONCURRENT 4M-row chunk
@@ -279,7 +303,7 @@ private[graft] object WandKernel {
           * (lit(1L) + coalesce(col("nt"), lit(0L)))).as("vol"),
         col("estn"))
       .select(col("query_id"), col("use_ess"), col("vol"),
-        (col("vol") * 2 < col("estn")).as("use_wand"))
+        (col("vol") * RouteVolFactor < col("estn")).as("use_wand"))
       .localCheckpoint(true)
 
   /** The wand-routed batch's total priced scoring volume — a tiny
@@ -458,7 +482,8 @@ private[graft] object WandKernel {
     val dfOf = qRows.map(r => (r._1, r._2) -> r._4).toMap
     val qfOf = qRows.map(r => (r._1, r._2) -> r._3).toMap
     val eligible = byQ.keysIterator
-      .filter(k => estpre(k) * (1L + nt(k)) * 2 < estn(k)).toSet
+      .filter(k =>
+        estpre(k) * (1L + nt(k)) * RouteVolFactor < estn(k)).toSet
     val allQ = byQ.keySet
     // route-split default (everything naive); the serve() returns
     // below overwrite the wand-routed count — see [[lastRouteStats]]
@@ -653,7 +678,8 @@ private[graft] object WandKernel {
       val vol = cappable.iterator.map { k =>
         k -> (math.min(est1.getOrElse(k, 0L), est2.getOrElse(k, 0L)) +
           npref.getOrElse(k, 0L)) * (1L + nt(k)) }.toMap
-      val wandIds = cappable.filter(k => vol(k) * 2 < estn(k))
+      val wandIds = cappable.filter(k =>
+        vol(k) * RouteVolFactor < estn(k))
       Algebra(cutoffs, essential, candPairs, useEss, wandIds,
         wandIds.iterator.map(vol).sum)
     }

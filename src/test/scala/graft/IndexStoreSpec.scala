@@ -721,7 +721,10 @@ class IndexStoreSpec extends AnyFunSuite {
     val (table, path) = freshTable("bm25chunk")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_df")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
-    val corpus = (1 to 120).map(i => (i.toLong, s"stop rare$i"))
+    // 600 docs keeps the fixture's estn/vol ratio past the r16
+    // RouteVolFactor bar (see the regime-selector test) so the batch
+    // still WAND-routes and the chunk loop has something to chunk
+    val corpus = (1 to 600).map(i => (i.toLong, s"stop rare$i"))
       .toDF("doc_id", "text")
     Bm25IndexStore.build(corpus, table, path, buckets = 4)
     val queries = (1 to 5).map(i => (2000L + i, s"rare${i * 7} stop"))
@@ -835,11 +838,15 @@ class IndexStoreSpec extends AnyFunSuite {
     // SELECTIVE regime: a zipf-ish corpus (one corpus-wide stopword,
     // one df-1 rare term per doc) queried by short rare+stop keyword
     // pairs — θ rides the rare term past the cap sum and the stopword
-    // tail never joins; the pricing must WAND-route these.
+    // tail never joins; the pricing must WAND-route these. 600 docs
+    // puts the estn/vol ratio (~600/9) well past RouteVolFactor — the
+    // r16 re-tuned bar (16×, from the r15 co-located-kernel receipts);
+    // the old 120-doc fixture's ~13× ratio sat between the r14 and r16
+    // constants and now correctly routes naive.
     val (sTable, sPath) = freshTable("bm25sels")
     spark.sql(s"DROP TABLE IF EXISTS ${sTable}_df")
     spark.sql(s"DROP TABLE IF EXISTS ${sTable}_stats")
-    val corpus = (1 to 120).map(i => (i.toLong, s"stop rare$i"))
+    val corpus = (1 to 600).map(i => (i.toLong, s"stop rare$i"))
       .toDF("doc_id", "text")
     Bm25IndexStore.build(corpus, sTable, sPath, buckets = 4)
     val sq = (1 to 5).map(i => (2000L + i, s"rare${i * 7} stop"))
