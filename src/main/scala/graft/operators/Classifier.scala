@@ -161,27 +161,51 @@ object Classifier {
     */
   def train(feats: DataFrame,
             eta: Double = ClsEta, iters: Int = ClsIters): Array[Double] = {
+    val spark = feats.sparkSession
     val cached = feats.persist()
-    val n = cached.count().toDouble
     var w = Array.fill(NumFeatures)(0.0)
-    if (n > 0) {
-      // r15 NOTE: feeding the weights in as a broadcast one-row local
-      // relation (to stabilize the generated source and hit the codegen
-      // cache across passes) was MEASURED WORSE: the per-pass broadcast
-      // materialization added one job per iteration (43 → 59 jobs,
-      // +40% wall on the served row) — more driver-sequenced sync
-      // points than the Janino compiles it saved. Literal weights stay.
-      for (_ <- 1 to iters) {
+    // r15 NOTE: feeding the weights in as a broadcast one-row local
+    // relation (to stabilize the generated source and hit the codegen
+    // cache across passes) was MEASURED WORSE: the per-pass broadcast
+    // materialization added one job per iteration (43 → 59 jobs,
+    // +40% wall on the served row) — more driver-sequenced sync
+    // points than the Janino compiles it saved. Literal weights stay.
+    //
+    // r16: two job-count cuts on the same lesson, arithmetic untouched.
+    // (a) The row count rides the FIRST gradient aggregation (one more
+    //     count per partial) instead of its own count() action — n is
+    //     the same every pass, and full-batch GD needs it only to scale
+    //     the step. (b) AQE is off around the loop: each one-row agg is
+    //     partial-sums → single final row, where adaptive planning can
+    //     contribute nothing at ANY scale (no skew to split, nothing to
+    //     coalesce below one output row) yet materializes the shuffle
+    //     as its own query-stage JOB — doubling the loop's 16
+    //     driver-sequenced sync points, the exact balloon mechanism the
+    //     r14/r15 verdicts measured under host load.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var n = 0.0
+      var iter = 0
+      var empty = false
+      while (iter < iters && !empty) {
         val sig = lit(1.0) / (lit(1.0) + exp(-zCol(w)))
         val err = sig - col("y")
         val gs = (0 until NumFeatures).map(j =>
-          sum(round(err * col(s"x$j") * lit(1e8), 0).cast("long")).as(s"g$j"))
+          sum(round(err * col(s"x$j") * lit(1e8), 0).cast("long"))
+            .as(s"g$j")) :+ count(lit(1)).as("n")
         val row = cached.agg(gs.head, gs.tail: _*).head()
-        w = Array.tabulate(NumFeatures)(j =>
+        n = row.getLong(NumFeatures).toDouble
+        if (n == 0) empty = true // weights stay zero, as before
+        else w = Array.tabulate(NumFeatures)(j =>
           round8(w(j) - eta * row.getLong(j) / (n * 1e8)))
+        iter += 1
       }
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      cached.unpersist()
     }
-    cached.unpersist()
     w
   }
 
