@@ -169,7 +169,9 @@ object Clustering {
     */
   def nearDupClusterLabels(s: SparkSession, d: String): DataFrame =
     // memoized (r15): four registered rows consume these labels — the
-    // [[graft.plans.Memo]] pair-mining discipline, like the pairs below
+    // [[graft.plans.Memo]] pair-mining discipline, like the pairs below.
+    // Production analogue: cluster assignments are computed once per
+    // dedup run and read by keep/drop, split, and reporting jobs alike
     graft.plans.Memo.frame(s, d, "neardup_labels")(
       connectedComponents(nearDupPairs(s, d), "id_a", "id_b")
         .withColumnRenamed("node", "doc_id"))
@@ -181,7 +183,9 @@ object Clustering {
     */
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
     // memoized (r15): the pair list feeds the labels above plus the
-    // triangle and k-core rows — computed once per (context, dataset)
+    // triangle and k-core rows — computed once per (context, dataset).
+    // Production analogue: the mined near-dup edge list every graph
+    // consumer (components, triangles, k-core) of a dedup run shares
     graft.plans.Memo.frame(s, d, "neardup_pairs") {
       val sh = Dedup.memoCappedIndex(s, d)
       // Subquadratic pair finder: MinHash banding generates candidates,

@@ -44,7 +44,11 @@ object Curation {
     * [[graft.plans.Memo]] discipline (r15; deterministic in doc_id +
     * xxhash64, so memoized ≡ recomputed). The PAIR FINDERS deliberately
     * stay per-row — the exact/minhash twins exist to price their own
-    * pair algorithms.
+    * pair algorithms. Production analogue: a curation pipeline gates
+    * the corpus once per ingest and hands the gated frame + its
+    * fingerprint index to every downstream selection/dedup stage —
+    * single-consumer stages (e.g. the DSIR-selected subset) stay
+    * per-row so the bench keeps pricing them.
     */
   private def gatedCorpus(s: SparkSession, d: String): DataFrame =
     graft.plans.Memo.frame(s, d, "curation_gated")(

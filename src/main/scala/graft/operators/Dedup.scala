@@ -773,7 +773,10 @@ object Dedup {
     * per (context, dataset)") the index materializes once and every
     * consumer reads the checkpointed blocks. Deterministic (pure in
     * doc_id + xxhash64), so memoized ≡ recomputed — the standing Memo
-    * soundness argument.
+    * soundness argument. Production analogue: the fingerprint index a
+    * dedup service builds once per corpus snapshot and serves to every
+    * downstream pair/cluster job — built once, consumed by many, never
+    * a per-query artifact.
     */
   private[operators] def memoCappedIndex(
       s: SparkSession, d: String): DataFrame =
