@@ -1866,20 +1866,31 @@ object TextAnalysis {
     * don't pay a second corpus-wide tokenize pass.
     */
   def dsirWeightsTokenized(docs: DataFrame, isTgt: Column): DataFrame = {
-    // tf feeds the target model, the source model, and the scoring join
+    // tf feeds the term-stats aggregation and the scoring join
     val tf = docs
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    val ct = tf.filter(isTgt).groupBy("term").agg(sum("tf").as("ct"))
-    val cs = tf.filter(!isTgt).groupBy("term").agg(sum("tf").as("cs"))
-    val totals = tf.agg(
-      countDistinct("term").as("v"),
-      sum(when(isTgt, col("tf")).otherwise(0L)).as("nt"),
-      sum(when(!isTgt, col("tf")).otherwise(0L)).as("ns"))
+    // BOTH models from ONE vocab-sized aggregation (r16): the r15
+    // shape aggregated tf three times (target counts, source counts,
+    // totals — each its own exchange + query stage) and joined twice;
+    // one groupBy(term) carries ct and cs as conditional sums —
+    // identical integers (a term absent from a slice sums to 0, which
+    // is what the left-join + fill(0) produced) — and the totals
+    // derive from the vocab-sized stats frame instead of a second
+    // corpus-sized pass (v = stats rows ≡ countDistinct term; nt/ns =
+    // Σ ct / Σ cs). The stats subtree appears twice in the plan
+    // (totals broadcast + scoring join) and its exchange is REUSED,
+    // so it computes once.
+    val stats = tf.groupBy("term").agg(
+      sum(when(isTgt, col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!isTgt, col("tf")).otherwise(0L)).as("cs"))
+    val totals = stats.agg(
+      count(lit(1)).as("v"), sum("ct").as("nt"), sum("cs").as("ns"))
     val out = tf
-      .join(ct, Seq("term"), "left").na.fill(0L, Seq("ct"))
-      .join(cs, Seq("term"), "left").na.fill(0L, Seq("cs"))
+      // inner join is exact: every tf term appears in stats by
+      // construction (stats aggregates tf itself)
+      .join(stats, Seq("term"))
       .crossJoin(broadcast(totals))
       // ln(p_tgt/p_src) with add-1: an integer-ratio log, engine-exact
       .withColumn("lr", log(
@@ -1889,7 +1900,10 @@ object TextAnalysis {
       .agg(round(sum(col("tf") * col("lr")) / sum(col("tf")), 4)
         .as("dsir_logratio"))
       .withColumn("selected", col("dsir_logratio") > 0)
-      .orderBy("doc_id")
+      // NOT ordered here (r16): only the registered weights row needs
+      // a total order — the curation consumer feeds a filter + join,
+      // and sorting before the checkpoint cost a range exchange + its
+      // sampling job on every composed use
       .localCheckpoint(true)
     tf.unpersist()
     out
@@ -1897,6 +1911,7 @@ object TextAnalysis {
 
   val qDsirWeights: Q = (s, d) =>
     dsirWeights(documents(s, d), col("lang") === DsirTargetLang)
+      .orderBy("doc_id")
 
   /** Static DSIR scoring model from a reference corpus: a vocab-sized
     * `(term, lr)` table (materialized once) plus the unseen-term default
