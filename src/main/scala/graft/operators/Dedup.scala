@@ -1047,18 +1047,21 @@ object Dedup {
     * without the spread the ~1000× pair blowup runs in a single task.
     */
   val qDedupEditDistance: Q = (s, d) => {
+    // session parallelism, not a constant (r16): the spread must track
+    // the deployment's shuffle partitioning to stay scale-adaptive
+    val n = s.sessionState.conf.numShufflePartitions
     val p = part(s, d).select("p_partkey", "p_name", "p_brand")
     val a = p.toDF("id_a", "name_a", "brand")
       .withColumn("len",
         explode(sequence(length(col("name_a")) - 2,
           length(col("name_a")) + 2)))
-      .repartition(32, col("brand"), col("len"))
+      .repartition(n, col("brand"), col("len"))
     // both sides spread: Catalyst may broadcast EITHER side of this
     // dim-sized join, and whichever side streams must not be the raw
     // single-split parquet scan or the whole pair blowup runs one task
     val b = p.toDF("id_b", "name_b", "brand")
       .withColumn("len", length(col("name_b")))
-      .repartition(32, col("brand"), col("len"))
+      .repartition(n, col("brand"), col("len"))
     a.join(b, Seq("brand", "len"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
@@ -1094,7 +1097,11 @@ object Dedup {
       .withColumn("v", explode(graft.functions.DeletionNeighborhood
         .neighborhood(s, col("name"), maxDist)))
       .drop("name")
-      .repartition(32, (blockCols.map(col) :+ col("v")): _*)
+      // session parallelism, not a constant (r16) — see the edit-
+      // distance row; the variant key v is high-cardinality, so the
+      // hash spreads evenly at any partition count
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        (blockCols.map(col) :+ col("v")): _*)
     val joinKeys = blockCols :+ "v"
     val a = nbr.toDF(("id_a" +: joinKeys): _*)
     val b = nbr.toDF(("id_b" +: joinKeys): _*)
@@ -1135,10 +1142,32 @@ object Dedup {
     * never exercises).
     */
   val qFuzzyJaro: Q = (s, d) => {
+    // SALTED hot-key self-join (guide §2.5, r16): p_brand has only 25
+    // distinct values, so hashing by brand alone leaves most partitions
+    // empty and each brand's QUADRATIC Jaro work on one task (the r15
+    // shape also pinned the spread to a hard-coded 32). The left row's
+    // id hash picks one of `salt` buckets; the right side replicates
+    // `salt` ways, so every ordered pair (i < j) still joins exactly
+    // once — under (brand, sk) the 25 hot keys become 25 × salt
+    // balanced ones. salt tracks session parallelism (capped: right-
+    // side replication is linear in it, the pair volume it splits is
+    // quadratic per brand, so a modest factor buys the balance).
+    val salt = math.min(64,
+      math.max(4, s.sessionState.conf.numShufflePartitions / 8))
+    val n = s.sessionState.conf.numShufflePartitions
     val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.toDF("id_a", "brand", "name_a").repartition(32, col("brand"))
-    val b = p.toDF("id_b", "brand", "name_b").repartition(32, col("brand"))
-    a.join(b, "brand")
+    // both sides spread explicitly (the dim scan is one parquet split,
+    // and whichever side a broadcast join streams must not run the
+    // whole pair blowup in that one task); equal (brand, sk)
+    // partitioning also lets a shuffled join reuse both exchanges
+    val a = p.toDF("id_a", "brand", "name_a")
+      .withColumn("sk", pmod(xxhash64(col("id_a")), lit(salt.toLong)))
+      .repartition(n, col("brand"), col("sk"))
+    val b = p.toDF("id_b", "brand", "name_b")
+      .withColumn("sk",
+        explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+      .repartition(n, col("brand"), col("sk"))
+    a.join(b, Seq("brand", "sk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim",
         graft.functions.JaroSimilarity.sim(s, col("name_a"), col("name_b")))
