@@ -30,10 +30,24 @@ object JobsProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    // SPARK_GRAFT_JOBS_SITES=1: also record each job's submission
+    // call site (short form) so a hot row's job count can be broken
+    // down to the driver actions that caused it — the §1 "where do the
+    // sync points come from" question the count alone can't answer
+    val dumpSites = sys.env.get("SPARK_GRAFT_JOBS_SITES").contains("1")
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String])
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (dumpSites) {
+          // the result stage's name IS the action's call site (e.g.
+          // "head at Classifier.scala:179"); job properties don't
+          // carry it
+          val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          sites.add(cs.takeWhile(_ != '\n')); ()
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -50,6 +64,7 @@ object JobsProbe {
           // warm-up: store builds / codegen / memoized fixtures land here
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           drain()
+          if (dumpSites) sites.clear()
           val j0 = jobs.get()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -58,6 +73,12 @@ object JobsProbe {
           val n = jobs.get() - j0
           results(name) = (n, sec)
           println(f"[jobs] $name%-36s jobs=$n%3d sec=$sec%7.2f")
+          if (dumpSites) {
+            import scala.jdk.CollectionConverters._
+            sites.asScala.groupBy(identity).toSeq
+              .map { case (s, xs) => (xs.size, s) }.sortBy(-_._1)
+              .foreach { case (c, s) => println(f"[site] $c%3d  $s") }
+          }
         } catch {
           case e: Throwable =>
             results(name) = (-1L, -1.0)
