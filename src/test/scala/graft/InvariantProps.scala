@@ -829,7 +829,11 @@ object InvariantProps extends Properties("graft.invariants") {
   private case class RefusalCase(nCorpus: Int, nExt: Int, nQ: Int)
 
   private val genRefusalCase: Gen[RefusalCase] = for {
-    nCorpus <- Gen.choose(16, 24)
+    // df(the) = nCorpus must clear the driver kernel's eligibility bar
+    // estpre(1) × (1+nt=4) × RouteVolFactor(16) = 64, or no query is
+    // ever driver-planned and the refusal path never engages (fixture
+    // moved with the r16 route re-tune, like the IndexStoreSpec ones)
+    nCorpus <- Gen.choose(80, 120)
     nExt <- Gen.choose(6, 10)
     nQ <- Gen.choose(3, 5)
   } yield RefusalCase(nCorpus, nExt, nQ)
